@@ -1,0 +1,452 @@
+package graft.compile
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.exprs.{functions => gf}
+import graft.rules._
+import graft.rules.VRule._
+
+/** Compiles a [[WarySpec]] into Catalyst `Column` expressions.
+  *
+  * This is the Spark analogue of wary's proc-macro emission
+  * (wary_derive/src/wary/validate.rs, transform.rs): a spec compiles once
+  * on the driver into a pure expression tree; Catalyst then constant-folds,
+  * prunes, and whole-stage-codegens it. No per-row interpretation, no UDFs
+  * in the standard rules.
+  *
+  * Error model (wary/src/error/mod.rs:294-328):
+  * `errors: array<struct<path: array<string>, code: string, message: string>>`
+  * and "valid" ⇔ `size(errors) = 0` — the validate-then-transform gate of
+  * `Wary::wary` (wary/src/lib.rs:107-111).
+  */
+object RuleCompiler {
+
+  val errStructType: StructType = StructType(
+    Seq(
+      StructField("path", ArrayType(StringType, containsNull = false), nullable = false),
+      // nullable: dynamic validator codes (email/url/credit_card) are
+      // nullable-typed expressions even though they never emit null
+      StructField("code", StringType, nullable = true),
+      StructField("message", StringType, nullable = true)
+    )
+  )
+  val errArrayType: ArrayType = ArrayType(errStructType, containsNull = false)
+
+  def noErrs: Column = array().cast(errArrayType)
+
+  private def err1(path: Column, code: String, message: Column): Column =
+    array(
+      struct(
+        path.cast(ArrayType(StringType, false)).as("path"),
+        lit(code).as("code"),
+        message.as("message")
+      )
+    ).cast(errArrayType)
+
+  private def whenErr(
+      violated: Column,
+      path: Column,
+      code: String,
+      message: Column
+  ): Column =
+    when(violated, err1(path, code, message)).otherwise(noErrs)
+
+  /** lit() that also understands Seq literals (array rules). */
+  private def litAny(v: Any): Column = v match {
+    case s: Seq[_]  => array(s.map(x => lit(x)): _*)
+    case c: Column  => c
+    case other      => lit(other)
+  }
+
+  private def concatErrs(cols: Seq[Column]): Column = cols match {
+    case Seq()  => noErrs
+    case Seq(c) => c
+    case cs     => concat(cs: _*).cast(errArrayType)
+  }
+
+  // ------------------------------------------------------------------ top
+
+  /** Errors column for a whole DataFrame row under `spec`. */
+  def compileTop(df: DataFrame, spec: WarySpec): Column = {
+    val schema = df.schema
+    compileStruct(name => col(name), n => schema(n).dataType, spec, Nil)
+  }
+
+  /** Shared by top-level rows and `Dive` recursion: `get`/`dtOf` abstract
+    * over col(name) vs struct.getField(name).
+    */
+  private def compileStruct(
+      get: String => Column,
+      dtOf: String => DataType,
+      spec: WarySpec,
+      basePath: Seq[String]
+  ): Column =
+    concatErrs(spec.fields.map { f =>
+      val path = array((basePath :+ f.pathName).map(lit): _*)
+      compileField(get(f.name), dtOf(f.name), path, f.rules)
+    })
+
+  // ---------------------------------------------------------------- field
+
+  /** Option-hoisting semantics (validate.rs:300-327): when the value is
+    * NULL only `required` can fire; all other rules are skipped.
+    */
+  def compileField(
+      value: Column,
+      dt: DataType,
+      path: Column,
+      rules: Seq[VRule]
+  ): Column = {
+    val onNull =
+      if (rules.exists { case Required(false) => true; case _ => false })
+        err1(path, "cannot_be_empty", lit("value should not be empty"))
+      else noErrs
+    val onValue = concatErrs(rules.map(r => compileRule(value, dt, path, r)))
+    when(value.isNull, onNull).otherwise(onValue).cast(errArrayType)
+  }
+
+  // ----------------------------------------------------------- length kit
+
+  private def lengthOf(value: Column, dt: DataType, unit: LengthUnit): Column =
+    (unit, dt) match {
+      case (LengthUnit.Default, _: ArrayType)  => size(value).cast(LongType)
+      case (LengthUnit.Default, StringType)    => octet_length(value).cast(LongType)
+      case (LengthUnit.Bytes, _)               => octet_length(value).cast(LongType)
+      case (LengthUnit.Chars, _)               => char_length(value).cast(LongType)
+      case (LengthUnit.CodeUnits, _)           => gf.utf16_count(value).cast(LongType)
+      case (LengthUnit.Graphemes, _)           => gf.grapheme_count(value).cast(LongType)
+      case (u, d) =>
+        throw new IllegalArgumentException(s"length($u) unsupported for $d")
+    }
+
+  // ----------------------------------------------------------------- rule
+
+  private def compileRule(
+      value: Column,
+      dt: DataType,
+      path: Column,
+      rule: VRule
+  ): Column = rule match {
+
+    case Required(false) =>
+      val empty = dt match {
+        case _: ArrayType => size(value) === 0
+        case StringType   => octet_length(value) === 0
+        case _            => lit(false) // non-slice non-null always passes
+      }
+      whenErr(empty, path, "cannot_be_empty", lit("value should not be empty"))
+
+    case Required(true) =>
+      val nonEmpty = dt match {
+        case _: ArrayType => size(value) > 0
+        case StringType   => octet_length(value) > 0
+        case _            => lit(true) // non-slice Some(_) is non-empty
+      }
+      whenErr(nonEmpty, path, "should_be_empty", lit("value should be empty"))
+
+    case Equals(other, false) =>
+      whenErr(!(value === litAny(other)), path, "should_equal",
+        lit("value should equal the expected value"))
+
+    case Equals(other, true) =>
+      whenErr(value === litAny(other), path, "should_not_equal",
+        lit("value should not equal the expected value"))
+
+    case Range(min, max, exMin, exMax) =>
+      // wary short-circuits: min error suppresses max check
+      // (range.rs:139-157); unordered compare (NaN) errors on whichever
+      // bound is checked first.
+      val nan = dt match {
+        case DoubleType | FloatType => isnan(value)
+        case _                      => lit(false)
+      }
+      val tooSmall = min.map { m =>
+        val c = litAny(m)
+        nan || (if (exMin) value <= c else value < c)
+      }
+      val tooLarge = max.map { m =>
+        val c = litAny(m)
+        nan || (if (exMax) value >= c else value > c)
+      }
+      val smallErr = tooSmall.map(cond =>
+        whenErr(cond, path, "too_small", lit("value is too small")))
+      val largeErr = tooLarge.map(cond =>
+        whenErr(cond, path, "too_large", lit("value is too large")))
+      (smallErr, largeErr) match {
+        case (Some(s), Some(l)) => when(size(s) > 0, s).otherwise(l)
+        case (Some(s), None)    => s
+        case (None, Some(l))    => l
+        case (None, None)       => noErrs
+      }
+
+    case Length(unit, min, max, exMin, exMax) =>
+      val len = lengthOf(value, dt, unit)
+      val short = len < min || (len === min && lit(exMin))
+      val long = len > max || (len === max && lit(exMax))
+      val shortErr = whenErr(short, path, "too_short",
+        concat(lit(s"length is too short: expected at least $min, found "),
+          len.cast(StringType)))
+      val longErr = whenErr(long, path, "too_long",
+        concat(lit(s"length is too long: expected at most $max, found "),
+          len.cast(StringType)))
+      when(size(shortErr) > 0, shortErr).otherwise(longErr)
+
+    case ContainsStr(needle, false) =>
+      whenErr(!value.contains(lit(needle)), path, "should_contain",
+        lit(s"expected to contain $needle"))
+
+    case ContainsStr(needle, true) =>
+      // byte position of the match (Rust str::find — contains.rs:351-373):
+      // instr is 1-based char position; convert via octet_length of prefix.
+      val pos = octet_length(substring(value, lit(1),
+        (instr(value, needle) - 1).cast(IntegerType)))
+      whenErr(value.contains(lit(needle)), path, "should_not_contain",
+        concat(lit("found unexpected value at position "),
+          pos.cast(StringType), lit(s": $needle")))
+
+    case ContainsSlice(needle, false, not) =>
+      // contiguous-subsequence search (sliding window,
+      // contains.rs:203-271)
+      val n = needle.size
+      val lits = litAny(needle)
+      val starts = when(size(value) < n, array().cast(ArrayType(IntegerType)))
+        .otherwise(filter(
+          sequence(lit(0), size(value) - n),
+          i => slice(value, i + 1, lit(n)) === lits
+        ))
+      val found = size(starts) > 0
+      if (!not)
+        whenErr(!found, path, "should_contain_slice",
+          lit(s"expected to contain ${needle.mkString("[", ", ", "]")}"))
+      else
+        whenErr(found, path, "should_not_contain_slice",
+          concat(lit("found unexpected value at position "),
+            element_at(starts, 1).cast(StringType)))
+
+    case ContainsSlice(needle, true, not) =>
+      // any-order subset test (contains.rs:273-326)
+      val lits = litAny(needle)
+      if (!not)
+        whenErr(
+          !forall(lits, x => array_contains(value, x)),
+          path, "should_contain_slice",
+          lit(s"expected to contain ${needle.mkString("[", ", ", "]")}"))
+      else {
+        val hitIdx = filter(
+          sequence(lit(0), lit(needle.size - 1)),
+          i => array_contains(value, element_at(lits, i + 1))
+        )
+        whenErr(size(hitIdx) > 0, path, "should_not_contain_slice",
+          concat(lit("found unexpected value at position "),
+            element_at(hitIdx, 1).cast(StringType)))
+      }
+
+    case PrefixStr(v, false) =>
+      whenErr(!value.startsWith(v), path, "should_start_with",
+        lit(s"expected to start with $v"))
+    case PrefixStr(v, true) =>
+      whenErr(value.startsWith(v), path, "should_not_start_with",
+        lit(s"expected to not start with $v"))
+
+    case PrefixSlice(v, not) =>
+      val n = v.size
+      val matches = size(value) >= n && slice(value, 1, n) === litAny(v)
+      if (!not)
+        whenErr(!matches, path, "should_start_with_slice",
+          lit(s"expected to start with ${v.mkString("[", ", ", "]")}"))
+      else
+        whenErr(matches, path, "should_not_start_with_slice",
+          lit(s"expected to not start with ${v.mkString("[", ", ", "]")}"))
+
+    case SuffixStr(v, false) =>
+      whenErr(!value.endsWith(v), path, "should_end_with",
+        lit(s"expected to end with $v"))
+    case SuffixStr(v, true) =>
+      whenErr(value.endsWith(v), path, "should_not_end_with",
+        lit(s"expected to not end with $v"))
+
+    case SuffixSlice(v, not) =>
+      val n = v.size
+      val matches =
+        size(value) >= n &&
+          slice(value, size(value) - n + 1, lit(n)) === litAny(v)
+      if (!not)
+        whenErr(!matches, path, "should_end_with_slice",
+          lit(s"expected to end with ${v.mkString("[", ", ", "]")}"))
+      else
+        whenErr(matches, path, "should_not_end_with_slice",
+          lit(s"expected to not end with ${v.mkString("[", ", ", "]")}"))
+
+    case Alphanumeric(ascii) =>
+      val mode = if (ascii) "alnum_ascii" else "alnum"
+      whenErr(gf.first_bad_char(value, mode) >= 0, path, "alphanumeric",
+        lit("value should be alphanumeric"))
+
+    case AsciiRule =>
+      // all-ASCII ⇔ UTF-8 byte count equals char count
+      whenErr(octet_length(value) =!= char_length(value), path, "ascii",
+        lit("expected ASCII"))
+
+    case Lowercase(ascii) =>
+      val mode = if (ascii) "lower_ascii" else "lower"
+      val pos = gf.first_bad_char(value, mode)
+      whenErr(pos >= 0, path, "lowercase",
+        concat(lit("expected lowercase character at position "),
+          pos.cast(StringType)))
+
+    case Uppercase(ascii) =>
+      val mode = if (ascii) "upper_ascii" else "upper"
+      val pos = gf.first_bad_char(value, mode)
+      whenErr(pos >= 0, path, "uppercase",
+        concat(lit("expected uppercase character at position "),
+          pos.cast(StringType)))
+
+    case Regex(pattern) =>
+      whenErr(!value.rlike(pattern), path, "no_match",
+        lit(s"expected to match $pattern"))
+
+    case Addr(mode) =>
+      val (kind, code, msg) = mode match {
+        case "ipv4" => ("ipv4", "invalid_ipv4", "invalid IPv4 address")
+        case "ipv6" => ("ipv6", "invalid_ipv6", "invalid IPv6 address")
+        case _      => ("ip", "invalid_ip", "invalid IP address")
+      }
+      whenErr(gf.validator_code(value, kind) =!= "", path, code, lit(msg))
+
+    case Uuid =>
+      whenErr(gf.validator_code(value, "uuid") =!= "", path, "uuid",
+        lit("expected valid UUID"))
+
+    case Semver =>
+      whenErr(gf.validator_code(value, "semver") =!= "", path, "semver",
+        lit("expected semantic version"))
+
+    case CreditCard =>
+      dynamicErr(gf.validator_code(value, "credit_card"), path,
+        lit("invalid credit card"))
+    case Email =>
+      dynamicErr(gf.validator_code(value, "email"), path,
+        lit("invalid email address"))
+    case Url =>
+      dynamicErr(gf.validator_code(value, "url"), path, lit("invalid URL"))
+
+    case Time(min, max, exMin, exMax) =>
+      // inverted codes kept for parity (time.rs:139-152)
+      val tooNew = min.map { m =>
+        if (exMin) value <= lit(m) else value < lit(m)
+      }
+      val tooOld = max.map { m =>
+        if (exMax) value >= lit(m) else value > lit(m)
+      }
+      val newErr = tooNew.map(c =>
+        whenErr(c, path, "too_new", lit("time is too new")))
+      val oldErr = tooOld.map(c =>
+        whenErr(c, path, "too_old", lit("time is too old")))
+      (newErr, oldErr) match {
+        case (Some(a), Some(b)) => when(size(a) > 0, a).otherwise(b)
+        case (Some(a), None)    => a
+        case (None, Some(b))    => b
+        case (None, None)       => noErrs
+      }
+
+    case Func(code, message, pred) =>
+      whenErr(!pred(value), path, code, lit(message))
+
+    case And(rules) =>
+      // first failing rule only (validate.rs:234-253)
+      rules.map(r => compileRule(value, dt, path, r))
+        .foldRight(noErrs)((e, acc) => when(size(e) > 0, e).otherwise(acc))
+
+    case Or(rules) =>
+      // any success ⇒ pass; total failure ⇒ last branch's errors
+      // (validate.rs:255-292)
+      val compiled = rules.map(r => compileRule(value, dt, path, r))
+      val anyPass = compiled.map(size(_) === 0).reduce(_ || _)
+      when(anyPass, noErrs).otherwise(compiled.last).cast(errArrayType)
+
+    case Inner(rules) =>
+      val et = dt match {
+        case ArrayType(e, _) => e
+        case other =>
+          throw new IllegalArgumentException(s"inner() on non-array $other")
+      }
+      flatten(
+        transform(
+          value,
+          (x, i) =>
+            compileField(x, et, concat(path, array(i.cast(StringType))), rules)
+        )
+      ).cast(errArrayType)
+
+    case Dive(spec) =>
+      val st = dt match {
+        case s: StructType => s
+        case other =>
+          throw new IllegalArgumentException(s"dive on non-struct $other")
+      }
+      // rebuild with struct-relative accessors and extended base path
+      concatErrs(spec.fields.map { f =>
+        val p = concat(path, array(lit(f.pathName)))
+        compileField(value.getField(f.name), st(f.name).dataType, p, f.rules)
+      })
+
+  }
+
+  /** For validators whose error code is data-dependent (email/url/
+    * credit_card): "" ⇒ pass, otherwise the code itself is the wary code.
+    */
+  private def dynamicErr(code: Column, path: Column, message: Column): Column =
+    when(
+      code =!= "",
+      array(struct(
+        path.cast(ArrayType(StringType, false)).as("path"),
+        code.as("code"),
+        message.as("message")
+      )).cast(errArrayType)
+    ).otherwise(noErrs)
+
+  // ----------------------------------------------------------- transforms
+
+  def compileTransforms(value: Column, dt: DataType, ts: Seq[TRule]): Column =
+    ts.foldLeft(value)((c, t) => compileTransform(c, dt, t))
+
+  private val upperAlpha = ('A' to 'Z').mkString
+  private val lowerAlpha = ('a' to 'z').mkString
+
+  private def compileTransform(value: Column, dt: DataType, t: TRule): Column =
+    t match {
+      case TRule.Lower(false) => lower(value)
+      // ascii mode maps only A-Z, leaving non-ASCII untouched
+      // (lowercase.rs:149-159, test "ßeLLO"→"ßello")
+      case TRule.Lower(true)  => translate(value, upperAlpha, lowerAlpha)
+      case TRule.Upper(false) => upper(value)
+      case TRule.Upper(true)  => translate(value, lowerAlpha, upperAlpha)
+      case TRule.Trim(false)  => gf.wary_trim(value)
+      case TRule.Trim(true)   => gf.wary_trim_ascii(value)
+      case TRule.Inner(ts) =>
+        val et = dt match {
+          case ArrayType(e, _) => e
+          case other =>
+            throw new IllegalArgumentException(s"inner() on non-array $other")
+        }
+        transform(value, x => compileTransforms(x, et, ts))
+      case TRule.Dive(spec) =>
+        val st = dt match {
+          case s: StructType => s
+          case other =>
+            throw new IllegalArgumentException(s"dive on non-struct $other")
+        }
+        val rebuilt = struct(st.fields.map { sf =>
+          val inner = value.getField(sf.name)
+          val transformed = spec.fields.find(_.name == sf.name) match {
+            case Some(f) => compileTransforms(inner, sf.dataType, f.transforms)
+            case None    => inner
+          }
+          transformed.as(sf.name)
+        }.toSeq: _*)
+        when(value.isNull, lit(null).cast(st)).otherwise(rebuilt)
+      case TRule.Func(f) => f(value)
+    }
+}

@@ -1,0 +1,124 @@
+package graft.exprs
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the rule semantics Spark's built-ins
+  * can't express exactly (SURVEY.md §7.3). All generate a static call into
+  * a pure Scala object, so they stay inside whole-stage codegen (no UDF
+  * serialization, no interpreted fallback).
+  */
+
+/** Index (in Unicode scalar values) of the first char violating the given
+  * character-class `mode`, or -1 if the string passes.
+  * Modes: lower, lower_ascii, upper, upper_ascii, alnum, alnum_ascii.
+  */
+case class FirstBadChar(child: Expression, mode: String)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"first_bad_char_$mode"
+  override protected def nullSafeEval(input: Any): Any =
+    WaryChar.dispatchFirstBad(mode, input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"""graft.exprs.WaryChar.dispatchFirstBad("$mode", $c.toString())"""
+    )
+  override protected def withNewChildInternal(c: Expression): FirstBadChar =
+    copy(child = c)
+}
+
+/** Error code from a parser-backed validator ("" = valid).
+  * Kinds: ip, ipv4, ipv6, uuid, semver, credit_card, email, url.
+  */
+case class ValidatorCode(child: Expression, kind: String)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = s"validate_$kind"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      Validators.check(kind, input.asInstanceOf[UTF8String].toString)
+    )
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(
+      ctx,
+      ev,
+      c =>
+        s"""UTF8String.fromString(graft.exprs.Validators.check("$kind", $c.toString()))"""
+    )
+  override protected def withNewChildInternal(c: Expression): ValidatorCode =
+    copy(child = c)
+}
+
+/** Grapheme-cluster count (wary length(graphemes)). */
+case class GraphemeCount(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "grapheme_count"
+  override protected def nullSafeEval(input: Any): Any =
+    WaryChar.graphemeCount(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.WaryChar.graphemeCount($c.toString())")
+  override protected def withNewChildInternal(c: Expression): GraphemeCount =
+    copy(child = c)
+}
+
+/** UTF-16 code-unit count (wary length(code_units)). */
+case class Utf16Count(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "utf16_count"
+  override protected def nullSafeEval(input: Any): Any =
+    WaryChar.utf16Count(input.asInstanceOf[UTF8String].toString)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.WaryChar.utf16Count($c.toString())")
+  override protected def withNewChildInternal(c: Expression): Utf16Count =
+    copy(child = c)
+}
+
+/** Exact Rust-semantics trim (Unicode White_Space incl. NBSP/U+0085 —
+  * Spark's trim() strips 0x20 only).
+  */
+case class WaryTrim(child: Expression, ascii: Boolean)
+    extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = if (ascii) "wary_trim_ascii" else "wary_trim"
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String].toString
+    UTF8String.fromString(if (ascii) WaryChar.trimAscii(s) else WaryChar.trim(s))
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val fn = if (ascii) "trimAscii" else "trim"
+    defineCodeGen(
+      ctx,
+      ev,
+      c => s"UTF8String.fromString(graft.exprs.WaryChar.$fn($c.toString()))"
+    )
+  }
+  override protected def withNewChildInternal(c: Expression): WaryTrim =
+    copy(child = c)
+}
+
+/** Column-level entry points. */
+object functions {
+  private def col(e: Expression): Column =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def expr(c: Column): Expression =
+    org.apache.spark.sql.GraftBridge.expression(c)
+
+  def first_bad_char(c: Column, mode: String): Column =
+    col(FirstBadChar(expr(c), mode))
+  def validator_code(c: Column, kind: String): Column =
+    col(ValidatorCode(expr(c), kind))
+  def grapheme_count(c: Column): Column = col(GraphemeCount(expr(c)))
+  def utf16_count(c: Column): Column = col(Utf16Count(expr(c)))
+  def wary_trim(c: Column): Column = col(WaryTrim(expr(c), ascii = false))
+  def wary_trim_ascii(c: Column): Column = col(WaryTrim(expr(c), ascii = true))
+}

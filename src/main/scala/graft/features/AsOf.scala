@@ -1,0 +1,106 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Point-in-time (as-of) join, built as a union-merge: ONE shuffle on the
+  * join key, O(n log n), no interval explosion (SURVEY.md §2.4 / §4.1 —
+  * stock Spark has no ASOF join, SPARK-22947).
+  *
+  * Mechanics: union the two sides tagged by source, sort within each key
+  * partition by (ts, src) — right rows sorting BEFORE anchors at equal ts
+  * for the "≤" point-in-time semantic — then carry the last-seen right row
+  * forward (`last(..., ignoreNulls=true)`) and keep only anchor rows.
+  *
+  * Temporal-leakage guarantee: an anchor can only see right rows that sort
+  * before it, i.e. right.ts < anchor.ts, or right.ts == anchor.ts when
+  * `allowExactMatches` (never right.ts > anchor.ts). Property-tested in
+  * AsOfSpec.
+  *
+  * Scale: the single hash shuffle partitions by key; AQE handles moderate
+  * skew (one giant key within a partition stays a single-pass sort). A
+  * mega-key two-phase variant (per-salt partial + boundary patch) is the
+  * documented scale path for 10^12-turn keys.
+  */
+object AsOf {
+
+  /** Backward as-of join: for each left row, the latest right row with
+    * right(ts) <= left(ts) (or < when !allowExactMatches), per `keys`.
+    *
+    * Right's non-key, non-ts columns are appended (suffixed `_r` when they
+    * collide with a left name); unmatched anchors get NULLs. Optional
+    * `toleranceMs` drops matches older than the anchor by more than the
+    * tolerance.
+    */
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      allowExactMatches: Boolean = true,
+      toleranceMs: Option[Long] = None
+  ): DataFrame = {
+    val leftVals = left.columns.filterNot(keys.contains).toSeq
+    val rightVals =
+      right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val outName: Map[String, String] = rightVals.map { c =>
+      c -> (if (left.columns.contains(c)) s"${c}_r" else c)
+    }.toMap
+
+    // src ordering encodes the tie rule: with exact matches the right row
+    // must sort first (anchor sees it); without, the anchor sorts first.
+    val (rightSrc, leftSrc) = if (allowExactMatches) (0, 1) else (1, 0)
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types
+        .StructField("__rts", right.schema(rightTs).dataType) +:
+        rightVals.map(c => right.schema(c))
+    )
+
+    val r = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(rightSrc).as("__src"),
+        struct(col(rightTs).as("__rts") +: rightVals.map(col): _*)
+          .cast(payloadType)
+          .as("__rpayload")
+      ) ++ leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*
+    )
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(leftSrc).as("__src"),
+        lit(null).cast(payloadType).as("__rpayload")
+      ) ++ leftVals.map(col): _*
+    )
+
+    val u = r.unionByName(l)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = u.withColumn(
+      "__match",
+      last(col("__rpayload"), ignoreNulls = true).over(w)
+    )
+
+    val inTolerance: Column = toleranceMs match {
+      case Some(t) =>
+        col("__match").isNotNull &&
+          (col("__ts").cast("long") - col("__match.__rts").cast("long")) * 1000L <= t
+      case None => col("__match").isNotNull
+    }
+
+    matched
+      .filter(col("__src") === leftSrc)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftVals.filterNot(_ == leftTs).map(col) ++
+          rightVals.map(c =>
+            when(inTolerance, col(s"__match.$c")).as(outName(c))) : _*
+      )
+  }
+}

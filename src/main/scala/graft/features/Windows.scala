@@ -1,0 +1,86 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.{Window, WindowSpec}
+import org.apache.spark.sql.functions._
+
+/** Windowed feature operators over per-entity event-time order.
+  *
+  * All operators share ONE window partitioning (entity key) and ordering
+  * (ts, then a stable tiebreaker), so Catalyst plans them into a single
+  * shuffle + sort even when several features stack — the dominant cost at
+  * 10^12 turns is that one exchange, not the window functions.
+  *
+  * Zero-leakage: every feature frame ends at `currentRow` (never a
+  * following row), so no feature reads ts greater than its anchor.
+  */
+object Windows {
+
+  /** Per-conversation event-time window; `turn_idx` breaks ts ties
+    * deterministically (BASELINE.md "stable (conv_id, turn_idx) order").
+    */
+  def turnWindow: WindowSpec =
+    Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
+
+  def keyed(key: Seq[String], order: Seq[Column]): WindowSpec =
+    Window.partitionBy(key.map(col): _*).orderBy(order: _*)
+
+  /** lag/lead of `srcCol` by k rows (SURVEY.md §2.4). `lead` looks forward:
+    * a label/target generator, not a feature — kept separate so leakage
+    * audits can whitelist it explicitly.
+    */
+  def withLag(df: DataFrame, w: WindowSpec, srcCol: String, k: Int = 1,
+      as: String = ""): DataFrame = {
+    val name = if (as.isEmpty) s"${srcCol}_lag$k" else as
+    df.withColumn(name, lag(col(srcCol), k).over(w))
+  }
+
+  def withLead(df: DataFrame, w: WindowSpec, srcCol: String, k: Int = 1,
+      as: String = ""): DataFrame = {
+    val name = if (as.isEmpty) s"${srcCol}_lead$k" else as
+    df.withColumn(name, lead(col(srcCol), k).over(w))
+  }
+
+  /** Backfill / LOCF: last non-null observation carried forward. */
+  def locf(df: DataFrame, w: WindowSpec, srcCol: String, as: String = "")
+      : DataFrame = {
+    val name = if (as.isEmpty) s"${srcCol}_locf" else as
+    df.withColumn(
+      name,
+      last(col(srcCol), ignoreNulls = true)
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+  }
+
+  /** Running aggregate up to and including the current row. */
+  def runningSum(df: DataFrame, w: WindowSpec, expr: Column, as: String)
+      : DataFrame =
+    df.withColumn(
+      as,
+      sum(expr).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    )
+
+  def runningCount(df: DataFrame, w: WindowSpec, pred: Column, as: String)
+      : DataFrame =
+    runningSum(df, w, when(pred, 1L).otherwise(0L), as)
+
+  /** Time-range rolling window: aggregate over the trailing `seconds`
+    * (inclusive of the current row). Ordering is ts-as-epoch-seconds so the
+    * frame is a true event-time range, not a row count.
+    */
+  def rollingByTime(
+      df: DataFrame,
+      key: Seq[String],
+      tsCol: String,
+      seconds: Long,
+      aggs: Seq[(Column, String)]
+  ): DataFrame = {
+    val w = Window
+      .partitionBy(key.map(col): _*)
+      .orderBy(col(tsCol).cast("long"))
+      .rangeBetween(-seconds, 0)
+    aggs.foldLeft(df) { case (acc, (agg, name)) =>
+      acc.withColumn(name, agg.over(w))
+    }
+  }
+}

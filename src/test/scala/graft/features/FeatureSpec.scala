@@ -1,0 +1,158 @@
+package graft.features
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.schema.{TranscriptGen, Turn}
+
+/** Feature operators vs a deliberately naive single-threaded in-memory
+  * oracle (SURVEY.md §5): Spark output must match exactly under stable
+  * (conv_id, ts, turn_idx) ordering, and a leakage property asserts no
+  * feature reads a timestamp greater than its anchor.
+  */
+class FeatureSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private lazy val turns: Seq[Turn] =
+    (0L until 40L).flatMap(c => TranscriptGen.turnsFor(seed = 7L, c, maxLen = 64))
+  private lazy val df = spark.createDataFrame(turns)
+
+  private def sortedConv(c: String): Seq[Turn] =
+    turns.filter(_.conv_id == c).sortBy(t => (t.ts.getTime, t.turn_idx))
+
+  test("lag matches in-memory oracle per conversation") {
+    val w = Windows.turnWindow
+    val got = Windows
+      .withLag(df, w, "text", 1)
+      .select("conv_id", "turn_idx", "ts", "text_lag1")
+      .as[(String, Int, Timestamp, Option[String])]
+      .collect()
+      .map(r => (r._1, r._2) -> r._4)
+      .toMap
+    for (c <- turns.map(_.conv_id).distinct) {
+      val sorted = sortedConv(c)
+      sorted.zipWithIndex.foreach { case (t, i) =>
+        val expected = if (i == 0) None else Option(sorted(i - 1).text)
+        assert(got((c, t.turn_idx)) == expected,
+          s"lag mismatch at ($c, ${t.turn_idx})")
+      }
+    }
+  }
+
+  test("LOCF backfill matches oracle (nulls carried forward)") {
+    val got = Windows
+      .locf(df, Windows.turnWindow, "tool")
+      .select("conv_id", "turn_idx", "tool_locf")
+      .as[(String, Int, Option[String])]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    for (c <- turns.map(_.conv_id).distinct) {
+      var lastSeen: Option[String] = None
+      sortedConv(c).foreach { t =>
+        if (t.tool != null) lastSeen = Some(t.tool)
+        assert(got((c, t.turn_idx)) == lastSeen,
+          s"locf mismatch at ($c, ${t.turn_idx})")
+      }
+    }
+  }
+
+  test("sessionize assigns gap-based ids matching oracle") {
+    val gap = 30L
+    val got = Sessionize(df, Seq("conv_id"), "ts", gap, Seq("turn_idx"))
+      .select("conv_id", "turn_idx", "session_seq")
+      .as[(String, Int, Long)]
+      .collect()
+      .map(r => (r._1, r._2) -> r._3)
+      .toMap
+    for (c <- turns.map(_.conv_id).distinct) {
+      var seq = -1L
+      var prev: Option[Long] = None
+      sortedConv(c).foreach { t =>
+        val sec = t.ts.getTime / 1000L
+        if (prev.isEmpty || sec - prev.get > gap) seq += 1
+        prev = Some(sec)
+        assert(got((c, t.turn_idx)) == seq,
+          s"session mismatch at ($c, ${t.turn_idx})")
+      }
+    }
+  }
+
+  test("as-of join backward matches oracle and never leaks future rows") {
+    // anchors: assistant turns; features: tool observations
+    val anchors = df.filter($"role" === "assistant")
+      .select("conv_id", "turn_idx", "ts")
+    val obs = df.filter($"tool".isNotNull)
+      .select($"conv_id", $"ts", $"tool", $"turn_idx".as("obs_idx"))
+    val joined = AsOf
+      .joinBackward(anchors, obs, Seq("conv_id"))
+      .select("conv_id", "turn_idx", "ts", "tool", "obs_idx")
+      .as[(String, Int, Timestamp, Option[String], Option[Int])]
+      .collect()
+
+    val obsLocal = turns.filter(_.tool != null)
+    joined.foreach { case (c, idx, ts, tool, obsIdx) =>
+      // oracle: latest obs with (ts, turn_idx-as-src-tiebreak) ≤ anchor
+      val candidates = obsLocal.filter(o =>
+        o.conv_id == c && o.ts.getTime <= ts.getTime)
+      val expected =
+        if (candidates.isEmpty) None
+        else Some(candidates.maxBy(o => (o.ts.getTime, o.turn_idx)))
+      // ZERO-LEAKAGE property: matched ts must be ≤ anchor ts
+      obsIdx.foreach { oi =>
+        val matched = obsLocal.find(o => o.conv_id == c && o.turn_idx == oi).get
+        assert(matched.ts.getTime <= ts.getTime,
+          s"LEAKAGE at ($c, $idx): matched ${matched.ts} > anchor $ts")
+      }
+      // exact oracle value (ties broken by union sort order are stable
+      // within equal ts — compare the ts of the match, not the row id)
+      assert(tool.isDefined == expected.isDefined, s"match presence ($c,$idx)")
+      for (e <- expected; oi <- obsIdx) {
+        val matched = obsLocal.find(o => o.conv_id == c && o.turn_idx == oi).get
+        assert(matched.ts.getTime == e.ts.getTime,
+          s"as-of picked wrong ts at ($c,$idx)")
+      }
+    }
+  }
+
+  test("as-of strict (< semantics) excludes equal timestamps") {
+    val anchors = Seq(("a", 1, ts(1000))).toDF("conv_id", "turn_idx", "ts")
+    val obs = Seq(("a", ts(1000), "x"), ("a", ts(500), "y"))
+      .toDF("conv_id", "ts", "tool")
+    val exact = AsOf.joinBackward(anchors, obs, Seq("conv_id"))
+      .select("tool").as[String].collect()
+    val strict = AsOf
+      .joinBackward(anchors, obs, Seq("conv_id"), allowExactMatches = false)
+      .select("tool").as[String].collect()
+    assert(exact.toSeq == Seq("x"))
+    assert(strict.toSeq == Seq("y"))
+  }
+
+  test("as-of tolerance drops stale matches") {
+    val anchors = Seq(("a", 1, ts(100000))).toDF("conv_id", "turn_idx", "ts")
+    val obs = Seq(("a", ts(10000), "old")).toDF("conv_id", "ts", "tool")
+    val within = AsOf.joinBackward(anchors, obs, Seq("conv_id"),
+      toleranceMs = Some(100000L)).select("tool").as[Option[String]].collect()
+    val outside = AsOf.joinBackward(anchors, obs, Seq("conv_id"),
+      toleranceMs = Some(1000L)).select("tool").as[Option[String]].collect()
+    assert(within.toSeq == Seq(Some("old")))
+    assert(outside.toSeq == Seq(None))
+  }
+
+  test("rolling time window counts only trailing range") {
+    val rows = Seq(
+      ("u", ts(0), 1.0), ("u", ts(10000), 2.0), ("u", ts(70000), 4.0)
+    ).toDF("conv_id", "ts", "v")
+    val out = Windows
+      .rollingByTime(rows, Seq("conv_id"), "ts", 60L,
+        Seq((org.apache.spark.sql.functions.sum("v"), "s")))
+      .select("s").as[Double].collect().sorted
+    // at t=0: 1; t=10: 3; t=70: 6-1=... only rows within [t-60, t]: 2+4=6
+    assert(out.toSeq == Seq(1.0, 3.0, 6.0))
+  }
+
+  private def ts(ms: Long) = new Timestamp(ms)
+}

@@ -1,0 +1,335 @@
+package graft.rules
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.compile.WaryGate
+import graft.rules.VRule._
+
+/** Golden replay of the reference's rule test corpus (SURVEY.md §5): each
+  * wary `#[test]`/doctest fixture becomes one Spark row; we assert the same
+  * pass/fail and, where the reference asserts error counts/paths, the same
+  * `(path, code)` multiset. Reference cites are on each test.
+  */
+class RuleGoldenSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Error (path, code) pairs for a 1-row, 1-field ("v") DataFrame. */
+  private def errs(df: DataFrame, rules: VRule*): Seq[(Seq[String], String)] = {
+    val gated = WaryGate(df, WarySpec(Seq(FieldSpec("v", rules = rules))))
+    gated.select("errors").collect().head.getSeq[Row](0).map { r =>
+      (r.getSeq[String](0), r.getString(1))
+    }
+  }
+
+  private def codes(df: DataFrame, rules: VRule*): Seq[String] =
+    errs(df, rules: _*).map(_._2)
+
+  private def str(s: String): DataFrame = Seq(Option(s)).toDF("v")
+  private def ints(xs: Int*): DataFrame = Seq(Seq(xs: _*)).toDF("v")
+
+  // --- length (options/rule/length.rs:383-423) -------------------------
+  test("length: bytes/chars on ascii and emoji") {
+    assert(codes(str("hello"), Length(LengthUnit.Bytes, 5, 5)).isEmpty)
+    assert(codes(str("hello"), Length(LengthUnit.Bytes, 6, 6)) ==
+      Seq("too_short"))
+    assert(codes(str("hello"), Length(LengthUnit.Chars, 5, 5)).isEmpty)
+    assert(codes(str("hello"), Length(LengthUnit.Chars, 6, 6)) ==
+      Seq("too_short"))
+    assert(codes(str("😊"), Length(LengthUnit.Chars, 1, 1)).isEmpty)
+    assert(codes(str("😊"), Length(LengthUnit.Bytes, 1, 1)) == Seq("too_long"))
+  }
+
+  test("length: default unit is element count for slices") {
+    assert(codes(ints(1, 2, 3, 4, 5), Length(min = 5, max = 5)).isEmpty)
+    assert(codes(ints(1, 2, 3, 4, 5), Length(min = 6, max = 6)) ==
+      Seq("too_short"))
+  }
+
+  test("length: default unit is BYTES for strings (lib.rs:403-410)") {
+    assert(codes(str("😊😊"), Length(min = 8, max = 8)).isEmpty)
+    assert(codes(str("😊😊"), Length(min = 2, max = 2)) == Seq("too_long"))
+  }
+
+  test("length: graphemes and utf16 code units (length.rs:350-381)") {
+    // é as e + combining acute = 2 chars, 1 grapheme, 2 UTF-16 units
+    assert(codes(str("é"), Length(LengthUnit.Graphemes, 1, 1)).isEmpty)
+    assert(codes(str("é"), Length(LengthUnit.Chars, 2, 2)).isEmpty)
+    // emoji = 1 char, 2 UTF-16 units
+    assert(codes(str("😊"), Length(LengthUnit.CodeUnits, 2, 2)).isEmpty)
+  }
+
+  // --- required (options/rule/required.rs:145-180) ---------------------
+  test("required: option/slice/str matrix") {
+    assert(codes(Seq(Option(Seq(1))).toDF("v"), Required()).isEmpty)
+    assert(codes(Seq(Option.empty[Seq[Int]]).toDF("v"), Required()) ==
+      Seq("cannot_be_empty"))
+    assert(codes(str("hello"), Required()).isEmpty)
+    assert(codes(str(""), Required()) == Seq("cannot_be_empty"))
+    assert(codes(Seq(Seq.empty[Int]).toDF("v"), Required()) ==
+      Seq("cannot_be_empty"))
+    // not variants
+    assert(codes(str("hello"), Required(not = true)) == Seq("should_be_empty"))
+    assert(codes(str(""), Required(not = true)).isEmpty)
+    assert(codes(Seq(Option.empty[String]).toDF("v"),
+      Required(not = true)).isEmpty)
+  }
+
+  // --- range (options/rule/range.rs:221-291) ---------------------------
+  test("range: integer bounds") {
+    for (n <- 1 to 10)
+      assert(codes(Seq(n).toDF("v"), Range(Some(1), Some(10))).isEmpty)
+    assert(codes(Seq(0).toDF("v"),
+      Range(min = Some(0), exclusiveMin = true)) == Seq("too_small"))
+    assert(codes(Seq(11).toDF("v"),
+      Range(max = Some(10), exclusiveMax = true)) == Seq("too_large"))
+    assert(codes(Seq(0).toDF("v"), Range(min = Some(1))) == Seq("too_small"))
+    assert(codes(Seq(11).toDF("v"), Range(max = Some(10))) == Seq("too_large"))
+  }
+
+  test("range: float bounds and NaN guard (SURVEY §7.4.3)") {
+    assert(codes(Seq(5.0).toDF("v"), Range(Some(1.0), Some(10.0))).isEmpty)
+    assert(codes(Seq(0.0).toDF("v"),
+      Range(min = Some(0.0), exclusiveMin = true)) == Seq("too_small"))
+    assert(codes(Seq(11.0).toDF("v"),
+      Range(max = Some(10.0), exclusiveMax = true)) == Seq("too_large"))
+    // NaN is unordered → error (wary: partial_cmp None ⇒ Err)
+    assert(codes(Seq(Double.NaN).toDF("v"),
+      Range(min = Some(1.0))) == Seq("too_small"))
+    assert(codes(Seq(Double.NaN).toDF("v"),
+      Range(max = Some(10.0))) == Seq("too_large"))
+  }
+
+  test("range: string lexicographic bounds") {
+    assert(codes(str("hello"), Range(Some("hello"), Some("world"))).isEmpty)
+    assert(codes(str("hello"), Range(min = Some("world"))) == Seq("too_small"))
+    assert(codes(str("world"), Range(max = Some("hello"))) == Seq("too_large"))
+    assert(codes(str("hello"),
+      Range(min = Some("hello"), exclusiveMin = true)) == Seq("too_small"))
+    assert(codes(str("world"),
+      Range(max = Some("world"), exclusiveMax = true)) == Seq("too_large"))
+    assert(codes(str("world"), Range(min = Some("worlds"))) ==
+      Seq("too_small"))
+    assert(codes(str("world"), Range(max = Some("worl"))) == Seq("too_large"))
+  }
+
+  // --- equals (options/rule/equals.rs:176-200) -------------------------
+  test("equals / equals(not)") {
+    assert(codes(Seq(1).toDF("v"), Equals(1)).isEmpty)
+    assert(codes(Seq(2).toDF("v"), Equals(1)) == Seq("should_equal"))
+    assert(codes(Seq(1).toDF("v"), Equals(1, not = true)) ==
+      Seq("should_not_equal"))
+    assert(codes(Seq(2).toDF("v"), Equals(1, not = true)).isEmpty)
+  }
+
+  // --- contains (options/rule/contains.rs:375-422) ---------------------
+  test("contains str") {
+    assert(codes(str("abchelloxyz"), ContainsStr("hello")).isEmpty)
+    assert(codes(str("abcworldxyz"), ContainsStr("hello")) ==
+      Seq("should_contain"))
+  }
+
+  test("contains slice (contiguous subsequence)") {
+    assert(codes(ints(1, 2, 3, 4, 5, 6, 7, 8, 9),
+      ContainsSlice(Seq(5, 6, 7, 8))).isEmpty)
+    assert(codes(ints(1, 2, 3, 4, 5, 6, 7, 9),
+      ContainsSlice(Seq(5, 6, 7, 8))) == Seq("should_contain_slice"))
+  }
+
+  test("contains not + any_order (contains.rs:236-326)") {
+    assert(codes(str("abc"), ContainsStr("hello", not = true)).isEmpty)
+    assert(codes(str("xhellox"), ContainsStr("hello", not = true)) ==
+      Seq("should_not_contain"))
+    assert(codes(ints(1, 2, 3),
+      ContainsSlice(Seq(3, 1), anyOrder = true)).isEmpty)
+    assert(codes(ints(1, 2, 3),
+      ContainsSlice(Seq(3, 9), anyOrder = true)) ==
+      Seq("should_contain_slice"))
+    assert(codes(ints(1, 2, 3),
+      ContainsSlice(Seq(9, 8), anyOrder = true, not = true)).isEmpty)
+    assert(codes(ints(1, 2, 3),
+      ContainsSlice(Seq(9, 2), anyOrder = true, not = true)) ==
+      Seq("should_not_contain_slice"))
+  }
+
+  // --- prefix/suffix (prefix.rs:248-295, suffix.rs:245-292) ------------
+  test("prefix/suffix str and slice") {
+    assert(codes(str("hello world"), PrefixStr("hello")).isEmpty)
+    assert(codes(str("hello world"), PrefixStr("world")) ==
+      Seq("should_start_with"))
+    assert(codes(str("hello world"), SuffixStr("world")).isEmpty)
+    assert(codes(str("hello world"), SuffixStr("hello")) ==
+      Seq("should_end_with"))
+    assert(codes(ints(1, 2, 3), PrefixSlice(Seq(1, 2))).isEmpty)
+    assert(codes(ints(1, 2, 3), PrefixSlice(Seq(2, 3))) ==
+      Seq("should_start_with_slice"))
+    assert(codes(ints(1, 2, 3), SuffixSlice(Seq(2, 3))).isEmpty)
+    assert(codes(ints(1, 2, 3), SuffixSlice(Seq(1, 2))) ==
+      Seq("should_end_with_slice"))
+    assert(codes(ints(1), PrefixSlice(Seq(1, 2))) ==
+      Seq("should_start_with_slice")) // needle longer than value
+    assert(codes(str("hello"), PrefixStr("hello", not = true)) ==
+      Seq("should_not_start_with"))
+    assert(codes(str("hello"), SuffixStr("llo", not = true)) ==
+      Seq("should_not_end_with"))
+  }
+
+  // --- casing (lowercase.rs:161-198, uppercase.rs:162-199) -------------
+  test("lowercase / uppercase rules") {
+    assert(codes(str("ὈΔΥΣΣΕΎΣ hello"), Lowercase()) == Seq("lowercase"))
+    assert(codes(str("ὈΔΥΣΣΕΎΣ"), Lowercase(ascii = true)) ==
+      Seq("lowercase"))
+    assert(codes(str("hello world"), Lowercase(ascii = true)).isEmpty)
+    assert(codes(str("ὈΔΥΣΣΕΎΣ HELLO"), Uppercase()).isEmpty)
+    assert(codes(str("ὈΔΥΣΣΕΎΣ"), Uppercase(ascii = true)) ==
+      Seq("uppercase"))
+    assert(codes(str("HELLO WORLD"), Uppercase(ascii = true)).isEmpty)
+  }
+
+  test("lowercase error reports char position (lowercase.rs:109-113)") {
+    val es = errs(str("abCd"), Lowercase())
+    assert(es.map(_._2) == Seq("lowercase"))
+    val gated = WaryGate(
+      str("abCd"),
+      WarySpec(Seq(FieldSpec("v", rules = Seq(Lowercase()))))
+    )
+    val msg = gated
+      .selectExpr("errors[0].message")
+      .collect()
+      .head
+      .getString(0)
+    assert(msg.endsWith("position 2"))
+  }
+
+  // --- alphanumeric / ascii --------------------------------------------
+  test("alphanumeric and ascii (alphanumeric.rs:79-111, ascii.rs:66-81)") {
+    assert(codes(str("abc123"), Alphanumeric()).isEmpty)
+    assert(codes(str("abc 123"), Alphanumeric()) == Seq("alphanumeric"))
+    assert(codes(str("héllo1"), Alphanumeric()).isEmpty) // unicode letters ok
+    assert(codes(str("héllo"), Alphanumeric(ascii = true)) ==
+      Seq("alphanumeric"))
+    assert(codes(str("hello"), AsciiRule).isEmpty)
+    assert(codes(str("héllo"), AsciiRule) == Seq("ascii"))
+    assert(codes(str(""), Alphanumeric()).isEmpty) // empty passes
+  }
+
+  // --- regex (regex.rs:108-130) ----------------------------------------
+  test("regex") {
+    assert(codes(str("aaa"), Regex("^a+$")).isEmpty)
+    assert(codes(str("bbb"), Regex("^a+$")) == Seq("no_match"))
+  }
+
+  // --- addr (addr.rs:155-229) -------------------------------------------
+  test("addr ip/ipv4/ipv6") {
+    assert(codes(str("127.0.0.1"), Addr("ipv4")).isEmpty)
+    assert(codes(str("256.0.0.1"), Addr("ipv4")) == Seq("invalid_ipv4"))
+    assert(codes(str("01.1.1.1"), Addr("ipv4")) == Seq("invalid_ipv4"))
+    assert(codes(str("::1"), Addr("ipv6")).isEmpty)
+    assert(codes(str("2001:db8::ff00:42:8329"), Addr("ipv6")).isEmpty)
+    assert(codes(str("::ffff:192.168.0.1"), Addr("ipv6")).isEmpty)
+    assert(codes(str("127.0.0.1"), Addr("ipv6")) == Seq("invalid_ipv6"))
+    assert(codes(str("1:2:3:4:5:6:7:8:9"), Addr("ipv6")) ==
+      Seq("invalid_ipv6"))
+    assert(codes(str("127.0.0.1"), Addr("ip")).isEmpty)
+    assert(codes(str("::1"), Addr("ip")).isEmpty)
+    assert(codes(str("hello"), Addr("ip")) == Seq("invalid_ip"))
+  }
+
+  // --- parser-backed validators -----------------------------------------
+  test("uuid: all four syntaxes (uuid.rs:81-106)") {
+    assert(codes(str("550e8400-e29b-41d4-a716-446655440000"), Uuid).isEmpty)
+    assert(codes(str("550e8400e29b41d4a716446655440000"), Uuid).isEmpty)
+    assert(codes(str("urn:uuid:550e8400-e29b-41d4-a716-446655440000"),
+      Uuid).isEmpty)
+    assert(codes(str("{550e8400-e29b-41d4-a716-446655440000}"), Uuid).isEmpty)
+    assert(codes(str("hello"), Uuid) == Seq("uuid"))
+  }
+
+  test("semver (semver.rs:83-104)") {
+    assert(codes(str("1.2.3"), Semver).isEmpty)
+    assert(codes(str("1.2.3-alpha"), Semver).isEmpty)
+    assert(codes(str("1.2.3-alpha.1+build.5"), Semver).isEmpty)
+    assert(codes(str("blah"), Semver) == Seq("semver"))
+    assert(codes(str("01.2.3"), Semver) == Seq("semver")) // leading zero
+  }
+
+  test("credit_card Luhn (credit_card.rs:120-145)") {
+    assert(codes(str("4111111111111111"), CreditCard).isEmpty)
+    assert(codes(str("4111111111111112"), CreditCard) ==
+      Seq("invalid_card_luhn"))
+    assert(codes(str("4111x11111111111"), CreditCard) ==
+      Seq("invalid_card_format"))
+  }
+
+  test("email (email.rs:186-211)") {
+    assert(codes(str("hello@email.com"), Email).isEmpty)
+    assert(codes(str("hello"), Email) == Seq("missing_separator"))
+    assert(codes(str("@email.com"), Email) == Seq("local_part_empty"))
+  }
+
+  test("url (url.rs:141-153)") {
+    assert(codes(str("https://example.com"), Url).isEmpty)
+    assert(codes(str("hello"), Url) == Seq("relative_url_without_base"))
+  }
+
+  // --- time (time.rs:36-51,132-193) — inverted codes -------------------
+  test("time: too_new below min, too_old above max") {
+    val t = java.sql.Timestamp.valueOf("2024-06-15 12:00:00")
+    val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("2024-12-31 00:00:00")
+    def df(x: java.sql.Timestamp) = Seq(x).toDF("v")
+    assert(codes(df(t), Time(min = Some(lo), max = Some(hi))).isEmpty)
+    assert(codes(df(lo), Time(min = Some(t))) == Seq("too_new"))
+    assert(codes(df(hi), Time(max = Some(t))) == Seq("too_old"))
+    assert(codes(df(t), Time(min = Some(t), exclusiveMin = true)) ==
+      Seq("too_new"))
+  }
+
+  // --- combinators -------------------------------------------------------
+  test("and: short-circuits to one error (and.rs:6-22)") {
+    assert(codes(str("Hello"), And(Seq(Alphanumeric(), AsciiRule))).isEmpty)
+    assert(codes(str("😃"), And(Seq(Alphanumeric(), AsciiRule))).size == 1)
+  }
+
+  test("and vs sibling rules error count (README.md:248-282)") {
+    // and(equals(1), range(2..=2)) on 3 → ONE error
+    assert(codes(Seq(3).toDF("v"),
+      And(Seq(Equals(1), Range(Some(2), Some(2))))).size == 1)
+    // sibling rules equals(1), range(2..=2) on 3 → TWO errors
+    assert(codes(Seq(3).toDF("v"),
+      Equals(1), Range(Some(2), Some(2))).size == 2)
+  }
+
+  test("or: first success wins; total failure reports last branch (or.rs)") {
+    assert(codes(Seq(1).toDF("v"), Or(Seq(Equals(1), Equals(2)))).isEmpty)
+    assert(codes(Seq(2).toDF("v"), Or(Seq(Equals(1), Equals(2)))).isEmpty)
+    val es = codes(Seq(3).toDF("v"), Or(Seq(Equals(1), Equals(2))))
+    assert(es == Seq("should_equal")) // last branch only
+  }
+
+  // --- inner + dive (inner.rs:12-54) -------------------------------------
+  test("inner(rules) applies per element with indexed path") {
+    val df = Seq(Seq("Hello", "😃")).toDF("v")
+    val es = errs(df, Inner(Seq(AsciiRule)))
+    assert(es == Seq((Seq("v", "1"), "ascii")))
+    assert(errs(Seq(Seq("Hello", "world")).toDF("v"),
+      Inner(Seq(AsciiRule))).isEmpty)
+  }
+
+  test("inner(inner(dive)) nested with indexed paths (inner.rs:35-54)") {
+    val inner = WarySpec(Seq(FieldSpec("name", rules = Seq(AsciiRule))))
+    val df = Seq(Seq(Seq(("Hello"), ("😃")))).toDF("v")
+      .selectExpr("transform(v, a -> transform(a, x -> struct(x as name))) as v")
+    val es = errs(df, Inner(Seq(Inner(Seq(Dive(inner))))))
+    assert(es == Seq((Seq("v", "0", "1", "name"), "ascii")))
+  }
+
+  // --- null handling (Option hoisting, validate.rs:300-327) --------------
+  test("null value: only required fires, other rules skipped") {
+    val df = Seq(Option.empty[String]).toDF("v")
+    assert(codes(df, Length(min = 3), AsciiRule).isEmpty)
+    assert(codes(df, Required(), Length(min = 3)) == Seq("cannot_be_empty"))
+  }
+}
