@@ -1,13 +1,431 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.compile.WaryGate
+import graft.exprs.SimHash64
+import graft.features.{AsOf, Sessionize, Windows}
+import graft.io.Tables
+import graft.ops.{Dedup, Similarity, TextStats}
+import graft.rules._
+import graft.rules.VRule._
+
+/** Driver contract: one entry per operator (SURVEY.md §2), each with an
+  * ANSI-SQL oracle the driver replays in DuckDB over the same parquet
+  * tables. Column names/types are kept exactly aligned between the Spark
+  * query and its oracle (the compare hashes values under sorted columns).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship feature pipeline on sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    Pipeline.features(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- helpers
+
+  private def turns(s: SparkSession, dir: String): DataFrame =
+    Tables.transcript(s, dir)
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents")
+
+  private def embeds(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+
+  private val T = Tables.turnsCte
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- wary gate: validate + normalize each turn -----------------------
+    "q_gate_normalize" -> ((s, dir) => {
+      val spec = Pipeline.turnSpec
+      WaryGate(turns(s, dir), spec)
+        .select(
+          col("conv_id"),
+          col("turn_idx"),
+          col("text").as("text_norm"),
+          size(col("errors")).as("n_errors"),
+          get(col("errors"), lit(0)).getField("code").as("first_code")
+        )
+    }),
+
+    // --- lag / lead -------------------------------------------------------
+    "q_lag_lead" -> ((s, dir) => {
+      val w = Windows.turnWindow
+      Windows.withLead(
+        Windows.withLag(turns(s, dir), w, "text", 1, as = "prev_text"),
+        w, "role", 1, as = "next_role")
+        .select("conv_id", "turn_idx", "prev_text", "next_role")
+    }),
+
+    // --- LOCF backfill -----------------------------------------------------
+    "q_locf_backfill" -> ((s, dir) =>
+      Windows.locf(turns(s, dir), Windows.turnWindow, "tool", as = "tool_locf")
+        .select("conv_id", "turn_idx", "tool_locf")),
+
+    // --- gap sessionization -------------------------------------------------
+    "q_sessionize" -> ((s, dir) =>
+      Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
+        .select("conv_id", "turn_idx", "session_seq", "session_id")),
+
+    "q_session_summary" -> ((s, dir) => {
+      val sess =
+        Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
+      Sessionize.summary(sess, Seq("conv_id"), "ts")
+        .select("conv_id", "session_id", "n_turns", "session_start",
+          "session_end", "duration_sec")
+    }),
+
+    // --- point-in-time as-of join -------------------------------------------
+    "q_asof_tool" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("last_tool"))
+      AsOf.joinBackward(anchors, obs, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "last_tool")
+    }),
+
+    // --- trailing time-range window ------------------------------------------
+    "q_rolling_1h" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      Windows.rollingByTime(ev, Seq("user_id"), "ts", 3600L, Seq(
+        (count(lit(1)), "n_1h"),
+        (sum(round(col("value") * 100).cast("long")), "cents_1h")
+      )).select("user_id", "event_id", "n_1h", "cents_1h")
+    }),
+
+    // --- rule profile over documents ------------------------------------------
+    "q_rules_profile" -> ((s, dir) => {
+      val spec = WarySpec(Seq(FieldSpec("text", rules = Seq(
+        Length(VRule.LengthUnit.Chars, 50, 500),
+        ContainsStr("data"),
+        PrefixStr("the"),
+        AsciiRule
+      ))))
+      WaryGate(docs(s, dir), spec).select(
+        col("doc_id"),
+        size(col("errors")).as("n_errors"),
+        array_join(transform(col("errors"), e => e.getField("code")), ",")
+          .as("codes")
+      )
+    }),
+
+    // --- parser validators (constructed inputs, analytic oracle) -------------
+    "q_validators" -> ((s, dir) => {
+      import graft.exprs.{functions => gf}
+      val m = md5(col("doc_id").cast("string").cast("binary"))
+      val hyph = concat_ws("-",
+        substring(m, 1, 8), substring(m, 9, 4), substring(m, 13, 4),
+        substring(m, 17, 4), substring(m, 21, 12))
+      docs(s, dir).select(
+        col("doc_id"),
+        (gf.validator_code(
+          concat((col("doc_id") % 300).cast("string"), lit(".0.0.1")),
+          "ipv4") === "").as("ip_ok"),
+        (gf.validator_code(
+          when(col("doc_id") % 3 === 0, concat(hyph, lit("x"))).otherwise(hyph),
+          "uuid") === "").as("uuid_ok"),
+        (gf.validator_code(
+          when(col("doc_id") % 4 === 0, lit("user.name"))
+            .otherwise(concat(lit("user"), col("doc_id").cast("string"),
+              lit("@example.com"))),
+          "email") === "").as("email_ok"),
+        (gf.validator_code(
+          when(col("doc_id") % 5 === 0, lit("nota url"))
+            .otherwise(concat(lit("https://example.com/p"),
+              col("doc_id").cast("string"))),
+          "url") === "").as("url_ok"),
+        (gf.validator_code(
+          when(col("doc_id") % 7 === 0, lit("1.2"))
+            .otherwise(concat(lit("1."), (col("doc_id") % 9).cast("string"),
+              lit(".3"))),
+          "semver") === "").as("semver_ok")
+      )
+    }),
+
+    // --- exact dedup -------------------------------------------------------
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(docs(s, dir), "doc_id", "text")),
+
+    // --- text quality ------------------------------------------------------
+    "q_text_quality" -> ((s, dir) => {
+      val cols = TextStats.qualityColumns(col("text"))
+      docs(s, dir).select(col("doc_id") +: cols.map { case (n, c) => c.as(n) }: _*)
+    }),
+
+    // --- token counting ----------------------------------------------------
+    "q_token_count" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("ws_tokens"),
+        TextStats.regexTokenCount(col("text")).as("re_tokens"))),
+
+    // --- language id (marker heuristic) --------------------------------------
+    "q_lang_id" -> ((s, dir) => {
+      val langs = Seq(
+        "en" -> Seq("the", "a"),
+        "db" -> Seq("data", "table", "row"),
+        "qy" -> Seq("query", "join", "scan"))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextStats.langScore(col("text"), langs(0)._2).as("s_en"),
+        TextStats.langScore(col("text"), langs(1)._2).as("s_db"),
+        TextStats.langScore(col("text"), langs(2)._2).as("s_qy"),
+        TextStats.langId(col("text"), langs).as("lang_pred"))
+    }),
+
+    // --- document fingerprint -------------------------------------------------
+    "q_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))),
+
+    // --- MinHash LSH near-dup candidate pairs ---------------------------------
+    "q_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
+
+    // --- n-gram (word-set) Jaccard --------------------------------------------
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = d.select(col("doc_id").as("a"), (col("doc_id") + 1).as("b"))
+        .filter(col("a") % 10 === 0)
+      Dedup.wordJaccard(pairs, d, "doc_id", "text")
+    }),
+
+    // --- SimHash fingerprint (custom expression; Scala-oracled) ---------------
+    "q_simhash" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))),
+
+    // --- brute-force ANN top-k (quantized inner product) -----------------------
+    "q_ann_topk" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.topKByDot(e, q, 10)
+        .select("query_id", "vec_id", "dot", "rank")
+    }),
+
+    // --- LSH-bucketed ANN candidates (scale path; Scala-oracled) ---------------
+    "q_ann_lsh" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.annCandidates(e, q, dim = 64, nBits = 8)
+    }),
+
+    // --- embedding norms (quantized, exact) -------------------------------------
+    "q_embed_norm" -> ((s, dir) =>
+      embeds(s, dir).select(
+        col("vec_id"),
+        size(col("embedding")).as("dim"),
+        Similarity.quantSqNorm(col("embedding")).as("sq_sum")))
+  )
+
+  // ---------------------------------------------------------------- oracle
+
+  def oracleSql: Map[String, String] = Map(
+    "q_gate_normalize" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN text IS NULL THEN NULL
+         |       WHEN strlen(text) >= 1 AND strlen(text) <= 4000
+         |         THEN lower(regexp_replace(text, '(^[ \t\n]+)|([ \t\n]+$$)', '', 'g'))
+         |       ELSE text END AS text_norm,
+         |  CASE WHEN text IS NULL THEN 1 ELSE
+         |    (CASE WHEN strlen(text) = 0 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN strlen(text) < 1 THEN 1 ELSE 0 END) +
+         |    (CASE WHEN strlen(text) > 4000 THEN 1 ELSE 0 END) END AS n_errors,
+         |  CASE WHEN text IS NULL THEN 'cannot_be_empty'
+         |       WHEN strlen(text) = 0 THEN 'cannot_be_empty'
+         |       WHEN strlen(text) < 1 THEN 'too_short'
+         |       WHEN strlen(text) > 4000 THEN 'too_long'
+         |       ELSE NULL END AS first_code
+         |FROM turns""".stripMargin,
+
+    "q_lag_lead" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  lag(text) OVER w AS prev_text,
+         |  lead(role) OVER w AS next_role
+         |FROM turns
+         |WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)""".stripMargin,
+
+    "q_locf_backfill" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
+         |    ORDER BY ts, turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
+         |FROM turns""".stripMargin,
+
+    "q_sessionize" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, turn_idx,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1)
+         |SELECT conv_id, turn_idx, session_seq,
+         |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id
+         |FROM s2""".stripMargin,
+
+    "q_session_summary" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1)
+         |SELECT conv_id, conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  min(ts) AS session_start, max(ts) AS session_end,
+         |  CAST(FLOOR(epoch(max(ts))) AS BIGINT) - CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
+         |FROM s2 GROUP BY conv_id, session_seq""".stripMargin,
+
+    "q_asof_tool" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.last_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    "q_rolling_1h" ->
+      """SELECT user_id, event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+        |  CAST(sum(CAST(ROUND(value*100) AS BIGINT)) OVER w AS BIGINT) AS cents_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id
+        |  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+        |  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_rules_profile" ->
+      """SELECT doc_id,
+        |  ((CASE WHEN length(text) < 50 OR length(text) > 500 THEN 1 ELSE 0 END)
+        |  +(CASE WHEN strpos(text, 'data') = 0 THEN 1 ELSE 0 END)
+        |  +(CASE WHEN NOT starts_with(text, 'the') THEN 1 ELSE 0 END)
+        |  +(CASE WHEN strlen(text) <> length(text) THEN 1 ELSE 0 END)) AS n_errors,
+        |  concat_ws(',',
+        |    CASE WHEN length(text) < 50 THEN 'too_short'
+        |         WHEN length(text) > 500 THEN 'too_long' END,
+        |    CASE WHEN strpos(text, 'data') = 0 THEN 'should_contain' END,
+        |    CASE WHEN NOT starts_with(text, 'the') THEN 'should_start_with' END,
+        |    CASE WHEN strlen(text) <> length(text) THEN 'ascii' END) AS codes
+        |FROM documents""".stripMargin,
+
+    "q_validators" ->
+      """SELECT doc_id,
+        |  doc_id % 300 <= 255 AS ip_ok,
+        |  doc_id % 3 <> 0 AS uuid_ok,
+        |  doc_id % 4 <> 0 AS email_ok,
+        |  doc_id % 5 <> 0 AS url_ok,
+        |  doc_id % 7 <> 0 AS semver_ok
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS hash, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS keep_id
+        |FROM documents GROUP BY md5(text)""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_q,
+        |  CAST(strlen(text) AS BIGINT) AS n_bytes,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digits,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')) AS BIGINT) AS n_upper,
+        |  CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS n_punct
+        |FROM documents""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """WITH sc AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\bdata\b')) + len(regexp_extract_all(text, '\btable\b')) + len(regexp_extract_all(text, '\brow\b')) AS BIGINT) AS s_db,
+        |  CAST(len(regexp_extract_all(text, '\bquery\b')) + len(regexp_extract_all(text, '\bjoin\b')) + len(regexp_extract_all(text, '\bscan\b')) AS BIGINT) AS s_qy
+        |FROM documents)
+        |SELECT doc_id, s_en, s_db, s_qy,
+        |  CASE WHEN s_en = greatest(s_en, s_db, s_qy) AND s_en > 0 THEN 'en'
+        |       WHEN s_db = greatest(s_en, s_db, s_qy) AND s_db > 0 THEN 'db'
+        |       WHEN s_qy = greatest(s_en, s_db, s_qy) AND s_qy > 0 THEN 'qy'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_minhash_pairs" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s1,
+        |  list_min([substr(md5('2|' || s), 1, 8) for s in sh]) AS s2,
+        |  list_min([substr(md5('3|' || s), 1, 8) for s in sh]) AS s3,
+        |  list_min([substr(md5('4|' || s), 1, 8) for s in sh]) AS s4,
+        |  list_min([substr(md5('5|' || s), 1, 8) for s in sh]) AS s5,
+        |  list_min([substr(md5('6|' || s), 1, 8) for s in sh]) AS s6,
+        |  list_min([substr(md5('7|' || s), 1, 8) for s in sh]) AS s7
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig)
+        |SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |FROM bands l JOIN bands r
+        |  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+        |  AND l.doc_id < r.doc_id""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws
+        |           FROM documents)
+        |SELECT l.doc_id AS a, r.doc_id AS b,
+        |  CAST(len(list_intersect(l.ws, r.ws)) AS BIGINT) AS inter,
+        |  CAST(len(l.ws) + len(r.ws) - len(list_intersect(l.ws, r.ws)) AS BIGINT) AS uni
+        |FROM w l JOIN w r ON r.doc_id = l.doc_id + 1
+        |WHERE l.doc_id % 10 = 0""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS dot
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+        |SELECT query_id, vec_id, dot, rank FROM (
+        |  SELECT query_id, vec_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "q_embed_norm" ->
+      """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
+        |  CAST(list_sum([CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding]) AS BIGINT) AS sq_sum
+        |FROM embeddings""".stripMargin
+    // q_simhash, q_ann_lsh: custom-expression operators, Scala-oracled in
+    // unit tests (driver records rows-only).
+  )
 }

@@ -1,0 +1,127 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * All hashing is md5-based and string-typed so results are engine-portable
+  * (the DuckDB oracle computes the identical signatures): a fixed-width hex
+  * prefix compares lexicographically exactly like the underlying unsigned
+  * integer, so `min(hexPrefix)` IS MinHash.
+  *
+  * Scale notes:
+  *  - exactDedup: one hash-shuffle on a 32-char key; map-side partial agg
+  *    makes the shuffle proportional to distinct texts, not rows.
+  *  - minhash: signatures are a narrow projection (no shuffle); the
+  *    band self-join shuffles on band keys whose cardinality ≈ #docs,
+  *    so it parallelizes across the cluster; only true near-dup buckets
+  *    co-locate. Hot buckets (boilerplate dups) are bounded by
+  *    count-capping candidates per bucket if needed (documented knob).
+  */
+object Dedup {
+
+  private def md5s(c: Column): Column = md5(c.cast("binary"))
+
+  /** Exact dedup groups: one row per distinct text with the doc count and
+    * the keeper (minimum id). Join back on `hash` to filter a corpus.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5s(col(textCol)).as("hash"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col(idCol)).as("keep_id")
+      )
+
+  /** Lower-cased, single-space word split (matches DuckDB string_split). */
+  def words(textCol: Column): Column = split(lower(textCol), " ")
+
+  /** k-word shingles, empty when there are fewer than k words. */
+  def shingles(ws: Column, k: Int): Column =
+    when(size(ws) < k, array().cast("array<string>"))
+      .otherwise(
+        transform(
+          sequence(lit(0), size(ws) - k),
+          i => concat_ws(" ", slice(ws, i + 1, lit(k)))
+        )
+      )
+
+  /** MinHash component j: min over shingles of the first 8 md5 hex chars of
+    * `j|shingle`. String min == numeric min (fixed-width hex).
+    */
+  def minhashComponent(sh: Column, j: Int): Column =
+    array_min(transform(sh, s => substring(md5s(concat(lit(s"$j|"), s)), 1, 8)))
+
+  /** doc → (band_idx, band_key) rows; K components in `bands` bands. */
+  def minhashBands(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    val sh = shingles(words(col(textCol)), shingleLen)
+    val withSig = df
+      .filter(size(words(col(textCol))) >= shingleLen)
+      .select(
+        col(idCol).as("doc") +:
+          (0 until k).map(j => minhashComponent(sh, j).as(s"s$j")): _*
+      )
+    val bandRows = (0 until bands).map { b =>
+      val parts = (b * r until (b + 1) * r).map(j => col(s"s$j"))
+      withSig.select(
+        col("doc"),
+        lit(b).as("band_idx"),
+        md5s(concat_ws(",", parts: _*)).as("band_key")
+      )
+    }
+    bandRows.reduce(_ unionByName _)
+  }
+
+  /** Candidate near-duplicate pairs: docs sharing at least one LSH band. */
+  def minhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val b = minhashBands(df, idCol, textCol, k, bands, shingleLen)
+    val l = b.select(col("band_idx"), col("band_key"), col("doc").as("a"))
+    val r = b.select(col("band_idx"), col("band_key"), col("doc").as("b"))
+    l.join(r, Seq("band_idx", "band_key"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+      .distinct()
+  }
+
+  /** Word-set Jaccard between explicit doc pairs: returns exact-integer
+    * intersection and union sizes (ratio left to the caller — integers
+    * compare exactly across engines).
+    */
+  def wordJaccard(
+      pairs: DataFrame, // (a, b)
+      docs: DataFrame, // (idCol, textCol)
+      idCol: String,
+      textCol: String
+  ): DataFrame = {
+    val w = docs.select(
+      col(idCol).as("__id"),
+      array_distinct(words(col(textCol))).as("__ws")
+    )
+    pairs
+      .join(w.withColumnRenamed("__id", "a").withColumnRenamed("__ws", "wa"), "a")
+      .join(w.withColumnRenamed("__id", "b").withColumnRenamed("__ws", "wb"), "b")
+      .select(
+        col("a"),
+        col("b"),
+        size(array_intersect(col("wa"), col("wb"))).cast("long").as("inter"),
+        (size(col("wa")) + size(col("wb")) -
+          size(array_intersect(col("wa"), col("wb")))).cast("long").as("uni")
+      )
+  }
+}

@@ -1,0 +1,119 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over embedding columns (Array[Float]).
+  *
+  * Exactness strategy: embeddings are quantized to int64 (×10000, round)
+  * inside the expression, so dot products are exact integers — identical
+  * across engines and across summation orders. Rankings therefore admit a
+  * byte-exact DuckDB oracle (no float tolerance games).
+  *
+  * Scale notes:
+  *  - brute-force top-k broadcasts the (small) query set and computes
+  *    dot products map-side — no shuffle until the final per-query top-k,
+  *    which is tiny. This is the correct baseline up to ~10^7 vectors.
+  *  - lshBuckets gives the sub-linear path: sign-bit sketches over fixed
+  *    pseudo-random hyperplanes bucket the corpus; candidate search probes
+  *    only matching buckets (same shape as the MinHash band join).
+  */
+object Similarity {
+
+  /** Exact int64 dot product of two float-array columns (quantized). */
+  def quantDot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (round(x.cast("double") * 10000).cast("long") *
+          round(y.cast("double") * 10000).cast("long"))),
+      lit(0L),
+      (acc, v) => acc + v
+    )
+
+  /** Exact int64 squared norm (quantized). */
+  def quantSqNorm(a: Column): Column =
+    aggregate(
+      transform(a, x => {
+        val q = round(x.cast("double") * 10000).cast("long")
+        q * q
+      }),
+      lit(0L),
+      (acc, v) => acc + v
+    )
+
+  /** Double-precision cosine similarity (for allclose-style consumers). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+    val na = sqrt(aggregate(transform(a, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    val nb = sqrt(aggregate(transform(b, x => x.cast("double") * x.cast("double")),
+      lit(0.0), (acc, v) => acc + v))
+    dot / (na * nb)
+  }
+
+  /** Brute-force top-k by quantized inner product; ties broken by vec id.
+    * `queries` is expected to be small — it is broadcast.
+    */
+  def topKByDot(
+      corpus: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (query_id, q_embedding)
+      k: Int
+  ): DataFrame = {
+    val scored = corpus
+      .crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        quantDot(col("embedding"), col("q_embedding")).as("dot")
+      )
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
+    * Hyperplane weights are derived per (bit, dimension) from a splitmix-
+    * style integer hash — deterministic, no stored model. Vectors in the
+    * same bucket are ANN candidates.
+    */
+  def lshBucket(embedding: Column, dim: Int, nBits: Int = 12): Column = {
+    def weight(bit: Int, d: Int): Double = {
+      var x = (bit.toLong << 32) ^ d.toLong ^ 0x9E3779B97F4A7C15L
+      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+      x ^= x >>> 33
+      // map to [-1, 1)
+      (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
+    }
+    val bits = (0 until nBits).map { b =>
+      val dot = (0 until dim)
+        .map(d => element_at(embedding, d + 1).cast("double") * lit(weight(b, d)))
+        .reduce(_ + _)
+      when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _).as("bucket")
+  }
+
+  /** ANN via LSH buckets: probe only the query's bucket. Returns candidate
+    * (query_id, vec_id, dot) — recall depends on nBits; the caller re-ranks.
+    */
+  def annCandidates(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dim: Int,
+      nBits: Int = 12
+  ): DataFrame = {
+    val c = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
+    val q = queries.withColumn("bucket", lshBucket(col("q_embedding"), dim, nBits))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        quantDot(col("embedding"), col("q_embedding")).as("dot"))
+  }
+}

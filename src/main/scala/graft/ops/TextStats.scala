@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis operators for training-data pipelines: quality scoring,
+  * language ID (marker n-gram heuristic), token counting, fingerprinting.
+  * All pure Catalyst expressions (codegen'd, shuffle-free projections);
+  * integer outputs wherever an oracle compares them exactly.
+  */
+object TextStats {
+
+  /** Whitespace token count (single-space split, empty tokens included —
+    * matches DuckDB string_split semantics used by the oracle).
+    */
+  def wsTokenCount(text: Column): Column =
+    size(split(text, " ", -1)).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single punctuation. */
+  val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit(tokenRegex)).cast("long")
+
+  def digitCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+
+  def upperCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("long")
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
+
+  /** Occurrences of a marker word (word-boundary anchored). */
+  def markerCount(text: Column, word: String): Column =
+    regexp_count(text, lit("\\b" + word + "\\b")).cast("long")
+
+  /** Marker-based language score: total occurrences of the marker set. */
+  def langScore(text: Column, markers: Seq[String]): Column =
+    markers.map(markerCount(text, _)).reduce(_ + _)
+
+  /** Argmax language label over marker sets (first wins ties — the caller
+    * passes languages in priority order).
+    */
+  def langId(text: Column, langs: Seq[(String, Seq[String])]): Column = {
+    val scores = langs.map { case (name, markers) =>
+      (name, langScore(text, markers))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    scores.foldRight(lit("und"): Column) { case ((name, s), acc) =>
+      when(s === best && s > 0, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Canonical-form fingerprint: md5 of lower-cased, whitespace-collapsed
+    * text (rolling-hash-equivalent doc identity for exact-ish dedup).
+    */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(lower(text), "[ \\t\\n]+", " ").cast("binary"))
+
+  /** Simple quality score components (integers; ratio left to consumers). */
+  def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
+    "n_chars_q" -> char_length(text).cast("long"),
+    "n_bytes" -> octet_length(text).cast("long"),
+    "n_ws_tokens" -> wsTokenCount(text),
+    "n_digits" -> digitCount(text),
+    "n_upper" -> upperCount(text),
+    "n_punct" -> punctCount(text)
+  )
+}
