@@ -1,24 +1,48 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark: runs every SparkEntry query plus the flagship
+  * feature pipeline on SPARK_GRAFT_SF_DIR, prints ONE JSON line.
+  * Headline metric = turns/sec through the as-of + window pipeline
+  * (BASELINE.md primary throughput metric).
+  */
 object Bench {
+
+  def timed[A](f: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = f
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4").toInt
+    val spark = GraftSession.local(cpus)
+
+    // warm the JVM + parquet footers once (excluded from timings)
+    spark.read.parquet(s"$sfDir/events.parquet").count()
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val (_, sec) = timed {
+        try fn(spark, sfDir).count()
+        catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
+      }
+      name -> sec
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // flagship throughput: full pipeline rows/sec over the derived turns
+    val nTurns = spark.read.parquet(s"$sfDir/events.parquet").count()
+    val (_, pipeSec) = timed(Pipeline.features(spark, sfDir).count())
+    val turnsPerSec = nTurns / pipeSec
+
+    val qs = (results :+ ("pipeline_features" -> pipeSec))
+      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum + pipeSec
+    println(
+      s"""{"metric":"turns/sec","value":${f"$turnsPerSec%.1f"},"unit":"sec","total_sec":${f"$total%.2f"},"queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+    )
     spark.stop()
   }
 }

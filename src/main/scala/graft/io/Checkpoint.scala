@@ -1,0 +1,126 @@
+package graft.io
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint-resumable partitioned batch writes with per-partition
+  * lineage + metrics (north rule: "resumable from checkpoint with
+  * per-partition lineage and row-count/skew metrics").
+  *
+  * Mechanics (local-parquet emulation of Iceberg snapshot commits —
+  * SURVEY.md §7.4 item 7; in production each bucket commit maps to an
+  * Iceberg snapshot and the manifest to the snapshot log):
+  *
+  *  - output is hash-bucketed on a key column into `nBuckets` directories
+  *    `bucket=N`;
+  *  - a run writes ONLY buckets absent from the manifest, in a single
+  *    distributed pass (dynamic partitioned write into a staging dir);
+  *  - each completed bucket is atomically promoted (directory rename) and
+  *    recorded as a manifest entry `_manifest/bucket-N.json` carrying
+  *    lineage (input path, run id) and metrics (row count);
+  *  - a killed run leaves only staging garbage + already-committed
+  *    buckets; rerunning converges to the identical final output.
+  */
+object Checkpoint {
+
+  final case class BucketEntry(bucket: Int, rows: Long, input: String, runId: String)
+
+  private def manifestDir(out: String): Path = Paths.get(out, "_manifest")
+
+  def committedBuckets(out: String): Set[Int] = {
+    val dir = manifestDir(out)
+    if (!Files.exists(dir)) Set.empty
+    else
+      Files.list(dir).iterator.asScala
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+          s.stripPrefix("bucket-").stripSuffix(".json").toInt
+        }
+        .toSet
+  }
+
+  /** Returns the set of buckets committed by this run. */
+  def write(
+      df: DataFrame,
+      keyCol: String,
+      out: String,
+      nBuckets: Int,
+      input: String,
+      runId: String
+  ): Set[Int] = {
+    val done = committedBuckets(out)
+    val bucketed = df.withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
+    val remaining = bucketed.filter(!col("__bucket").isin(done.toSeq: _*))
+    if (done.size == nBuckets) return Set.empty
+
+    val staging = s"$out/_staging_$runId"
+    // one distributed pass over the remaining rows; per-bucket row counts
+    // come from the written files (cheap local count at this granularity)
+    remaining.write
+      .mode("overwrite")
+      .partitionBy("__bucket")
+      .parquet(staging)
+
+    Files.createDirectories(manifestDir(out))
+    val spark = df.sparkSession
+    val stagingPath = Paths.get(staging)
+    val promoted = scala.collection.mutable.Set[Int]()
+    if (Files.exists(stagingPath)) {
+      Files.list(stagingPath).iterator.asScala
+        .filter(p => p.getFileName.toString.startsWith("__bucket="))
+        .foreach { p =>
+          val b = p.getFileName.toString.stripPrefix("__bucket=").toInt
+          if (!done.contains(b)) {
+            val target = Paths.get(out, s"bucket=$b")
+            if (Files.exists(target)) { // stale partial from a dead run
+              deleteRecursively(target)
+            }
+            Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
+            val rows = spark.read.parquet(target.toString).count()
+            val entry =
+              s"""{"bucket":$b,"rows":$rows,"input":"$input","run_id":"$runId"}"""
+            val tmp = manifestDir(out).resolve(s".bucket-$b.json.tmp")
+            Files.writeString(tmp, entry)
+            Files.move(tmp, manifestDir(out).resolve(s"bucket-$b.json"),
+              StandardCopyOption.ATOMIC_MOVE)
+            promoted += b
+          }
+        }
+    }
+    deleteRecursively(stagingPath)
+    promoted.toSet
+  }
+
+  /** Read back the committed dataset (all buckets). */
+  def read(spark: SparkSession, out: String): DataFrame =
+    spark.read.parquet(s"$out/bucket=*")
+
+  /** Per-partition metrics from the manifest: rows per bucket + skew ratio
+    * (max/mean) — the report the north rule asks to emit per partition.
+    */
+  def metrics(out: String): (Map[Int, Long], Double) = {
+    val dir = manifestDir(out)
+    if (!Files.exists(dir)) return (Map.empty, 0.0)
+    val rows = Files.list(dir).iterator.asScala
+      .filter(_.getFileName.toString.endsWith(".json"))
+      .map { p =>
+        val s = Files.readString(p)
+        val b = """"bucket":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+        val r = """"rows":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+        b -> r
+      }
+      .toMap
+    val skew =
+      if (rows.isEmpty) 0.0
+      else rows.values.max.toDouble / (rows.values.sum.toDouble / rows.size)
+    (rows, skew)
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator.asScala.foreach(Files.delete)
+}

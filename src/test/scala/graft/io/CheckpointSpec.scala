@@ -1,0 +1,76 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.metrics.Lineage
+import graft.schema.TranscriptGen
+
+/** Checkpoint/resume: a partial run + resume must equal a clean run
+  * (north-rule resumability), and manifests must carry per-partition
+  * lineage + row counts.
+  */
+class CheckpointSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft_ckpt").toString
+
+  test("clean write commits all buckets with manifest metrics") {
+    val df = TranscriptGen.generateDF(spark, 50)
+    val out = tmp()
+    val promoted = Checkpoint.write(df, "conv_id", out, nBuckets = 8,
+      input = "synthetic:50", runId = "run1")
+    assert(promoted == (0 until 8).toSet)
+    val (rows, skew) = Checkpoint.metrics(out)
+    assert(rows.keySet == (0 until 8).toSet)
+    assert(rows.values.sum == df.count())
+    assert(skew >= 1.0)
+    assert(Checkpoint.read(spark, out).count() == df.count())
+  }
+
+  test("resume after partial run equals clean run") {
+    val df = TranscriptGen.generateDF(spark, 50)
+    val clean = tmp()
+    Checkpoint.write(df, "conv_id", clean, 8, "synthetic:50", "c1")
+
+    // partial: write only half the buckets (simulates a killed run that
+    // committed some buckets before dying)
+    val partial = tmp()
+    import org.apache.spark.sql.functions._
+    val firstHalf = df.filter(pmod(hash(col("conv_id")), lit(8)) < 4)
+    Checkpoint.write(firstHalf, "conv_id", partial, 8, "synthetic:50", "p1")
+    val committedBefore = Checkpoint.committedBuckets(partial)
+    assert(committedBefore.nonEmpty && committedBefore.size < 8)
+
+    // resume with the FULL input: only missing buckets are written
+    val promoted = Checkpoint.write(df, "conv_id", partial, 8,
+      "synthetic:50", "p2")
+    assert((committedBefore ++ promoted) == (0 until 8).toSet)
+
+    val a = Checkpoint.read(spark, clean).orderBy("conv_id", "turn_idx")
+      .collect().toSeq
+    val b = Checkpoint.read(spark, partial).orderBy("conv_id", "turn_idx")
+      .collect().toSeq
+    assert(a == b, "resume output differs from clean run")
+  }
+
+  test("observation lineage metrics ride along the action") {
+    val df = TranscriptGen.generateDF(spark, 10)
+    val (observed, obs) = Lineage.observed(df, "ts")
+    val n = observed.count()
+    val m = obs.get
+    assert(m("rows") == n)
+    assert(m("null_ts") == 0L)
+  }
+
+  test("partition histogram reports skew") {
+    val df = TranscriptGen.generateDF(spark, 30).repartition(4)
+    val (hist, skew) = Lineage.partitionHistogram(df)
+    assert(hist.values.sum == df.count())
+    assert(skew >= 1.0)
+  }
+}

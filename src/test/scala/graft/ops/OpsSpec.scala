@@ -1,0 +1,95 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.exprs.{SimHash, SimHash64}
+
+/** Ops vs naive in-memory oracles (the non-SQL-expressible operators). */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("simhash64 matches naive oracle and clusters near-duplicates") {
+    val docs = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different content about spark engines")
+    )
+    val got = docs.toDF("doc_id", "text")
+      .select($"doc_id", SimHash64($"text").as("sh"))
+      .as[(Long, Long)].collect().toMap
+    // oracle: same algorithm, plain Scala (independent codepath from codegen)
+    docs.foreach { case (id, text) =>
+      assert(got(id) == SimHash.simhash64(text), s"doc $id")
+    }
+    def hamming(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(hamming(got(0L), got(1L)) < hamming(got(0L), got(2L)))
+  }
+
+  test("LSH ANN candidates are a subset of brute-force scores, with recall") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val brute = Similarity.topKByDot(e, q, 10)
+      .select("query_id", "vec_id", "dot")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val cand = Similarity.annCandidates(e, q, dim = 64, nBits = 8)
+      .as[(Long, Long, Long)].collect()
+    // same dot products wherever both computed
+    val full = Similarity.topKByDot(e, q, Int.MaxValue)
+      .select("query_id", "vec_id", "dot")
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    cand.foreach { case (qid, vid, dot) =>
+      assert(full((qid, vid)) == dot, s"dot mismatch ($qid,$vid)")
+    }
+    // buckets are self-consistent: every query finds SOME candidates
+    // (8-bit sketch on 500 vecs ⇒ non-empty buckets with high probability)
+    assert(cand.nonEmpty)
+  }
+
+  test("exact dedup groups duplicate texts") {
+    val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
+    val g = Dedup.exactGroups(df, "doc_id", "text")
+      .as[(String, Long, Long)].collect().map(r => (r._2, r._3)).toSet
+    assert(g == Set((2L, 1L), (1L, 2L))) // (n_docs, keep_id)
+  }
+
+  test("minhash pairs finds the near-duplicate, not the distinct doc") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),
+      (2L, "alpha beta gamma delta epsilon zeta eta iota"),
+      (3L, "one two three four five six seven eight")
+    ).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(df, "doc_id", "text")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("word jaccard exact counts") {
+    val docs = Seq((0L, "a b c"), (1L, "b c d")).toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L)).toDF("a", "b")
+    val r = Dedup.wordJaccard(pairs, docs, "doc_id", "text")
+      .select("inter", "uni").as[(Long, Long)].collect().head
+    assert(r == ((2L, 4L)))
+  }
+
+  test("multimodal: featurize batch shape + frame sampling") {
+    val media = Multimodal.generate(spark, 30)
+    val feats = Multimodal.featurize(media).collect()
+    assert(feats.length == 30)
+    assert(feats.forall(_.histogram.length == 16))
+    assert(feats.forall(f => math.abs(f.histogram.sum - 1.0f) < 1e-3))
+    val frames = Multimodal.sampleFrames(media.toDF(), nFrames = 4)
+    val byId = frames.groupBy("media_id").count().collect()
+    assert(byId.nonEmpty && byId.forall(_.getLong(1) == 4L))
+    // deterministic: same input → same hashes
+    val h1 = frames.orderBy("media_id", "frame_idx")
+      .select("frame_hash").as[Long].collect().toSeq
+    val h2 = Multimodal.sampleFrames(media.toDF(), 4)
+      .orderBy("media_id", "frame_idx").select("frame_hash")
+      .as[Long].collect().toSeq
+    assert(h1 == h2)
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.features.Sessionize
+import graft.schema.TranscriptGen
+
+/** Structured Streaming smoke: file source → watermarked agg / stateful
+  * sessionization → memory sink, driven synchronously.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def stagedTurns(): String = {
+    val dir = Files.createTempDirectory("graft_stream").toString
+    TranscriptGen.generateDF(spark, 20).write.mode("overwrite").parquet(dir)
+    dir
+  }
+
+  test("windowed role counts match batch aggregation") {
+    val dir = stagedTurns()
+    val schema = graft.schema.Turn.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val q = StreamingFeatures.windowedRoleCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("role_counts").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql("SELECT sum(n) FROM role_counts")
+      .collect().head.getLong(0)
+    val batch = spark.read.parquet(dir).count()
+    assert(streamed == batch)
+  }
+
+  test("stateful sessionize emits closed sessions matching batch oracle") {
+    val dir = stagedTurns()
+    val schema = graft.schema.Turn.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+      .selectExpr("conv_id", "turn_idx", "role", "ts")
+      .as[StreamingFeatures.TurnEvent]
+    val q = StreamingFeatures.sessionize(stream, gapSeconds = 30L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("sessions").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT conv_id, session_seq, n_turns FROM sessions")
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+
+    // batch oracle: all sessions; streaming emits all but each conv's last
+    val batch = Sessionize(
+      spark.read.parquet(dir), Seq("conv_id"), "ts", 30L, Seq("turn_idx"))
+      .groupBy("conv_id", "session_seq")
+      .count()
+      .as[(String, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val lastSeq = batch.keys.groupBy(_._1).map { case (c, ks) =>
+      c -> ks.map(_._2).max
+    }
+    streamed.foreach { case ((c, s), n) =>
+      assert(batch((c, s)) == n, s"session ($c,$s) size mismatch")
+    }
+    // every non-final batch session was emitted by the stream
+    batch.keys.filter { case (c, s) => s < lastSeq(c) }.foreach { k =>
+      assert(streamed.contains(k), s"missing closed session $k")
+    }
+  }
+}
