@@ -23,9 +23,10 @@ object Bench {
     // warm the JVM + parquet footers once (excluded from timings)
     spark.read.parquet(s"$sfDir/events.parquet").count()
 
+    import org.apache.spark.sql.GraftBridge.forceEvaluate
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val (_, sec) = timed {
-        try fn(spark, sfDir).count()
+        try forceEvaluate(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
       }
       name -> sec
@@ -33,7 +34,7 @@ object Bench {
 
     // flagship throughput: full pipeline rows/sec over the derived turns
     val nTurns = spark.read.parquet(s"$sfDir/events.parquet").count()
-    val (_, pipeSec) = timed(Pipeline.features(spark, sfDir).count())
+    val (_, pipeSec) = timed(forceEvaluate(Pipeline.features(spark, sfDir)))
     val turnsPerSec = nTurns / pipeSec
 
     val qs = (results :+ ("pipeline_features" -> pipeSec))

@@ -16,12 +16,13 @@ object ScalingBench {
       .builder(s"local[$cores]", shufflePartitions = math.max(cores, 8))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    import org.apache.spark.sql.GraftBridge.forceEvaluate
     try {
       spark.read.parquet(s"$sfDir/events.parquet").count() // warm-up
-      Pipeline.features(spark, sfDir).count() // warm-up full plan
+      forceEvaluate(Pipeline.features(spark, sfDir)) // warm-up full plan
       val secs = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        Pipeline.features(spark, sfDir).count()
+        forceEvaluate(Pipeline.features(spark, sfDir))
         (System.nanoTime() - t0) / 1e9
       }
       secs.min

@@ -52,7 +52,31 @@ object Dedup {
   def minhashComponent(sh: Column, j: Int): Column =
     array_min(transform(sh, s => substring(md5s(concat(lit(s"$j|"), s)), 1, 8)))
 
-  /** doc → (band_idx, band_key) rows; K components in `bands` bands. */
+  /** All k MinHash components in ONE traversal of the shingle array: an
+    * aggregate with a k-slot accumulator of running minima. Component j ==
+    * minhashComponent(sh, j), but the shingle array is built once and
+    * scanned once instead of k times.
+    */
+  def minhashSignature(sh: Column, k: Int): Column = {
+    val jseq = array((0 until k).map(lit): _*)
+    // "g" sorts above every 8-char hex string (hex alphabet is 0-9a-f)
+    val init = array_repeat(lit("g"), k)
+    aggregate(
+      sh,
+      init,
+      (acc, s) =>
+        zip_with(acc, jseq, (a, j) =>
+          least(a,
+            substring(md5s(concat(j.cast("string"), lit("|"), s)), 1, 8)))
+    )
+  }
+
+  /** doc → (band_idx, band_key) rows; K components in `bands` bands.
+    *
+    * The signature is materialized through an explode (Generate) so that
+    * projection collapse cannot inline — and thus recompute — the whole
+    * signature aggregate once per band expression.
+    */
   def minhashBands(
       df: DataFrame,
       idCol: String,
@@ -64,24 +88,32 @@ object Dedup {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
     val sh = shingles(words(col(textCol)), shingleLen)
-    val withSig = df
+    val sigDf = df
       .filter(size(words(col(textCol))) >= shingleLen)
       .select(
-        col(idCol).as("doc") +:
-          (0 until k).map(j => minhashComponent(sh, j).as(s"s$j")): _*
+        col(idCol).as("doc"),
+        explode(array(minhashSignature(sh, k))).as("sig")
       )
-    val bandRows = (0 until bands).map { b =>
-      val parts = (b * r until (b + 1) * r).map(j => col(s"s$j"))
-      withSig.select(
-        col("doc"),
-        lit(b).as("band_idx"),
-        md5s(concat_ws(",", parts: _*)).as("band_key")
-      )
+    val bandStructs = (0 until bands).map { b =>
+      val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
+      struct(lit(b).as("band_idx"),
+        md5s(concat_ws(",", parts: _*)).as("band_key"))
     }
-    bandRows.reduce(_ unionByName _)
+    sigDf
+      .select(col("doc"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
   }
 
-  /** Candidate near-duplicate pairs: docs sharing at least one LSH band. */
+  /** Candidate near-duplicate pairs: docs sharing at least one LSH band.
+    *
+    * Shape matters at scale: instead of a self-join (which would evaluate
+    * the signature computation twice and shuffle the band table twice), we
+    * groupBy band key ONCE, collect each bucket's doc ids, and expand
+    * (a < b) pairs inside the bucket with array expressions. Buckets are
+    * near-duplicate groups, so they are small by construction; a genuinely
+    * hot bucket (mass-duplicated boilerplate) is the one knob to cap.
+    */
   def minhashPairs(
       df: DataFrame,
       idCol: String,
@@ -91,11 +123,24 @@ object Dedup {
       shingleLen: Int = 3
   ): DataFrame = {
     val b = minhashBands(df, idCol, textCol, k, bands, shingleLen)
-    val l = b.select(col("band_idx"), col("band_key"), col("doc").as("a"))
-    val r = b.select(col("band_idx"), col("band_key"), col("doc").as("b"))
-    l.join(r, Seq("band_idx", "band_key"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
+    val buckets = b
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(size(col("docs")) > 1)
+    val pairs = flatten(
+      transform(
+        col("docs"),
+        (a, i) =>
+          transform(
+            slice(col("docs"), i + 2,
+              greatest(size(col("docs")) - i - 1, lit(0))),
+            bdoc => struct(a.as("a"), bdoc.as("b"))
+          )
+      )
+    )
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 

@@ -11,4 +11,11 @@ object GraftBridge {
     classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression =
     classic.ExpressionUtils.expression(c)
+
+  /** Materializes every output row of the plan (unlike count(), which lets
+    * Catalyst prune projection-only plans down to a metadata count) — the
+    * honest benchmark action.
+    */
+  def forceEvaluate(df: Dataset[_]): Long =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd.count()
 }
