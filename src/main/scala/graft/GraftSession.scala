@@ -19,6 +19,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.autoBroadcastJoinThreshold", (64 << 20).toString)
+      // tmpfs shuffle dirs: on a single box the shared disk is an
+      // artificial bottleneck that a real N-node cluster doesn't have
+      // (each node brings its own local SSDs); /dev/shm models that.
+      .config("spark.local.dir", {
+        val d = "/dev/shm/graft-spark"
+        new java.io.File(d).mkdirs(); d
+      })
 
   def local(cores: Int): SparkSession = {
     val s = builder(s"local[$cores]", math.max(cores, 4)).getOrCreate()

@@ -34,8 +34,11 @@ object Pipeline {
     )
   )
 
-  def features(spark: SparkSession, dir: String): DataFrame = {
-    val turns = Tables.transcript(spark, dir)
+  def features(spark: SparkSession, dir: String): DataFrame =
+    featuresFromTurns(Tables.transcript(spark, dir))
+
+  /** Same pipeline over an already-materialized transcript table. */
+  def featuresFromTurns(turns: DataFrame): DataFrame = {
     val gated = WaryGate(turns, turnSpec)
       .withColumn("n_errors", size(col("errors")))
       .drop("errors")

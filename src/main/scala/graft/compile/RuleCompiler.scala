@@ -84,7 +84,8 @@ object RuleCompiler {
       basePath: Seq[String]
   ): Column =
     concatErrs(spec.fields.map { f =>
-      val path = array((basePath :+ f.pathName).map(lit): _*)
+      val segs = if (f.transparent) basePath else basePath :+ f.pathName
+      val path = array(segs.map(lit): _*)
       compileField(get(f.name), dtOf(f.name), path, f.rules)
     })
 

@@ -138,12 +138,15 @@ object TRule {
 }
 
 /** Rules + transforms for one field. `rename` mirrors serde renames in
-  * error paths (wary_derive/src/util.rs:352-358). */
+  * error paths (wary_derive/src/util.rs:352-358); `transparent` suppresses
+  * the field's path segment (`#[wary(transparent)]`,
+  * wary_derive/src/wary/emit.rs:355-358). */
 final case class FieldSpec(
     name: String,
     rules: Seq[VRule] = Nil,
     transforms: Seq[TRule] = Nil,
-    rename: Option[String] = None
+    rename: Option[String] = None,
+    transparent: Boolean = false
 ) {
   def pathName: String = rename.getOrElse(name)
 }
