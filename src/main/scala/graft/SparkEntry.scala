@@ -217,6 +217,11 @@ object SparkEntry {
       Similarity.annCandidates(e, q, dim = 64, nBits = 8)
     }),
 
+    // --- embedding-cosine near-duplicate pairs ----------------------------------
+    "q_embed_dup" -> ((s, dir) =>
+      Similarity.nearDupPairs(
+        embeds(s, dir).filter(col("vec_id") % 5 === 0), minDot = 30000000L)),
+
     // --- embedding norms (quantized, exact) -------------------------------------
     "q_embed_norm" -> ((s, dir) =>
       embeds(s, dir).select(
@@ -419,6 +424,15 @@ object SparkEntry {
         |  SELECT query_id, vec_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "q_embed_dup" ->
+      """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),
+        |d AS (SELECT a.vec_id AS a, b.vec_id AS b,
+        |  CAST(list_sum([CAST(ROUND(CAST(a.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(b.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(a.embedding)+1)]) AS BIGINT) AS dot
+        |  FROM s a, s b WHERE a.vec_id < b.vec_id)
+        |SELECT a, b, dot FROM d WHERE dot >= 30000000""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,

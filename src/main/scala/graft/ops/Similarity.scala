@@ -77,6 +77,19 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Embedding-cosine near-duplicate pairs (brute force): all (a < b)
+    * pairs whose quantized inner product meets the threshold. The corpus
+    * side is broadcast (small/capped subsets); the LSH-bucket path
+    * (annCandidates) is the sub-quadratic route for full corpora.
+    */
+  def nearDupPairs(corpus: DataFrame, minDot: Long): DataFrame = {
+    val a = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val b = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    a.join(broadcast(b), col("a") < col("b"))
+      .select(col("a"), col("b"), quantDot(col("ea"), col("eb")).as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
     * Hyperplane weights are derived per (bit, dimension) from a splitmix-
     * style integer hash — deterministic, no stored model. Vectors in the
@@ -91,10 +104,15 @@ object Similarity {
       // map to [-1, 1)
       (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
     }
+    // zip_with/aggregate HOFs instead of an unrolled nBits×dim expression:
+    // the unrolled form costs seconds of whole-stage-codegen compilation
+    // for a plan used once, while the HOF form is interpreted but compiles
+    // instantly and the per-row work is identical.
     val bits = (0 until nBits).map { b =>
-      val dot = (0 until dim)
-        .map(d => element_at(embedding, d + 1).cast("double") * lit(weight(b, d)))
-        .reduce(_ + _)
+      val w = array((0 until dim).map(d => lit(weight(b, d))): _*)
+      val dot = aggregate(
+        zip_with(embedding, w, (x, wd) => x.cast("double") * wd),
+        lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).as("bucket")
