@@ -90,6 +90,18 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "last_tool")
     }),
 
+    // --- native as-of join (custom LogicalPlan+Strategy+Exec) -----------------
+    "q_asof_native" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("last_tool"))
+      graft.features.AsOfNative.joinBackward(anchors, obs, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "last_tool")
+    }),
+
     // --- trailing time-range window ------------------------------------------
     "q_rolling_1h" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -300,6 +312,16 @@ object SparkEntry {
          |FROM s2 GROUP BY conv_id, session_seq""".stripMargin,
 
     "q_asof_tool" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.last_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    "q_asof_native" ->
       s"""$T,
          |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
          |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)

@@ -1,0 +1,57 @@
+package graft.features
+
+import org.apache.spark.sql.{DataFrame, GraftBridge}
+
+import graft.plans.{AsOfJoinPlan, AsOfStrategy}
+
+/** User-facing API for the NATIVE as-of join (custom LogicalPlan +
+  * Strategy + SparkPlan — SURVEY.md §7.3 tier (c)). Same semantics and
+  * column contract as [[AsOf.joinBackward]] minus the tolerance option;
+  * physically a true per-partition sort-merge instead of a union-merge.
+  */
+object AsOfNative {
+
+  def joinBackward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      allowExactMatches: Boolean = true
+  ): DataFrame = {
+    GraftBridge.injectStrategy(left, AsOfStrategy)
+    val lp = GraftBridge.logicalPlan(left)
+    // fresh exprIds on the right side: when both inputs share lineage
+    // (self-as-of), duplicate exprIds confuse column pruning/binding —
+    // the same dedup Dataset.join performs internally
+    val rp0 = GraftBridge.logicalPlan(right)
+    val rp = org.apache.spark.sql.catalyst.plans.logical.Project(
+      rp0.output.map(a =>
+        org.apache.spark.sql.catalyst.expressions.Alias(a, a.name)()),
+      rp0)
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"column $name not found"))
+    val rightValues = rp.output
+      .filterNot(a => keys.contains(a.name) || a.name == rightTs)
+    val plan = AsOfJoinPlan(
+      lp, rp,
+      keys.map(attr(lp, _)), keys.map(attr(rp, _)),
+      attr(lp, leftTs), attr(rp, rightTs),
+      rightValues,
+      exact = allowExactMatches
+    )
+    // disambiguate clashing output names the same way AsOf does (_r
+    // suffix) — select by attribute (exprId-resolved), not by name
+    val out = GraftBridge.ofRows(left, plan)
+    val leftNames = left.columns.toSet
+    val cols = lp.output.map(a => GraftBridge.column(a)) ++
+      plan.output.drop(lp.output.size).map { a =>
+        val name =
+          if (leftNames.contains(a.name)) s"${a.name}_r" else a.name
+        GraftBridge.column(a).as(name)
+      }
+    out.select(cols: _*)
+  }
+}

@@ -18,4 +18,27 @@ object GraftBridge {
     */
   def forceEvaluate(df: Dataset[_]): Long =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.toRdd.count()
+
+  def logicalPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.analyzed
+
+  def ofRows(df: Dataset[_],
+      plan: catalyst.plans.logical.LogicalPlan): DataFrame = {
+    val spark = df.asInstanceOf[classic.Dataset[_]].sparkSession
+    classic.Dataset.ofRows(spark, plan)
+  }
+
+  /** Registers a planner strategy once per session. */
+  def injectStrategy(df: Dataset[_], s: SparkStrategyBridge): Unit = {
+    val spark = df.asInstanceOf[classic.Dataset[_]].sparkSession
+    if (!spark.experimental.extraStrategies.contains(s))
+      spark.experimental.extraStrategies =
+        s +: spark.experimental.extraStrategies
+  }
 }
+
+/** Public alias for the planner Strategy base (package-private-friendly
+  * extension point used by graft's custom operators).
+  */
+abstract class SparkStrategyBridge
+    extends org.apache.spark.sql.execution.SparkStrategy

@@ -1,0 +1,76 @@
+package graft.features
+
+import java.sql.Timestamp
+
+import scala.util.Random
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+/** The native (LogicalPlan+Strategy+Exec) as-of join must be semantically
+  * identical to the built-ins-only union-merge implementation, across
+  * random inputs with ts ties, nulls, and unmatched anchors.
+  */
+class AsOfNativeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def randomCase(seed: Int) = {
+    val rnd = new Random(seed)
+    val nConv = 1 + rnd.nextInt(5)
+    val anchors = List.fill(40)(
+      (s"c${rnd.nextInt(nConv)}", rnd.nextInt(100),
+        new Timestamp(rnd.nextInt(12).toLong * 1000L)))
+      .distinctBy(r => (r._1, r._2))
+      .toDF("conv_id", "turn_idx", "ts")
+    val right = List.fill(25)(
+      (s"c${rnd.nextInt(nConv + 1)}",
+        new Timestamp(rnd.nextInt(12).toLong * 1000L), rnd.nextInt(1000)))
+      .toDF("conv_id", "ts", "obs")
+      .groupBy("conv_id", "ts")
+      .agg(org.apache.spark.sql.functions.max("obs").as("obs"))
+    (anchors, right)
+  }
+
+  private def collectSorted(df: org.apache.spark.sql.DataFrame) =
+    df.select("conv_id", "turn_idx", "ts", "obs")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getTimestamp(2).getTime,
+        if (r.isNullAt(3)) None else Some(r.getInt(3))))
+      .sortBy(t => (t._1, t._2))
+      .toSeq
+
+  test("native as-of == union-merge as-of on 10 random cases (exact)") {
+    for (seed <- 1 to 10) {
+      val (anchors, right) = randomCase(seed)
+      val um = collectSorted(AsOf.joinBackward(anchors, right, Seq("conv_id")))
+      val nat = collectSorted(
+        AsOfNative.joinBackward(anchors, right, Seq("conv_id")))
+      assert(nat == um, s"seed $seed mismatch")
+    }
+  }
+
+  test("native as-of == union-merge as-of (strict <)") {
+    for (seed <- 50 to 55) {
+      val (anchors, right) = randomCase(seed)
+      val um = collectSorted(
+        AsOf.joinBackward(anchors, right, Seq("conv_id"),
+          allowExactMatches = false))
+      val nat = collectSorted(
+        AsOfNative.joinBackward(anchors, right, Seq("conv_id"),
+          allowExactMatches = false))
+      assert(nat == um, s"seed $seed mismatch")
+    }
+  }
+
+  test("native as-of handles empty right side") {
+    val anchors = Seq(("a", 1, new Timestamp(1000L)))
+      .toDF("conv_id", "turn_idx", "ts")
+    val right = Seq.empty[(String, Timestamp, Int)]
+      .toDF("conv_id", "ts", "obs")
+    val out = AsOfNative.joinBackward(anchors, right, Seq("conv_id"))
+    assert(out.count() == 1)
+    assert(out.select("obs").collect().head.isNullAt(0))
+  }
+}
