@@ -408,13 +408,13 @@ object SparkEntry {
         |  FROM w WHERE len(ws) >= 3),
         |sig AS (SELECT doc_id,
         |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
-        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s1,
-        |  list_min([substr(md5('2|' || s), 1, 8) for s in sh]) AS s2,
-        |  list_min([substr(md5('3|' || s), 1, 8) for s in sh]) AS s3,
-        |  list_min([substr(md5('4|' || s), 1, 8) for s in sh]) AS s4,
-        |  list_min([substr(md5('5|' || s), 1, 8) for s in sh]) AS s5,
-        |  list_min([substr(md5('6|' || s), 1, 8) for s in sh]) AS s6,
-        |  list_min([substr(md5('7|' || s), 1, 8) for s in sh]) AS s7
+        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
         |  FROM sh),
         |bands AS (
         |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig

@@ -52,22 +52,30 @@ object Dedup {
   def minhashComponent(sh: Column, j: Int): Column =
     array_min(transform(sh, s => substring(md5s(concat(lit(s"$j|"), s)), 1, 8)))
 
-  /** All k MinHash components in ONE traversal of the shingle array: an
-    * aggregate with a k-slot accumulator of running minima. Component j ==
-    * minhashComponent(sh, j), but the shingle array is built once and
-    * scanned once instead of k times.
+  /** All k MinHash components in ONE traversal of the shingle array.
+    *
+    * Hash economy: one md5 yields 32 hex chars = FOUR independent 8-hex
+    * (32-bit) hash values, so k components need only ceil(k/4) md5 calls
+    * per shingle (2 for the default k=8). Component j = min over shingles
+    * of substr(md5((j/4) + "|" + shingle), 8*(j%4)+1, 8).
     */
   def minhashSignature(sh: Column, k: Int): Column = {
+    require(k % 4 == 0, "k must be a multiple of 4 (4 components per md5)")
     val jseq = array((0 until k).map(lit): _*)
     // "g" sorts above every 8-char hex string (hex alphabet is 0-9a-f)
     val init = array_repeat(lit("g"), k)
-    aggregate(
+    // per shingle: concat of k/4 md5s → one 8*k hex string, computed ONCE
+    val hashes = transform(
       sh,
+      s =>
+        concat((0 until k / 4).map(g =>
+          md5s(concat(lit(s"$g|"), s))): _*)
+    )
+    aggregate(
+      hashes,
       init,
-      (acc, s) =>
-        zip_with(acc, jseq, (a, j) =>
-          least(a,
-            substring(md5s(concat(j.cast("string"), lit("|"), s)), 1, 8)))
+      (acc, h) =>
+        zip_with(acc, jseq, (a, j) => least(a, h.substr(j * 8 + 1, lit(8))))
     )
   }
 
