@@ -1,0 +1,59 @@
+package graft.features
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Explicit skew handling (north rule: "partitioning / shuffle / skew
+  * handled explicitly"; SURVEY.md §7.4 item 9).
+  *
+  * AQE's skew-join splitting (enabled in GraftSession) covers joins; this
+  * covers skewed AGGREGATIONS: a mega-key (one conversation with 10^8
+  * turns) funnels into a single reducer under plain groupBy. The salted
+  * two-phase form spreads each key over `salts` partial aggregates and
+  * recombines — turning one hot reducer into `salts` balanced ones.
+  *
+  * Applicable whenever the aggregate is algebraic (reassociatable):
+  * sum/count/min/max and anything built from them.
+  */
+object Skew {
+
+  /** Two-phase salted aggregation. `partials` aggregate within each
+    * (key, salt) group; `merges` recombine the partial columns (by name)
+    * per key — e.g. partial `count(*) as n_part` merges as
+    * `sum(col("n_part")) as n`.
+    */
+  def saltedAgg(
+      df: DataFrame,
+      keys: Seq[String],
+      salts: Int,
+      partials: Seq[(Column, String)],
+      merges: Seq[(Column, String)]
+  ): DataFrame = {
+    require(partials.nonEmpty && merges.nonEmpty)
+    val salted = df.withColumn(
+      "__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+    val phase1 = salted
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(partials.head._1.as(partials.head._2),
+        partials.tail.map { case (c, n) => c.as(n) }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(merges.head._1.as(merges.head._2),
+        merges.tail.map { case (c, n) => c.as(n) }: _*)
+  }
+
+  /** Convenience: salted count + sum per key (the common turn-volume /
+    * token-volume rollup shape).
+    */
+  def saltedCountSum(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      salts: Int = 16
+  ): DataFrame =
+    saltedAgg(
+      df, keys, salts,
+      partials = Seq(count(lit(1)) -> "__n", sum(col(valueCol)) -> "__s"),
+      merges = Seq(sum(col("__n")) -> "n", sum(col("__s")) -> "s")
+    )
+}

@@ -68,27 +68,31 @@ object Checkpoint {
     val spark = df.sparkSession
     val stagingPath = Paths.get(staging)
     val promoted = scala.collection.mutable.Set[Int]()
-    if (Files.exists(stagingPath)) {
-      Files.list(stagingPath).iterator.asScala
-        .filter(p => p.getFileName.toString.startsWith("__bucket="))
-        .foreach { p =>
-          val b = p.getFileName.toString.stripPrefix("__bucket=").toInt
-          if (!done.contains(b)) {
-            val target = Paths.get(out, s"bucket=$b")
-            if (Files.exists(target)) { // stale partial from a dead run
-              deleteRecursively(target)
-            }
-            Files.move(p, target, StandardCopyOption.ATOMIC_MOVE)
-            val rows = spark.read.parquet(target.toString).count()
-            val entry =
-              s"""{"bucket":$b,"rows":$rows,"input":"$input","run_id":"$runId"}"""
-            val tmp = manifestDir(out).resolve(s".bucket-$b.json.tmp")
-            Files.writeString(tmp, entry)
-            Files.move(tmp, manifestDir(out).resolve(s"bucket-$b.json"),
-              StandardCopyOption.ATOMIC_MOVE)
-            promoted += b
-          }
+
+    def commit(b: Int, rows: Long): Unit = {
+      val entry =
+        s"""{"bucket":$b,"rows":$rows,"input":"$input","run_id":"$runId"}"""
+      val tmp = manifestDir(out).resolve(s".bucket-$b.json.tmp")
+      Files.writeString(tmp, entry)
+      Files.move(tmp, manifestDir(out).resolve(s"bucket-$b.json"),
+        StandardCopyOption.ATOMIC_MOVE)
+      promoted += b
+    }
+
+    (0 until nBuckets).filterNot(done.contains).foreach { b =>
+      val staged = stagingPath.resolve(s"__bucket=$b")
+      if (Files.exists(staged)) {
+        val target = Paths.get(out, s"bucket=$b")
+        if (Files.exists(target)) { // stale partial from a dead run
+          deleteRecursively(target)
         }
+        Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+        commit(b, spark.read.parquet(target.toString).count())
+      } else {
+        // the bucket genuinely has no rows in this input — commit it as
+        // empty so resumes don't rescan the input for it forever
+        commit(b, 0L)
+      }
     }
     deleteRecursively(stagingPath)
     promoted.toSet

@@ -37,14 +37,20 @@ class CheckpointSpec extends AnyFunSuite {
     val clean = tmp()
     Checkpoint.write(df, "conv_id", clean, 8, "synthetic:50", "c1")
 
-    // partial: write only half the buckets (simulates a killed run that
-    // committed some buckets before dying)
+    // partial: full write, then simulate a run killed mid-commit by
+    // removing the manifest entries and data of half the buckets
     val partial = tmp()
-    import org.apache.spark.sql.functions._
-    val firstHalf = df.filter(pmod(hash(col("conv_id")), lit(8)) < 4)
-    Checkpoint.write(firstHalf, "conv_id", partial, 8, "synthetic:50", "p1")
+    Checkpoint.write(df, "conv_id", partial, 8, "synthetic:50", "p1")
+    (4 until 8).foreach { b =>
+      Files.deleteIfExists(
+        java.nio.file.Paths.get(partial, "_manifest", s"bucket-$b.json"))
+      val dir = java.nio.file.Paths.get(partial, s"bucket=$b")
+      if (Files.exists(dir))
+        Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
+          .forEach(p => Files.delete(p))
+    }
     val committedBefore = Checkpoint.committedBuckets(partial)
-    assert(committedBefore.nonEmpty && committedBefore.size < 8)
+    assert(committedBefore == (0 until 4).toSet)
 
     // resume with the FULL input: only missing buckets are written
     val promoted = Checkpoint.write(df, "conv_id", partial, 8,
