@@ -208,6 +208,11 @@ object SparkEntry {
       Dedup.wordJaccard(pairs, d, "doc_id", "text")
     }),
 
+    // --- composed corpus cleaning (dedup + quality + language gates) ----------
+    "q_corpus_clean" -> ((s, dir) =>
+      graft.ops.CorpusClean(docs(s, dir))
+        .select("doc_id", "n_chars_q", "n_words", "lang_pred")),
+
     // --- SimHash fingerprint (custom expression; Scala-oracled) ---------------
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))),
@@ -400,6 +405,25 @@ object SparkEntry {
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g')) AS fp
         |FROM documents""".stripMargin,
+
+    "q_corpus_clean" ->
+      """WITH sc AS (SELECT doc_id, text,
+        |  CAST(length(text) AS BIGINT) AS n_chars_q,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\bdata\b')) + len(regexp_extract_all(text, '\btable\b')) + len(regexp_extract_all(text, '\brow\b')) AS BIGINT) AS s_db,
+        |  CAST(len(regexp_extract_all(text, '\bquery\b')) + len(regexp_extract_all(text, '\bjoin\b')) + len(regexp_extract_all(text, '\bscan\b')) AS BIGINT) AS s_qy,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rnk
+        |FROM documents),
+        |lp AS (SELECT *,
+        |  CASE WHEN s_en = greatest(s_en, s_db, s_qy) AND s_en > 0 THEN 'en'
+        |       WHEN s_db = greatest(s_en, s_db, s_qy) AND s_db > 0 THEN 'db'
+        |       WHEN s_qy = greatest(s_en, s_db, s_qy) AND s_qy > 0 THEN 'qy'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc)
+        |SELECT doc_id, n_chars_q, n_words, lang_pred FROM lp
+        |WHERE rnk = 1 AND n_chars_q BETWEEN 50 AND 10000 AND n_words >= 8
+        |  AND lang_pred IN ('en','db','qy')""".stripMargin,
 
     "q_minhash_pairs" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
