@@ -1,0 +1,70 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.{
+  BinaryExpression, Expression, UnaryExpression
+}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Quantized-int vector math as tight JVM loops behind codegen'd static
+  * calls — the HOF (zip_with/aggregate) formulations are interpreted and
+  * ~10x slower per row on 64-dim embeddings.
+  *
+  * Quantization contract (shared with the DuckDB oracles): per element,
+  * q(x) = round-half-away-from-zero(x * 10000) as int64 — matching both
+  * Spark's `round` (BigDecimal HALF_UP) and DuckDB's `ROUND`.
+  */
+object QuantVec {
+  private def q(x: Double): Long =
+    if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
+    else math.ceil(x * 10000.0 - 0.5).toLong
+
+  def dot(a: ArrayData, b: ArrayData): Long = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      s += q(a.getFloat(i).toDouble) * q(b.getFloat(i).toDouble)
+      i += 1
+    }
+    s
+  }
+
+  def sqNorm(a: ArrayData): Long = {
+    val n = a.numElements()
+    var s = 0L
+    var i = 0
+    while (i < n) {
+      val v = q(a.getFloat(i).toDouble)
+      s += v * v
+      i += 1
+    }
+    s
+  }
+}
+
+case class QuantDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_dot"
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    QuantVec.dot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.exprs.QuantVec.dot($a, $b)")
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): QuantDot = copy(left = l, right = r)
+}
+
+case class QuantSqNorm(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_sq_norm"
+  override protected def nullSafeEval(a: Any): Any =
+    QuantVec.sqNorm(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.exprs.QuantVec.sqNorm($a)")
+  override protected def withNewChildInternal(c: Expression): QuantSqNorm =
+    copy(child = c)
+}

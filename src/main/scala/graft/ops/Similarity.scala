@@ -21,26 +21,20 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Exact int64 dot product of two float-array columns (quantized). */
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def expr(c: Column) =
+    org.apache.spark.sql.GraftBridge.expression(c)
+
+  /** Exact int64 dot product of two float-array columns (quantized ×10^4,
+    * round half away from zero) — codegen'd custom expression.
+    */
   def quantDot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (round(x.cast("double") * 10000).cast("long") *
-          round(y.cast("double") * 10000).cast("long"))),
-      lit(0L),
-      (acc, v) => acc + v
-    )
+    bridge(graft.exprs.QuantDot(expr(a), expr(b)))
 
   /** Exact int64 squared norm (quantized). */
   def quantSqNorm(a: Column): Column =
-    aggregate(
-      transform(a, x => {
-        val q = round(x.cast("double") * 10000).cast("long")
-        q * q
-      }),
-      lit(0L),
-      (acc, v) => acc + v
-    )
+    bridge(graft.exprs.QuantSqNorm(expr(a)))
 
   /** Double-precision cosine similarity (for allclose-style consumers). */
   def cosine(a: Column, b: Column): Column = {
