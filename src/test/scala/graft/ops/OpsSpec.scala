@@ -55,6 +55,28 @@ class OpsSpec extends AnyFunSuite {
     assert(g == Set((2L, 1L), (1L, 2L))) // (n_docs, keep_id)
   }
 
+  test("MinHashSig expression equals the HOF signature composition") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.io.Tables
+      .read(spark, "/root/testdata/sf0.001", "documents").limit(100)
+    val hof = docs
+      .filter(size(Dedup.words($"text")) >= 3)
+      .select($"doc_id",
+        Dedup.minhashSignature(
+          Dedup.shingles(Dedup.words($"text"), 3), 8).as("sig"))
+      .as[(Long, Seq[String])].collect().toMap
+    val fastExpr = org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression($"text"), 8, 3))
+    val fast = docs.select($"doc_id", fastExpr.as("sig"))
+      .filter($"sig".isNotNull)
+      .as[(Long, Seq[String])].collect().toMap
+    assert(fast.keySet == hof.keySet)
+    fast.foreach { case (id, sig) =>
+      assert(sig == hof(id), s"signature mismatch for doc $id")
+    }
+  }
+
   test("minhash pairs finds the near-duplicate, not the distinct doc") {
     val df = Seq(
       (1L, "alpha beta gamma delta epsilon zeta eta theta"),
