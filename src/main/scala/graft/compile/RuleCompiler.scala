@@ -53,6 +53,14 @@ object RuleCompiler {
   ): Column =
     when(violated, err1(path, code, message)).otherwise(noErrs)
 
+  /** Rust Debug-format for message payloads ({value:?}): strings quoted,
+    * everything else plain.
+    */
+  private def debugFmt(v: Any): String = v match {
+    case s: String => "\"" + s + "\""
+    case other     => other.toString
+  }
+
   /** lit() that also understands Seq literals (array rules). */
   private def litAny(v: Any): Column = v match {
     case s: Seq[_]  => array(s.map(x => lit(x)): _*)
@@ -149,11 +157,11 @@ object RuleCompiler {
 
     case Equals(other, false) =>
       whenErr(!(value === litAny(other)), path, "should_equal",
-        lit("value should equal the expected value"))
+        lit(s"expected to equal ${debugFmt(other)}"))
 
     case Equals(other, true) =>
       whenErr(value === litAny(other), path, "should_not_equal",
-        lit("value should not equal the expected value"))
+        lit(s"expected to not equal ${debugFmt(other)}"))
 
     case Range(min, max, exMin, exMax) =>
       // wary short-circuits: min error suppresses max check
@@ -183,14 +191,18 @@ object RuleCompiler {
       }
 
     case Length(unit, min, max, exMin, exMax) =>
+      // message format strings match the reference exactly
+      // (length.rs error message() variants)
       val len = lengthOf(value, dt, unit)
       val short = len < min || (len === min && lit(exMin))
       val long = len > max || (len === max && lit(exMax))
+      val shortWord = if (exMin) "more than" else "at least"
+      val longWord = if (exMax) "less than" else "at most"
       val shortErr = whenErr(short, path, "too_short",
-        concat(lit(s"length is too short: expected at least $min, found "),
+        concat(lit(s"expected length of $shortWord $min, found "),
           len.cast(StringType)))
       val longErr = whenErr(long, path, "too_long",
-        concat(lit(s"length is too long: expected at most $max, found "),
+        concat(lit(s"expected length of $longWord $max, found "),
           len.cast(StringType)))
       when(size(shortErr) > 0, shortErr).otherwise(longErr)
 

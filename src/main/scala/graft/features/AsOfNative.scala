@@ -20,6 +20,7 @@ object AsOfNative {
       allowExactMatches: Boolean = true
   ): DataFrame = {
     GraftBridge.injectStrategy(left, AsOfStrategy)
+    GraftBridge.injectOptimization(left, graft.plans.AsOfFilterPushdown)
     val lp = GraftBridge.logicalPlan(left)
     // fresh exprIds on the right side: when both inputs share lineage
     // (self-as-of), duplicate exprIds confuse column pruning/binding —

@@ -35,6 +35,19 @@ object GraftBridge {
       spark.experimental.extraStrategies =
         s +: spark.experimental.extraStrategies
   }
+
+  /** Registers a custom optimizer rule once per session. */
+  def injectOptimization(
+      df: Dataset[_],
+      r: catalyst.rules.Rule[catalyst.plans.logical.LogicalPlan]): Unit = {
+    val spark = df.asInstanceOf[classic.Dataset[_]].sparkSession
+    if (!spark.experimental.extraOptimizations.contains(r))
+      spark.experimental.extraOptimizations =
+        r +: spark.experimental.extraOptimizations
+  }
+
+  def optimizedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
 }
 
 /** Public alias for the planner Strategy base (package-private-friendly

@@ -64,6 +64,27 @@ class AsOfNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("AsOfFilterPushdown pushes anchor predicates below the join") {
+    val (anchors, right) = randomCase(99)
+    val joined = AsOfNative.joinBackward(anchors, right, Seq("conv_id"))
+    val filtered = joined.filter(org.apache.spark.sql.functions.col("turn_idx") > 50)
+    val opt = org.apache.spark.sql.GraftBridge.optimizedPlan(filtered)
+    val pushed = opt.collect {
+      case j: graft.plans.AsOfJoinPlan =>
+        j.left.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.Filter] ||
+          j.left.collectFirst {
+            case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+          }.isDefined
+    }
+    assert(pushed.nonEmpty && pushed.forall(identity),
+      s"anchor filter not pushed below AsOfJoinPlan:\n$opt")
+    // semantics unchanged vs filtering the input directly
+    val direct = AsOfNative.joinBackward(
+      anchors.filter(org.apache.spark.sql.functions.col("turn_idx") > 50),
+      right, Seq("conv_id"))
+    assert(collectSorted(filtered) == collectSorted(direct))
+  }
+
   test("native as-of handles empty right side") {
     val anchors = Seq(("a", 1, new Timestamp(1000L)))
       .toDF("conv_id", "turn_idx", "ts")
