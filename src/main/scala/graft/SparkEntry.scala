@@ -65,6 +65,12 @@ object SparkEntry {
       Windows.locf(turns(s, dir), Windows.turnWindow, "tool", as = "tool_locf")
         .select("conv_id", "turn_idx", "tool_locf")),
 
+    // --- mega-key-safe LOCF (two-phase; same semantics as q_locf_backfill) ---
+    "q_locf_scalable" -> ((s, dir) =>
+      graft.features.LocfScalable(turns(s, dir), Seq("conv_id"), "ts",
+        "turn_idx", "tool", chunkSeconds = 1800L, as = "tool_locf")
+        .select("conv_id", "turn_idx", "tool_locf")),
+
     // --- gap sessionization -------------------------------------------------
     "q_sessionize" -> ((s, dir) =>
       Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
@@ -277,6 +283,14 @@ object SparkEntry {
          |WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx)""".stripMargin,
 
     "q_locf_backfill" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
+         |    ORDER BY ts, turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
+         |FROM turns""".stripMargin,
+
+    "q_locf_scalable" ->
       s"""$T
          |SELECT conv_id, turn_idx,
          |  last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
