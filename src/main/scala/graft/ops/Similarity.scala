@@ -87,9 +87,16 @@ object Similarity {
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
     * Hyperplane weights are derived per (bit, dimension) from a splitmix-
     * style integer hash — deterministic, no stored model. Vectors in the
-    * same bucket are ANN candidates.
+    * same bucket are ANN candidates. One-pass codegen'd expression; the
+    * HOF composition below is the tested reference implementation.
     */
-  def lshBucket(embedding: Column, dim: Int, nBits: Int = 12): Column = {
+  def lshBucket(embedding: Column, dim: Int, nBits: Int = 12): Column =
+    bridge(graft.exprs.SignLsh(expr(embedding), nBits)).as("bucket")
+
+  /** HOF reference implementation of [[lshBucket]] (interpreted; kept for
+    * the OpsSpec equality test and as documentation of the exact math).
+    */
+  def lshBucketHof(embedding: Column, dim: Int, nBits: Int = 12): Column = {
     def weight(bit: Int, d: Int): Double = {
       var x = (bit.toLong << 32) ^ d.toLong ^ 0x9E3779B97F4A7C15L
       x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL

@@ -48,6 +48,15 @@ class OpsSpec extends AnyFunSuite {
     assert(cand.nonEmpty)
   }
 
+  test("SignLsh expression equals the HOF bucket composition") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val both = e.select(
+      Similarity.lshBucket($"embedding", dim = 64, nBits = 8).as("fast"),
+      Similarity.lshBucketHof($"embedding", dim = 64, nBits = 8).as("ref"))
+    val mismatches = both.filter($"fast" =!= $"ref").count()
+    assert(mismatches == 0, s"$mismatches bucket mismatches vs HOF reference")
+  }
+
   test("exact dedup groups duplicate texts") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")
