@@ -202,6 +202,11 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextStats.fingerprint(col("text")).as("fp"))),
 
+    // --- rolling-hash fingerprint (polynomial over codepoints, mod 1e9+7) ------
+    "q_rolling_fp" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.rollingFingerprint(col("text")).as("rfp"))),
+
     // --- MinHash LSH near-dup candidate pairs ---------------------------------
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
@@ -418,6 +423,16 @@ object SparkEntry {
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g')) AS fp
+        |FROM documents""".stripMargin,
+
+    "q_rolling_fp" ->
+      """SELECT doc_id, CASE
+        |  WHEN text IS NULL THEN NULL
+        |  WHEN text = '' THEN 0
+        |  ELSE list_reduce(
+        |    list_prepend(0::BIGINT, [unicode(c)::BIGINT for c in string_split(text, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007)
+        |END AS rfp
         |FROM documents""".stripMargin,
 
     "q_corpus_clean" ->

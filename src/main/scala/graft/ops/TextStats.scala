@@ -57,6 +57,15 @@ object TextStats {
   def fingerprint(text: Column): Column =
     md5(regexp_replace(lower(text), "[ \\t\\n]+", " ").cast("binary"))
 
+  /** Polynomial rolling-hash fingerprint over codepoints (mod 1e9+7) —
+    * a 64-bit doc identity computable incrementally over a stream; exact
+    * DuckDB oracle via list_reduce (see [[graft.exprs.RollingHash]]).
+    */
+  def rollingFingerprint(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.RollingHash(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Simple quality score components (integers; ratio left to consumers). */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_chars_q" -> char_length(text).cast("long"),

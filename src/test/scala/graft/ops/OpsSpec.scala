@@ -4,6 +4,7 @@ import org.scalatest.funsuite.AnyFunSuite
 
 import graft.TestSpark
 import graft.exprs.{SimHash, SimHash64}
+import graft.ops.TextStats
 
 /** Ops vs naive in-memory oracles (the non-SQL-expressible operators). */
 class OpsSpec extends AnyFunSuite {
@@ -55,6 +56,17 @@ class OpsSpec extends AnyFunSuite {
       Similarity.lshBucketHof($"embedding", dim = 64, nBits = 8).as("ref"))
     val mismatches = both.filter($"fast" =!= $"ref").count()
     assert(mismatches == 0, s"$mismatches bucket mismatches vs HOF reference")
+  }
+
+  test("rolling-hash fingerprint matches a naive codepoint recurrence") {
+    val cases = Seq("hello", "h\u00e9llo\ud83d\ude00", "", "a",
+      "\u1f48\u0394\u03a5\u03a3\u03a3\u0395\u038e\u03a3 \u0130stanbul  spaced")
+    def naive(s: String): Long =
+      s.codePoints().toArray.foldLeft(0L)((h, c) => (h * 31 + c) % 1000000007L)
+    val got = cases.toDF("text")
+      .select(TextStats.rollingFingerprint($"text").as("rfp"))
+      .as[Long].collect().toSeq
+    assert(got == cases.map(naive))
   }
 
   test("exact dedup groups duplicate texts") {
