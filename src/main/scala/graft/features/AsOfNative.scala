@@ -6,7 +6,7 @@ import graft.plans.{AsOfJoinPlan, AsOfStrategy}
 
 /** User-facing API for the NATIVE as-of join (custom LogicalPlan +
   * Strategy + SparkPlan — SURVEY.md §7.3 tier (c)). Same semantics and
-  * column contract as [[AsOf.joinBackward]] minus the tolerance option;
+  * column contract as [[AsOf.joinBackward]] (incl. toleranceMs);
   * physically a true per-partition sort-merge instead of a union-merge.
   */
 object AsOfNative {
@@ -17,7 +17,8 @@ object AsOfNative {
       keys: Seq[String],
       leftTs: String = "ts",
       rightTs: String = "ts",
-      allowExactMatches: Boolean = true
+      allowExactMatches: Boolean = true,
+      toleranceMs: Option[Long] = None
   ): DataFrame = {
     GraftBridge.injectStrategy(left, AsOfStrategy)
     GraftBridge.injectOptimization(left, graft.plans.AsOfFilterPushdown)
@@ -41,7 +42,8 @@ object AsOfNative {
       keys.map(attr(lp, _)), keys.map(attr(rp, _)),
       attr(lp, leftTs), attr(rp, rightTs),
       rightValues,
-      exact = allowExactMatches
+      exact = allowExactMatches,
+      toleranceMs = toleranceMs
     )
     // disambiguate clashing output names the same way AsOf does (_r
     // suffix) — select by attribute (exprId-resolved), not by name

@@ -27,7 +27,8 @@ final case class AsOfJoinExec(
     leftTs: Expression,
     rightTs: Expression,
     rightValues: Seq[Attribute],
-    exact: Boolean
+    exact: Boolean,
+    toleranceMs: Option[Long] = None
 ) extends BinaryExecNode {
 
   override def output: Seq[Attribute] =
@@ -59,6 +60,9 @@ final case class AsOfJoinExec(
     val rTs = rightTs
     val rVals: Seq[Expression] = rightValues
     val isExact = exact
+    // second-granularity window, matching AsOf.joinBackward's
+    // (ts.cast(long) - match_ts.cast(long)) * 1000 <= toleranceMs
+    val tolMs = toleranceMs
     val keyTypes = lKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -81,6 +85,7 @@ final case class AsOfJoinExec(
         private var rNextTsNull: Boolean = false
         private var held: UnsafeRow = _ // last eligible right VALUE row
         private var heldKey: UnsafeRow = _
+        private var heldTs: Long = 0L // micros; valid while held != null
         advanceRight()
 
         private def advanceRight(): Unit = {
@@ -118,6 +123,7 @@ final case class AsOfJoinExec(
               if (c == 0 && tsOk) {
                 held = rValProj(rNext).copy()
                 heldKey = rNextKey
+                heldTs = rNextTs
               }
               advanceRight()
               continue = rNext != null
@@ -125,7 +131,13 @@ final case class AsOfJoinExec(
           }
           val matched =
             held != null && heldKey != null &&
-              keyOrdering.compare(heldKey, lKey) == 0
+              keyOrdering.compare(heldKey, lKey) == 0 &&
+              (tolMs match {
+                case Some(t) =>
+                  (Math.floorDiv(lt, 1000000L) -
+                    Math.floorDiv(heldTs, 1000000L)) * 1000L <= t
+                case None => true
+              })
           outProj(joined(l, if (matched) held else nullValueRow))
         }
       }

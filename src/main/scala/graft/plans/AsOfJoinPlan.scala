@@ -22,7 +22,8 @@ final case class AsOfJoinPlan(
     leftTs: Expression,
     rightTs: Expression,
     rightValues: Seq[Attribute],
-    exact: Boolean
+    exact: Boolean,
+    toleranceMs: Option[Long] = None
 ) extends BinaryNode {
 
   override def output: Seq[Attribute] =

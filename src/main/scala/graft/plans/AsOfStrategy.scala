@@ -12,7 +12,8 @@ object AsOfStrategy extends SparkStrategyBridge {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case p: AsOfJoinPlan =>
       AsOfJoinExec(planLater(p.left), planLater(p.right), p.leftKeys,
-        p.rightKeys, p.leftTs, p.rightTs, p.rightValues, p.exact) :: Nil
+        p.rightKeys, p.leftTs, p.rightTs, p.rightValues, p.exact,
+        p.toleranceMs) :: Nil
     case _ => Nil
   }
 }

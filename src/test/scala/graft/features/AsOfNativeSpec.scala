@@ -64,6 +64,19 @@ class AsOfNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of == union-merge as-of with toleranceMs") {
+    for (seed <- 80 to 85; tolMs <- Seq(0L, 3000L, 5500L)) {
+      val (anchors, right) = randomCase(seed)
+      val um = collectSorted(
+        AsOf.joinBackward(anchors, right, Seq("conv_id"),
+          toleranceMs = Some(tolMs)))
+      val nat = collectSorted(
+        AsOfNative.joinBackward(anchors, right, Seq("conv_id"),
+          toleranceMs = Some(tolMs)))
+      assert(nat == um, s"seed $seed tol $tolMs mismatch")
+    }
+  }
+
   test("AsOfFilterPushdown pushes anchor predicates below the join") {
     val (anchors, right) = randomCase(99)
     val joined = AsOfNative.joinBackward(anchors, right, Seq("conv_id"))
