@@ -35,6 +35,32 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("wary gate runs unchanged on a stream (stateless projection)") {
+    val dir = stagedTurns()
+    val schema = graft.schema.Turn.schema
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    val gated = graft.compile.WaryGate(stream, graft.Pipeline.turnSpec)
+      .selectExpr("conv_id", "turn_idx", "text",
+        "size(errors) = 0 AS is_valid")
+    val q = gated.writeStream.outputMode("append")
+      .format("memory").queryName("gated_stream").start()
+    q.processAllAvailable(); q.stop()
+    val streamed = spark.sql(
+      "SELECT conv_id, turn_idx, text, is_valid FROM gated_stream")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (Option(r.getString(2)), r.getBoolean(3))).toMap
+    val batch = graft.compile.WaryGate(
+      spark.read.parquet(dir), graft.Pipeline.turnSpec)
+      .selectExpr("conv_id", "turn_idx", "text",
+        "size(errors) = 0 AS is_valid")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (Option(r.getString(2)), r.getBoolean(3))).toMap
+    assert(streamed == batch) // per-turn text byte-equal + same validity
+    assert(batch.values.exists(_._2) && batch.values.exists(!_._2))
+  }
+
   test("stateful sessionize emits closed sessions matching batch oracle") {
     val dir = stagedTurns()
     val schema = graft.schema.Turn.schema
