@@ -61,8 +61,10 @@ final case class AsOfJoinExec(
     val rVals: Seq[Expression] = rightValues
     val isExact = exact
     // second-granularity window, matching AsOf.joinBackward's
-    // (ts.cast(long) - match_ts.cast(long)) * 1000 <= toleranceMs
-    val tolMs = toleranceMs
+    // (ts.cast(long) - match_ts.cast(long)) * 1000 <= toleranceMs;
+    // hoisted to primitives so the per-row emit check stays branch-only
+    val hasTol = toleranceMs.isDefined
+    val tolVal = toleranceMs.getOrElse(0L)
     val keyTypes = lKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -132,12 +134,9 @@ final case class AsOfJoinExec(
           val matched =
             held != null && heldKey != null &&
               keyOrdering.compare(heldKey, lKey) == 0 &&
-              (tolMs match {
-                case Some(t) =>
-                  (Math.floorDiv(lt, 1000000L) -
-                    Math.floorDiv(heldTs, 1000000L)) * 1000L <= t
-                case None => true
-              })
+              (!hasTol ||
+                (Math.floorDiv(lt, 1000000L) -
+                  Math.floorDiv(heldTs, 1000000L)) * 1000L <= tolVal)
           outProj(joined(l, if (matched) held else nullValueRow))
         }
       }
