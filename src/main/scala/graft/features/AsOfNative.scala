@@ -8,6 +8,11 @@ import graft.plans.{AsOfJoinPlan, AsOfStrategy}
   * Strategy + SparkPlan — SURVEY.md §7.3 tier (c)). Same semantics and
   * column contract as [[AsOf.joinBackward]] (incl. toleranceMs);
   * physically a true per-partition sort-merge instead of a union-merge.
+  *
+  * Contract shared with the union-merge variant: the right side should be
+  * unique per (keys, rightTs) — with duplicate timestamps "last wins" is
+  * sort-order-dependent in BOTH implementations. Pre-aggregate (as
+  * Pipeline does with max_by) when duplicates are possible.
   */
 object AsOfNative {
 
