@@ -61,6 +61,10 @@ object RuleCompiler {
     case other     => other.toString
   }
 
+  /** Rust `{:?}` of a slice: elements Debug-formatted, `[a, b]`. */
+  private def debugSlice(needle: Seq[Any]): String =
+    needle.map(debugFmt).mkString("[", ", ", "]")
+
   /** lit() that also understands Seq literals (array rules). */
   private def litAny(v: Any): Column = v match {
     case s: Seq[_]  => array(s.map(x => lit(x)): _*)
@@ -232,11 +236,14 @@ object RuleCompiler {
       val found = size(starts) > 0
       if (!not)
         whenErr(!found, path, "should_contain_slice",
-          lit(s"expected to contain ${needle.mkString("[", ", ", "]")}"))
+          lit(s"expected to contain ${debugSlice(needle)}"))
       else
+        // reference message appends the Debug-formatted needle
+        // (contains.rs message(): "...position {position}: {value:?}")
         whenErr(found, path, "should_not_contain_slice",
           concat(lit("found unexpected value at position "),
-            element_at(starts, 1).cast(StringType)))
+            element_at(starts, 1).cast(StringType),
+            lit(s": ${debugSlice(needle)}")))
 
     case ContainsSlice(needle, true, not) =>
       // any-order subset test (contains.rs:273-326)
@@ -245,7 +252,7 @@ object RuleCompiler {
         whenErr(
           !forall(lits, x => array_contains(value, x)),
           path, "should_contain_slice",
-          lit(s"expected to contain ${needle.mkString("[", ", ", "]")}"))
+          lit(s"expected to contain ${debugSlice(needle)}"))
       else {
         val hitIdx = filter(
           sequence(lit(0), lit(needle.size - 1)),
@@ -253,7 +260,8 @@ object RuleCompiler {
         )
         whenErr(size(hitIdx) > 0, path, "should_not_contain_slice",
           concat(lit("found unexpected value at position "),
-            element_at(hitIdx, 1).cast(StringType)))
+            element_at(hitIdx, 1).cast(StringType),
+            lit(s": ${debugSlice(needle)}")))
       }
 
     case PrefixStr(v, false) =>
@@ -268,10 +276,10 @@ object RuleCompiler {
       val matches = size(value) >= n && slice(value, 1, n) === litAny(v)
       if (!not)
         whenErr(!matches, path, "should_start_with_slice",
-          lit(s"expected to start with ${v.mkString("[", ", ", "]")}"))
+          lit(s"expected to start with ${debugSlice(v)}"))
       else
         whenErr(matches, path, "should_not_start_with_slice",
-          lit(s"expected to not start with ${v.mkString("[", ", ", "]")}"))
+          lit(s"expected to not start with ${debugSlice(v)}"))
 
     case SuffixStr(v, false) =>
       whenErr(!value.endsWith(v), path, "should_end_with",
@@ -287,10 +295,10 @@ object RuleCompiler {
           slice(value, size(value) - n + 1, lit(n)) === litAny(v)
       if (!not)
         whenErr(!matches, path, "should_end_with_slice",
-          lit(s"expected to end with ${v.mkString("[", ", ", "]")}"))
+          lit(s"expected to end with ${debugSlice(v)}"))
       else
         whenErr(matches, path, "should_not_end_with_slice",
-          lit(s"expected to not end with ${v.mkString("[", ", ", "]")}"))
+          lit(s"expected to not end with ${debugSlice(v)}"))
 
     case Alphanumeric(ascii) =>
       val mode = if (ascii) "alnum_ascii" else "alnum"

@@ -27,6 +27,12 @@ class RuleGoldenSpec extends AnyFunSuite {
   private def codes(df: DataFrame, rules: VRule*): Seq[String] =
     errs(df, rules: _*).map(_._2)
 
+  /** Error messages (third struct field). */
+  private def msgs(df: DataFrame, rules: VRule*): Seq[String] = {
+    val gated = WaryGate(df, WarySpec(Seq(FieldSpec("v", rules = rules))))
+    gated.select("errors").collect().head.getSeq[Row](0).map(_.getString(2))
+  }
+
   private def str(s: String): DataFrame = Seq(Option(s)).toDF("v")
   private def ints(xs: Int*): DataFrame = Seq(Seq(xs: _*)).toDF("v")
 
@@ -152,6 +158,15 @@ class RuleGoldenSpec extends AnyFunSuite {
     assert(codes(ints(1, 2, 3),
       ContainsSlice(Seq(9, 2), anyOrder = true, not = true)) ==
       Seq("should_not_contain_slice"))
+    // exact message() parity: Debug-formatted needle appended
+    // (contains.rs message(): "...position {position}: {value:?}")
+    assert(msgs(ints(1, 2, 3),
+      ContainsSlice(Seq(9, 2), anyOrder = true, not = true)) ==
+      Seq("found unexpected value at position 1: [9, 2]"))
+    assert(msgs(ints(1, 2, 3, 4), ContainsSlice(Seq(2, 3), not = true)) ==
+      Seq("found unexpected value at position 1: [2, 3]"))
+    assert(msgs(ints(1, 2), ContainsSlice(Seq(8, 9))) ==
+      Seq("expected to contain [8, 9]"))
   }
 
   // --- prefix/suffix (prefix.rs:248-295, suffix.rs:245-292) ------------
