@@ -326,7 +326,7 @@ object RuleCompiler {
 
     case Regex(pattern) =>
       whenErr(!value.rlike(pattern), path, "no_match",
-        lit(s"expected to match $pattern"))
+        lit(s"value does not match pattern $pattern"))
 
     case Addr(mode) =>
       val (kind, code, msg) = mode match {
@@ -346,12 +346,13 @@ object RuleCompiler {
 
     case CreditCard =>
       dynamicErr(gf.validator_code(value, "credit_card"), path,
-        lit("invalid credit card"))
+        creditCardMessages, lit("invalid credit card"))
     case Email =>
       dynamicErr(gf.validator_code(value, "email"), path,
-        lit("invalid email address"))
+        emailMessages, lit("invalid email address"))
     case Url =>
-      dynamicErr(gf.validator_code(value, "url"), path, lit("invalid URL"))
+      dynamicErr(gf.validator_code(value, "url"), path,
+        urlMessages, lit("invalid URL"))
 
     case Time(min, max, exMin, exMax) =>
       // inverted codes kept for parity (time.rs:139-152)
@@ -415,10 +416,69 @@ object RuleCompiler {
 
   }
 
-  /** For validators whose error code is data-dependent (email/url/
-    * credit_card): "" ⇒ pass, otherwise the code itself is the wary code.
+  /** Reference per-variant messages keyed by code — email.rs:62-104,
+    * url.rs:39-69, credit_card.rs:36-52. Looked up via a constant map
+    * literal (Catalyst folds it), falling back to a generic message for
+    * any unmapped code.
     */
-  private def dynamicErr(code: Column, path: Column, message: Column): Column =
+  private val emailMessages = Map(
+    "invalid_character" -> "invalid character",
+    "missing_separator" -> "missing separator",
+    "local_part_empty" -> "local-part is empty",
+    "local_part_too_long" -> "local-part is too long",
+    "domain_empty" -> "domain is empty",
+    "domain_too_long" -> "domain is too long",
+    "sub_domain_empty" -> "sub-domain is empty",
+    "sub_domain_too_long" -> "sub-domain is too long",
+    "domain_too_few" -> "too few sub-domains",
+    "domain_invalid_separator" -> "invalid separator",
+    "unbalanced_quotes" -> "unbalanced quotes in local-part",
+    "invalid_comment" -> "invalid comment",
+    "invalid_ip_address" -> "invalid IP address",
+    "unsupported_domain_literal" -> "unsupported domain literal",
+    "unsupported_display_name" -> "unsupported display name",
+    "missing_display_name" -> "missing display name",
+    "missing_end_bracket" -> "missing end bracket"
+  )
+
+  private val urlMessages = Map(
+    "empty_host" -> "empty host",
+    "idna_error" -> "invalid international domain name",
+    "invalid_port" -> "invalid port number",
+    "invalid_ipv4_address" -> "invalid IPv4 address",
+    "invalid_ipv6_address" -> "invalid IPv6 address",
+    "invalid_domain_character" -> "invalid domain character",
+    "relative_url_without_base" -> "relative URL without a base",
+    "relative_url_with_cannot_be_a_base_base" ->
+      "relative URL with a cannot-be-a-base base",
+    "set_host_on_cannot_be_a_base_url" ->
+      "a cannot-be-a-base URL doesn’t have a host to set",
+    "overflow" -> "URLs more than 4 GB are not supported",
+    "other" -> "unknown URL error"
+  )
+
+  private val creditCardMessages = Map(
+    "invalid_card_format" -> "invalid character in PAN",
+    "unknown_card_type" -> "unknown credit card type",
+    "invalid_card_length" -> "invalid PAN length",
+    "invalid_card_luhn" -> "invalid luhn checksum"
+  )
+
+  /** For validators whose error code is data-dependent (email/url/
+    * credit_card): "" ⇒ pass, otherwise the code itself is the wary code
+    * and the message is the reference's per-variant string.
+    */
+  private def dynamicErr(
+      code: Column,
+      path: Column,
+      messages: Map[String, String],
+      fallback: Column
+  ): Column = {
+    val msgMap = map(
+      messages.toSeq.sortBy(_._1)
+        .flatMap { case (k, v) => Seq(lit(k), lit(v)) }: _*)
+    // try_element_at: ANSI element_at throws on a missing map key
+    val message = coalesce(try_element_at(msgMap, code), fallback)
     when(
       code =!= "",
       array(struct(
@@ -427,6 +487,7 @@ object RuleCompiler {
         message.as("message")
       )).cast(errArrayType)
     ).otherwise(noErrs)
+  }
 
   // ----------------------------------------------------------- transforms
 

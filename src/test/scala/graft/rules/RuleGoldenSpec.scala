@@ -290,6 +290,15 @@ class RuleGoldenSpec extends AnyFunSuite {
   }
 
   // --- time (time.rs:36-51,132-193) — inverted codes -------------------
+  test("dynamic validator messages match reference per-variant strings") {
+    // email.rs:62-104, url.rs:55-69, credit_card.rs:45-52, regex.rs:30-35
+    assert(msgs(str("no-at-sign"), Email) == Seq("missing separator"))
+    assert(msgs(str("4111111111111112"), CreditCard) ==
+      Seq("invalid luhn checksum"))
+    assert(msgs(str("abc"), Regex("^[0-9]+$")) ==
+      Seq("value does not match pattern ^[0-9]+$"))
+  }
+
   test("time: too_new below min, too_old above max") {
     val t = java.sql.Timestamp.valueOf("2024-06-15 12:00:00")
     val lo = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
