@@ -29,19 +29,53 @@ object RuleCompiler {
       // nullable: dynamic validator codes (email/url/credit_card) are
       // nullable-typed expressions even though they never emit null
       StructField("code", StringType, nullable = true),
-      StructField("message", StringType, nullable = true)
+      StructField("message", StringType, nullable = true),
+      // raw JSON text of the reference's `detail` payload — the untagged
+      // serde serialization of the error enum variant
+      // (error/mod.rs:293-303 `detail: &'d Error`, serde(untagged)).
+      // NULL ⇔ a unit variant, which untagged serde serializes as `null`.
+      StructField("detail", StringType, nullable = true)
     )
   )
   val errArrayType: ArrayType = ArrayType(errStructType, containsNull = false)
 
   def noErrs: Column = array().cast(errArrayType)
 
-  private def err1(path: Column, code: String, message: Column): Column =
+  /** Unit-variant detail: untagged serde of a unit variant is `null`. */
+  private def nullDetail: Column = lit(null).cast(StringType)
+
+  /** serde_json string escaping for compile-time literals: quote,
+    * backslash, \b \t \n \f \r, and \u00XX for remaining control chars.
+    * serde_json does not escape '/' or non-ASCII.
+    */
+  private[compile] def jsonStr(s: String): String = {
+    val sb = new StringBuilder("\"")
+    s.foreach {
+      case '"'           => sb.append("\\\"")
+      case '\\'          => sb.append("\\\\")
+      case '\b'          => sb.append("\\b")
+      case '\t'          => sb.append("\\t")
+      case '\n'          => sb.append("\\n")
+      case '\f'          => sb.append("\\f")
+      case '\r'          => sb.append("\\r")
+      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
+      case c             => sb.append(c)
+    }
+    sb.append('"').toString
+  }
+
+  private def err1(
+      path: Column,
+      code: String,
+      message: Column,
+      detail: Column = nullDetail
+  ): Column =
     array(
       struct(
         path.cast(ArrayType(StringType, false)).as("path"),
         lit(code).as("code"),
-        message.as("message")
+        message.as("message"),
+        detail.as("detail")
       )
     ).cast(errArrayType)
 
@@ -49,15 +83,17 @@ object RuleCompiler {
       violated: Column,
       path: Column,
       code: String,
-      message: Column
+      message: Column,
+      detail: Column = nullDetail
   ): Column =
-    when(violated, err1(path, code, message)).otherwise(noErrs)
+    when(violated, err1(path, code, message, detail)).otherwise(noErrs)
 
   /** Rust Debug-format for message payloads ({value:?}): strings quoted,
     * everything else plain.
     */
   private def debugFmt(v: Any): String = v match {
     case s: String => "\"" + s + "\""
+    case s: Seq[_] => debugSlice(s)
     case other     => other.toString
   }
 
@@ -160,12 +196,16 @@ object RuleCompiler {
       whenErr(nonEmpty, path, "should_be_empty", lit("value should be empty"))
 
     case Equals(other, false) =>
+      // detail: ShouldEqual { value: ItemSlice } where value is the Debug
+      // string of the expected value (equals.rs:136-147)
       whenErr(!(value === litAny(other)), path, "should_equal",
-        lit(s"expected to equal ${debugFmt(other)}"))
+        lit(s"expected to equal ${debugFmt(other)}"),
+        lit(s"""{"value":${jsonStr(debugFmt(other))}}"""))
 
     case Equals(other, true) =>
       whenErr(value === litAny(other), path, "should_not_equal",
-        lit(s"expected to not equal ${debugFmt(other)}"))
+        lit(s"expected to not equal ${debugFmt(other)}"),
+        lit(s"""{"value":${jsonStr(debugFmt(other))}}"""))
 
     case Range(min, max, exMin, exMax) =>
       // wary short-circuits: min error suppresses max check
@@ -202,17 +242,25 @@ object RuleCompiler {
       val long = len > max || (len === max && lit(exMax))
       val shortWord = if (exMin) "more than" else "at least"
       val longWord = if (exMax) "less than" else "at most"
+      // detail: TooShort/TooLong {min|max, actual, exclusive}
+      // (length.rs:12-25; serde field order = declaration order)
       val shortErr = whenErr(short, path, "too_short",
         concat(lit(s"expected length of $shortWord $min, found "),
-          len.cast(StringType)))
+          len.cast(StringType)),
+        concat(lit(s"""{"min":$min,"actual":"""), len.cast(StringType),
+          lit(s""","exclusive":$exMin}""")))
       val longErr = whenErr(long, path, "too_long",
         concat(lit(s"expected length of $longWord $max, found "),
-          len.cast(StringType)))
+          len.cast(StringType)),
+        concat(lit(s"""{"max":$max,"actual":"""), len.cast(StringType),
+          lit(s""","exclusive":$exMax}""")))
       when(size(shortErr) > 0, shortErr).otherwise(longErr)
 
     case ContainsStr(needle, false) =>
+      // detail: ShouldContain { value: &str } — the raw needle string
       whenErr(!value.contains(lit(needle)), path, "should_contain",
-        lit(s"expected to contain $needle"))
+        lit(s"expected to contain $needle"),
+        lit(s"""{"value":${jsonStr(needle)}}"""))
 
     case ContainsStr(needle, true) =>
       // byte position of the match (Rust str::find — contains.rs:351-373):
@@ -221,7 +269,16 @@ object RuleCompiler {
         (instr(value, needle) - 1).cast(IntegerType)))
       whenErr(value.contains(lit(needle)), path, "should_not_contain",
         concat(lit("found unexpected value at position "),
-          pos.cast(StringType), lit(s": $needle")))
+          pos.cast(StringType), lit(s": $needle")),
+        concat(lit("""{"position":"""), pos.cast(StringType),
+          lit(s""","value":${jsonStr(needle)}}""")))
+
+    case ContainsSlice(needle, _, _) if needle.isEmpty =>
+      // Empty needle is vacuously Ok in the reference for all four modes:
+      // InOrder/InOrderNot destructure `[first, rest @ ..]` and return
+      // Ok(()) on empty (contains.rs:216-218,248-250); AnyOrder/AnyOrderNot
+      // iterate zero needle items (contains.rs:285,312).
+      noErrs
 
     case ContainsSlice(needle, false, not) =>
       // contiguous-subsequence search (sliding window,
@@ -234,16 +291,21 @@ object RuleCompiler {
           i => slice(value, i + 1, lit(n)) === lits
         ))
       val found = size(starts) > 0
+      // detail value: ItemSlice = Debug string of the needle slice
       if (!not)
         whenErr(!found, path, "should_contain_slice",
-          lit(s"expected to contain ${debugSlice(needle)}"))
+          lit(s"expected to contain ${debugSlice(needle)}"),
+          lit(s"""{"value":${jsonStr(debugSlice(needle))}}"""))
       else
         // reference message appends the Debug-formatted needle
         // (contains.rs message(): "...position {position}: {value:?}")
         whenErr(found, path, "should_not_contain_slice",
           concat(lit("found unexpected value at position "),
             element_at(starts, 1).cast(StringType),
-            lit(s": ${debugSlice(needle)}")))
+            lit(s": ${debugSlice(needle)}")),
+          concat(lit("""{"position":"""),
+            element_at(starts, 1).cast(StringType),
+            lit(s""","value":${jsonStr(debugSlice(needle))}}""")))
 
     case ContainsSlice(needle, true, not) =>
       // any-order subset test (contains.rs:273-326)
@@ -252,7 +314,8 @@ object RuleCompiler {
         whenErr(
           !forall(lits, x => array_contains(value, x)),
           path, "should_contain_slice",
-          lit(s"expected to contain ${debugSlice(needle)}"))
+          lit(s"expected to contain ${debugSlice(needle)}"),
+          lit(s"""{"value":${jsonStr(debugSlice(needle))}}"""))
       else {
         val hitIdx = filter(
           sequence(lit(0), lit(needle.size - 1)),
@@ -261,44 +324,53 @@ object RuleCompiler {
         whenErr(size(hitIdx) > 0, path, "should_not_contain_slice",
           concat(lit("found unexpected value at position "),
             element_at(hitIdx, 1).cast(StringType),
-            lit(s": ${debugSlice(needle)}")))
+            lit(s": ${debugSlice(needle)}")),
+          concat(lit("""{"position":"""),
+            element_at(hitIdx, 1).cast(StringType),
+            lit(s""","value":${jsonStr(debugSlice(needle))}}""")))
       }
 
     case PrefixStr(v, false) =>
       whenErr(!value.startsWith(v), path, "should_start_with",
-        lit(s"expected to start with $v"))
+        lit(s"expected to start with $v"),
+        lit(s"""{"value":${jsonStr(v)}}"""))
     case PrefixStr(v, true) =>
       whenErr(value.startsWith(v), path, "should_not_start_with",
-        lit(s"expected to not start with $v"))
+        lit(s"expected to not start with $v"),
+        lit(s"""{"value":${jsonStr(v)}}"""))
 
     case PrefixSlice(v, not) =>
       val n = v.size
       val matches = size(value) >= n && slice(value, 1, n) === litAny(v)
+      val detail = lit(s"""{"value":${jsonStr(debugSlice(v))}}""")
       if (!not)
         whenErr(!matches, path, "should_start_with_slice",
-          lit(s"expected to start with ${debugSlice(v)}"))
+          lit(s"expected to start with ${debugSlice(v)}"), detail)
       else
         whenErr(matches, path, "should_not_start_with_slice",
-          lit(s"expected to not start with ${debugSlice(v)}"))
+          lit(s"expected to not start with ${debugSlice(v)}"), detail)
 
     case SuffixStr(v, false) =>
       whenErr(!value.endsWith(v), path, "should_end_with",
-        lit(s"expected to end with $v"))
+        lit(s"expected to end with $v"),
+        lit(s"""{"value":${jsonStr(v)}}"""))
     case SuffixStr(v, true) =>
       whenErr(value.endsWith(v), path, "should_not_end_with",
-        lit(s"expected to not end with $v"))
+        lit(s"expected to not end with $v"),
+        lit(s"""{"value":${jsonStr(v)}}"""))
 
     case SuffixSlice(v, not) =>
       val n = v.size
       val matches =
         size(value) >= n &&
           slice(value, size(value) - n + 1, lit(n)) === litAny(v)
+      val detail = lit(s"""{"value":${jsonStr(debugSlice(v))}}""")
       if (!not)
         whenErr(!matches, path, "should_end_with_slice",
-          lit(s"expected to end with ${debugSlice(v)}"))
+          lit(s"expected to end with ${debugSlice(v)}"), detail)
       else
         whenErr(matches, path, "should_not_end_with_slice",
-          lit(s"expected to not end with ${debugSlice(v)}"))
+          lit(s"expected to not end with ${debugSlice(v)}"), detail)
 
     case Alphanumeric(ascii) =>
       val mode = if (ascii) "alnum_ascii" else "alnum"
@@ -315,18 +387,21 @@ object RuleCompiler {
       val pos = gf.first_bad_char(value, mode)
       whenErr(pos >= 0, path, "lowercase",
         concat(lit("expected lowercase character at position "),
-          pos.cast(StringType)))
+          pos.cast(StringType)),
+        concat(lit("""{"position":"""), pos.cast(StringType), lit("}")))
 
     case Uppercase(ascii) =>
       val mode = if (ascii) "upper_ascii" else "upper"
       val pos = gf.first_bad_char(value, mode)
       whenErr(pos >= 0, path, "uppercase",
         concat(lit("expected uppercase character at position "),
-          pos.cast(StringType)))
+          pos.cast(StringType)),
+        concat(lit("""{"position":"""), pos.cast(StringType), lit("}")))
 
     case Regex(pattern) =>
       whenErr(!value.rlike(pattern), path, "no_match",
-        lit(s"value does not match pattern $pattern"))
+        lit(s"value does not match pattern $pattern"),
+        lit(s"""{"pattern":${jsonStr(pattern)}}"""))
 
     case Addr(mode) =>
       val (kind, code, msg) = mode match {
@@ -374,7 +449,10 @@ object RuleCompiler {
       }
 
     case Func(code, message, pred) =>
-      whenErr(!pred(value), path, code, lit(message))
+      // detail: Error::Custom { code, message } serializes its two fields
+      // (error/mod.rs:61-68, untagged struct variant)
+      whenErr(!pred(value), path, code, lit(message),
+        lit(s"""{"code":${jsonStr(code)},"message":${jsonStr(message)}}"""))
 
     case And(rules) =>
       // first failing rule only (validate.rs:234-253)
@@ -484,7 +562,9 @@ object RuleCompiler {
       array(struct(
         path.cast(ArrayType(StringType, false)).as("path"),
         code.as("code"),
-        message.as("message")
+        message.as("message"),
+        // email/url/credit_card variants are all unit → detail null
+        nullDetail.as("detail")
       )).cast(errArrayType)
     ).otherwise(noErrs)
   }

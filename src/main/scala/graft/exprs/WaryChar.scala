@@ -134,12 +134,20 @@ object WaryChar {
 
   /** Grapheme-cluster count (wary length(graphemes),
     * reference: wary/src/options/rule/length.rs:370-381).
+    *
+    * The reference counts UAX #29 *extended* grapheme clusters
+    * (unicode-segmentation `graphemes(true)`). `java.text.BreakIterator`
+    * implements legacy clusters and splits ZWJ emoji sequences and
+    * regional-indicator flags; `\X` in java.util.regex matches extended
+    * clusters and agrees with Rust on ZWJ families ("👨‍👩‍👧" → 1) and
+    * flags ("🇺🇸" → 1).
     */
+  private val graphemePattern = java.util.regex.Pattern.compile("\\X")
+
   def graphemeCount(s: String): Int = {
-    val it = java.text.BreakIterator.getCharacterInstance(java.util.Locale.ROOT)
-    it.setText(s)
+    val m = graphemePattern.matcher(s)
     var n = 0
-    while (it.next() != java.text.BreakIterator.DONE) n += 1
+    while (m.find()) n += 1
     n
   }
 

@@ -59,7 +59,12 @@ object AsOf {
         rightVals.map(c => right.schema(c))
     )
 
-    val r = right.select(
+    // A right row with NULL ts has no position on the timeline; drop it up
+    // front so it can never be carried forward by last(ignoreNulls). This
+    // matches the native exec (AsOfJoinExec skips null-ts right rows).
+    val rightNonNullTs = right.filter(col(rightTs).isNotNull)
+
+    val r = rightNonNullTs.select(
       keys.map(col) ++ Seq(
         col(rightTs).as("__ts"),
         lit(rightSrc).as("__src"),

@@ -42,6 +42,24 @@ object AsOfNative {
         throw new IllegalArgumentException(s"column $name not found"))
     val rightValues = rp.output
       .filterNot(a => keys.contains(a.name) || a.name == rightTs)
+    // The exec reads timestamps as raw longs and derives the tolerance
+    // seconds-divisor from the type — fail fast on anything else rather
+    // than silently mis-scaling (e.g. IntegerType seconds).
+    val okTs: org.apache.spark.sql.types.DataType => Boolean = {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType |
+          org.apache.spark.sql.types.LongType => true
+      case _ => false
+    }
+    val lTsType = attr(lp, leftTs).dataType
+    val rTsType = attr(rp, rightTs).dataType
+    require(okTs(lTsType) && okTs(rTsType),
+      s"as-of ts columns must be timestamp/timestamp_ntz/long " +
+        s"(got $leftTs: $lTsType, $rightTs: $rTsType); cast epoch values " +
+        "to long seconds or to timestamp first")
+    require(lTsType == rTsType,
+      s"as-of ts columns must have the same type " +
+        s"(got $leftTs: $lTsType vs $rightTs: $rTsType)")
     val plan = AsOfJoinPlan(
       lp, rp,
       keys.map(attr(lp, _)), keys.map(attr(rp, _)),

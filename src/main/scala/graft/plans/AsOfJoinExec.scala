@@ -62,9 +62,18 @@ final case class AsOfJoinExec(
     val isExact = exact
     // second-granularity window, matching AsOf.joinBackward's
     // (ts.cast(long) - match_ts.cast(long)) * 1000 <= toleranceMs;
-    // hoisted to primitives so the per-row emit check stays branch-only
+    // hoisted to primitives so the per-row emit check stays branch-only.
+    // ts.cast(long) on TimestampType is epoch SECONDS (floor of micros),
+    // while on an already-long epoch-seconds column it's the identity —
+    // derive the micros→seconds divisor from the column type so both
+    // representations get the same tolerance semantics.
     val hasTol = toleranceMs.isDefined
     val tolVal = toleranceMs.getOrElse(0L)
+    val tsDiv = leftTs.dataType match {
+      case org.apache.spark.sql.types.TimestampType |
+          org.apache.spark.sql.types.TimestampNTZType => 1000000L
+      case _ => 1L
+    }
     val keyTypes = lKeys.map(_.dataType)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
@@ -135,8 +144,8 @@ final case class AsOfJoinExec(
             held != null && heldKey != null &&
               keyOrdering.compare(heldKey, lKey) == 0 &&
               (!hasTol ||
-                (Math.floorDiv(lt, 1000000L) -
-                  Math.floorDiv(heldTs, 1000000L)) * 1000L <= tolVal)
+                (Math.floorDiv(lt, tsDiv) -
+                  Math.floorDiv(heldTs, tsDiv)) * 1000L <= tolVal)
           outProj(joined(l, if (matched) held else nullValueRow))
         }
       }

@@ -16,7 +16,7 @@ class AsOfNativeSpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def randomCase(seed: Int) = {
+  private def randomCase(seed: Int, nullRightTs: Boolean = false) = {
     val rnd = new Random(seed)
     val nConv = 1 + rnd.nextInt(5)
     val anchors = List.fill(40)(
@@ -24,9 +24,13 @@ class AsOfNativeSpec extends AnyFunSuite {
         new Timestamp(rnd.nextInt(12).toLong * 1000L)))
       .distinctBy(r => (r._1, r._2))
       .toDF("conv_id", "turn_idx", "ts")
+    // ~20% null right timestamps when requested — both variants must skip
+    // them (a null-ts observation has no timeline position)
     val right = List.fill(25)(
       (s"c${rnd.nextInt(nConv + 1)}",
-        new Timestamp(rnd.nextInt(12).toLong * 1000L), rnd.nextInt(1000)))
+        if (nullRightTs && rnd.nextInt(5) == 0) null
+        else new Timestamp(rnd.nextInt(12).toLong * 1000L),
+        rnd.nextInt(1000)))
       .toDF("conv_id", "ts", "obs")
       .groupBy("conv_id", "ts")
       .agg(org.apache.spark.sql.functions.max("obs").as("obs"))
@@ -96,6 +100,49 @@ class AsOfNativeSpec extends AnyFunSuite {
       anchors.filter(org.apache.spark.sql.functions.col("turn_idx") > 50),
       right, Seq("conv_id"))
     assert(collectSorted(filtered) == collectSorted(direct))
+  }
+
+  test("native as-of == union-merge with NULL right timestamps (skipped)") {
+    for (seed <- 120 to 127) {
+      val (anchors, right) = randomCase(seed, nullRightTs = true)
+      val um = collectSorted(AsOf.joinBackward(anchors, right, Seq("conv_id")))
+      val nat = collectSorted(
+        AsOfNative.joinBackward(anchors, right, Seq("conv_id")))
+      assert(nat == um, s"seed $seed mismatch")
+      // a match must never be a null-ts row: equal to dropping them upfront
+      val dropped = collectSorted(AsOf.joinBackward(
+        anchors, right.filter($"ts".isNotNull), Seq("conv_id")))
+      assert(um == dropped, s"seed $seed: null-ts right row leaked a match")
+    }
+  }
+
+  test("native as-of rejects non-timestamp/long ts columns") {
+    val anchors = Seq(("a", 1, 100)).toDF("conv_id", "turn_idx", "ts")
+    val right = Seq(("a", 50, 7)).toDF("conv_id", "ts", "obs")
+    val e = intercept[IllegalArgumentException] {
+      AsOfNative.joinBackward(anchors, right, Seq("conv_id"))
+    }
+    assert(e.getMessage.contains("ts columns"))
+  }
+
+  test("native as-of toleranceMs on long epoch-second ts columns") {
+    for (seed <- 200 to 203; tolMs <- Seq(0L, 3000L)) {
+      val (a0, r0) = randomCase(seed)
+      val anchors = a0.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      val right = r0.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast("long"))
+      val um = AsOf.joinBackward(anchors, right, Seq("conv_id"),
+        toleranceMs = Some(tolMs))
+      val nat = AsOfNative.joinBackward(anchors, right, Seq("conv_id"),
+        toleranceMs = Some(tolMs))
+      def sorted(df: org.apache.spark.sql.DataFrame) =
+        df.select("conv_id", "turn_idx", "ts", "obs").collect()
+          .map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+            if (r.isNullAt(3)) None else Some(r.getInt(3))))
+          .sortBy(t => (t._1, t._2)).toSeq
+      assert(sorted(nat) == sorted(um), s"seed $seed tol $tolMs mismatch")
+    }
   }
 
   test("native as-of handles empty right side") {

@@ -36,4 +36,25 @@ class AsyncAndTransparentSpec extends AnyFunSuite {
     assert(got(Some("blocked")) == List("denylisted"))
     assert(got(None) == List("cannot_be_empty")) // sync rule untouched
   }
+
+  test("async rule streams bounded batches, not the whole partition") {
+    val n = 1000
+    val batchSize = 64
+    val spec = WarySpec(Seq(FieldSpec("v", rules = Seq.empty)))
+    val gated = WaryGate(
+      (0 until n).map(i => s"v$i").toDF("v").repartition(1), spec)
+    val batchSizes = spark.sparkContext.collectionAccumulator[Int]("batches")
+    val out = AsyncRules.withBatchedRule(
+      gated, "v", "v", "flagged", batchSize = batchSize) { batch =>
+      batchSizes.add(batch.size)
+      batch.map(v => if (v == "v7") Some("flagged") else None)
+    }
+    val flagged = out.selectExpr("v", "size(errors) AS n")
+      .collect().filter(_.getInt(1) > 0).map(_.getString(0)).toSeq
+    assert(flagged == Seq("v7"))
+    val sizes = batchSizes.value
+    assert(sizes.size >= n / batchSize,
+      s"expected >= ${n / batchSize} batches, got ${sizes.size}")
+    sizes.forEach(s => assert(s <= batchSize))
+  }
 }

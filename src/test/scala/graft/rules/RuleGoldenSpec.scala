@@ -65,6 +65,11 @@ class RuleGoldenSpec extends AnyFunSuite {
     assert(codes(str("é"), Length(LengthUnit.Chars, 2, 2)).isEmpty)
     // emoji = 1 char, 2 UTF-16 units
     assert(codes(str("😊"), Length(LengthUnit.CodeUnits, 2, 2)).isEmpty)
+    // UAX #29 EXTENDED clusters (unicode-segmentation graphemes(true)):
+    // ZWJ family and regional-indicator flag are each ONE grapheme.
+    assert(codes(str("👨‍👩‍👧"), Length(LengthUnit.Graphemes, 1, 1)).isEmpty)
+    assert(codes(str("🇺🇸"), Length(LengthUnit.Graphemes, 1, 1)).isEmpty)
+    assert(codes(str("🇺🇸🇫🇷"), Length(LengthUnit.Graphemes, 2, 2)).isEmpty)
   }
 
   // --- required (options/rule/required.rs:145-180) ---------------------
@@ -142,6 +147,14 @@ class RuleGoldenSpec extends AnyFunSuite {
       ContainsSlice(Seq(5, 6, 7, 8))).isEmpty)
     assert(codes(ints(1, 2, 3, 4, 5, 6, 7, 9),
       ContainsSlice(Seq(5, 6, 7, 8))) == Seq("should_contain_slice"))
+  }
+
+  test("contains slice: empty needle is vacuously Ok in all four modes " +
+    "(contains.rs:216-218,248-250,285,312)") {
+    for (anyOrder <- Seq(false, true); not <- Seq(false, true))
+      assert(codes(ints(1, 2, 3),
+        ContainsSlice(Seq.empty[Int], anyOrder = anyOrder, not = not)).isEmpty,
+        s"anyOrder=$anyOrder not=$not")
   }
 
   test("contains not + any_order (contains.rs:236-326)") {
