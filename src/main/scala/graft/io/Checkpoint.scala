@@ -34,12 +34,14 @@ object Checkpoint {
     val dir = manifestDir(out)
     if (!Files.exists(dir)) Set.empty
     else
-      Files.list(dir).iterator.asScala
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
-          s.stripPrefix("bucket-").stripSuffix(".json").toInt
-        }
-        .toSet
+      scala.util.Using.resource(Files.list(dir)) { stream =>
+        stream.iterator.asScala
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("bucket-") && s.endsWith(".json") =>
+            s.stripPrefix("bucket-").stripSuffix(".json").toInt
+          }
+          .toSet
+      }
   }
 
   /** Returns the set of buckets committed by this run. */
@@ -57,8 +59,7 @@ object Checkpoint {
     if (done.size == nBuckets) return Set.empty
 
     val staging = s"$out/_staging_$runId"
-    // one distributed pass over the remaining rows; per-bucket row counts
-    // come from the written files (cheap local count at this granularity)
+    // one distributed pass over the remaining rows
     remaining.write
       .mode("overwrite")
       .partitionBy("__bucket")
@@ -68,6 +69,23 @@ object Checkpoint {
     val spark = df.sparkSession
     val stagingPath = Paths.get(staging)
     val promoted = scala.collection.mutable.Set[Int]()
+
+    // Per-bucket manifest row counts from ONE job over the staged output
+    // (__bucket is its partition column, so count() is served from parquet
+    // footers) — NOT one read-back job per bucket, which at real bucket
+    // counts means thousands of sequential driver round-trips.
+    val stagedCounts: Map[Int, Long] =
+      if (Files.exists(stagingPath) && {
+          scala.util.Using.resource(Files.list(stagingPath))(
+            _.iterator.asScala.exists(
+              _.getFileName.toString.startsWith("__bucket=")))
+        })
+        spark.read.parquet(staging)
+          .groupBy("__bucket").count()
+          .collect()
+          .map(r => r.getInt(0) -> r.getLong(1))
+          .toMap
+      else Map.empty
 
     def commit(b: Int, rows: Long): Unit = {
       val entry =
@@ -87,7 +105,7 @@ object Checkpoint {
           deleteRecursively(target)
         }
         Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-        commit(b, spark.read.parquet(target.toString).count())
+        commit(b, stagedCounts.getOrElse(b, 0L))
       } else {
         // the bucket genuinely has no rows in this input — commit it as
         // empty so resumes don't rescan the input for it forever
@@ -108,15 +126,17 @@ object Checkpoint {
   def metrics(out: String): (Map[Int, Long], Double) = {
     val dir = manifestDir(out)
     if (!Files.exists(dir)) return (Map.empty, 0.0)
-    val rows = Files.list(dir).iterator.asScala
-      .filter(_.getFileName.toString.endsWith(".json"))
-      .map { p =>
-        val s = Files.readString(p)
-        val b = """"bucket":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
-        val r = """"rows":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
-        b -> r
-      }
-      .toMap
+    val rows = scala.util.Using.resource(Files.list(dir)) { stream =>
+      stream.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".json"))
+        .map { p =>
+          val s = Files.readString(p)
+          val b = """"bucket":(\d+)""".r.findFirstMatchIn(s).get.group(1).toInt
+          val r = """"rows":(\d+)""".r.findFirstMatchIn(s).get.group(1).toLong
+          b -> r
+        }
+        .toMap
+    }
     val skew =
       if (rows.isEmpty) 0.0
       else rows.values.max.toDouble / (rows.values.sum.toDouble / rows.size)
@@ -125,6 +145,8 @@ object Checkpoint {
 
   private def deleteRecursively(p: Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator.asScala.foreach(Files.delete)
+      scala.util.Using.resource(Files.walk(p)) { stream =>
+        stream.sorted(java.util.Comparator.reverseOrder())
+          .iterator.asScala.foreach(Files.delete)
+      }
 }

@@ -131,13 +131,22 @@ object Dedup {
       textCol: String,
       k: Int = 8,
       bands: Int = 4,
-      shingleLen: Int = 3
+      shingleLen: Int = 3,
+      maxBucketSize: Int = 10000
   ): DataFrame = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
     val b = minhashBands(df, idCol, textCol, k, bands, shingleLen)
     val buckets = b
       .groupBy(col("band_idx"), col("band_key"))
       .agg(sort_array(collect_list(col("doc"))).as("docs"))
       .filter(size(col("docs")) > 1)
+      // Hot-bucket cap: one mass-duplicated boilerplate text at web scale
+      // creates a bucket whose in-bucket pair expansion is O(b²) inside a
+      // single row's array expressions. Oversized buckets are DROPPED
+      // (their pair explosion would be useless for near-dup anyway — cap
+      // hits mean exact-dup boilerplate, which exactGroups handles) and
+      // surfaced via droppedHotBuckets on the same input.
+      .filter(size(col("docs")) <= maxBucketSize)
     val pairs = flatten(
       transform(
         col("docs"),
@@ -154,6 +163,24 @@ object Dedup {
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
+
+  /** Buckets the `maxBucketSize` cap would drop in [[minhashPairs]]: one
+    * row per oversized (band_idx, band_key) with its doc count — the drop
+    * metric to log/alert on next to the capped pair output.
+    */
+  def droppedHotBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3,
+      maxBucketSize: Int = 10000
+  ): DataFrame =
+    minhashBands(df, idCol, textCol, k, bands, shingleLen)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") > maxBucketSize)
 
   /** Word-set Jaccard between explicit doc pairs: returns exact-integer
     * intersection and union sizes (ratio left to the caller — integers

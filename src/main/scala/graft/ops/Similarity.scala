@@ -73,15 +73,71 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (brute force): all (a < b)
     * pairs whose quantized inner product meets the threshold. The corpus
-    * side is broadcast (small/capped subsets); the LSH-bucket path
-    * (annCandidates) is the sub-quadratic route for full corpora.
+    * side is broadcast, so the shape is O(n²) work and O(n) driver memory
+    * — correct ONLY for small/capped subsets. To make that impossible to
+    * reach by accident at scale, the corpus size is checked against
+    * `maxCorpus` (one cheap count) and the call fails fast with a pointer
+    * to [[nearDupPairsLsh]], the sub-quadratic route for full corpora.
     */
-  def nearDupPairs(corpus: DataFrame, minDot: Long): DataFrame = {
+  def nearDupPairs(
+      corpus: DataFrame,
+      minDot: Long,
+      maxCorpus: Long = 100000L
+  ): DataFrame = {
+    val n = corpus.count()
+    require(n <= maxCorpus,
+      s"nearDupPairs is brute-force O(n²) with a broadcast side; corpus has " +
+        s"$n rows > maxCorpus=$maxCorpus. Use nearDupPairsLsh (LSH-bucketed" +
+        s") for full corpora, or raise maxCorpus explicitly for a capped " +
+        "subset you know fits.")
     val a = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val b = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
     a.join(broadcast(b), col("a") < col("b"))
       .select(col("a"), col("b"), quantDot(col("ea"), col("eb")).as("dot"))
       .filter(col("dot") >= minDot)
+  }
+
+  /** Scale path for embedding near-dup: LSH-bucket the corpus once, expand
+    * (a < b) pairs within each bucket, then exact-re-rank by quantized dot.
+    * Same output contract as [[nearDupPairs]] restricted to pairs that
+    * collide in a bucket (recall < 1 by construction — raise `nBits` down
+    * or add band-style multi-probe for higher recall). One shuffle on the
+    * bucket id; no broadcast of the corpus.
+    */
+  def nearDupPairsLsh(
+      corpus: DataFrame,
+      minDot: Long,
+      dim: Int,
+      nBits: Int = 12,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    val bucketed = corpus
+      .select(col("vec_id"), col("embedding"),
+        lshBucket(col("embedding"), dim, nBits).as("bucket"))
+    val buckets = bucketed
+      .groupBy(col("bucket"))
+      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
+        .as("docs"))
+      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucketSize)
+    val pairs = flatten(
+      transform(
+        col("docs"),
+        (x, i) =>
+          transform(
+            slice(col("docs"), i + 2,
+              greatest(size(col("docs")) - i - 1, lit(0))),
+            y => struct(x.as("x"), y.as("y"))
+          )
+      )
+    )
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(
+        col("p.x.vec_id").as("a"),
+        col("p.y.vec_id").as("b"),
+        quantDot(col("p.x.embedding"), col("p.y.embedding")).as("dot"))
+      .filter(col("dot") >= minDot)
+      .distinct()
   }
 
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.

@@ -64,6 +64,30 @@ class CheckpointSpec extends AnyFunSuite {
     assert(a == b, "resume output differs from clean run")
   }
 
+  test("commit phase launches O(1) jobs regardless of bucket count") {
+    val df = TranscriptGen.generateDF(spark, 60)
+    val out = tmp()
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          s: org.apache.spark.scheduler.SparkListenerJobStart): Unit = {
+        jobs.incrementAndGet(); ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      Checkpoint.write(df, "conv_id", out, nBuckets = 32,
+        input = "synthetic:60", runId = "jobs1")
+      Thread.sleep(1000) // let the listener bus drain
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // staged write + one staged-counts aggregate (+ a possible schema
+    // probe) — NOT one count job per bucket
+    assert(jobs.get() <= 5,
+      s"expected O(1) jobs for 32 buckets, saw ${jobs.get()}")
+    val (rows, _) = Checkpoint.metrics(out)
+    assert(rows.values.sum == df.count())
+  }
+
   test("observation lineage metrics ride along the action") {
     val df = TranscriptGen.generateDF(spark, 10)
     val (observed, obs) = Lineage.observed(df, "ts")

@@ -49,6 +49,46 @@ class OpsSpec extends AnyFunSuite {
     assert(cand.nonEmpty)
   }
 
+  test("minhashPairs hot-bucket cap bounds pair output and reports drops") {
+    // 200 identical boilerplate docs + 2 genuine near-dups
+    val boiler = (0L until 200L).map(i => (i, "copy paste boilerplate text " +
+      "that is exactly the same in every single document here"))
+    val near = Seq(
+      (1000L, "a unique document about spark physical plans and shuffles"),
+      (1001L, "a unique document about spark physical plans and shuffle"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val capped = Dedup.minhashPairs(df, "doc_id", "text",
+      maxBucketSize = 50)
+    val pairs = capped.as[(Long, Long)].collect().toSet
+    // boilerplate buckets (200 docs) dropped; near-dup pair survives
+    assert(pairs.contains((1000L, 1001L)))
+    assert(pairs.forall { case (a, b) => a >= 1000L && b >= 1000L },
+      "boilerplate pairs leaked through the cap")
+    val dropped = Dedup.droppedHotBuckets(df, "doc_id", "text",
+      maxBucketSize = 50).collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 200L))
+    // uncapped (default 10000) still yields the boilerplate pairs
+    val uncapped = Dedup.minhashPairs(df, "doc_id", "text")
+    assert(uncapped.count() > 1000L)
+  }
+
+  test("nearDupPairs fails fast above maxCorpus; LSH path agrees on hits") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.nearDupPairs(e, minDot = 0L, maxCorpus = 10L)
+    }
+    assert(ex.getMessage.contains("brute-force"))
+    // LSH pairs are a subset of brute pairs with identical dots
+    val brute = Similarity.nearDupPairs(e, minDot = 0L)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val lsh = Similarity.nearDupPairsLsh(e, minDot = 0L, dim = 64, nBits = 6)
+      .as[(Long, Long, Long)].collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (a, b, dot) =>
+      assert(brute((a, b)) == dot, s"dot mismatch ($a,$b)")
+    }
+  }
+
   test("SignLsh expression equals the HOF bucket composition") {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val both = e.select(
