@@ -513,8 +513,83 @@ object SparkEntry {
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
         |  CAST(list_sum([CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT)
         |       * CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding]) AS BIGINT) AS sq_sum
-        |FROM embeddings""".stripMargin
-    // q_simhash, q_ann_lsh: custom-expression operators, Scala-oracled in
-    // unit tests (driver records rows-only).
+        |FROM embeddings""".stripMargin,
+
+    // SimHash64 is pure integer math (FNV-1a 64 over codepoints, bit votes)
+    // — replayed in SQL with UBIGINT xor/shift and a HUGEINT mod-2^64
+    // multiply (the FNV prime is 2^40, so x*prime < 2^104 fits INT128).
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, tok FROM (
+        |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        |    FROM documents) WHERE tok <> ''
+        |),
+        |th AS (
+        |  SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+        |        [CAST(unicode(c) AS UBIGINT) for c in string_split(tok, '')]),
+        |      (h, c) -> CAST((xor(h, c)::HUGEINT * 1099511628211::HUGEINT)
+        |                     % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+        |    ) AS h
+        |  FROM toks
+        |),
+        |votes AS (
+        |  SELECT doc_id, t.b AS b,
+        |    SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+        |  FROM th, range(64) t(b)
+        |  GROUP BY doc_id, t.b
+        |),
+        |fp AS (
+        |  SELECT doc_id,
+        |    SUM(CASE WHEN tally > 0 THEN (CAST(1 AS UBIGINT) << b)::HUGEINT
+        |             ELSE CAST(0 AS HUGEINT) END) AS ufp
+        |  FROM votes GROUP BY doc_id
+        |)
+        |SELECT d.doc_id,
+        |  CAST(CASE WHEN coalesce(f.ufp, 0) >= CAST('9223372036854775808' AS HUGEINT)
+        |       THEN coalesce(f.ufp, 0) - CAST('18446744073709551616' AS HUGEINT)
+        |       ELSE coalesce(f.ufp, 0) END AS BIGINT) AS sh
+        |FROM documents d LEFT JOIN fp f USING (doc_id)""".stripMargin,
+
+    // SignLsh buckets are integer splitmix weights (in [-2^20, 2^20)) dotted
+    // with the quantized embedding; the two 64-bit multiplies are done as
+    // (hi*C % 2^32)*2^32 + lo*C mod 2^64 to stay within INT128.
+    "q_ann_lsh" ->
+      """WITH w0 AS (
+        |  SELECT tb.b AS b, td.d AS d,
+        |    xor(xor(CAST(tb.b AS UBIGINT) << 32, CAST(td.d AS UBIGINT)),
+        |        CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM range(8) tb(b), range(64) td(d)),
+        |w1 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w0),
+        |w2 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w1),
+        |w3 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w2),
+        |w4 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w3),
+        |w AS (SELECT b, d, CAST(xor(x, x >> 33) >> 43 AS BIGINT) - 1048576 AS wt FROM w4),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, w.b AS b, SUM(qe[w.d + 1] * w.wt) AS s
+        |  FROM qv, w GROUP BY vec_id, w.b),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id)
+        |SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+        |  CAST(list_sum([CAST(ROUND(CAST(ce.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(qe2.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(ce.embedding)+1)]) AS BIGINT) AS dot
+        |FROM bkt c JOIN bkt q ON c.bucket = q.bucket AND q.vec_id < 5
+        |  AND c.vec_id <> q.vec_id
+        |JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |JOIN embeddings qe2 ON qe2.vec_id = q.vec_id""".stripMargin
   )
 }

@@ -17,14 +17,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object SimHash {
 
-  /** FNV-1a 64-bit — deterministic, dependency-free token hash. */
+  /** FNV-1a 64-bit over Unicode CODE POINTS — deterministic,
+    * dependency-free token hash. Codepoint (not UTF-16 unit) iteration
+    * keeps the hash identical to engines that see codepoints (the DuckDB
+    * oracle's string_split + unicode()) even for non-BMP input.
+    */
   def fnv1a64(s: String, from: Int, until: Int): Long = {
     var h = 0xCBF29CE484222325L
     var i = from
     while (i < until) {
-      h ^= s.charAt(i).toLong
+      val cp = s.codePointAt(i)
+      h ^= cp.toLong
       h *= 0x100000001B3L
-      i += 1
+      i += Character.charCount(cp)
     }
     h
   }

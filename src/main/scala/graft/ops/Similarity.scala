@@ -151,25 +151,22 @@ object Similarity {
 
   /** HOF reference implementation of [[lshBucket]] (interpreted; kept for
     * the OpsSpec equality test and as documentation of the exact math).
+    * Integer weights + quantized embedding — see SignLshImpl's scaladoc.
     */
   def lshBucketHof(embedding: Column, dim: Int, nBits: Int = 12): Column = {
-    def weight(bit: Int, d: Int): Double = {
-      var x = (bit.toLong << 32) ^ d.toLong ^ 0x9E3779B97F4A7C15L
-      x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
-      x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
-      x ^= x >>> 33
-      // map to [-1, 1)
-      (x >>> 11).toDouble / (1L << 52).toDouble - 1.0
-    }
     // zip_with/aggregate HOFs instead of an unrolled nBits×dim expression:
     // the unrolled form costs seconds of whole-stage-codegen compilation
     // for a plan used once, while the HOF form is interpreted but compiles
     // instantly and the per-row work is identical.
+    val qe = transform(embedding, x =>
+      when(x >= 0, floor(x.cast("double") * 10000.0 + 0.5))
+        .otherwise(ceil(x.cast("double") * 10000.0 - 0.5)).cast("long"))
     val bits = (0 until nBits).map { b =>
-      val w = array((0 until dim).map(d => lit(weight(b, d))): _*)
+      val w = array((0 until dim).map(d =>
+        lit(graft.exprs.SignLshImpl.weight(b, d))): _*)
       val dot = aggregate(
-        zip_with(embedding, w, (x, wd) => x.cast("double") * wd),
-        lit(0.0), (acc, v) => acc + v)
+        zip_with(qe, w, (x, wd) => x * wd),
+        lit(0L), (acc, v) => acc + v)
       when(dot >= 0, lit(1L << b)).otherwise(lit(0L))
     }
     bits.reduce(_ + _).as("bucket")
