@@ -27,10 +27,17 @@ object StreamingFeatures {
       session_end: Timestamp
   )
 
-  /** flatMapGroupsWithState buffer: the still-open tail session + how many
-    * sessions were already emitted for the key.
+  /** O(1) summary accumulator for the still-open tail session — NOT a turn
+    * buffer: a never-idle conversation must not grow state.
     */
-  final case class SessState(buffered: Seq[TurnEvent], emitted: Long)
+  final case class OpenSess(startMs: Long, endMs: Long, n: Long)
+
+  /** flatMapGroupsWithState state: the open-session accumulator (None after
+    * a timeout emitted the tail) + how many sessions were already emitted
+    * for the key (kept so session_seq stays batch-consistent if the
+    * conversation resumes after an idle timeout).
+    */
+  final case class SessState(open: Option[OpenSess], emitted: Long)
 
   /** Event-time windowed role counts with a watermark (late rows beyond
     * the watermark are dropped, bounding state).
@@ -42,53 +49,73 @@ object StreamingFeatures {
       .groupBy(window(col("ts"), windowLen), col("role"))
       .agg(count(lit(1)).as("n"))
 
-  private def gapSplit(
-      sorted: Seq[TurnEvent],
-      gapSeconds: Long
-  ): Seq[Seq[TurnEvent]] = {
-    if (sorted.isEmpty) return Nil
-    val out = Seq.newBuilder[Seq[TurnEvent]]
-    var cur = Seq.newBuilder[TurnEvent]
-    var prev = sorted.head
-    cur += prev
-    sorted.tail.foreach { t =>
-      if (t.ts.getTime / 1000L - prev.ts.getTime / 1000L > gapSeconds) {
-        out += cur.result()
-        cur = Seq.newBuilder[TurnEvent]
-      }
-      cur += t
-      prev = t
-    }
-    out += cur.result()
-    out.result()
-  }
-
-  /** Stateful gap sessionization via flatMapGroupsWithState: per
-    * conversation, buffered turns are gap-split in event-time order;
-    * CLOSED sessions are emitted, the open tail session stays in state
-    * (it may still grow). Matches batch Sessionize for emitted sessions.
+  /** Stateful gap sessionization via flatMapGroupsWithState with BOUNDED
+    * state: per conversation the state is a 3-long summary accumulator for
+    * the open session (count/min/max ts) plus the emitted-session counter —
+    * never a turn buffer, so a never-idle conversation holds O(1) state.
+    *
+    * Sessions closed by an in-batch gap are emitted immediately; the open
+    * tail session is emitted by an EVENT-TIME TIMEOUT once the watermark
+    * passes `session end + gap` (an idle conversation flushes its tail
+    * instead of buffering forever). After a timeout the state keeps only
+    * the tiny (None, emitted) tombstone so session_seq stays consistent
+    * with batch [[graft.features.Sessionize]] if the conversation resumes.
+    *
+    * Matches batch output exactly when each conversation's turns arrive in
+    * event-time order across micro-batches (the summary accumulator also
+    * absorbs late rows that land INSIDE the open session's span; rows
+    * later than the watermark are dropped by Spark).
     */
   def sessionize(
       turns: Dataset[TurnEvent],
-      gapSeconds: Long
+      gapSeconds: Long,
+      watermark: String = "10 minutes"
   ): Dataset[SessionOut] = {
     import turns.sparkSession.implicits._
     turns
+      .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[TurnEvent], state: GroupState[SessState]) => {
-          val prev = state.getOption.getOrElse(SessState(Nil, 0L))
-          val all = (prev.buffered ++ rows)
-            .sortBy(t => (t.ts.getTime, t.turn_idx))
-          val sessions = gapSplit(all, gapSeconds)
-          if (sessions.isEmpty) Iterator.empty
-          else {
-            val closed = sessions.dropRight(1)
-            state.update(SessState(sessions.last, prev.emitted + closed.size))
-            closed.iterator.zipWithIndex.map { case (s, i) =>
-              SessionOut(key, prev.emitted + i, s.size.toLong,
-                s.head.ts, s.last.ts)
+          if (state.hasTimedOut) {
+            // idle past the gap: flush the open tail, keep the counter
+            val st = state.get
+            val out = st.open.map(o => SessionOut(key, st.emitted, o.n,
+              new Timestamp(o.startMs), new Timestamp(o.endMs)))
+            state.update(SessState(None, st.emitted + out.size))
+            out.iterator
+          } else {
+            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+            val st0 = state.getOption.getOrElse(SessState(None, 0L))
+            var emitted = st0.emitted
+            var open = st0.open
+            val out = Seq.newBuilder[SessionOut]
+            sorted.foreach { t =>
+              val ms = t.ts.getTime
+              open = open match {
+                case None => Some(OpenSess(ms, ms, 1L))
+                case Some(o) =>
+                  // same second-granularity gap rule as batch Sessionize
+                  if (ms / 1000L - o.endMs / 1000L > gapSeconds) {
+                    out += SessionOut(key, emitted, o.n,
+                      new Timestamp(o.startMs), new Timestamp(o.endMs))
+                    emitted += 1
+                    Some(OpenSess(ms, ms, 1L))
+                  } else
+                    Some(OpenSess(math.min(o.startMs, ms),
+                      math.max(o.endMs, ms), o.n + 1))
+              }
             }
+            state.update(SessState(open, emitted))
+            open.foreach { o =>
+              // fire once the watermark passes the gap after the last turn
+              // (Spark requires the timeout to be beyond the watermark)
+              val fire = o.endMs + gapSeconds * 1000L + 1000L
+              state.setTimeoutTimestamp(
+                math.max(fire, state.getCurrentWatermarkMs() + 1000L))
+            }
+            out.result().iterator
           }
         }
       )

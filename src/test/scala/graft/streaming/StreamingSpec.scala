@@ -61,6 +61,40 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.values.exists(_._2) && batch.values.exists(!_._2))
   }
 
+  test("sessionize flushes the idle tail session via event-time timeout " +
+    "and keeps state O(1)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.TurnEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val sessions = StreamingFeatures.sessionize(
+      input.toDS(), gapSeconds = 30L, watermark = "0 seconds")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("tail_sessions").start()
+    // ts=0 would be dropped as late (the initial watermark is epoch 0),
+    // so the scenario starts at t=100s
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // conv A: two turns 10s apart -> ONE session, stays open
+    input.addData(TurnEvent("A", 0, "user", ts(100)),
+      TurnEvent("A", 1, "assistant", ts(110)))
+    q.processAllAvailable()
+    // a much later event on another conversation advances the watermark
+    // far past A's end + gap -> A's tail must flush on timeout
+    input.addData(TurnEvent("B", 0, "user", ts(1000)))
+    q.processAllAvailable()
+    input.addData(TurnEvent("B", 1, "user", ts(2000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT conv_id, session_seq, n_turns, session_start, session_end " +
+        "FROM tail_sessions WHERE conv_id = 'A'")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getTimestamp(3).getTime / 1000L, r.getTimestamp(4).getTime / 1000L))
+    // matches batch Sessionize on the same turns: one session of 2 turns
+    assert(got.toSeq == Seq(("A", 0L, 2L, 100L, 110L)), got.mkString(","))
+  }
+
   test("stateful sessionize emits closed sessions matching batch oracle") {
     val dir = stagedTurns()
     val schema = graft.schema.Turn.schema
