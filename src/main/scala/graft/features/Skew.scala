@@ -30,8 +30,13 @@ object Skew {
       merges: Seq[(Column, String)]
   ): DataFrame = {
     require(partials.nonEmpty && merges.nonEmpty)
+    // salt from STABLE row content (all columns), not
+    // monotonically_increasing_id(): mid-ids shift when a stage is
+    // recomputed with different partitioning, which would make lineage
+    // nondeterministic across retries. Hash of the full row spreads a
+    // mega-key as evenly and is replay-stable.
     val salted = df.withColumn(
-      "__salt", pmod(hash(monotonically_increasing_id()), lit(salts)))
+      "__salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._1.as(partials.head._2),

@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.plans.physical.{
   ClusteredDistribution, Distribution, Partitioning
 }
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 
 /** Physical point-in-time join: children are hash-clustered on the join
   * keys and sorted by (keys, ts); each co-located partition pair is merged
@@ -30,6 +31,12 @@ final case class AsOfJoinExec(
     exact: Boolean,
     toleranceMs: Option[Long] = None
 ) extends BinaryExecNode {
+
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "numOutputRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of output rows"),
+    "numMatchedRows" -> SQLMetrics.createMetric(sparkContext,
+      "number of anchors with an as-of match"))
 
   override def output: Seq[Attribute] =
     left.output ++ rightValues.map(_.withNullability(true))
@@ -60,6 +67,8 @@ final case class AsOfJoinExec(
     val rTs = rightTs
     val rVals: Seq[Expression] = rightValues
     val isExact = exact
+    val numOutputRows = longMetric("numOutputRows")
+    val numMatchedRows = longMetric("numMatchedRows")
     // second-granularity window, matching AsOf.joinBackward's
     // (ts.cast(long) - match_ts.cast(long)) * 1000 <= toleranceMs;
     // hoisted to primitives so the per-row emit check stays branch-only.
@@ -146,6 +155,8 @@ final case class AsOfJoinExec(
               (!hasTol ||
                 (Math.floorDiv(lt, tsDiv) -
                   Math.floorDiv(heldTs, tsDiv)) * 1000L <= tolVal)
+          numOutputRows += 1
+          if (matched) numMatchedRows += 1
           outProj(joined(l, if (matched) held else nullValueRow))
         }
       }

@@ -48,6 +48,9 @@ object GraftBridge {
 
   def optimizedPlan(df: Dataset[_]): catalyst.plans.logical.LogicalPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.optimizedPlan
+
+  def executedPlan(df: Dataset[_]): execution.SparkPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan
 }
 
 /** Public alias for the planner Strategy base (package-private-friendly

@@ -145,6 +145,28 @@ class AsOfNativeSpec extends AnyFunSuite {
     }
   }
 
+  test("native as-of exec exposes numOutputRows/numMatchedRows metrics") {
+    val (anchors, right) = randomCase(7)
+    val joined = AsOfNative.joinBackward(anchors, right, Seq("conv_id"))
+    // execute the Dataset's own QueryExecution so its metrics populate
+    val n = org.apache.spark.sql.GraftBridge.forceEvaluate(joined)
+    def find(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[graft.plans.AsOfJoinExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        find(a.executedPlan)
+      // AQE stage boundaries are LEAF wrappers holding their subtree
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        find(q.plan)
+      case e: graft.plans.AsOfJoinExec => Seq(e)
+      case o => o.children.flatMap(find)
+    }
+    val exec = find(org.apache.spark.sql.GraftBridge.executedPlan(joined))
+    assert(exec.nonEmpty, "AsOfJoinExec not found in executed plan")
+    val m = exec.head.metrics
+    assert(m("numOutputRows").value == n)
+    assert(m("numMatchedRows").value <= n && m("numMatchedRows").value > 0)
+  }
+
   test("native as-of handles empty right side") {
     val anchors = Seq(("a", 1, new Timestamp(1000L)))
       .toDF("conv_id", "turn_idx", "ts")

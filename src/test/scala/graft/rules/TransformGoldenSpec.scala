@@ -46,6 +46,31 @@ class TransformGoldenSpec extends AnyFunSuite {
       "ὀδυσσεύς HELLO")
   }
 
+  test("full-Unicode casing parity: final sigma, İ, ß, locale pinning") {
+    // Verdict per corner case (probed on this Spark/JDK; Spark's
+    // lower()/upper() match Rust to_lowercase/to_uppercase exactly):
+    //  - Final_Sigma contextual rule: trailing Σ lowers to ς, medial to σ
+    val sigma = new String(
+      Array(0x0394, 0x03A5, 0x03A3, 0x03A3, 0x0395, 0x038E, 0x03A3)
+        .flatMap(Character.toChars))
+    val sigmaLower = new String(
+      Array(0x03B4, 0x03C5, 0x03C3, 0x03C3, 0x03B5, 0x03CD, 0x03C2)
+        .flatMap(Character.toChars))
+    assert(transformed(str(sigma), TRule.Lower()) == sigmaLower)
+    //  - İ (U+0130) lowers to i + COMBINING DOT ABOVE (SpecialCasing,
+    //    Locale.ROOT semantics — NOT the Turkish dotless 'i')
+    assert(transformed(str("İ"), TRule.Lower()) == "i̇")
+    //  - ß (U+00DF) uppercases to "SS" (full case mapping, 1 -> 2 chars)
+    assert(transformed(str("ß"), TRule.Upper()) == "SS")
+    //  - locale-leak guard: plain ASCII I/i must map the ROOT way (a
+    //    Turkish default locale would produce ı/İ)
+    assert(transformed(str("TITLE"), TRule.Lower()) == "title")
+    assert(transformed(str("title"), TRule.Upper()) == "TITLE")
+    //  - ascii variants leave ALL of the above untouched
+    assert(transformed(str("İß" + sigma.take(1)),
+      TRule.Lower(ascii = true)) == "İß" + sigma.take(1))
+  }
+
   test("inner(lowercase) over array (transformer/inner.rs:6-21)") {
     val df = Seq(Seq("Hello", "World")).toDF("v")
     val gated = WaryGate(
