@@ -399,7 +399,9 @@ object RuleCompiler {
         concat(lit("""{"position":"""), pos.cast(StringType), lit("}")))
 
     case Regex(pattern) =>
-      whenErr(!value.rlike(pattern), path, "no_match",
+      // match with the Rust-dialect translation; report the ORIGINAL
+      // pattern (the reference serializes matcher.as_str(), regex.rs:99)
+      whenErr(!value.rlike(gf.rustRegexToJava(pattern)), path, "no_match",
         lit(s"value does not match pattern $pattern"),
         lit(s"""{"pattern":${jsonStr(pattern)}}"""))
 

@@ -121,4 +121,7 @@ object functions {
   def utf16_count(c: Column): Column = col(Utf16Count(expr(c)))
   def wary_trim(c: Column): Column = col(WaryTrim(expr(c), ascii = false))
   def wary_trim_ascii(c: Column): Column = col(WaryTrim(expr(c), ascii = true))
+
+  /** Rust-regex dialect → Java pattern (compile-time literal rewrite). */
+  def rustRegexToJava(pattern: String): String = RegexDialect.toJava(pattern)
 }

@@ -249,6 +249,31 @@ class RuleGoldenSpec extends AnyFunSuite {
     assert(codes(str("bbb"), Regex("^a+$")) == Seq("no_match"))
   }
 
+  test("regex: Rust-dialect translation (unicode classes, POSIX, (?P<>))") {
+    // Rust \d is Unicode (\p{Nd}) by default — Arabic-Indic digit matches
+    assert(codes(str("٣"), Regex("^\\d$")).isEmpty)
+    assert(codes(str("x"), Regex("^\\d$")) == Seq("no_match"))
+    // Rust \s is White_Space — NBSP matches
+    assert(codes(str(" "), Regex("^\\s$")).isEmpty)
+    // POSIX ASCII classes are strictly ASCII (Rust semantics): é is
+    // alphabetic but NOT [[:alpha:]]
+    assert(codes(str("abc"), Regex("^[[:alpha:]]+$")).isEmpty)
+    assert(codes(str("ab9"), Regex("^[[:alpha:]]+$")) == Seq("no_match"))
+    assert(codes(str("é"), Regex("^[[:alpha:]]+$")) == Seq("no_match"))
+    assert(codes(str("a1_"), Regex("^[[:word:]]+$")).isEmpty)
+    // mixed inside a class
+    assert(codes(str("a5"), Regex("^[[:alpha:]0-9]+$")).isEmpty)
+    // Python/Rust-style named group syntax
+    assert(codes(str("ab12"), Regex("^(?P<w>[a-z]+)\\d+$")).isEmpty)
+    // error message and detail carry the ORIGINAL Rust pattern
+    assert(msgs(str("x"), Regex("^[[:digit:]]$")) ==
+      Seq("value does not match pattern ^[[:digit:]]$"))
+    // Rust swap-greed flag has no Java equivalent -> loud failure
+    intercept[IllegalArgumentException] {
+      codes(str("x"), Regex("(?U)a+?"))
+    }
+  }
+
   // --- addr (addr.rs:155-229) -------------------------------------------
   test("addr ip/ipv4/ipv6") {
     assert(codes(str("127.0.0.1"), Addr("ipv4")).isEmpty)
