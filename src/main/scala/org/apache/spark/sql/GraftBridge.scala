@@ -51,6 +51,12 @@ object GraftBridge {
 
   def executedPlan(df: Dataset[_]): execution.SparkPlan =
     df.asInstanceOf[classic.Dataset[_]].queryExecution.executedPlan
+
+  /** Pre-AQE physical plan — where EnsureRequirements has already placed
+    * (or elided) the exchanges, before adaptive re-planning wraps stages.
+    */
+  def sparkPlan(df: Dataset[_]): execution.SparkPlan =
+    df.asInstanceOf[classic.Dataset[_]].queryExecution.sparkPlan
 }
 
 /** Public alias for the planner Strategy base (package-private-friendly

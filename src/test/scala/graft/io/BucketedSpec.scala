@@ -1,0 +1,87 @@
+package graft.io
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+import graft.schema.TranscriptGen
+
+/** Bucketed layout must actually eliminate the conv_id exchange: the plan
+  * (pre-AQE sparkPlan, where EnsureRequirements has already decided the
+  * exchanges) must contain no ShuffleExchangeExec for operations keyed on
+  * the bucket column, and results must equal the unbucketed path.
+  */
+class BucketedSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def shuffles(df: org.apache.spark.sql.DataFrame): Int = {
+    val plan = org.apache.spark.sql.GraftBridge.sparkPlan(df)
+    def count(p: SparkPlan): Int =
+      (p match { case _: ShuffleExchangeExec => 1; case _ => 0 }) +
+        p.children.map(count).sum
+    count(plan)
+  }
+
+  private lazy val table: String = {
+    val path = Files.createTempDirectory("graft_bucketed").toString
+    val df = TranscriptGen.generateDF(spark, 200)
+    Bucketed.writeTranscript(df, "t_bucketed", path, nBuckets = 8)
+    "t_bucketed"
+  }
+
+  /** Same rows, plain (bucket-spec-less) parquet roundtrip. */
+  private lazy val plainDir: String = {
+    val path = Files.createTempDirectory("graft_plain").toString
+    TranscriptGen.generateDF(spark, 200).write.mode("overwrite").parquet(path)
+    path
+  }
+
+  test("groupBy(conv_id) on a bucketed table plans zero shuffles") {
+    val t = Bucketed.read(spark, table)
+    val agg = t.groupBy("conv_id").agg(count(lit(1)).as("n"))
+    assert(shuffles(agg) == 0, "bucketed agg still shuffles")
+    // control: the same files read WITHOUT the bucket spec report no
+    // useful partitioning — at test scale everything packs into one input
+    // partition (SinglePartition also satisfies the distribution), so the
+    // control only checks result equality; the load-bearing assertions
+    // are the bucketed zero-shuffle ones above/below.
+    val plain = spark.read.parquet(plainDir)
+      .groupBy("conv_id").agg(count(lit(1)).as("n"))
+    // results identical
+    val a = agg.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = plain.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
+
+  test("co-bucketed self-join on conv_id plans zero shuffles") {
+    val t = Bucketed.read(spark, table)
+    val left = t.groupBy("conv_id").agg(max("ts").as("last_ts"))
+    val right = t.groupBy("conv_id").agg(count(lit(1)).as("n"))
+    val joined = left.join(right, "conv_id")
+    assert(shuffles(joined) == 0, "co-bucketed join still shuffles")
+    assert(joined.count() == t.select("conv_id").distinct().count())
+  }
+
+  test("window features over a bucketed table reuse the bucket clustering") {
+    import graft.features.Windows
+    val t = Bucketed.read(spark, table)
+    val lagged = Windows.withLag(t, Windows.turnWindow, "ts")
+    assert(shuffles(lagged) == 0,
+      "window over bucketed table still exchanges")
+    // equal to the unbucketed computation
+    val plain = Windows.withLag(
+      TranscriptGen.generateDF(spark, 200), Windows.turnWindow, "ts")
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "ts_lag1")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getTimestamp(2).getTime)))
+      .toMap
+    assert(key(lagged) == key(plain))
+  }
+}
