@@ -322,6 +322,24 @@ class RuleGoldenSpec extends AnyFunSuite {
     assert(codes(str("@email.com"), Email) == Seq("local_part_empty"))
   }
 
+  test("email: per-variant error codes (email.rs:21-105)") {
+    def code(s: String) = codes(str(s), Email)
+    assert(code("a" * 65 + "@x.com") == Seq("local_part_too_long"))
+    assert(code("a@") == Seq("domain_empty"))
+    assert(code("a@" + ("b." * 127) + "c" * 60) == Seq("domain_too_long"))
+    assert(code("a@x..com") == Seq("sub_domain_empty"))
+    assert(code("a@" + "b" * 64 + ".com") == Seq("sub_domain_too_long"))
+    assert(code("\"unterminated@x.com") == Seq("unbalanced_quotes"))
+    assert(code(".dot@x.com") == Seq("invalid_character"))
+    assert(code("a b@x.com") == Seq("invalid_character"))
+    assert(code("a@-bad.com") == Seq("invalid_character"))
+    // quoted local-part and address literals are accepted
+    assert(code("\"spaced name\"@x.com").isEmpty)
+    assert(code("a@[127.0.0.1]").isEmpty)
+    assert(code("a@[IPv6:::1]").isEmpty)
+    assert(code("a@[999.0.0.1]") == Seq("invalid_character"))
+  }
+
   test("url (url.rs:141-153)") {
     assert(codes(str("https://example.com"), Url).isEmpty)
     assert(codes(str("hello"), Url) == Seq("relative_url_without_base"))
