@@ -42,10 +42,25 @@ object Bench {
       .min
     val turnsPerSec = nTurns / pipeSec
 
-    val qs = (results :+ ("pipeline_features" -> pipeSec))
+    // same pipeline over a bucketed copy of the transcript view: measures
+    // the conv_id-exchange elimination the Bucketed layout buys (ingest
+    // excluded — it is the once-per-corpus layout cost)
+    val bucketedSec = {
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_bench_bucketed").toString
+      graft.io.Bucketed.writeTranscript(
+        io.Tables.transcript(spark, sfDir), "bench_turns_bucketed", path, 16)
+      val t = spark.table("bench_turns_bucketed")
+      forceEvaluate(Pipeline.featuresFromTurns(t))
+      (1 to 2).map(_ => timed(forceEvaluate(Pipeline.featuresFromTurns(t)))._2).min
+    }
+
+    val qs = (results :+
+      ("pipeline_features" -> pipeSec) :+
+      ("pipeline_bucketed" -> bucketedSec))
       .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum + pipeSec
+    val total = results.map(_._2).sum + pipeSec + bucketedSec
     println(
       s"""{"metric":"turns/sec","value":${f"$turnsPerSec%.1f"},"unit":"sec","total_sec":${f"$total%.2f"},"queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
     )
