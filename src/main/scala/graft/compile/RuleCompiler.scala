@@ -44,25 +44,12 @@ object RuleCompiler {
   /** Unit-variant detail: untagged serde of a unit variant is `null`. */
   private def nullDetail: Column = lit(null).cast(StringType)
 
-  /** serde_json string escaping for compile-time literals: quote,
-    * backslash, \b \t \n \f \r, and \u00XX for remaining control chars.
-    * serde_json does not escape '/' or non-ASCII.
+  /** serde_json string escaping for compile-time literals — the shared
+    * escaper ([[graft.exprs.JsonEscape]]) keeps literal and runtime paths
+    * byte-identical. serde_json does not escape '/' or non-ASCII.
     */
-  private[compile] def jsonStr(s: String): String = {
-    val sb = new StringBuilder("\"")
-    s.foreach {
-      case '"'           => sb.append("\\\"")
-      case '\\'          => sb.append("\\\\")
-      case '\b'          => sb.append("\\b")
-      case '\t'          => sb.append("\\t")
-      case '\n'          => sb.append("\\n")
-      case '\f'          => sb.append("\\f")
-      case '\r'          => sb.append("\\r")
-      case c if c < 0x20 => sb.append(f"\\u${c.toInt}%04x")
-      case c             => sb.append(c)
-    }
-    sb.append('"').toString
-  }
+  private[compile] def jsonStr(s: String): String =
+    graft.exprs.JsonEscape.quote(s)
 
   private def err1(
       path: Column,

@@ -45,49 +45,46 @@ object WaryGate {
   def quarantine(df: DataFrame, spec: WarySpec): DataFrame =
     apply(df, spec).filter(size(col(ErrorsCol)) > 0)
 
-  /** One JSON string literal (with quotes), escaped exactly like
-    * serde_json/Jackson: wrap in a 1-element array, serialize, strip the
-    * brackets. Pure expression — stays inside codegen.
-    */
-  private def jsonQuote(c: org.apache.spark.sql.Column) = {
-    val arr = to_json(array(c))
-    arr.substr(lit(2), length(arr) - 2)
-  }
-
-  /** JSON-serialized report, byte-compatible with the reference's
-    * serialization (error/mod.rs:289-328: serde struct `Inner { path,
-    * code, message, detail }` per error, report = JSON array of them).
+  /** JSON report string for an `errors` column, byte-compatible with the
+    * reference's serialization (error/mod.rs:289-328: serde struct
+    * `Inner { path, code, message, detail }` per error, report = JSON
+    * array of them).
     *
-    * Built manually rather than with `to_json` because two parts must not
-    * be quoted: array-index path segments serialize as JSON NUMBERS
-    * (path.rs `Elem` is untagged Key(&str)|Index(usize)), and `detail` is
-    * spliced as raw JSON (it already holds the untagged error-variant
-    * serialization; NULL detail ⇒ `null`, matching unit variants).
+    * Built manually rather than with `to_json` because: array-index path
+    * segments serialize as JSON NUMBERS (path.rs `Elem` is untagged
+    * Key(&str)|Index(usize)); `detail` is spliced as raw JSON (it already
+    * holds the untagged error-variant serialization; NULL detail ⇒
+    * `null`, matching unit variants — to_json would double-encode it as
+    * a string and drop the null key); and string escaping must be
+    * serde_json's (lowercase \u00xx hex — Jackson emits uppercase).
     *
     * Caveat: index segments are stored as digit strings internally, so a
     * serde-RENAMED field whose name is all digits would also serialize as
     * a number; field keys that are pure integers are pathological and not
     * produced by any reference fixture.
     */
-  def reportJson(df: DataFrame, spec: WarySpec): DataFrame = {
-    val perErr = transform(col(ErrorsCol), e => concat(
+  def reportColumn(errors: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import graft.exprs.{functions => gf}
+    val perErr = transform(errors, e => concat(
       lit("""{"path":["""),
       array_join(
         transform(e.getField("path"), s =>
-          when(s.rlike("^(0|[1-9][0-9]*)$"), s).otherwise(jsonQuote(s))),
+          when(s.rlike("^(0|[1-9][0-9]*)$"), s).otherwise(gf.json_quote(s))),
         ","),
       lit("""],"code":"""),
       when(e.getField("code").isNull, lit("null"))
-        .otherwise(jsonQuote(e.getField("code"))),
+        .otherwise(gf.json_quote(e.getField("code"))),
       lit(""","message":"""),
       when(e.getField("message").isNull, lit("null"))
-        .otherwise(jsonQuote(e.getField("message"))),
+        .otherwise(gf.json_quote(e.getField("message"))),
       lit(""","detail":"""),
       coalesce(e.getField("detail"), lit("null")),
       lit("}")
     ))
-    apply(df, spec).withColumn(
-      "report",
-      concat(lit("["), array_join(perErr, ","), lit("]")))
+    concat(lit("["), array_join(perErr, ","), lit("]"))
   }
+
+  /** Gate + the serialized report column (serving-path output shape). */
+  def reportJson(df: DataFrame, spec: WarySpec): DataFrame =
+    apply(df, spec).withColumn("report", reportColumn(col(ErrorsCol)))
 }

@@ -11,6 +11,14 @@ package graft.exprs
   *    `(?U)` (UNICODE_CHARACTER_CLASS) flag, under which Java's classes
   *    match Rust's definitions (`\d`=\p{Nd}, `\s`=White_Space, `\w`=
   *    Alphabetic+M+Nd+Pc+Join_Control).
+  *  - `.` excludes ONLY `\n` in Rust, but all of `\n \r U+0085 U+2028 U+2029` in
+  *    Java — fixed by the `(?d)` (UNIX_LINES) flag, under which Java's
+  *    `.` (and multiline `^`/`$`) recognize only `\n`.
+  *  - a TRAILING `$` means end-of-haystack (`\z`) in Rust but
+  *    before-final-newline (`\Z`) in Java — rewritten to `\z` when the
+  *    pattern is not multiline. (A non-trailing `$` in an alternation
+  *    keeps Java `\Z` semantics — a documented residual divergence on
+  *    inputs with a trailing newline.)
   *  - POSIX ASCII classes `[[:alpha:]]`, `[[:digit:]]`, … are Rust-only
   *    syntax; expanded to explicit ASCII ranges (NOT `\p{Alpha}`, which
   *    `(?U)` would silently widen to Unicode — Rust's are strictly ASCII).
@@ -55,6 +63,13 @@ object RegexDialect {
     posix.foreach { case (name, expansion) =>
       p = p.replace(s"[:$name:]", expansion)
     }
-    "(?U)" + p
+    // trailing unescaped $ -> \z (Rust end-of-haystack; Java $ would also
+    // match before a final newline). Unescaped = even number of trailing
+    // backslashes before it.
+    val multiline = p.contains("(?m")
+    if (!multiline && p.endsWith("$") &&
+      p.dropRight(1).reverse.takeWhile(_ == '\\').length % 2 == 0)
+      p = p.dropRight(1) + "\\z"
+    "(?dU)" + p
   }
 }

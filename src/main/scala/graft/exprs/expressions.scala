@@ -56,6 +56,55 @@ case class ValidatorCode(child: Expression, kind: String)
     copy(child = c)
 }
 
+/** serde_json-style string escaping shared by the compile-time literal
+  * path (RuleCompiler.jsonStr) and the runtime column path ([[JsonQuote]])
+  * so the whole report escapes ONE way, byte-matching serde_json: quote,
+  * backslash, \b \t \n \f \r, and LOWERCASE \u00xx for remaining control
+  * chars. (Jackson/to_json emits uppercase hex — that's why the report
+  * builder does not use to_json.)
+  */
+object JsonEscape {
+  def quote(s: String): String = {
+    val sb = new java.lang.StringBuilder(s.length + 2)
+    sb.append('"')
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      c match {
+        case '"'            => sb.append("\\\"")
+        case '\\'           => sb.append("\\\\")
+        case '\b'           => sb.append("\\b")
+        case '\t'           => sb.append("\\t")
+        case '\n'           => sb.append("\\n")
+        case '\f'           => sb.append("\\f")
+        case '\r'           => sb.append("\\r")
+        case c if c < 0x20  => sb.append(f"\\u${c.toInt}%04x")
+        case c              => sb.append(c)
+      }
+      i += 1
+    }
+    sb.append('"')
+    sb.toString
+  }
+}
+
+/** JSON string literal (with quotes) of a string column — serde_json
+  * escaping semantics, codegen'd static call.
+  */
+case class JsonQuote(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "json_quote"
+  override protected def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(
+      JsonEscape.quote(input.asInstanceOf[UTF8String].toString))
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"UTF8String.fromString(graft.exprs.JsonEscape.quote($c.toString()))")
+  override protected def withNewChildInternal(c: Expression): JsonQuote =
+    copy(child = c)
+}
+
 /** Grapheme-cluster count (wary length(graphemes)). */
 case class GraphemeCount(child: Expression) extends UnaryExpression {
   override def dataType: DataType = IntegerType
@@ -124,4 +173,7 @@ object functions {
 
   /** Rust-regex dialect → Java pattern (compile-time literal rewrite). */
   def rustRegexToJava(pattern: String): String = RegexDialect.toJava(pattern)
+
+  /** JSON string literal of a string column (serde_json escaping). */
+  def json_quote(c: Column): Column = col(JsonQuote(expr(c)))
 }

@@ -30,13 +30,24 @@ object Skew {
       merges: Seq[(Column, String)]
   ): DataFrame = {
     require(partials.nonEmpty && merges.nonEmpty)
-    // salt from STABLE row content (all columns), not
+    // Salt from (input partition id, hashable row content) — NOT
     // monotonically_increasing_id(): mid-ids shift when a stage is
     // recomputed with different partitioning, which would make lineage
-    // nondeterministic across retries. Hash of the full row spreads a
-    // mega-key as evenly and is replay-stable.
+    // nondeterministic across retries. Content alone is not enough
+    // either: a mega-key of byte-IDENTICAL rows (mass-duplicated
+    // boilerplate) would collapse onto one salt and keep the hot
+    // reducer — mixing in spark_partition_id() spreads duplicates
+    // across as many salts as input partitions while staying
+    // deterministic for a fixed input layout (task retries re-read the
+    // same partition). MapType columns are excluded (hash() rejects
+    // maps in Spark 3+).
+    val hashable = df.schema.fields
+      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .map(f => col(f.name))
+      .toSeq
     val salted = df.withColumn(
-      "__salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(salts)))
+      "__salt",
+      pmod(hash(spark_partition_id() +: hashable: _*), lit(salts)))
     val phase1 = salted
       .groupBy((keys :+ "__salt").map(col): _*)
       .agg(partials.head._1.as(partials.head._2),

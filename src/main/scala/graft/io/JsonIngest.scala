@@ -59,8 +59,11 @@ object JsonIngest {
     // partition value is a string: Spark's partition-column type
     // inference does not cover booleans, so a boolean would silently
     // come back as StringType on read anyway — be explicit
+    // same serving-shape report as WaryGate.reportJson (numeric index
+    // path segments, raw-spliced detail) — to_json would double-encode
+    // detail and drop its null case
     val gated = WaryGate(df, spec)
-      .withColumn("report", to_json(col(WaryGate.ErrorsCol)))
+      .withColumn("report", WaryGate.reportColumn(col(WaryGate.ErrorsCol)))
       .withColumn("__valid",
         (size(col(WaryGate.ErrorsCol)) === 0).cast("string"))
       .drop(WaryGate.ErrorsCol)

@@ -137,7 +137,10 @@ object Similarity {
         col("p.y.vec_id").as("b"),
         quantDot(col("p.x.embedding"), col("p.y.embedding")).as("dot"))
       .filter(col("dot") >= minDot)
-      .distinct()
+    // no distinct: each vector lands in exactly ONE bucket (unlike the
+    // banded MinHash pairs), so every (a < b) pair is generated at most
+    // once — a dedup here would be a full extra shuffle over the largest
+    // intermediate for nothing
   }
 
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.

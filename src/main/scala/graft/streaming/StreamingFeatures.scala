@@ -62,9 +62,12 @@ object StreamingFeatures {
     * with batch [[graft.features.Sessionize]] if the conversation resumes.
     *
     * Matches batch output exactly when each conversation's turns arrive in
-    * event-time order across micro-batches (the summary accumulator also
-    * absorbs late rows that land INSIDE the open session's span; rows
-    * later than the watermark are dropped by Spark).
+    * event-time order across micro-batches. Late rows (within the
+    * watermark): a row inside the open session's span or within one gap
+    * before its start merges into it (same result as batch); a row MORE
+    * than a gap before the open session's start is dropped — in batch it
+    * would be its own earlier session, and emitting it late would
+    * renumber sessions already emitted downstream.
     */
   def sessionize(
       turns: Dataset[TurnEvent],
@@ -102,6 +105,14 @@ object StreamingFeatures {
                       new Timestamp(o.startMs), new Timestamp(o.endMs))
                     emitted += 1
                     Some(OpenSess(ms, ms, 1L))
+                  } else if (o.startMs / 1000L - ms / 1000L > gapSeconds) {
+                    // a row MORE than a gap BEFORE the open session would
+                    // be its own earlier session in batch — emitting it
+                    // now would renumber already-emitted sessions, so it
+                    // is dropped (the per-key analogue of a watermark
+                    // discard; the summary accumulator cannot reorder
+                    // history it no longer holds)
+                    open
                   } else
                     Some(OpenSess(math.min(o.startMs, ms),
                       math.max(o.endMs, ms), o.n + 1))

@@ -63,6 +63,10 @@ class JsonIngestSpec extends AnyFunSuite {
     // original (untransformed) value retained; exact reference codes
     assert(byText(Some("")).contains("\"code\":\"too_short\""))
     assert(byText(None).contains("\"code\":\"cannot_be_empty\""))
+    // serving-shape report: detail is raw JSON (object / null), never a
+    // double-encoded string — same builder as WaryGate.reportJson
+    assert(byText(Some("")).contains("\"detail\":{\"min\":"))
+    assert(byText(None).contains("\"detail\":null"))
   }
 
   test("empty input ingests to (0, 0) instead of failing") {

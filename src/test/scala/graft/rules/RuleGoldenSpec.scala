@@ -268,6 +268,13 @@ class RuleGoldenSpec extends AnyFunSuite {
     // error message and detail carry the ORIGINAL Rust pattern
     assert(msgs(str("x"), Regex("^[[:digit:]]$")) ==
       Seq("value does not match pattern ^[[:digit:]]$"))
+    // Rust '.' excludes only \n — \r must match (Java default excludes it)
+    assert(codes(str("a\rb"), Regex("^a.b$")).isEmpty)
+    assert(codes(str("a\nb"), Regex("^a.b$")) == Seq("no_match"))
+    // Rust trailing $ is end-of-haystack: a trailing newline fails
+    // (Java's bare $ would match before it)
+    assert(codes(str("abc\n"), Regex("abc$")) == Seq("no_match"))
+    assert(codes(str("abc"), Regex("abc$")).isEmpty)
     // Rust swap-greed flag has no Java equivalent -> loud failure
     intercept[IllegalArgumentException] {
       codes(str("x"), Regex("(?U)a+?"))

@@ -95,6 +95,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", 0L, 2L, 100L, 110L)), got.mkString(","))
   }
 
+  test("sessionize drops a late row more than a gap before the open " +
+    "session instead of corrupting its bounds") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.TurnEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val sessions = StreamingFeatures.sessionize(
+      input.toDS(), gapSeconds = 30L, watermark = "10 minutes")
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("late_sessions").start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    input.addData(TurnEvent("A", 1, "user", ts(100)),
+      TurnEvent("A", 2, "assistant", ts(110)))
+    q.processAllAvailable()
+    // late row 80s before the open session start (> gap, within the
+    // 10-minute watermark): must be DROPPED, not merged
+    input.addData(TurnEvent("A", 0, "user", ts(20)))
+    q.processAllAvailable()
+    // in-session growth still works
+    input.addData(TurnEvent("A", 3, "user", ts(120)))
+    q.processAllAvailable()
+    // push the watermark far past the gap to flush A's tail
+    input.addData(TurnEvent("B", 0, "user", ts(5000)))
+    q.processAllAvailable()
+    input.addData(TurnEvent("B", 1, "user", ts(9000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT session_seq, n_turns, session_start, session_end " +
+        "FROM late_sessions WHERE conv_id = 'A'")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000L, r.getTimestamp(3).getTime / 1000L))
+    assert(got.toSeq == Seq((0L, 3L, 100L, 120L)), got.mkString(","))
+  }
+
   test("stateful sessionize emits closed sessions matching batch oracle") {
     val dir = stagedTurns()
     val schema = graft.schema.Turn.schema
