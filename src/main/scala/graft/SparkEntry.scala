@@ -51,6 +51,22 @@ object SparkEntry {
         )
     }),
 
+    // --- serving-path report JSON (byte-parity with the reference's
+    // serialized Report, incl. per-variant detail payloads). Text is
+    // perturbed so every turnSpec error branch appears in the output:
+    // NULL (required), empty (required + too_short), >4000 bytes
+    // (too_long), valid (report "[]").
+    "q_report_json" -> ((s, dir) => {
+      val perturbed = turns(s, dir).withColumn(
+        "text",
+        when(col("turn_idx") % 7 === 0, lit(null).cast("string"))
+          .when(col("turn_idx") % 7 === 1, lit(""))
+          .when(col("turn_idx") % 7 === 2, concat(lit("x"), repeat(lit("y"), 4500)))
+          .otherwise(col("text")))
+      WaryGate.reportJson(perturbed, Pipeline.turnSpec)
+        .select("conv_id", "turn_idx", "report")
+    }),
+
     // --- lag / lead -------------------------------------------------------
     "q_lag_lead" -> ((s, dir) => {
       val w = Windows.turnWindow
@@ -278,6 +294,30 @@ object SparkEntry {
          |       WHEN strlen(text) > 4000 THEN 'too_long'
          |       ELSE NULL END AS first_code
          |FROM turns""".stripMargin,
+
+    // serving-path report bytes, replicated with SQL string construction
+    // (exact serde shape: numeric-free key paths, detail objects/null)
+    "q_report_json" ->
+      s"""$T,
+         |p AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx % 7 = 0 THEN NULL
+         |         WHEN turn_idx % 7 = 1 THEN ''
+         |         WHEN turn_idx % 7 = 2 THEN 'x' || repeat('y', 4500)
+         |         ELSE text END AS t
+         |  FROM turns)
+         |SELECT conv_id, turn_idx,
+         |  CASE
+         |    WHEN t IS NULL THEN
+         |      '[{"path":["text"],"code":"cannot_be_empty","message":"value should not be empty","detail":null}]'
+         |    WHEN strlen(t) = 0 THEN
+         |      '[{"path":["text"],"code":"cannot_be_empty","message":"value should not be empty","detail":null},' ||
+         |      '{"path":["text"],"code":"too_short","message":"expected length of at least 1, found 0","detail":{"min":1,"actual":0,"exclusive":false}}]'
+         |    WHEN strlen(t) > 4000 THEN
+         |      '[{"path":["text"],"code":"too_long","message":"expected length of at most 4000, found ' || strlen(t) ||
+         |      '","detail":{"max":4000,"actual":' || strlen(t) || ',"exclusive":false}}]'
+         |    ELSE '[]' END AS report
+         |FROM p""".stripMargin,
 
     "q_lag_lead" ->
       s"""$T
