@@ -240,6 +240,23 @@ object SparkEntry {
       graft.ops.CorpusClean(docs(s, dir))
         .select("doc_id", "n_chars_q", "n_words", "lang_pred")),
 
+    // --- token-level PII scrub (emails / IPv4s / long numbers -> typed
+    // placeholders + audit count). Text is salted with deterministic PII
+    // tokens so every branch appears in the output.
+    "q_pii_scrub" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn(
+        "t",
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 4 === 0, lit("alice@example.com"))
+            .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
+            .when(col("doc_id") % 4 === 2, lit("1234567890"))
+            .otherwise(lit("clean"))))
+      d.select(
+        col("doc_id"),
+        TextStats.scrubPii(col("t")).as("text_scrubbed"),
+        TextStats.piiTokenCount(col("t")).as("n_pii"))
+    }),
+
     // --- SimHash fingerprint (custom expression; Scala-oracled) ---------------
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))),
@@ -294,6 +311,33 @@ object SparkEntry {
          |       WHEN strlen(text) > 4000 THEN 'too_long'
          |       ELSE NULL END AS first_code
          |FROM turns""".stripMargin,
+
+    "q_pii_scrub" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
+        |         WHEN doc_id % 4 = 1 THEN '10.0.0.1'
+        |         WHEN doc_id % 4 = 2 THEN '1234567890'
+        |         ELSE 'clean' END AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  array_to_string([
+        |    CASE WHEN len(string_split(x,'@')) = 2
+        |           AND strlen(string_split(x,'@')[1]) >= 1
+        |           AND strlen(string_split(x,'@')[2]) >= 3
+        |           AND contains(string_split(x,'@')[2], '.') THEN '<EMAIL>'
+        |         WHEN regexp_full_match(x, '[0-9]{1,3}(\.[0-9]{1,3}){3}') THEN '<IP>'
+        |         WHEN regexp_full_match(x, '[0-9]{7,}') THEN '<NUM>'
+        |         ELSE x END
+        |    for x in string_split(t, ' ')], ' ') AS text_scrubbed,
+        |  CAST(len([x for x in string_split(t, ' ') if
+        |    (len(string_split(x,'@')) = 2
+        |       AND strlen(string_split(x,'@')[1]) >= 1
+        |       AND strlen(string_split(x,'@')[2]) >= 3
+        |       AND contains(string_split(x,'@')[2], '.'))
+        |    OR regexp_full_match(x, '[0-9]{1,3}(\.[0-9]{1,3}){3}')
+        |    OR regexp_full_match(x, '[0-9]{7,}')]) AS BIGINT) AS n_pii
+        |FROM p""".stripMargin,
 
     // serving-path report bytes, replicated with SQL string construction
     // (exact serde shape: numeric-free key paths, detail objects/null)

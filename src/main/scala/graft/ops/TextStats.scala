@@ -30,6 +30,49 @@ object TextStats {
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]")).cast("long")
 
+  /** Token-level PII scrub for training corpora: whitespace tokens that
+    * look like an email, an IPv4 address, or a long bare number are
+    * replaced with typed placeholders. Deliberately token-exact rules
+    * (single '@' with nonempty local and dotted domain; 4 dot-separated
+    * 1-3-digit groups; >=7-digit runs) so the DuckDB oracle reproduces
+    * the decision byte-for-byte — recall-tuned patterns can widen the
+    * rules without changing the operator shape. Pure narrow projection:
+    * shuffle-free, codegen'd, scan-fused.
+    */
+  def scrubPii(text: Column): Column = {
+    def scrubToken(t: Column): Column = {
+      val at = split(t, "@", -1)
+      // get() (0-based, null on OOB) instead of element_at: ANSI mode
+      // throws on out-of-bounds and predicate order is not guaranteed
+      val emailish = size(at) === 2 &&
+        length(get(at, lit(0))) >= 1 &&
+        length(get(at, lit(1))) >= 3 &&
+        get(at, lit(1)).contains(".")
+      val ipish = t.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
+      val longNum = t.rlike("^[0-9]{7,}$")
+      when(emailish, lit("<EMAIL>"))
+        .when(ipish, lit("<IP>"))
+        .when(longNum, lit("<NUM>"))
+        .otherwise(t)
+    }
+    array_join(transform(split(text, " ", -1), scrubToken _), " ")
+  }
+
+  /** Count of tokens [[scrubPii]] would redact (the audit metric). */
+  def piiTokenCount(text: Column): Column =
+    size(filter(
+      transform(split(text, " ", -1), t => {
+        val at = split(t, "@", -1)
+        (size(at) === 2 &&
+          length(get(at, lit(0))) >= 1 &&
+          length(get(at, lit(1))) >= 3 &&
+          get(at, lit(1)).contains(".")) ||
+          t.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
+          t.rlike("^[0-9]{7,}$")
+      }),
+      (b: Column) => b
+    )).cast("long")
+
   /** Occurrences of a marker word (word-boundary anchored). */
   def markerCount(text: Column, word: String): Column =
     regexp_count(text, lit("\\b" + word + "\\b")).cast("long")
