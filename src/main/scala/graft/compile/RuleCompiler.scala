@@ -109,6 +109,19 @@ object RuleCompiler {
     compileStruct(name => col(name), n => schema(n).dataType, spec, Nil)
   }
 
+  /** Errors for a STRUCT COLUMN under `spec` (the Dive shape, exposed for
+    * enum-variant compilation — emit.rs:186-342 runs each variant's field
+    * rules under `match self`).
+    */
+  def compileStructCol(
+      value: Column,
+      st: StructType,
+      spec: WarySpec,
+      basePath: Seq[String] = Nil
+  ): Column =
+    compileStruct(
+      name => value.getField(name), n => st(n).dataType, spec, basePath)
+
   /** Shared by top-level rows and `Dive` recursion: `get`/`dtOf` abstract
     * over col(name) vs struct.getField(name).
     */
