@@ -240,6 +240,32 @@ object SparkEntry {
       graft.ops.CorpusClean(docs(s, dir))
         .select("doc_id", "n_chars_q", "n_words", "lang_pred")),
 
+    // --- enum (sum-type) gate: each turn encoded as a tagged union of a
+    // "msg" variant (user/assistant: text rules) and a "sys" variant
+    // (system/tool: tool required) — per-variant rules fire only for the
+    // active variant (EnumGate, match-arm semantics).
+    "q_enum_gate" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val tagged = t.select(
+        col("conv_id"), col("turn_idx"),
+        when(col("role").isin("user", "assistant"), "msg")
+          .otherwise("sys").as("tag"),
+        struct(col("text"), col("turn_idx").as("idx")).as("msg"),
+        struct(col("tool")).as("sys"))
+      val specMsg = WarySpec(Seq(
+        FieldSpec("text", rules = Seq(Required(), Length(min = 1, max = 4000))),
+        FieldSpec("idx", rules = Seq(Range(min = Some(0))))))
+      val specSys = WarySpec(Seq(FieldSpec("tool", rules = Seq(Required()))))
+      tagged
+        .withColumn("errors", graft.compile.EnumGate.errorsColumn(
+          tagged, "tag",
+          Seq(graft.compile.EnumGate.Variant("msg", "msg", specMsg),
+            graft.compile.EnumGate.Variant("sys", "sys", specSys))))
+        .select(col("conv_id"), col("turn_idx"), col("tag"),
+          size(col("errors")).as("n_errors"),
+          get(col("errors"), lit(0)).getField("code").as("first_code"))
+    }),
+
     // --- token-level PII scrub (emails / IPv4s / long numbers -> typed
     // placeholders + audit count). Text is salted with deterministic PII
     // tokens so every branch appears in the output.
@@ -310,6 +336,31 @@ object SparkEntry {
          |       WHEN strlen(text) < 1 THEN 'too_short'
          |       WHEN strlen(text) > 4000 THEN 'too_long'
          |       ELSE NULL END AS first_code
+         |FROM turns""".stripMargin,
+
+    "q_enum_gate" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN role IN ('user','assistant') THEN 'msg' ELSE 'sys' END AS tag,
+         |  CASE WHEN role IN ('user','assistant') THEN
+         |    (CASE WHEN text IS NULL THEN 1 ELSE
+         |      (CASE WHEN strlen(text) = 0 THEN 1 ELSE 0 END) +
+         |      (CASE WHEN strlen(text) < 1 THEN 1 ELSE 0 END) +
+         |      (CASE WHEN strlen(text) > 4000 THEN 1 ELSE 0 END) END) +
+         |    (CASE WHEN turn_idx < 0 THEN 1 ELSE 0 END)
+         |  ELSE
+         |    CASE WHEN tool IS NULL OR strlen(tool) = 0 THEN 1 ELSE 0 END
+         |  END AS n_errors,
+         |  CASE WHEN role IN ('user','assistant') THEN
+         |    CASE WHEN text IS NULL THEN 'cannot_be_empty'
+         |         WHEN strlen(text) = 0 THEN 'cannot_be_empty'
+         |         WHEN strlen(text) > 4000 THEN 'too_long'
+         |         WHEN turn_idx < 0 THEN 'too_small'
+         |         ELSE NULL END
+         |  ELSE
+         |    CASE WHEN tool IS NULL OR strlen(tool) = 0 THEN 'cannot_be_empty'
+         |         ELSE NULL END
+         |  END AS first_code
          |FROM turns""".stripMargin,
 
     "q_pii_scrub" ->
