@@ -30,7 +30,7 @@ object EnumGate {
   def errorsColumn(df: DataFrame, tagCol: String, variants: Seq[Variant]): Column = {
     require(variants.nonEmpty, "at least one variant")
     val schema = df.schema
-    variants
+    val perVariant = variants
       .map { v =>
         val st = schema(v.column).dataType.asInstanceOf[StructType]
         when(col(tagCol) === v.tag,
@@ -38,6 +38,15 @@ object EnumGate {
           .otherwise(RuleCompiler.noErrs)
       }
       .reduce((a, b) => concat(a, b).cast(RuleCompiler.errArrayType))
+    // A NULL or unknown tag has no reference analogue (deserializing an
+    // unknown Rust enum variant FAILS) — flag it instead of letting the
+    // row sail through unvalidated.
+    val known = col(tagCol).isin(variants.map(_.tag): _*)
+    val unknownErr = RuleCompiler.singleErr(
+      array(), "unknown_variant",
+      concat(lit("unknown enum variant: "),
+        coalesce(col(tagCol), lit("null"))))
+    when(known, perVariant).otherwise(unknownErr)
   }
 
   /** df + `errors` + per-variant gated transforms (transforms run only
@@ -62,7 +71,9 @@ object EnumGate {
       if (v.spec.fields.exists(_.transforms.nonEmpty))
         acc.withColumn(
           v.column,
-          when(valid && col(tagCol) === v.tag,
+          // isNotNull guard: rebuilding from a NULL struct would produce
+          // a non-null struct of null fields (same guard TRule.Dive has)
+          when(valid && col(tagCol) === v.tag && col(v.column).isNotNull,
             struct(transformedFields.toSeq: _*))
             .otherwise(col(v.column)))
       else acc

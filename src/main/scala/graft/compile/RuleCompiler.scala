@@ -66,6 +66,13 @@ object RuleCompiler {
       )
     ).cast(errArrayType)
 
+  /** Single-error array for engine-level failures (EnumGate's unknown
+    * variant); shares err1's struct construction/casting.
+    */
+  private[compile] def singleErr(
+      path: Column, code: String, message: Column): Column =
+    err1(path, code, message)
+
   private def whenErr(
       violated: Column,
       path: Column,

@@ -39,39 +39,39 @@ object TextStats {
     * rules without changing the operator shape. Pure narrow projection:
     * shuffle-free, codegen'd, scan-fused.
     */
-  def scrubPii(text: Column): Column = {
-    def scrubToken(t: Column): Column = {
-      val at = split(t, "@", -1)
-      // get() (0-based, null on OOB) instead of element_at: ANSI mode
-      // throws on out-of-bounds and predicate order is not guaranteed
-      val emailish = size(at) === 2 &&
-        length(get(at, lit(0))) >= 1 &&
-        length(get(at, lit(1))) >= 3 &&
-        get(at, lit(1)).contains(".")
-      val ipish = t.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$")
-      val longNum = t.rlike("^[0-9]{7,}$")
-      when(emailish, lit("<EMAIL>"))
-        .when(ipish, lit("<IP>"))
-        .when(longNum, lit("<NUM>"))
-        .otherwise(t)
-    }
-    array_join(transform(split(text, " ", -1), scrubToken _), " ")
+  def scrubPii(text: Column): Column =
+    array_join(
+      transform(split(text, " ", -1), t =>
+        when(isEmailToken(t), lit("<EMAIL>"))
+          .when(isIpToken(t), lit("<IP>"))
+          .when(isLongNumToken(t), lit("<NUM>"))
+          .otherwise(t)),
+      " ")
+
+  // One predicate per category, shared by scrubPii and piiTokenCount so
+  // the audit count can never desync from the redactions. Byte lengths
+  // (octet_length <-> DuckDB strlen) and \\z anchors (Java's $ would also
+  // match before a trailing newline; regexp_full_match would not) keep
+  // the oracle byte-exact.
+  private def isEmailToken(t: Column): Column = {
+    val at = split(t, "@", -1)
+    // get() (0-based, null on OOB) instead of element_at: ANSI mode
+    // throws on out-of-bounds and predicate order is not guaranteed
+    size(at) === 2 &&
+      octet_length(get(at, lit(0))) >= 1 &&
+      octet_length(get(at, lit(1))) >= 3 &&
+      get(at, lit(1)).contains(".")
   }
+  private def isIpToken(t: Column): Column =
+    t.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}\\z")
+  private def isLongNumToken(t: Column): Column =
+    t.rlike("^[0-9]{7,}\\z")
+  private def isPiiToken(t: Column): Column =
+    isEmailToken(t) || isIpToken(t) || isLongNumToken(t)
 
   /** Count of tokens [[scrubPii]] would redact (the audit metric). */
   def piiTokenCount(text: Column): Column =
-    size(filter(
-      transform(split(text, " ", -1), t => {
-        val at = split(t, "@", -1)
-        (size(at) === 2 &&
-          length(get(at, lit(0))) >= 1 &&
-          length(get(at, lit(1))) >= 3 &&
-          get(at, lit(1)).contains(".")) ||
-          t.rlike("^[0-9]{1,3}(\\.[0-9]{1,3}){3}$") ||
-          t.rlike("^[0-9]{7,}$")
-      }),
-      (b: Column) => b
-    )).cast("long")
+    size(filter(split(text, " ", -1), isPiiToken _)).cast("long")
 
   /** Occurrences of a marker word (word-boundary anchored). */
   def markerCount(text: Column, word: String): Column =

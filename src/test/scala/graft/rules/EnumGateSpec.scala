@@ -85,6 +85,15 @@ class EnumGateSpec extends AnyFunSuite {
     assert(short == Seq((Seq("name", "0"), "too_short")))
   }
 
+  test("unknown or NULL tag is flagged, never silently valid") {
+    val (errs, _) = run(EgPerson("Adult", // case mismatch = unknown
+      EgVariant(okName, 10), EgVariant(okName, 30)))
+    assert(errs == Seq((Seq.empty, "unknown_variant")))
+    val (nullTag, _) = run(EgPerson(null,
+      EgVariant(okName, 10), EgVariant(okName, 30)))
+    assert(nullTag == Seq((Seq.empty, "unknown_variant")))
+  }
+
   test("invalid rows keep original values (gate blocks transforms)") {
     val (errs, row) = run(EgPerson("child",
       EgVariant(EgName("ALICE"), 99), EgVariant(okName, 30)))
