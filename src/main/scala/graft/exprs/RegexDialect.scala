@@ -14,11 +14,11 @@ package graft.exprs
   *  - `.` excludes ONLY `\n` in Rust, but all of `\n \r U+0085 U+2028 U+2029` in
   *    Java — fixed by the `(?d)` (UNIX_LINES) flag, under which Java's
   *    `.` (and multiline `^`/`$`) recognize only `\n`.
-  *  - a TRAILING `$` means end-of-haystack (`\z`) in Rust but
-  *    before-final-newline (`\Z`) in Java — rewritten to `\z` when the
-  *    pattern is not multiline. (A non-trailing `$` in an alternation
-  *    keeps Java `\Z` semantics — a documented residual divergence on
-  *    inputs with a trailing newline.)
+  *  - `$` means end-of-haystack (`\z`) in Rust but before-final-newline
+  *    (`\Z`) in Java — EVERY unescaped `$` outside a character class is
+  *    rewritten to `\z` when the pattern has no positive `m` flag group
+  *    (so `(a$|b$)` keeps Rust semantics on inputs with a trailing
+  *    newline, not just a trailing `$`).
   *  - POSIX ASCII classes `[[:alpha:]]`, `[[:digit:]]`, … are Rust-only
   *    syntax; expanded to explicit ASCII ranges (NOT `\p{Alpha}`, which
   *    `(?U)` would silently widen to Unicode — Rust's are strictly ASCII).
@@ -26,9 +26,11 @@ package graft.exprs
   *
   * Rejected constructs (no Java equivalent with the same meaning):
   *
-  *  - `(?U)` in the INPUT means swap-greed in Rust but
-  *    UNICODE_CHARACTER_CLASS in Java — translation throws rather than
-  *    silently diverge.
+  *  - a `U` flag anywhere in a flag group (`(?U)`, `(?sU)`, `(?-U)`,
+  *    `(?U:…)`) means swap-greed in Rust but UNICODE_CHARACTER_CLASS in
+  *    Java — translation throws rather than silently diverge. Flag groups
+  *    are detected by scanning (escape- and character-class-aware), not
+  *    substring matching, so combined groups like `(?sU)` are caught.
   *
   * Rust `regex` has no lookarounds or backreferences, so every remaining
   * Rust-valid pattern is also Java-valid with identical semantics.
@@ -52,10 +54,68 @@ object RegexDialect {
     "xdigit" -> "0-9A-Fa-f"
   )
 
+  private val flagChars = "idmsuxU"
+
+  /** Scan flag groups `(?flags)` / `(?flags-flags:` outside character
+    * classes and escapes. Returns (any `U` flag present, any POSITIVE `m`
+    * flag present). Non-flag groups ((?<name>…), (?P<…), (?:…)) stop the
+    * flag scan at the first non-flag char and are ignored.
+    */
+  private def scanFlags(p: String): (Boolean, Boolean) = {
+    var i = 0
+    var inClass = false
+    var hasU = false
+    var posM = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\') i += 2
+      else if (inClass) { if (c == ']') inClass = false; i += 1 }
+      else if (c == '[') { inClass = true; i += 1 }
+      else if (c == '(' && i + 1 < p.length && p.charAt(i + 1) == '?') {
+        var j = i + 2
+        var neg = false
+        var isFlags = true
+        while (isFlags && j < p.length &&
+          p.charAt(j) != ')' && p.charAt(j) != ':') {
+          val f = p.charAt(j)
+          if (f == '-') neg = true
+          else if (flagChars.indexOf(f.toInt) >= 0) {
+            if (f == 'U') hasU = true
+            if (f == 'm' && !neg) posM = true
+          } else isFlags = false // (?<name>, (?P<, (?=… — not a flag group
+          j += 1
+        }
+        i += 2 // group contents are scanned normally
+      } else i += 1
+    }
+    (hasU, posM)
+  }
+
+  /** Rewrite every unescaped `$` outside character classes to `\z`. */
+  private def rewriteDollars(p: String): String = {
+    val sb = new StringBuilder(p.length + 8)
+    var i = 0
+    var inClass = false
+    while (i < p.length) {
+      val c = p.charAt(i)
+      if (c == '\\' && i + 1 < p.length) {
+        sb.append(c).append(p.charAt(i + 1)); i += 2
+      } else {
+        if (inClass) { if (c == ']') inClass = false; sb.append(c) }
+        else if (c == '[') { inClass = true; sb.append(c) }
+        else if (c == '$') sb.append("\\z")
+        else sb.append(c)
+        i += 1
+      }
+    }
+    sb.toString
+  }
+
   /** Translate a Rust-`regex` pattern to an equivalent Java pattern. */
   def toJava(pat: String): String = {
-    require(!pat.contains("(?U"),
-      s"Rust swap-greed flag (?U) has no Java equivalent " +
+    val (hasU, multiline) = scanFlags(pat)
+    require(!hasU,
+      s"Rust swap-greed flag U has no Java equivalent " +
         s"(Java (?U) means unicode character classes): $pat")
     require(!pat.contains("[:^"),
       s"negated POSIX classes ([[:^name:]]) are not translated: $pat")
@@ -63,13 +123,7 @@ object RegexDialect {
     posix.foreach { case (name, expansion) =>
       p = p.replace(s"[:$name:]", expansion)
     }
-    // trailing unescaped $ -> \z (Rust end-of-haystack; Java $ would also
-    // match before a final newline). Unescaped = even number of trailing
-    // backslashes before it.
-    val multiline = p.contains("(?m")
-    if (!multiline && p.endsWith("$") &&
-      p.dropRight(1).reverse.takeWhile(_ == '\\').length % 2 == 0)
-      p = p.dropRight(1) + "\\z"
+    if (!multiline) p = rewriteDollars(p)
     "(?dU)" + p
   }
 }

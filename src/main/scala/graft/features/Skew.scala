@@ -17,6 +17,16 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  import org.apache.spark.sql.types.{ArrayType, DataType, MapType, StructType}
+
+  /** True when `dt` contains a MapType at any nesting level. */
+  private[features] def containsMap(dt: DataType): Boolean = dt match {
+    case _: MapType    => true
+    case s: StructType => s.fields.exists(f => containsMap(f.dataType))
+    case a: ArrayType  => containsMap(a.elementType)
+    case _             => false
+  }
+
   /** Two-phase salted aggregation. `partials` aggregate within each
     * (key, salt) group; `merges` recombine the partial columns (by name)
     * per key — e.g. partial `count(*) as n_part` merges as
@@ -39,10 +49,11 @@ object Skew {
     // reducer — mixing in spark_partition_id() spreads duplicates
     // across as many salts as input partitions while staying
     // deterministic for a fixed input layout (task retries re-read the
-    // same partition). MapType columns are excluded (hash() rejects
-    // maps in Spark 3+).
+    // same partition). Columns containing a MapType at ANY nesting level
+    // are excluded (hash() rejects maps at any depth in Spark 3+ — a
+    // struct<m:map<…>> fails analysis just like a top-level map).
     val hashable = df.schema.fields
-      .filterNot(_.dataType.isInstanceOf[org.apache.spark.sql.types.MapType])
+      .filterNot(f => containsMap(f.dataType))
       .map(f => col(f.name))
       .toSeq
     val salted = df.withColumn(

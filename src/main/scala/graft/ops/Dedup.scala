@@ -135,18 +135,31 @@ object Dedup {
       maxBucketSize: Int = 10000
   ): DataFrame = {
     require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
-    val b = minhashBands(df, idCol, textCol, k, bands, shingleLen)
-    val buckets = b
+    pairsFromBuckets(
+      bucketsOf(minhashBands(df, idCol, textCol, k, bands, shingleLen)),
+      maxBucketSize)
+  }
+
+  /** One grouped pass over the band table: (band_idx, band_key, n_docs,
+    * docs). Both the pair expansion and the drop audit derive from this —
+    * counting and collecting in the SAME aggregate is what lets
+    * [[minhashPairsWithAudit]] produce both outputs from one corpus scan.
+    */
+  private def bucketsOf(bandTable: DataFrame): DataFrame =
+    bandTable
       .groupBy(col("band_idx"), col("band_key"))
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
-      .filter(size(col("docs")) > 1)
-      // Hot-bucket cap: one mass-duplicated boilerplate text at web scale
-      // creates a bucket whose in-bucket pair expansion is O(b²) inside a
-      // single row's array expressions. Oversized buckets are DROPPED
-      // (their pair explosion would be useless for near-dup anyway — cap
-      // hits mean exact-dup boilerplate, which exactGroups handles) and
-      // surfaced via droppedHotBuckets on the same input.
-      .filter(size(col("docs")) <= maxBucketSize)
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc"))).as("docs"))
+
+  private def pairsFromBuckets(buckets: DataFrame, maxBucketSize: Int): DataFrame = {
+    // Hot-bucket cap: one mass-duplicated boilerplate text at web scale
+    // creates a bucket whose in-bucket pair expansion is O(b²) inside a
+    // single row's array expressions. Oversized buckets are DROPPED
+    // (their pair explosion would be useless for near-dup anyway — cap
+    // hits mean exact-dup boilerplate, which exactGroups handles) and
+    // surfaced via droppedHotBuckets / minhashPairsWithAudit.
+    val inRange = buckets
+      .filter(col("n_docs") > 1 && col("n_docs") <= maxBucketSize)
     val pairs = flatten(
       transform(
         col("docs"),
@@ -158,7 +171,7 @@ object Dedup {
           )
       )
     )
-    buckets
+    inRange
       .select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
@@ -181,6 +194,44 @@ object Dedup {
       .groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") > maxBucketSize)
+
+  /** Capped pairs + the mandatory drop audit from ONE evaluation of the
+    * MinHash band pass. The shared bucket table is persisted so the two
+    * returned frames (each a separate Spark action for the caller) scan
+    * the corpus and compute signatures exactly once; call `unpersist()`
+    * when both have been consumed.
+    *
+    * Prefer this over calling [[minhashPairs]] + [[droppedHotBuckets]]
+    * separately, which computes MinHash signatures over the full corpus
+    * twice.
+    */
+  final case class PairsWithAudit(
+      pairs: DataFrame,
+      droppedHotBuckets: DataFrame,
+      private val shared: DataFrame
+  ) {
+    def unpersist(): Unit = { shared.unpersist(); () }
+  }
+
+  def minhashPairsWithAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3,
+      maxBucketSize: Int = 10000
+  ): PairsWithAudit = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    val buckets = bucketsOf(
+      minhashBands(df, idCol, textCol, k, bands, shingleLen))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PairsWithAudit(
+      pairsFromBuckets(buckets, maxBucketSize),
+      buckets.filter(col("n_docs") > maxBucketSize)
+        .select(col("band_idx"), col("band_key"), col("n_docs")),
+      buckets)
+  }
 
   /** Word-set Jaccard between explicit doc pairs: returns exact-integer
     * intersection and union sizes (ratio left to the caller — integers

@@ -76,18 +76,26 @@ object Similarity {
     * side is broadcast, so the shape is O(n²) work and O(n) driver memory
     * — correct ONLY for small/capped subsets. To make that impossible to
     * reach by accident at scale, the corpus size is checked against
-    * `maxCorpus` (one cheap count) and the call fails fast with a pointer
-    * to [[nearDupPairsLsh]], the sub-quadratic route for full corpora.
+    * `maxCorpus` and the call fails fast with a pointer to
+    * [[nearDupPairsLsh]], the sub-quadratic route for full corpora.
+    *
+    * Guard cost: the check is `limit(maxCorpus+1).count()`, so it costs
+    * O(maxCorpus) regardless of corpus size — but it IS an extra Spark
+    * action that re-evaluates the corpus lineage up to the cap. Callers
+    * that already know the size (a cached/counted input) pass `knownSize`
+    * to skip the action entirely.
     */
   def nearDupPairs(
       corpus: DataFrame,
       minDot: Long,
-      maxCorpus: Long = 100000L
+      maxCorpus: Long = 100000L,
+      knownSize: Option[Long] = None
   ): DataFrame = {
-    val n = corpus.count()
+    val probe = math.min(maxCorpus + 1L, Int.MaxValue.toLong).toInt
+    val n = knownSize.getOrElse(corpus.limit(probe).count())
     require(n <= maxCorpus,
       s"nearDupPairs is brute-force O(n²) with a broadcast side; corpus has " +
-        s"$n rows > maxCorpus=$maxCorpus. Use nearDupPairsLsh (LSH-bucketed" +
+        s"> maxCorpus=$maxCorpus rows. Use nearDupPairsLsh (LSH-bucketed" +
         s") for full corpora, or raise maxCorpus explicitly for a capped " +
         "subset you know fits.")
     val a = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
@@ -97,12 +105,28 @@ object Similarity {
       .filter(col("dot") >= minDot)
   }
 
-  /** Scale path for embedding near-dup: LSH-bucket the corpus once, expand
-    * (a < b) pairs within each bucket, then exact-re-rank by quantized dot.
-    * Same output contract as [[nearDupPairs]] restricted to pairs that
-    * collide in a bucket (recall < 1 by construction — raise `nBits` down
-    * or add band-style multi-probe for higher recall). One shuffle on the
-    * bucket id; no broadcast of the corpus.
+  /** Scale path for embedding near-dup: LSH-bucket the corpus, expand
+    * (a < b) candidate pairs from ID-ONLY bucket rows via a bucket-keyed
+    * self-join, then join the embeddings back for the exact quantized-dot
+    * re-rank. Same output contract as [[nearDupPairs]] restricted to pairs
+    * that collide in a bucket.
+    *
+    * Memory shape (the thing that matters at 100 TB): no single row ever
+    * holds more than TWO embeddings — candidate generation carries only
+    * (bucket, vec_id), and the re-rank joins each side's vector back
+    * individually. A full bucket at the cap with dim-1024 floats costs
+    * nothing beyond its (id, bucket) rows; the O(b²) pair expansion is
+    * distributed across the bucket join's output rows, never materialized
+    * inside one row.
+    *
+    * Recall caveats (both auditable, neither silent):
+    *  - recall < 1 by construction — vectors must collide in the single
+    *    sign-LSH bucket (lower `nBits` or add multi-probe for recall);
+    *  - buckets larger than `maxBucketSize` are DROPPED (a degenerate
+    *    bucket means near-identical mass duplicates — exact dedup
+    *    territory — or too-few bits). Dropped buckets are surfaced by
+    *    [[lshDroppedHotBuckets]] on the same input: log it next to this
+    *    output, exactly like Dedup.minhashPairs/droppedHotBuckets.
     */
   def nearDupPairsLsh(
       corpus: DataFrame,
@@ -111,37 +135,46 @@ object Similarity {
       nBits: Int = 12,
       maxBucketSize: Int = 10000
   ): DataFrame = {
-    val bucketed = corpus
-      .select(col("vec_id"), col("embedding"),
-        lshBucket(col("embedding"), dim, nBits).as("bucket"))
-    val buckets = bucketed
-      .groupBy(col("bucket"))
-      .agg(sort_array(collect_list(struct(col("vec_id"), col("embedding"))))
-        .as("docs"))
-      .filter(size(col("docs")) > 1 && size(col("docs")) <= maxBucketSize)
-    val pairs = flatten(
-      transform(
-        col("docs"),
-        (x, i) =>
-          transform(
-            slice(col("docs"), i + 2,
-              greatest(size(col("docs")) - i - 1, lit(0))),
-            y => struct(x.as("x"), y.as("y"))
-          )
-      )
-    )
-    buckets
-      .select(explode(pairs).as("p"))
-      .select(
-        col("p.x.vec_id").as("a"),
-        col("p.y.vec_id").as("b"),
-        quantDot(col("p.x.embedding"), col("p.y.embedding")).as("dot"))
-      .filter(col("dot") >= minDot)
+    val ids = corpus.select(
+      col("vec_id"), lshBucket(col("embedding"), dim, nBits).as("bucket"))
+    // eligible buckets from ids only (count, not collect)
+    val ok = ids.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .select("bucket")
+    val l = ids.join(ok, Seq("bucket")).select(col("bucket"), col("vec_id").as("a"))
+    val r = ids.join(ok, Seq("bucket")).select(col("bucket"), col("vec_id").as("b"))
+    val cand = l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
     // no distinct: each vector lands in exactly ONE bucket (unlike the
     // banded MinHash pairs), so every (a < b) pair is generated at most
-    // once — a dedup here would be a full extra shuffle over the largest
-    // intermediate for nothing
+    // once — a dedup here would be a full extra shuffle for nothing
+    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    cand
+      .join(ea, Seq("a"))
+      .join(eb, Seq("b"))
+      .select(col("a"), col("b"), quantDot(col("ea"), col("eb")).as("dot"))
+      .filter(col("dot") >= minDot)
   }
+
+  /** Buckets the `maxBucketSize` cap would drop in [[nearDupPairsLsh]]:
+    * one row per oversized bucket with its vector count — the drop metric
+    * to log/alert on next to the capped pair output (without it, capped
+    * drops are indistinguishable from ordinary LSH recall loss).
+    */
+  def lshDroppedHotBuckets(
+      corpus: DataFrame,
+      dim: Int,
+      nBits: Int = 12,
+      maxBucketSize: Int = 10000
+  ): DataFrame =
+    corpus
+      .select(lshBucket(col("embedding"), dim, nBits).as("bucket"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxBucketSize)
 
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
     * Hyperplane weights are derived per (bit, dimension) from a splitmix-

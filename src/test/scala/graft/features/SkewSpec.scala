@@ -22,6 +22,17 @@ class SkewSpec extends AnyFunSuite {
     assert(salted == plain)
   }
 
+  test("salt hash excludes NESTED maps (struct/array-wrapped), not just top-level") {
+    // hash() rejects MapType at any nesting depth in Spark 3+ — before the
+    // recursive exclusion, a struct<m:map<..>> column failed analysis here
+    val df = (1 to 100).map(i => ("hot", i.toLong, Map("a" -> i),
+        (i, Map("b" -> i)), Seq(Map("c" -> i))))
+      .toDF("k", "v", "m", "sm", "am")
+    val out = Skew.saltedCountSum(df, Seq("k"), "v", salts = 4)
+      .as[(String, Long, Long)].collect()
+    assert(out.toSeq == Seq(("hot", 100L, 5050L)))
+  }
+
   test("salted aggregation spreads the hot key across partials") {
     val df = (1 to 1000).map(i => ("hot", i.toLong)).toDF("k", "v")
     val salted = df.withColumn(

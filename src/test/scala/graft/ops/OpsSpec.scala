@@ -89,6 +89,59 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("nearDupPairsLsh memory shape: id-only buckets, dim-512 full bucket") {
+    // 40 identical dim-512 vectors => one guaranteed-full bucket. Before
+    // the id-only self-join shape, this bucket's row held 40 × 512 floats
+    // (and O(b²) struct pairs); now no row carries more than two vectors.
+    val base = (0 until 512).map(d => 0.5f + 0.0001f * (d % 7))
+    val df = (0L until 40L).map(i => (i, base)).toDF("vec_id", "embedding")
+    val out = Similarity.nearDupPairsLsh(df, minDot = 0L, dim = 512,
+      nBits = 8, maxBucketSize = 40)
+    assert(out.count() == 40L * 39 / 2)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"),
+      "per-bucket embedding array collection crept back into the plan")
+    // a smaller cap drops the bucket — and the audit surfaces the drop
+    val capped = Similarity.nearDupPairsLsh(df, 0L, 512, 8, maxBucketSize = 10)
+    assert(capped.count() == 0L)
+    val dropped = Similarity
+      .lshDroppedHotBuckets(df, 512, 8, maxBucketSize = 10).collect()
+    assert(dropped.length == 1 && dropped(0).getLong(1) == 40L)
+  }
+
+  test("nearDupPairs knownSize skips the guard action, same output") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter($"vec_id" < 20)
+    val counted = Similarity.nearDupPairs(e, minDot = 0L).count()
+    val known = Similarity
+      .nearDupPairs(e, minDot = 0L, knownSize = Some(20L)).count()
+    assert(counted == known)
+  }
+
+  test("minhashPairsWithAudit: pairs + drop audit from ONE band evaluation") {
+    val boiler = (0L until 200L).map(i => (i, "copy paste boilerplate text " +
+      "that is exactly the same in every single document here"))
+    val near = Seq(
+      (1000L, "a unique document about spark physical plans and shuffles"),
+      (1001L, "a unique document about spark physical plans and shuffle"))
+    val df = (boiler ++ near).toDF("doc_id", "text")
+    val r = Dedup.minhashPairsWithAudit(df, "doc_id", "text",
+      maxBucketSize = 50)
+    val pairs = r.pairs.as[(Long, Long)].collect().toSet
+    val expected = Dedup.minhashPairs(df, "doc_id", "text", maxBucketSize = 50)
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == expected)
+    val dropped = r.droppedHotBuckets.collect()
+    assert(dropped.nonEmpty && dropped.forall(_.getLong(2) == 200L))
+    // the audit's plan reuses the persisted bucket table instead of
+    // recomputing MinHash signatures over the corpus a second time
+    val plan = r.droppedHotBuckets.queryExecution.executedPlan.toString
+    assert(plan.contains("InMemoryTableScan") ||
+      plan.contains("TableCacheQueryStage"),
+      s"audit plan does not reuse the cached buckets:\n$plan")
+    r.unpersist()
+  }
+
   test("SignLsh expression equals the HOF bucket composition") {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val both = e.select(

@@ -281,6 +281,25 @@ class RuleGoldenSpec extends AnyFunSuite {
     }
   }
 
+  test("regex: generalized $ rewrite + flag-group detection (regex.rs:88-106)") {
+    // EVERY unescaped $ is end-of-haystack in Rust, not just a trailing
+    // one: (a$|b$) must not match before a final newline
+    assert(codes(str("b\n"), Regex("(a$|b$)")) == Seq("no_match"))
+    assert(codes(str("b"), Regex("(a$|b$)")).isEmpty)
+    // combined flag group (?im) IS multiline — rewrite must not fire
+    assert(codes(str("A\nB"), Regex("(?im)a$")).isEmpty)
+    // $ inside a character class is a literal, never rewritten
+    assert(codes(str("$"), Regex("^[$]$")).isEmpty)
+    // escaped \$ is a literal dollar
+    assert(codes(str("a$"), Regex("^a\\$$")).isEmpty)
+    assert(codes(str("a"), Regex("^a\\$$")) == Seq("no_match"))
+    // swap-greed U in ANY flag-group shape is rejected loudly, including
+    // combined ((?sU)), negated ((?s-U)) and scoped ((?U:…)) groups
+    intercept[IllegalArgumentException] { codes(str("x"), Regex("(?sU)a.b")) }
+    intercept[IllegalArgumentException] { codes(str("x"), Regex("(?s-U)a.b")) }
+    intercept[IllegalArgumentException] { codes(str("x"), Regex("(?U:a+?)")) }
+  }
+
   // --- addr (addr.rs:155-229) -------------------------------------------
   test("addr ip/ipv4/ipv6") {
     assert(codes(str("127.0.0.1"), Addr("ipv4")).isEmpty)
@@ -350,6 +369,33 @@ class RuleGoldenSpec extends AnyFunSuite {
   test("url (url.rs:141-153)") {
     assert(codes(str("https://example.com"), Url).isEmpty)
     assert(codes(str("hello"), Url) == Seq("relative_url_without_base"))
+  }
+
+  test("url: per-variant error codes (url.rs:10-88)") {
+    def code(s: String) = codes(str(s), Url)
+    assert(code("https://example.com:8080/a?q=1#f").isEmpty)
+    assert(code("file:///etc/hosts").isEmpty)
+    assert(code("mailto:user@example.com").isEmpty) // cannot-be-a-base parses
+    assert(code("https://[::1]:8080/x").isEmpty)
+    assert(code("https://127.0.0.1:80").isEmpty)
+    assert(code("hello") == Seq("relative_url_without_base"))
+    assert(code("/path/only") == Seq("relative_url_without_base"))
+    assert(code("https://") == Seq("empty_host"))
+    assert(code("https://user@") == Seq("empty_host"))
+    assert(code("https://example.com:99999") == Seq("invalid_port"))
+    assert(code("https://example.com:x1") == Seq("invalid_port"))
+    assert(code("https://1.2.3.4.5") == Seq("invalid_ipv4_address"))
+    assert(code("https://999.1.2.3") == Seq("invalid_ipv4_address"))
+    assert(code("https://[:::1]") == Seq("invalid_ipv6_address"))
+    assert(code("https://[::1") == Seq("invalid_ipv6_address"))
+    assert(code("https://exa mple.com") == Seq("invalid_domain_character"))
+    assert(code("https://ex<ample.com") == Seq("invalid_domain_character"))
+    // Unreachable through Url::parse WITHOUT a base (url.rs:136 calls the
+    // plain parser): relative_url_with_cannot_be_a_base_base and
+    // set_host_on_cannot_be_a_base_url need the with-base/set_host APIs;
+    // overflow needs a >4 GB input; other is the catch-all. idna_error:
+    // non-ASCII hosts are accepted verbatim here (no punycode round-trip)
+    // — documented divergence.
   }
 
   // --- time (time.rs:36-51,132-193) — inverted codes -------------------
