@@ -287,6 +287,35 @@ object SparkEntry {
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))),
 
+    // --- salted two-phase aggregation (explicit skew handling) -----------------
+    // Mega-key-immune per-conversation rollup: each key is spread over 16
+    // salted partial aggregates and recombined. The WHOLE POINT is that the
+    // result equals a plain GROUP BY exactly — which is what the DuckDB
+    // oracle asserts.
+    "q_salted_agg" -> ((s, dir) => {
+      val t = turns(s, dir).withColumn(
+        "txt_bytes", coalesce(octet_length(col("text")).cast("long"), lit(0L)))
+      graft.features.Skew.saltedCountSum(t, Seq("conv_id"), "txt_bytes",
+        salts = 16)
+    }),
+
+    // --- pipeline over the BUCKETED layout (layout must not change results) ----
+    // Full flagship feature set computed off Bucketed.writeTranscript
+    // (hash-clustered + sorted by conv_id — the shuffle-elimination layer);
+    // the oracle is the plain-layout pipeline semantics, proving the
+    // physical layout is results-invisible.
+    "q_bucketed_pipeline" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_bucketed").toString
+      graft.io.Bucketed.writeTranscript(
+        turns(s, dir), "verify_turns_bucketed", tmp, 16)
+      Pipeline
+        .featuresFromTurns(graft.io.Bucketed.read(s, "verify_turns_bucketed"))
+        .select(col("conv_id"), col("turn_idx"), col("text").as("text_norm"),
+          col("n_errors"), col("prev_text"), col("tool_state"),
+          col("n_tool_calls"), col("session_seq"), col("last_tool"))
+    }),
+
     // --- brute-force ANN top-k (quantized inner product) -----------------------
     "q_ann_topk" -> ((s, dir) => {
       val e = embeds(s, dir)
@@ -413,6 +442,53 @@ object SparkEntry {
          |      '","detail":{"max":4000,"actual":' || strlen(t) || ',"exclusive":false}}]'
          |    ELSE '[]' END AS report
          |FROM p""".stripMargin,
+
+    "q_salted_agg" ->
+      s"""$T
+         |SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(coalesce(strlen(text), 0)) AS BIGINT) AS s
+         |FROM turns GROUP BY conv_id""".stripMargin,
+
+    "q_bucketed_pipeline" ->
+      s"""$T,
+         |g AS (
+         |  SELECT conv_id, turn_idx, tool, ts,
+         |    CASE WHEN text IS NULL THEN NULL
+         |         WHEN strlen(text) >= 1 AND strlen(text) <= 4000
+         |           THEN lower(regexp_replace(text, '(^[ \t\n]+)|([ \t\n]+$$)', '', 'g'))
+         |         ELSE text END AS text_norm,
+         |    CASE WHEN text IS NULL THEN 1 ELSE
+         |      (CASE WHEN strlen(text) = 0 THEN 1 ELSE 0 END) +
+         |      (CASE WHEN strlen(text) < 1 THEN 1 ELSE 0 END) +
+         |      (CASE WHEN strlen(text) > 4000 THEN 1 ELSE 0 END) END AS n_errors
+         |  FROM turns),
+         |w AS (
+         |  SELECT *,
+         |    lag(text_norm) OVER win AS prev_text,
+         |    last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
+         |      ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_state,
+         |    CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) OVER (
+         |      PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS n_tool_calls,
+         |    lag(ts) OVER win AS prev_ts
+         |  FROM g
+         |  WINDOW win AS (PARTITION BY conv_id ORDER BY ts, turn_idx)),
+         |s AS (
+         |  SELECT *,
+         |    CAST(SUM(CASE WHEN prev_ts IS NULL
+         |        OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |      THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM w),
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT s.conv_id, s.turn_idx, s.text_norm, s.n_errors, s.prev_text,
+         |  s.tool_state, s.n_tool_calls, s.session_seq,
+         |  (SELECT o.last_tool FROM obs o
+         |   WHERE o.conv_id = s.conv_id AND o.ts <= s.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
+         |FROM s""".stripMargin,
 
     "q_lag_lead" ->
       s"""$T
