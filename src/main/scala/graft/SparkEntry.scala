@@ -338,6 +338,72 @@ object SparkEntry {
       Similarity.nearDupPairs(
         embeds(s, dir).filter(col("vec_id") % 5 === 0), minDot = 30000000L)),
 
+    // --- STREAMING sessionize under the batch oracle ---------------------------
+    // The stateful streaming path (flatMapGroupsWithState, event-time
+    // timeouts) replayed over the batch transcript as an in-order stream:
+    // 4 micro-batches in global ts order, then two far-future sentinel
+    // events whose only job is to advance the watermark (it updates
+    // BETWEEN batches) so every open tail session flushes via timeout.
+    // The oracle is the plain BATCH sessionization SQL — the hard signal
+    // that stream and batch agree row-for-row.
+    "q_stream_sessionize" -> ((s, dir) => {
+      import s.implicits._
+      import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnEvent
+      implicit val sqlCtx = s.sqlContext
+      val rows = turns(s, dir)
+        .select($"conv_id", $"turn_idx", $"role", $"ts")
+        .as[TurnEvent].collect()
+        .sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
+      val maxTs = rows.iterator.map(_.ts.getTime).max
+      val input = MemoryStream[TurnEvent]
+      val name = s"stream_sessions_${System.nanoTime()}"
+      val q = StreamingFeatures.sessionize(input.toDS(), gapSeconds = 1800L)
+        .writeStream.outputMode("append").format("memory")
+        .queryName(name).start()
+      try {
+        val chunk = math.max(1, (rows.length + 3) / 4)
+        rows.grouped(chunk).foreach { g =>
+          input.addData(g.toSeq); q.processAllAvailable()
+        }
+        // gap + watermark + margin, twice (watermark lags one batch)
+        val step = (1800L + 600L + 10L) * 1000L
+        input.addData(TurnEvent("__wm__", 0, "user",
+          new java.sql.Timestamp(maxTs + step)))
+        q.processAllAvailable()
+        input.addData(TurnEvent("__wm__", 1, "user",
+          new java.sql.Timestamp(maxTs + 2 * step)))
+        q.processAllAvailable()
+      } finally q.stop()
+      s.table(name).filter($"conv_id" =!= "__wm__")
+        .select("conv_id", "session_seq", "n_turns", "session_start",
+          "session_end")
+    }),
+
+    // --- multimodal container decode (REAL pure-JVM PNG/WAV header parse) ------
+    // Media payloads are synthesized deterministically from doc_id (real
+    // PNG signature+IHDR with CRC32, real RIFF/WAVE fmt chunk, or corrupt
+    // junk), then decoded by parsing the BYTES — the oracle predicts the
+    // fields analytically from doc_id, so an encoder/parser offset bug on
+    // either side breaks the match.
+    "q_multimodal" -> ((s, dir) => {
+      import s.implicits._
+      import graft.ops.Multimodal
+      val media = docs(s, dir).select(col("doc_id")).as[Long].map { id =>
+        val bytes =
+          if (id % 7 == 0) Multimodal.opaqueBytes(id, 32)
+          else if (id % 2 == 0)
+            Multimodal.encodePng((16 + id % 64).toInt, (8 + id % 32).toInt,
+              8, if (id % 3 == 0) 6 else 2, id)
+          else
+            Multimodal.encodeWav((8000 + (id % 5) * 4000).toInt,
+              (1 + (id / 2) % 2).toInt, 16, 64, id)
+        (id, bytes)
+      }.toDF("media_id", "bytes")
+      Multimodal.decodeTable(media).toDF()
+    }),
+
     // --- embedding norms (quantized, exact) -------------------------------------
     "q_embed_norm" -> ((s, dir) =>
       embeds(s, dir).select(
@@ -719,6 +785,38 @@ object SparkEntry {
         |       for i in range(1, len(a.embedding)+1)]) AS BIGINT) AS dot
         |  FROM s a, s b WHERE a.vec_id < b.vec_id)
         |SELECT a, b, dot FROM d WHERE dot >= 30000000""".stripMargin,
+
+    "q_stream_sessionize" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1)
+         |SELECT conv_id, session_seq, CAST(count(*) AS BIGINT) AS n_turns,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM s2 GROUP BY conv_id, session_seq""".stripMargin,
+
+    "q_multimodal" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'unknown'
+        |       WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+        |       THEN CAST(16 + doc_id % 64 AS INT) END AS width,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 0
+        |       THEN CAST(8 + doc_id % 32 AS INT) END AS height,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+        |       THEN CAST(1 + (doc_id // 2) % 2 AS INT) END AS channels,
+        |  CASE WHEN doc_id % 7 <> 0 AND doc_id % 2 = 1
+        |       THEN CAST(8000 + (doc_id % 5) * 4000 AS INT) END AS sample_rate,
+        |  CASE WHEN doc_id % 7 = 0 THEN CAST(NULL AS INT)
+        |       WHEN doc_id % 2 = 0 THEN CAST(8 AS INT)
+        |       ELSE CAST(16 AS INT) END AS bit_depth
+        |FROM documents""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,

@@ -28,9 +28,12 @@ object StreamingFeatures {
   )
 
   /** O(1) summary accumulator for the still-open tail session — NOT a turn
-    * buffer: a never-idle conversation must not grow state.
+    * buffer: a never-idle conversation must not grow state. Bounds are
+    * kept as Timestamps (not epoch millis) so MICROSECOND precision
+    * survives into the emitted session bounds — the batch oracle's
+    * min(ts)/max(ts) carries micros.
     */
-  final case class OpenSess(startMs: Long, endMs: Long, n: Long)
+  final case class OpenSess(start: Timestamp, end: Timestamp, n: Long)
 
   /** flatMapGroupsWithState state: the open-session accumulator (None after
     * a timeout emitted the tail) + how many sessions were already emitted
@@ -68,11 +71,21 @@ object StreamingFeatures {
     * than a gap before the open session's start is dropped — in batch it
     * would be its own earlier session, and emitting it late would
     * renumber sessions already emitted downstream.
+    *
+    * State retention: after a timeout flushes the tail, the (None,
+    * emitted) tombstone is by default kept FOREVER so `session_seq` stays
+    * batch-consistent if the conversation resumes — total state therefore
+    * grows with conversation-key cardinality (O(1) per key, not globally
+    * bounded). Pass `tombstoneTtlSeconds` to remove tombstones after that
+    * much further event-time idleness: state becomes globally bounded, at
+    * the cost that a conversation resuming after the TTL restarts
+    * session_seq at 0 (an explicit, documented trade).
     */
   def sessionize(
       turns: Dataset[TurnEvent],
       gapSeconds: Long,
-      watermark: String = "10 minutes"
+      watermark: String = "10 minutes",
+      tombstoneTtlSeconds: Option[Long] = None
   ): Dataset[SessionOut] = {
     import turns.sparkSession.implicits._
     turns
@@ -82,13 +95,27 @@ object StreamingFeatures {
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
         (key: String, rows: Iterator[TurnEvent], state: GroupState[SessState]) => {
           if (state.hasTimedOut) {
-            // idle past the gap: flush the open tail, keep the counter
             val st = state.get
-            val out = st.open.map(o => SessionOut(key, st.emitted, o.n,
-              new Timestamp(o.startMs), new Timestamp(o.endMs)))
-            state.update(SessState(None, st.emitted + out.size))
-            out.iterator
+            if (st.open.isEmpty) {
+              // a tombstone timing out again is the TTL expiry: drop it
+              // (only reachable when tombstoneTtlSeconds is set)
+              state.remove()
+              Iterator.empty
+            } else {
+              // idle past the gap: flush the open tail, keep the counter
+              val out = st.open.map(o => SessionOut(key, st.emitted, o.n,
+                o.start, o.end))
+              state.update(SessState(None, st.emitted + out.size))
+              tombstoneTtlSeconds.foreach { ttl =>
+                state.setTimeoutTimestamp(
+                  state.getCurrentWatermarkMs() + ttl * 1000L)
+              }
+              out.iterator
+            }
           } else {
+            // bounded by the micro-batch's rows for this key (i.e. by the
+            // trigger interval), NOT by conversation length — a long
+            // conversation still holds O(1) state between batches
             val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
             val st0 = state.getOption.getOrElse(SessState(None, 0L))
             var emitted = st0.emitted
@@ -97,15 +124,14 @@ object StreamingFeatures {
             sorted.foreach { t =>
               val ms = t.ts.getTime
               open = open match {
-                case None => Some(OpenSess(ms, ms, 1L))
+                case None => Some(OpenSess(t.ts, t.ts, 1L))
                 case Some(o) =>
                   // same second-granularity gap rule as batch Sessionize
-                  if (ms / 1000L - o.endMs / 1000L > gapSeconds) {
-                    out += SessionOut(key, emitted, o.n,
-                      new Timestamp(o.startMs), new Timestamp(o.endMs))
+                  if (ms / 1000L - o.end.getTime / 1000L > gapSeconds) {
+                    out += SessionOut(key, emitted, o.n, o.start, o.end)
                     emitted += 1
-                    Some(OpenSess(ms, ms, 1L))
-                  } else if (o.startMs / 1000L - ms / 1000L > gapSeconds) {
+                    Some(OpenSess(t.ts, t.ts, 1L))
+                  } else if (o.start.getTime / 1000L - ms / 1000L > gapSeconds) {
                     // a row MORE than a gap BEFORE the open session would
                     // be its own earlier session in batch — emitting it
                     // now would renumber already-emitted sessions, so it
@@ -114,15 +140,17 @@ object StreamingFeatures {
                     // history it no longer holds)
                     open
                   } else
-                    Some(OpenSess(math.min(o.startMs, ms),
-                      math.max(o.endMs, ms), o.n + 1))
+                    Some(OpenSess(
+                      if (t.ts.compareTo(o.start) < 0) t.ts else o.start,
+                      if (t.ts.compareTo(o.end) > 0) t.ts else o.end,
+                      o.n + 1))
               }
             }
             state.update(SessState(open, emitted))
             open.foreach { o =>
               // fire once the watermark passes the gap after the last turn
               // (Spark requires the timeout to be beyond the watermark)
-              val fire = o.endMs + gapSeconds * 1000L + 1000L
+              val fire = o.end.getTime + gapSeconds * 1000L + 1000L
               state.setTimeoutTimestamp(
                 math.max(fire, state.getCurrentWatermarkMs() + 1000L))
             }

@@ -211,6 +211,27 @@ class OpsSpec extends AnyFunSuite {
     assert(r == ((2L, 4L)))
   }
 
+  test("multimodal decode: real PNG/WAV header parsing, CRC + tamper rejection") {
+    val png = Multimodal.encodePng(640, 480, 8, 2, seed = 7L)
+    assert(Multimodal.decodeMeta(1L, png) == Multimodal.MediaDecoded(
+      1L, "png", Some(640), Some(480), None, None, Some(8)))
+    val wav = Multimodal.encodeWav(44100, 2, 16, 128, seed = 9L)
+    assert(Multimodal.decodeMeta(2L, wav) == Multimodal.MediaDecoded(
+      2L, "wav", None, None, Some(2), Some(44100), Some(16)))
+    // tampered IHDR width byte -> CRC mismatch -> unknown, never a guess
+    val bad = png.clone(); bad(18) = (bad(18) ^ 0x01).toByte
+    assert(Multimodal.decodeMeta(3L, bad).format == "unknown")
+    assert(Multimodal.decodeMeta(4L,
+      Multimodal.opaqueBytes(5L, 64)).format == "unknown")
+    // distributed path: generate() image/audio rows carry REAL containers
+    val dec = Multimodal.decodeTable(
+      Multimodal.generate(spark, 12).toDF().select($"media_id", $"bytes"))
+      .collect()
+    assert(dec.count(_.format == "png") == 4)
+    assert(dec.count(_.format == "wav") == 4)
+    assert(dec.count(_.format == "unknown") == 4) // opaque video payloads
+  }
+
   test("multimodal: featurize batch shape + frame sampling") {
     val media = Multimodal.generate(spark, 30)
     val feats = Multimodal.featurize(media).collect()

@@ -131,6 +131,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq((0L, 3L, 100L, 120L)), got.mkString(","))
   }
 
+  test("tombstone TTL removes idle-key state; resumed conv restarts session_seq") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.TurnEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnEvent]
+    val sessions = StreamingFeatures.sessionize(
+      input.toDS(), gapSeconds = 30L, watermark = "0 seconds",
+      tombstoneTtlSeconds = Some(60L))
+    val q = sessions.writeStream.outputMode("append")
+      .format("memory").queryName("ttl_sessions").start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    input.addData(TurnEvent("A", 0, "user", ts(100)),
+      TurnEvent("A", 1, "assistant", ts(110)))
+    q.processAllAvailable()
+    input.addData(TurnEvent("B", 0, "user", ts(1000)))
+    q.processAllAvailable()
+    // A's tail flushes here (watermark 1000 > fire 141); tombstone armed
+    input.addData(TurnEvent("B", 1, "user", ts(2000)))
+    q.processAllAvailable()
+    // watermark 2000 > tombstone expiry (1000 + 60) -> tombstone REMOVED
+    input.addData(TurnEvent("B", 2, "user", ts(3000)))
+    q.processAllAvailable()
+    // A resumes after TTL: session_seq restarts at 0 (documented trade)
+    input.addData(TurnEvent("A", 2, "user", ts(3500)))
+    q.processAllAvailable()
+    input.addData(TurnEvent("B", 3, "user", ts(5000)))
+    q.processAllAvailable()
+    input.addData(TurnEvent("B", 4, "user", ts(9000)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.sql(
+      "SELECT session_seq, n_turns, session_start FROM ttl_sessions " +
+        "WHERE conv_id = 'A' ORDER BY session_start")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getTimestamp(2).getTime / 1000L))
+    assert(got.toSeq == Seq((0L, 2L, 100L), (0L, 1L, 3500L)),
+      got.mkString(","))
+  }
+
   test("stateful sessionize emits closed sessions matching batch oracle") {
     val dir = stagedTurns()
     val schema = graft.schema.Turn.schema
