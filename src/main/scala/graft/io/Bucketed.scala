@@ -25,12 +25,29 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * decision: pick ~(total bytes / 256 MB) rounded to a power of two;
   * downstream stages inherit n-way parallelism from the layout.
   */
-object Bucketed {
+/** The layout contract every downstream stage relies on — the seam where
+  * the local parquet emulation swaps for Iceberg in production (mapping
+  * documented in docs/ICEBERG.md):
+  *
+  *  1. a catalog read of a written table reports a conv_id-compatible
+  *     output partitioning, so conv_id joins/aggs/windows plan ZERO
+  *     exchanges (plan-asserted in BucketedSpec);
+  *  2. rows inside each file are sorted (conv_id, ts);
+  *  3. a re-write of the same table name is atomic (readers see old or
+  *     new, never a mix).
+  */
+trait TranscriptLayout {
+  def writeTranscript(df: DataFrame, table: String, path: String,
+      nBuckets: Int): Unit
+  def read(spark: SparkSession, table: String): DataFrame
+}
+
+object Bucketed extends TranscriptLayout {
 
   /** Write `df` as a bucketed, per-bucket-sorted external parquet table
     * registered as `table` with files under `path`.
     */
-  def writeTranscript(
+  override def writeTranscript(
       df: DataFrame,
       table: String,
       path: String,
@@ -48,6 +65,6 @@ object Bucketed {
     * spark.read.parquet(path) of the same files loses the bucket spec and
     * re-shuffles).
     */
-  def read(spark: SparkSession, table: String): DataFrame =
+  override def read(spark: SparkSession, table: String): DataFrame =
     spark.table(table)
 }

@@ -67,6 +67,25 @@ class BucketedSpec extends AnyFunSuite {
     assert(joined.count() == t.select("conv_id").distinct().count())
   }
 
+  test("TranscriptLayout seam: pipeline through the trait == direct pipeline") {
+    // the production swap (docs/ICEBERG.md) replaces the implementation
+    // behind this trait; downstream code must depend only on the trait
+    val layout: TranscriptLayout = Bucketed
+    val path = Files.createTempDirectory("graft_seam").toString
+    layout.writeTranscript(
+      TranscriptGen.generateDF(spark, 120), "t_seam", path, nBuckets = 4)
+    def key(df: org.apache.spark.sql.DataFrame) = df
+      .select("conv_id", "turn_idx", "session_seq", "n_tool_calls")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    val viaTrait = key(graft.Pipeline.featuresFromTurns(
+      layout.read(spark, "t_seam")))
+    val direct = key(graft.Pipeline.featuresFromTurns(
+      TranscriptGen.generateDF(spark, 120)))
+    assert(viaTrait == direct)
+  }
+
   test("window features over a bucketed table reuse the bucket clustering") {
     import graft.features.Windows
     val t = Bucketed.read(spark, table)

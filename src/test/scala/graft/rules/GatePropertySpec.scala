@@ -20,6 +20,15 @@ import graft.rules.VRule._
   * interactions (null hoisting, accumulation order, and/or nesting)
   * beyond what per-rule goldens cover.
   */
+/** Encoder-friendly fixtures (top-level: inner case classes of a test
+  * class capture the outer pointer and break Spark encoders).
+  */
+object GatePropFixtures {
+  final case class VS(v: Option[String])
+  final case class ERow(id: Int, tag: Option[String],
+      va: Option[VS], vb: Option[VS])
+}
+
 class GatePropertySpec extends AnyFunSuite {
   lazy val spark = TestSpark.spark
   import spark.implicits._
@@ -173,6 +182,40 @@ class GatePropertySpec extends AnyFunSuite {
 
   // ----------------------------------------------------------------- test
 
+  // ------------------------------------------------ transform oracle
+
+  /** Exact Unicode White_Space trim, both ends (lib.rs trim semantics). */
+  private def trimUnicode(s: String): String = {
+    var start = 0
+    while (start < s.length && isWs(s.codePointAt(start)))
+      start += Character.charCount(s.codePointAt(start))
+    var end = s.length
+    var done = false
+    while (end > start && !done) {
+      val cp = s.codePointBefore(end)
+      if (isWs(cp)) end -= Character.charCount(cp) else done = true
+    }
+    s.substring(start, end)
+  }
+
+  /** JVM oracle for one transform (ROOT-locale case mapping matches Rust
+    * to_lowercase/to_uppercase incl. Final_Sigma/İ/ß — TransformGoldenSpec
+    * pins the parity; this relies on it).
+    */
+  private def applyT(s: String, t: TRule): String = t match {
+    case TRule.Trim(false)  => trimUnicode(s)
+    case TRule.Lower(false) => s.toLowerCase(java.util.Locale.ROOT)
+    case TRule.Upper(false) => s.toUpperCase(java.util.Locale.ROOT)
+    case x => throw new IllegalArgumentException(s"oracle transform: $x")
+  }
+
+  private def genTransforms(rnd: Random): Seq[TRule] =
+    Seq.fill(1 + rnd.nextInt(3))(rnd.nextInt(3) match {
+      case 0 => TRule.Trim()
+      case 1 => TRule.Lower()
+      case _ => TRule.Upper()
+    })
+
   test("compiled gate == in-memory wary interpreter on random specs " +
     "(40 seeds x 20 values)") {
     for (seed <- 1 to 40) {
@@ -192,6 +235,72 @@ class GatePropertySpec extends AnyFunSuite {
         val expect = evalField(v, rules)
         assert(got(v) == expect,
           s"seed=$seed value=$v\nrules=$rules\n got=${got(v)}\n exp=$expect")
+      }
+    }
+  }
+
+  test("gated transform chains == in-memory interpreter on random specs " +
+    "(30 seeds): transform fires iff the row validates") {
+    import org.apache.spark.sql.functions.col
+    for (seed <- 1 to 30) {
+      val rnd = new Random(1000 + seed)
+      val rules = Seq.fill(1 + rnd.nextInt(3))(genRule(rnd, 1))
+      val transforms = genTransforms(rnd)
+      val spec =
+        WarySpec(Seq(FieldSpec("v", rules = rules, transforms = transforms)))
+      val df = pool.toDF("v").withColumn("orig", col("v"))
+      val got = WaryGate(df, spec)
+        .select("orig", "v")
+        .collect()
+        .map(r => Option(r.getString(0)) -> Option(r.getString(1)))
+        .toMap
+      pool.foreach { v =>
+        val errs = evalField(v, rules)
+        val expect = v.map(s =>
+          if (errs.isEmpty) transforms.foldLeft(s)(applyT) else s)
+        assert(got(v) == expect,
+          s"seed=$seed v=$v\nrules=$rules\ntransforms=$transforms\n" +
+            s" got=${got(v)}\n exp=$expect")
+      }
+    }
+  }
+
+  test("EnumGate == in-memory interpreter on random variant specs " +
+    "(30 seeds): match-arm gating + unknown-tag flagging") {
+    import graft.compile.EnumGate
+    import GatePropFixtures.{ERow, VS}
+    for (seed <- 1 to 30) {
+      val rnd = new Random(2000 + seed)
+      val rulesA = Seq.fill(1 + rnd.nextInt(3))(genRule(rnd, 1))
+      val rulesB = Seq.fill(1 + rnd.nextInt(3))(genRule(rnd, 1))
+      val variants = Seq(
+        EnumGate.Variant("a", "va", WarySpec(Seq(FieldSpec("v", rules = rulesA)))),
+        EnumGate.Variant("b", "vb", WarySpec(Seq(FieldSpec("v", rules = rulesB)))))
+      val tags = Vector(Some("a"), Some("b"), Some("zzz"), None)
+      val rows = (0 until 24).map { i =>
+        def mv() =
+          if (rnd.nextInt(5) == 0) None
+          else Some(VS(pool(rnd.nextInt(pool.size))))
+        ERow(i, tags(rnd.nextInt(tags.size)), mv(), mv())
+      }
+      val df = rows.toDS().toDF()
+      val out = df
+        .withColumn("errors", EnumGate.errorsColumn(df, "tag", variants))
+        .select("id", "errors")
+        .collect()
+        .map(r => r.getInt(0) ->
+          r.getSeq[Row](1).map(e => (e.getString(1), e.getString(2))))
+        .toMap
+      rows.foreach { row =>
+        val expect = row.tag match {
+          case Some("a") => evalField(row.va.flatMap(_.v), rulesA)
+          case Some("b") => evalField(row.vb.flatMap(_.v), rulesB)
+          case Some(t)   => Seq("unknown_variant" -> s"unknown enum variant: $t")
+          case None => Seq("unknown_variant" -> "unknown enum variant: null")
+        }
+        assert(out(row.id) == expect,
+          s"seed=$seed row=$row\nrulesA=$rulesA\nrulesB=$rulesB\n" +
+            s" got=${out(row.id)}\n exp=$expect")
       }
     }
   }
