@@ -359,11 +359,20 @@ object SparkEntry {
       val maxTs = rows.iterator.map(_.ts.getTime).max
       val input = MemoryStream[TurnEvent]
       val name = s"stream_sessions_${System.nanoTime()}"
-      val q = StreamingFeatures.sessionize(input.toDS(), gapSeconds = 1800L)
-        .writeStream.outputMode("append").format("memory")
-        .queryName(name).start()
+      // The stateful operator's parallelism (= state-store count) is
+      // frozen from shuffle.partitions at query start; per-batch state
+      // checkpointing costs O(batches × partitions) file ops, so pin a
+      // partition count sized for the key cardinality of this replay
+      // rather than the session-wide default.
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try StreamingFeatures.sessionize(input.toDS(), gapSeconds = 1800L)
+          .writeStream.outputMode("append").format("memory")
+          .queryName(name).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try {
-        val chunk = math.max(1, (rows.length + 3) / 4)
+        val chunk = math.max(1, (rows.length + 2) / 3)
         rows.grouped(chunk).foreach { g =>
           input.addData(g.toSeq); q.processAllAvailable()
         }
