@@ -112,6 +112,18 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "last_tool")
     }),
 
+    // --- FORWARD as-of join (label generation: earliest obs at ts >= anchor) ---
+    "q_asof_forward" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("next_tool"))
+      AsOf.joinForward(anchors, obs, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "next_tool")
+    }),
+
     // --- native as-of join (custom LogicalPlan+Strategy+Exec) -----------------
     "q_asof_native" -> ((s, dir) => {
       val t = turns(s, dir)
@@ -331,6 +343,19 @@ object SparkEntry {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
       Similarity.annCandidates(e, q, dim = 64, nBits = 8)
+    }),
+
+    // --- IVF-flat ANN candidates (inverted-list scale path) ---------------------
+    // Centroids are a deterministic sample of corpus vectors; assignment
+    // is a zero-shuffle per-row argmax over exact quantized dots, probing
+    // the query's 2 nearest lists. The oracle replays the identical
+    // integer math (assignment, probe ranking, re-rank) in SQL.
+    "q_ann_ivf" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val cents = Similarity.ivfCentroids(e, step = 100L)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.annIvf(e, q, cents, nProbe = 2)
     }),
 
     // --- embedding-cosine near-duplicate pairs ----------------------------------
@@ -631,6 +656,16 @@ object SparkEntry {
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 
+    "q_asof_forward" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.next_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts >= a.ts
+         |   ORDER BY o.ts ASC LIMIT 1) AS next_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
     "q_asof_native" ->
       s"""$T,
          |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
@@ -785,6 +820,28 @@ object SparkEntry {
         |  SELECT query_id, vec_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH qv AS (SELECT vec_id,
+        |  [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT CAST(vec_id // 100 AS INT) AS list_id, qe AS ce
+        |          FROM qv WHERE vec_id % 100 = 0),
+        |dots AS (SELECT v.vec_id, c.list_id,
+        |  CAST(list_sum([v.qe[i] * c.ce[i] for i in range(1, len(v.qe)+1)]) AS BIGINT) AS cdot
+        |  FROM qv v, cents c),
+        |ranked AS (SELECT vec_id, list_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id ASC) AS rnk
+        |  FROM dots),
+        |assign AS (SELECT vec_id, list_id FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id FROM ranked
+        |           WHERE rnk <= 2 AND vec_id < 5)
+        |SELECT p.query_id, a.vec_id,
+        |  CAST(list_sum([cv.qe[i] * qq.qe[i] for i in range(1, len(cv.qe)+1)]) AS BIGINT) AS dot
+        |FROM probes p
+        |JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        |JOIN qv cv ON cv.vec_id = a.vec_id
+        |JOIN qv qq ON qq.vec_id = p.query_id""".stripMargin,
 
     "q_embed_dup" ->
       """WITH s AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 = 0),

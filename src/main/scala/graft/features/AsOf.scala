@@ -108,4 +108,85 @@ object AsOf {
             when(inTolerance, col(s"__match.$c")).as(outName(c))) : _*
       )
   }
+
+  /** Forward as-of join: for each left row, the EARLIEST right row with
+    * right(ts) >= left(ts) (or > when !allowExactMatches), per `keys` —
+    * the label/target-generation mirror of [[joinBackward]] (next tool
+    * outcome, next user reply). Deliberately a separate entry point:
+    * forward joins READ THE FUTURE, so leakage audits can whitelist
+    * call sites explicitly, exactly like Windows.withLead.
+    *
+    * Same union-merge shape (one shuffle, no interval explosion): the
+    * carried value is `first(ignoreNulls)` over the FOLLOWING frame, and
+    * the equal-ts tie flips — with exact matches the right row must sort
+    * after the anchor (inside the following frame), without it before.
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      allowExactMatches: Boolean = true,
+      toleranceMs: Option[Long] = None
+  ): DataFrame = {
+    val leftVals = left.columns.filterNot(keys.contains).toSeq
+    val rightVals =
+      right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val outName: Map[String, String] = rightVals.map { c =>
+      c -> (if (left.columns.contains(c)) s"${c}_r" else c)
+    }.toMap
+
+    val (rightSrc, leftSrc) = if (allowExactMatches) (1, 0) else (0, 1)
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types
+        .StructField("__rts", right.schema(rightTs).dataType) +:
+        rightVals.map(c => right.schema(c))
+    )
+    val rightNonNullTs = right.filter(col(rightTs).isNotNull)
+    val r = rightNonNullTs.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(rightSrc).as("__src"),
+        struct(col(rightTs).as("__rts") +: rightVals.map(col): _*)
+          .cast(payloadType)
+          .as("__rpayload")
+      ) ++ leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*
+    )
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(leftSrc).as("__src"),
+        lit(null).cast(payloadType).as("__rpayload")
+      ) ++ leftVals.map(col): _*
+    )
+
+    val u = r.unionByName(l)
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = u.withColumn(
+      "__match",
+      first(col("__rpayload"), ignoreNulls = true).over(w)
+    )
+
+    val inTolerance: Column = toleranceMs match {
+      case Some(t) =>
+        col("__match").isNotNull &&
+          (col("__match.__rts").cast("long") - col("__ts").cast("long")) * 1000L <= t
+      case None => col("__match").isNotNull
+    }
+
+    matched
+      .filter(col("__src") === leftSrc)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftVals.filterNot(_ == leftTs).map(col) ++
+          rightVals.map(c =>
+            when(inTolerance, col(s"__match.$c")).as(outName(c))) : _*
+      )
+  }
 }

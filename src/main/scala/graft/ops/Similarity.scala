@@ -176,6 +176,73 @@ object Similarity {
       .agg(count(lit(1)).as("n_vecs"))
       .filter(col("n_vecs") > maxBucketSize)
 
+  /** IVF centroids as a driver-side list: a deterministic sample of corpus
+    * vectors (every `step`-th id). Centroid payload is k × dim floats —
+    * driver-tiny by construction (k ≈ √N at scale). In production the
+    * sample is replaced by trained k-means centroids from a separate job;
+    * the assign/probe structure below is identical either way.
+    */
+  def ivfCentroids(corpus: DataFrame, step: Long): Seq[(Int, Seq[Float])] =
+    corpus.filter(col("vec_id") % step === 0)
+      .select(col("vec_id"), col("embedding"))
+      .collect()
+      .map(r => ((r.getLong(0) / step).toInt, r.getSeq[Float](1)))
+      .toSeq
+      .sortBy(_._1)
+
+  /** Exact-integer dots against every centroid, packed as an array of
+    * (dot, -list_id) structs — struct comparison is lexicographic, so
+    * array_max = argmax by dot with ties to the SMALLER list id, and a
+    * descending sort ranks probe lists under the same tie rule. Pure
+    * per-row expression: assignment costs ZERO shuffles (IVF assignment
+    * is embarrassingly parallel — the property that makes it the ANN
+    * structure of choice at 10^12 vectors).
+    */
+  private def centroidDots(embedding: Column,
+      centroids: Seq[(Int, Seq[Float])]): Column =
+    array(centroids.map { case (id, vec) =>
+      struct(quantDot(embedding, typedlit(vec)).as("d"), lit(-id).as("nid"))
+    }: _*)
+
+  /** Nearest-centroid (inverted-list) id for a vector — narrow expression. */
+  def ivfListId(embedding: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+    -array_max(centroidDots(embedding, centroids)).getField("nid")
+
+  /** The `nProbe` nearest list ids for a query vector (descending dot,
+    * ties to the smaller id — consistent with [[ivfListId]]).
+    */
+  def ivfProbeLists(embedding: Column, centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int): Column =
+    transform(
+      slice(reverse(array_sort(centroidDots(embedding, centroids))), 1, nProbe),
+      s => -s.getField("nid"))
+
+  /** IVF-flat ANN candidates: corpus vectors in the query's `nProbe`
+    * nearest inverted lists, re-ranked by exact quantized dot. Candidate
+    * generation is one broadcast hash join on list_id (queries exploded
+    * to their probe lists and broadcast) — the corpus is never shuffled.
+    * Recall grows with nProbe; the caller takes top-k.
+    */
+  def annIvf(
+      corpus: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (query_id, q_embedding)
+      centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    val assigned = corpus.withColumn(
+      "list_id", ivfListId(col("embedding"), centroids))
+    val probes = queries
+      .select(col("query_id"), col("q_embedding"),
+        explode(ivfProbeLists(col("q_embedding"), centroids, nProbe))
+          .as("list_id"))
+    assigned
+      .join(broadcast(probes), Seq("list_id"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id"),
+        quantDot(col("embedding"), col("q_embedding")).as("dot"))
+  }
+
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
     * Hyperplane weights are derived per (bit, dimension) from a splitmix-
     * style integer hash — deterministic, no stored model. Vectors in the

@@ -23,6 +23,30 @@ class FeatureSpec extends AnyFunSuite {
   private def sortedConv(c: String): Seq[Turn] =
     turns.filter(_.conv_id == c).sortBy(t => (t.ts.getTime, t.turn_idx))
 
+  test("joinForward: earliest obs at ts >= anchor; exact-match + tolerance") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val anchors = Seq(("a", 1, ts(10)), ("a", 2, ts(20)), ("a", 3, ts(31)),
+      ("b", 1, ts(5))).toDF("k", "idx", "ts")
+    val obs = Seq(("a", ts(20), "x"), ("a", ts(30), "y"))
+      .toDF("k", "ts", "v")
+    def run(exact: Boolean, tol: Option[Long] = None) =
+      AsOf.joinForward(anchors, obs, Seq("k"),
+          allowExactMatches = exact, toleranceMs = tol)
+        .select("k", "idx", "v")
+        .as[(String, Int, Option[String])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+    val exact = run(exact = true)
+    assert(exact(("a", 1)) == Some("x")) // next obs at 20
+    assert(exact(("a", 2)) == Some("x")) // ts == anchor counts
+    assert(exact(("a", 3)) == None)      // nothing after 31
+    assert(exact(("b", 1)) == None)      // key with no obs
+    val strict = run(exact = false)
+    assert(strict(("a", 2)) == Some("y")) // equal ts excluded -> 30
+    val tol = run(exact = true, tol = Some(5000L))
+    assert(tol(("a", 1)) == None)        // 20 is 10s after anchor > 5s
+    assert(tol(("a", 2)) == Some("x"))   // 0s ahead, within tolerance
+  }
+
   test("lag matches in-memory oracle per conversation") {
     val w = Windows.turnWindow
     val got = Windows

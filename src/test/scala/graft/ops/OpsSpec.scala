@@ -142,6 +142,40 @@ class OpsSpec extends AnyFunSuite {
     r.unpersist()
   }
 
+  test("IVF ANN: candidates subset of brute with exact dots; " +
+    "zero-shuffle assignment") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val cents = Similarity.ivfCentroids(e, step = 100L)
+    assert(cents.size == 5 && cents.map(_._1) == Seq(0, 1, 2, 3, 4))
+    // assignment is a pure narrow projection — NO exchange in the plan
+    val assigned = e.withColumn(
+      "list_id", Similarity.ivfListId($"embedding", cents))
+    val plan = org.apache.spark.sql.GraftBridge.sparkPlan(assigned)
+    def shuffles(p: org.apache.spark.sql.execution.SparkPlan): Int =
+      (p match {
+        case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => 1
+        case _ => 0
+      }) + p.children.map(shuffles).sum
+    assert(shuffles(plan) == 0, "IVF assignment must not shuffle")
+    // every vector lands in exactly one list; all lists used
+    assert(assigned.count() == e.count())
+    assert(assigned.select("list_id").distinct().count() == 5)
+    // candidates agree with brute-force dots and include each query's
+    // own-list neighbors (recall ≥ the probe'd lists by construction)
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val cand = Similarity.annIvf(e, q, cents, nProbe = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(cand.nonEmpty)
+    val brute = Similarity.topKByDot(e, q, k = e.count().toInt)
+      .select("query_id", "vec_id", "dot")
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    cand.foreach { case (qid, vid, dot) =>
+      assert(brute((qid, vid)) == dot, s"dot mismatch ($qid,$vid)")
+    }
+  }
+
   test("SignLsh expression equals the HOF bucket composition") {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val both = e.select(
