@@ -92,6 +92,27 @@ object SparkEntry {
       Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
         .select("conv_id", "turn_idx", "session_seq", "session_id")),
 
+    // --- checkpoint write -> invalidate -> RESUME -> read, under the oracle ----
+    // The sessionized output is written through the resumable bucketed
+    // sink, two buckets are then invalidated (the operational repair
+    // path), and a second write recomputes ONLY those buckets. The final
+    // read-back must equal the plain sessionization SQL — resume and
+    // layout must be results-invisible.
+    "q_checkpoint_resume" -> ((s, dir) => {
+      val out = java.nio.file.Files
+        .createTempDirectory("graft_verify_ckpt").toString
+      val sess =
+        Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
+          .select("conv_id", "turn_idx", "session_seq", "session_id")
+      graft.io.Checkpoint.write(sess, "conv_id", out, nBuckets = 8,
+        input = dir, runId = "verify_r1")
+      graft.io.Checkpoint.invalidate(out, Set(0, 1))
+      graft.io.Checkpoint.write(sess, "conv_id", out, nBuckets = 8,
+        input = dir, runId = "verify_r2")
+      graft.io.Checkpoint.read(s, out)
+        .select("conv_id", "turn_idx", "session_seq", "session_id")
+    }),
+
     "q_session_summary" -> ((s, dir) => {
       val sess =
         Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
@@ -615,6 +636,21 @@ object SparkEntry {
          |FROM turns""".stripMargin,
 
     "q_sessionize" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, turn_idx,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1)
+         |SELECT conv_id, turn_idx, session_seq,
+         |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id
+         |FROM s2""".stripMargin,
+
+    "q_checkpoint_resume" ->
       s"""$T,
          |s1 AS (SELECT conv_id, turn_idx, ts,
          |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts

@@ -120,6 +120,18 @@ object Checkpoint {
   def read(spark: SparkSession, out: String): DataFrame =
     spark.read.parquet(s"$out/bucket=*")
 
+  /** Operational repair: drop chosen buckets' data + manifest entries so
+    * the next [[write]] recomputes exactly those buckets from the input
+    * (e.g. after upstream data corruption is fixed for a key range). The
+    * Iceberg analogue is rewriting the affected partitions in a new
+    * snapshot.
+    */
+  def invalidate(out: String, buckets: Set[Int]): Unit =
+    buckets.foreach { b =>
+      deleteRecursively(Paths.get(out, s"bucket=$b"))
+      Files.deleteIfExists(manifestDir(out).resolve(s"bucket-$b.json"))
+    }
+
   /** Per-partition metrics from the manifest: rows per bucket + skew ratio
     * (max/mean) — the report the north rule asks to emit per partition.
     */

@@ -32,6 +32,21 @@ class CheckpointSpec extends AnyFunSuite {
     assert(Checkpoint.read(spark, out).count() == df.count())
   }
 
+  test("invalidate recomputes exactly the chosen buckets (repair path)") {
+    val df = TranscriptGen.generateDF(spark, 50)
+    val out = tmp()
+    Checkpoint.write(df, "conv_id", out, 8, "synthetic:50", "i1")
+    val before = Checkpoint.read(spark, out)
+      .orderBy("conv_id", "turn_idx").collect()
+    Checkpoint.invalidate(out, Set(2, 5))
+    assert(Checkpoint.committedBuckets(out) == Set(0, 1, 3, 4, 6, 7))
+    val promoted = Checkpoint.write(df, "conv_id", out, 8, "synthetic:50", "i2")
+    assert(promoted == Set(2, 5), s"recomputed $promoted, expected {2,5}")
+    val after = Checkpoint.read(spark, out)
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(after.toSeq == before.toSeq)
+  }
+
   test("resume after partial run equals clean run") {
     val df = TranscriptGen.generateDF(spark, 50)
     val clean = tmp()
