@@ -145,6 +145,18 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "next_tool")
     }),
 
+    // --- NATIVE forward as-of (backward sort-merge exec over negated ts) -------
+    "q_asof_fwd_native" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("next_tool"))
+      graft.features.AsOfNative.joinForward(anchors, obs, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "next_tool")
+    }),
+
     // --- native as-of join (custom LogicalPlan+Strategy+Exec) -----------------
     "q_asof_native" -> ((s, dir) => {
       val t = turns(s, dir)
@@ -693,6 +705,16 @@ object SparkEntry {
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 
     "q_asof_forward" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.next_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts >= a.ts
+         |   ORDER BY o.ts ASC LIMIT 1) AS next_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    "q_asof_fwd_native" ->
       s"""$T,
          |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
          |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)

@@ -22,6 +22,9 @@ package graft.exprs
   *  - POSIX ASCII classes `[[:alpha:]]`, `[[:digit:]]`, … are Rust-only
   *    syntax; expanded to explicit ASCII ranges (NOT `\p{Alpha}`, which
   *    `(?U)` would silently widen to Unicode — Rust's are strictly ASCII).
+  *    Negated forms `[[:^name:]]` become NESTED negated classes
+  *    (`[^ranges]` inside the enclosing class — Java nested classes
+  *    union, matching Rust's complement-set semantics).
   *  - Python-style named groups `(?P<name>…)` → Java `(?<name>…)`.
   *
   * Rejected constructs (no Java equivalent with the same meaning):
@@ -117,10 +120,14 @@ object RegexDialect {
     require(!hasU,
       s"Rust swap-greed flag U has no Java equivalent " +
         s"(Java (?U) means unicode character classes): $pat")
-    require(!pat.contains("[:^"),
-      s"negated POSIX classes ([[:^name:]]) are not translated: $pat")
     var p = pat.replace("(?P<", "(?<")
     posix.foreach { case (name, expansion) =>
+      // Negated POSIX class: Rust's [:^name:] denotes the complement SET
+      // inside a class; Java expresses the same via a NESTED negated
+      // class ([x[^0-9]] = x ∪ non-digit — nested classes union). Both
+      // complements are over all of Unicode (Rust POSIX sets are ASCII,
+      // so their complements are not) — semantics align exactly.
+      p = p.replace(s"[:^$name:]", s"[^$expansion]")
       p = p.replace(s"[:$name:]", expansion)
     }
     if (!multiline) p = rewriteDollars(p)

@@ -80,4 +80,33 @@ object AsOfNative {
       }
     out.select(cols: _*)
   }
+
+  /** NATIVE forward as-of join via time negation: forward(ts) ==
+    * backward(-ts). Both sides' timestamps are negated as epoch-second
+    * longs (exact — cast-to-long floors BEFORE negation, so the
+    * second-granularity semantics match [[AsOf.joinForward]]), the
+    * backward sort-merge exec runs unchanged, and the helper column is
+    * dropped. Tie rule and tolerance flip direction automatically:
+    * backward `<=` on -ts is forward `>=` on ts, and the exec's
+    * (left - match) distance on negated longs is (match - left) on the
+    * originals. Same future-reading caveat as [[AsOf.joinForward]].
+    */
+  def joinForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      allowExactMatches: Boolean = true,
+      toleranceMs: Option[Long] = None
+  ): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val negL = left.withColumn("__negts", -col(leftTs).cast("long"))
+    val negR = right
+      .withColumn("__negts", -col(rightTs).cast("long"))
+      .drop(rightTs)
+    joinBackward(negL, negR, keys, "__negts", "__negts",
+      allowExactMatches, toleranceMs)
+      .drop("__negts")
+  }
 }

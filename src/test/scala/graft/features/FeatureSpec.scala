@@ -47,6 +47,28 @@ class FeatureSpec extends AnyFunSuite {
     assert(tol(("a", 2)) == Some("x"))   // 0s ahead, within tolerance
   }
 
+  test("native joinForward (negated-ts sort-merge) equals union-merge forward") {
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val anchors = Seq(("a", 1, ts(10)), ("a", 2, ts(20)), ("a", 3, ts(31)),
+      ("b", 1, ts(5))).toDF("k", "idx", "ts")
+    val obs = Seq(("a", ts(20), "x"), ("a", ts(30), "y"))
+      .toDF("k", "ts", "v")
+    for {
+      exact <- Seq(true, false)
+      tol <- Seq(None, Some(5000L), Some(60000L))
+    } {
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("k", "idx", "v")
+        .as[(String, Int, Option[String])].collect()
+        .map(r => (r._1, r._2) -> r._3).toMap
+      val union = key(AsOf.joinForward(anchors, obs, Seq("k"),
+        allowExactMatches = exact, toleranceMs = tol))
+      val native = key(AsOfNative.joinForward(anchors, obs, Seq("k"),
+        allowExactMatches = exact, toleranceMs = tol))
+      assert(native == union, s"exact=$exact tol=$tol")
+    }
+  }
+
   test("lag matches in-memory oracle per conversation") {
     val w = Windows.turnWindow
     val got = Windows

@@ -300,6 +300,17 @@ class RuleGoldenSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { codes(str("x"), Regex("(?U:a+?)")) }
   }
 
+  test("regex: negated POSIX classes translate as complement sets") {
+    // [[:^digit:]] = anything but an ASCII digit (é INCLUDED — the
+    // complement of an ASCII set covers all of Unicode, like Rust)
+    assert(codes(str("abé"), Regex("^[[:^digit:]]+$")).isEmpty)
+    assert(codes(str("a1"), Regex("^[[:^digit:]]+$")) == Seq("no_match"))
+    // union with other class members: x OR any non-alpha
+    assert(codes(str("9"), Regex("^[x[:^alpha:]]$")).isEmpty)
+    assert(codes(str("x"), Regex("^[x[:^alpha:]]$")).isEmpty)
+    assert(codes(str("b"), Regex("^[x[:^alpha:]]$")) == Seq("no_match"))
+  }
+
   // --- addr (addr.rs:155-229) -------------------------------------------
   test("addr ip/ipv4/ipv6") {
     assert(codes(str("127.0.0.1"), Addr("ipv4")).isEmpty)
