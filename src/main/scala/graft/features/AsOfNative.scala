@@ -82,14 +82,20 @@ object AsOfNative {
   }
 
   /** NATIVE forward as-of join via time negation: forward(ts) ==
-    * backward(-ts). Both sides' timestamps are negated as epoch-second
-    * longs (exact — cast-to-long floors BEFORE negation, so the
-    * second-granularity semantics match [[AsOf.joinForward]]), the
-    * backward sort-merge exec runs unchanged, and the helper column is
-    * dropped. Tie rule and tolerance flip direction automatically:
-    * backward `<=` on -ts is forward `>=` on ts, and the exec's
-    * (left - match) distance on negated longs is (match - left) on the
-    * originals. Same future-reading caveat as [[AsOf.joinForward]].
+    * backward(-ts). Timestamps are negated at FULL MICROSECOND precision
+    * (`-unix_micros(ts)`) so matching keeps the same raw-timestamp
+    * semantics as [[AsOf.joinForward]] — negating floored seconds would
+    * silently merge sub-second orderings. The backward sort-merge exec
+    * runs unchanged; tie rule flips automatically (backward `<=` on -ts
+    * is forward `>=` on ts).
+    *
+    * Tolerance: the exec sees LongType micros (divisor 1), so the bound
+    * is rescaled to micros — the window is the TRUE duration
+    * `match.ts - anchor.ts <= toleranceMs` at microsecond precision,
+    * slightly TIGHTER than the union-merge's floored-seconds window on
+    * sub-second data (identical on whole-second timestamps; documented
+    * intentional difference — the native path has the precision, so it
+    * uses it). Same future-reading caveat as [[AsOf.joinForward]].
     */
   def joinForward(
       left: DataFrame,
@@ -100,13 +106,19 @@ object AsOfNative {
       allowExactMatches: Boolean = true,
       toleranceMs: Option[Long] = None
   ): DataFrame = {
-    import org.apache.spark.sql.functions.col
-    val negL = left.withColumn("__negts", -col(leftTs).cast("long"))
+    import org.apache.spark.sql.functions.{col, unix_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    def neg(df: DataFrame, c: String) = df.schema(c).dataType match {
+      case LongType => -col(c) * 1000000L // epoch seconds -> micros
+      case TimestampNTZType => -unix_micros(col(c).cast("timestamp"))
+      case _ => -unix_micros(col(c))
+    }
+    val negL = left.withColumn("__negts", neg(left, leftTs))
     val negR = right
-      .withColumn("__negts", -col(rightTs).cast("long"))
+      .withColumn("__negts", neg(right, rightTs))
       .drop(rightTs)
     joinBackward(negL, negR, keys, "__negts", "__negts",
-      allowExactMatches, toleranceMs)
+      allowExactMatches, toleranceMs.map(_ * 1000000L))
       .drop("__negts")
   }
 }

@@ -62,6 +62,45 @@ class LeakagePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("forward join matches are always the EARLIEST right ts >= anchor " +
+    "(15 seeds; union-merge and native agree)") {
+    for (seed <- 200 to 214) {
+      val rows = genRows(seed)
+      val anchors = rows
+        .map { case (c, i, t) => (c, i, new Timestamp(t)) }
+        .toDF("conv_id", "turn_idx", "ts")
+      val right = rows
+        .map { case (c, i, t) =>
+          (c, new Timestamp(t + (i % 3) * 500L - 500L), t + i)
+        }
+        .toDF("conv_id", "ts", "obs_val")
+        .groupBy("conv_id", "ts")
+        .agg(org.apache.spark.sql.functions.max("obs_val").as("obs_val"))
+      val rightLocal = right.collect()
+        .map(r => (r.getString(0), r.getTimestamp(1).getTime, r.getLong(2)))
+      def check(df: org.apache.spark.sql.DataFrame, tag: String): Unit =
+        df.select("conv_id", "ts", "obs_val").collect().foreach { row =>
+          val conv = row.getString(0)
+          val anchorTs = row.getTimestamp(1).getTime
+          // RAW-precision eligibility: both forward implementations match
+          // on full timestamp precision (sub-second offsets included)
+          val candidates = rightLocal
+            .filter(r => r._1 == conv && r._2 >= anchorTs)
+          if (row.isNullAt(2))
+            assert(candidates.isEmpty,
+              s"$tag seed $seed: null match but ${candidates.length} candidates")
+          else {
+            val v = row.getLong(2)
+            val earliest = candidates.minBy(_._2)
+            assert(v == earliest._3,
+              s"$tag seed $seed: got $v, earliest-at->=anchor is ${earliest._3}")
+          }
+        }
+      check(AsOf.joinForward(anchors, right, Seq("conv_id")), "union")
+      check(AsOfNative.joinForward(anchors, right, Seq("conv_id")), "native")
+    }
+  }
+
   test("sessionize ids are dense, start at 0, and respect the gap (15 seeds)") {
     for (seed <- 100 to 114) {
       val rows = genRows(seed)
