@@ -471,6 +471,15 @@ object SparkEntry {
       Multimodal.decodeTable(media).toDF()
     }),
 
+    // --- LSH-bucketed embedding near-dup pairs (sub-quadratic scale path) -------
+    // Full corpus, 6-bit sign-LSH buckets, (a < b) pairs within a bucket,
+    // exact quantized-dot re-rank. The oracle replays the identical
+    // splitmix integer weights, bucket assignment, in-bucket pair
+    // expansion, and dot threshold in SQL.
+    "q_embed_dup_lsh" -> ((s, dir) =>
+      Similarity.nearDupPairsLsh(embeds(s, dir), minDot = 0L,
+        dim = 64, nBits = 6)),
+
     // --- embedding norms (quantized, exact) -------------------------------------
     "q_embed_norm" -> ((s, dir) =>
       embeds(s, dir).select(
@@ -941,6 +950,52 @@ object SparkEntry {
         |       WHEN doc_id % 2 = 0 THEN CAST(8 AS INT)
         |       ELSE CAST(16 AS INT) END AS bit_depth
         |FROM documents""".stripMargin,
+
+    // SignLsh bucket math identical to q_ann_lsh but with 6 bits; the cap
+    // (n <= 10000) and singleton filter mirror nearDupPairsLsh exactly.
+    "q_embed_dup_lsh" ->
+      """WITH w0 AS (
+        |  SELECT tb.b AS b, td.d AS d,
+        |    xor(xor(CAST(tb.b AS UBIGINT) << 32, CAST(td.d AS UBIGINT)),
+        |        CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM range(6) tb(b), range(64) td(d)),
+        |w1 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w0),
+        |w2 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w1),
+        |w3 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w2),
+        |w4 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w3),
+        |w AS (SELECT b, d, CAST(xor(x, x >> 33) >> 43 AS BIGINT) - 1048576 AS wt FROM w4),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, w.b AS b, SUM(qe[w.d + 1] * w.wt) AS s
+        |  FROM qv, w GROUP BY vec_id, w.b),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |ok AS (SELECT bucket FROM (
+        |  SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket)
+        |  WHERE n > 1 AND n <= 10000),
+        |cand AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |  JOIN ok ON ok.bucket = l.bucket),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    CAST(list_sum([ea.qe[i] * eb.qe[i]
+        |         for i in range(1, len(ea.qe)+1)]) AS BIGINT) AS dot
+        |  FROM cand c
+        |  JOIN qv ea ON ea.vec_id = c.a
+        |  JOIN qv eb ON eb.vec_id = c.b)
+        |SELECT a, b, dot FROM scored WHERE dot >= 0""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,
