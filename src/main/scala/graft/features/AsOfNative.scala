@@ -108,6 +108,9 @@ object AsOfNative {
   ): DataFrame = {
     import org.apache.spark.sql.functions.{col, unix_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    require(!left.columns.contains("__negts") &&
+      !right.columns.contains("__negts"),
+      "joinForward reserves the column name __negts")
     def neg(df: DataFrame, c: String) = df.schema(c).dataType match {
       case LongType => -col(c) * 1000000L // epoch seconds -> micros
       case TimestampNTZType => -unix_micros(col(c).cast("timestamp"))

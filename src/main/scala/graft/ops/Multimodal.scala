@@ -162,6 +162,8 @@ object Multimodal {
       var out: Option[MediaDecoded] = None
       while (out.isEmpty && off + 8 <= bytes.length) {
         val size = readLe32(bytes, off + 4)
+        // a crafted negative size would walk the offset BACKWARD forever
+        if (size < 0) return unknown
         if (asciiAt(bytes, off, "fmt ") && size >= 16 &&
           off + 8 + 16 <= bytes.length) {
           val channels = readLe16(bytes, off + 10)

@@ -88,6 +88,9 @@ object StreamingFeatures {
       tombstoneTtlSeconds: Option[Long] = None
   ): Dataset[SessionOut] = {
     import turns.sparkSession.implicits._
+    require(tombstoneTtlSeconds.forall(_ > 0L),
+      "tombstoneTtlSeconds must be positive (the expiry timeout must land " +
+        "strictly beyond the current watermark)")
     turns
       .withWatermark("ts", watermark)
       .groupByKey(_.conv_id)

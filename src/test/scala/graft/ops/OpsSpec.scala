@@ -257,6 +257,10 @@ class OpsSpec extends AnyFunSuite {
     assert(Multimodal.decodeMeta(3L, bad).format == "unknown")
     assert(Multimodal.decodeMeta(4L,
       Multimodal.opaqueBytes(5L, 64)).format == "unknown")
+    // crafted NEGATIVE chunk size must not walk the offset backward forever
+    val badWav = wav.clone()
+    java.util.Arrays.fill(badWav, 16, 20, 0xFF.toByte) // fmt size = -1
+    assert(Multimodal.decodeMeta(5L, badWav).format == "unknown")
     // distributed path: generate() image/audio rows carry REAL containers
     val dec = Multimodal.decodeTable(
       Multimodal.generate(spark, 12).toDF().select($"media_id", $"bytes"))
