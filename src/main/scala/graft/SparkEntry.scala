@@ -35,6 +35,30 @@ object SparkEntry {
 
   private val T = Tables.turnsCte
 
+  /** Stage `df` as ONE parquet file named `name` in `destDir` with an
+    * explicit modification time — the file-source replay harness's unit of
+    * arrival order (FileStreamSource processes oldest-mtime first, so
+    * strictly increasing mtimes make batch order deterministic). The data
+    * never touches the driver: each chunk is a distributed write whose
+    * single part-file is then renamed into the watched directory.
+    */
+  private def stageOrderedFile(
+      df: DataFrame, scratch: String, destDir: String, name: String,
+      mtimeMs: Long): Unit = {
+    import scala.jdk.CollectionConverters._
+    df.coalesce(1).write.mode("overwrite").parquet(scratch)
+    val part = scala.util.Using.resource(
+      java.nio.file.Files.list(java.nio.file.Paths.get(scratch)))(
+      _.iterator.asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .next())
+    val dest = java.nio.file.Paths.get(destDir, name)
+    java.nio.file.Files.createDirectories(dest.getParent)
+    java.nio.file.Files.move(part, dest)
+    java.nio.file.Files.setLastModifiedTime(
+      dest, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
+  }
+
   // ------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -65,6 +89,39 @@ object SparkEntry {
           .otherwise(col("text")))
       WaryGate.reportJson(perturbed, Pipeline.turnSpec)
         .select("conv_id", "turn_idx", "report")
+    }),
+
+    // --- JSON-lines ingest: ONE-PASS valid/quarantine split under the oracle ----
+    // The reference's serving path (deserialize → wary() → 200-with-
+    // transformed-payload / 400-with-report) as a batch source+sink: turns
+    // are perturbed so every gate branch appears, round-tripped through
+    // JSON-lines, gated, and landed in a validity-partitioned sink in one
+    // write. The oracle predicts BOTH splits — transformed text + "[]"
+    // report on the valid side, original text + exact report bytes on the
+    // quarantine side — so the split routing, the transform gating, and
+    // the serde shape are all under the hard signal.
+    "q_ingest_split" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_ingest").toString
+      val jsonDir = s"$tmp/in"
+      val outDir = s"$tmp/out"
+      turns(s, dir).select(
+        col("conv_id"), col("turn_idx"),
+        when(col("turn_idx") % 7 === 0, lit(null).cast("string"))
+          .when(col("turn_idx") % 7 === 1, lit(""))
+          .when(col("turn_idx") % 7 === 2, concat(lit("x"), repeat(lit("y"), 4500)))
+          .otherwise(col("text")).as("text"))
+        .write.mode("overwrite").json(jsonDir)
+      val schema = StructType(Seq(
+        StructField("conv_id", StringType),
+        StructField("turn_idx", IntegerType),
+        StructField("text", StringType)))
+      val src = graft.io.JsonIngest.readJsonl(s, jsonDir, schema)
+      graft.io.JsonIngest.ingest(src, Pipeline.turnSpec, outDir)
+      s.read.parquet(outDir)
+        .select(col("conv_id"), col("turn_idx"), col("text"), col("report"),
+          col("__valid").as("valid"))
     }),
 
     // --- lag / lead -------------------------------------------------------
@@ -134,7 +191,22 @@ object SparkEntry {
     }),
 
     // --- FORWARD as-of join (label generation: earliest obs at ts >= anchor) ---
+    // DEFAULT = the native sort-merge exec (≈2x the union-merge on this
+    // query; same pairing as the backward default in Pipeline). The
+    // portable union-merge formulation stays oracled as q_asof_fwd_union.
     "q_asof_forward" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("next_tool"))
+      graft.features.AsOfNative.joinForward(anchors, obs, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "next_tool")
+    }),
+
+    // --- forward as-of, union-merge formulation (portable fallback) -------------
+    "q_asof_fwd_union" -> ((s, dir) => {
       val t = turns(s, dir)
       val anchors = t.filter(col("role") === "assistant")
         .select("conv_id", "turn_idx", "ts")
@@ -378,6 +450,18 @@ object SparkEntry {
       Similarity.annCandidates(e, q, dim = 64, nBits = 8)
     }),
 
+    // --- MULTI-PROBE LSH ANN (recall lever: full Hamming-1 ball) ----------------
+    // Same corpus/queries/bits as q_ann_lsh but each query also probes all
+    // 8 Hamming-1 neighbor buckets — the oracle replays the identical
+    // neighbor expansion, and its row count vs q_ann_lsh IS the measured
+    // recall gain at equal nBits (the multi-probe contract).
+    "q_ann_lsh_mp" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
+    }),
+
     // --- IVF-flat ANN candidates (inverted-list scale path) ---------------------
     // Centroids are a deterministic sample of corpus vectors; assignment
     // is a zero-shuffle per-row argmax over exact quantized dots, probing
@@ -388,7 +472,7 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(e, step = 100L)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      Similarity.annIvf(e, q, cents, nProbe = 2)
+      Similarity.annIvf(e, q, cents, nProbe = 2, excludeSelf = true)
     }),
 
     // --- embedding-cosine near-duplicate pairs ----------------------------------
@@ -443,6 +527,71 @@ object SparkEntry {
           new java.sql.Timestamp(maxTs + 2 * step)))
         q.processAllAvailable()
       } finally q.stop()
+      s.table(name).filter($"conv_id" =!= "__wm__")
+        .select("conv_id", "session_seq", "n_turns", "session_start",
+          "session_end")
+    }),
+
+    // --- STREAMING sessionize over a FILE SOURCE (no driver materialization) ---
+    // The same stateful operator driven the way production would run it:
+    // the transcript is staged as mtime-ordered parquet files (each chunk
+    // a distributed write — no row ever crosses the driver), consumed via
+    // readStream + maxFilesPerTrigger=1 under Trigger.AvailableNow, with 8
+    // state partitions and conversations interleaved across every batch
+    // (global ts-order chunking = maximal cross-batch key interleaving).
+    // Two far-future sentinel FILES flush tail sessions via event-time
+    // timeout, exactly as in the MemoryStream twin. Oracle = batch SQL.
+    "q_stream_sessionize_files" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamfiles").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"role", $"ts")
+      // chunk by GLOBAL event-time order so each conversation's turns stay
+      // ts-ordered across batches (the operator's cross-batch contract);
+      // the single-partition sort is replay-harness-only, like any replay
+      // coordinator — production streams arrive already time-ordered
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      val base = 1700000000000L
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet", base + i * 10000L)
+      }
+      // sentinel events: gap + watermark + margin beyond max ts, twice
+      // (the watermark updates BETWEEN batches, so the second sentinel's
+      // batch is the one that sees tails expired)
+      val maxTs = t.agg(max($"ts")).as[java.sql.Timestamp].head().getTime
+      val step = (1800L + 600L + 10L) * 1000L
+      (1 to 2).foreach { i =>
+        stageOrderedFile(
+          Seq(TurnEvent("__wm__", i - 1, "user",
+            new java.sql.Timestamp(maxTs + i * step))).toDS().toDF(),
+          s"$tmp/scratch_wm$i", watched, s"wm-$i.parquet",
+          base + (nChunks + i) * 10000L)
+      }
+      val name = s"stream_sessions_files_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(t.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[TurnEvent]
+          StreamingFeatures.sessionize(src, gapSeconds = 1800L)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
       s.table(name).filter($"conv_id" =!= "__wm__")
         .select("conv_id", "session_seq", "n_turns", "session_start",
           "session_end")
@@ -585,6 +734,37 @@ object SparkEntry {
          |    ELSE '[]' END AS report
          |FROM p""".stripMargin,
 
+    // one-pass ingest split: the oracle predicts the transformed text on
+    // the valid side, the untouched text on the quarantine side, the
+    // exact report bytes, and the split routing flag
+    "q_ingest_split" ->
+      s"""$T,
+         |p AS (
+         |  SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx % 7 = 0 THEN NULL
+         |         WHEN turn_idx % 7 = 1 THEN ''
+         |         WHEN turn_idx % 7 = 2 THEN 'x' || repeat('y', 4500)
+         |         ELSE text END AS t
+         |  FROM turns)
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN t IS NULL THEN NULL
+         |       WHEN strlen(t) >= 1 AND strlen(t) <= 4000
+         |         THEN lower(regexp_replace(t, '(^[ \t\n]+)|([ \t\n]+$$)', '', 'g'))
+         |       ELSE t END AS text,
+         |  CASE
+         |    WHEN t IS NULL THEN
+         |      '[{"path":["text"],"code":"cannot_be_empty","message":"value should not be empty","detail":null}]'
+         |    WHEN strlen(t) = 0 THEN
+         |      '[{"path":["text"],"code":"cannot_be_empty","message":"value should not be empty","detail":null},' ||
+         |      '{"path":["text"],"code":"too_short","message":"expected length of at least 1, found 0","detail":{"min":1,"actual":0,"exclusive":false}}]'
+         |    WHEN strlen(t) > 4000 THEN
+         |      '[{"path":["text"],"code":"too_long","message":"expected length of at most 4000, found ' || strlen(t) ||
+         |      '","detail":{"max":4000,"actual":' || strlen(t) || ',"exclusive":false}}]'
+         |    ELSE '[]' END AS report,
+         |  CASE WHEN t IS NOT NULL AND strlen(t) >= 1 AND strlen(t) <= 4000
+         |       THEN 'true' ELSE 'false' END AS valid
+         |FROM p""".stripMargin,
+
     "q_salted_agg" ->
       s"""$T
          |SELECT conv_id, CAST(count(*) AS BIGINT) AS n,
@@ -714,6 +894,16 @@ object SparkEntry {
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 
     "q_asof_forward" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.next_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts >= a.ts
+         |   ORDER BY o.ts ASC LIMIT 1) AS next_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    "q_asof_fwd_union" ->
       s"""$T,
          |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
          |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
@@ -934,6 +1124,23 @@ object SparkEntry {
          |  min(ts) AS session_start, max(ts) AS session_end
          |FROM s2 GROUP BY conv_id, session_seq""".stripMargin,
 
+    // file-source replay must agree with the same batch SQL as the
+    // MemoryStream replay — stream/batch parity is transport-independent
+    "q_stream_sessionize_files" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1)
+         |SELECT conv_id, session_seq, CAST(count(*) AS BIGINT) AS n_turns,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM s2 GROUP BY conv_id, session_seq""".stripMargin,
+
     "q_multimodal" ->
       """SELECT doc_id AS media_id,
         |  CASE WHEN doc_id % 7 = 0 THEN 'unknown'
@@ -1078,6 +1285,51 @@ object SparkEntry {
         |FROM bkt c JOIN bkt q ON c.bucket = q.bucket AND q.vec_id < 5
         |  AND c.vec_id <> q.vec_id
         |JOIN embeddings ce ON ce.vec_id = c.vec_id
-        |JOIN embeddings qe2 ON qe2.vec_id = q.vec_id""".stripMargin
+        |JOIN embeddings qe2 ON qe2.vec_id = q.vec_id""".stripMargin,
+
+    // identical SignLsh bucket math to q_ann_lsh, then each query probes
+    // its exact bucket PLUS all 8 Hamming-1 neighbors (bit i flipped) —
+    // the same neighbor expansion as Similarity.annCandidates(probes = 8)
+    "q_ann_lsh_mp" ->
+      """WITH w0 AS (
+        |  SELECT tb.b AS b, td.d AS d,
+        |    xor(xor(CAST(tb.b AS UBIGINT) << 32, CAST(td.d AS UBIGINT)),
+        |        CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM range(8) tb(b), range(64) td(d)),
+        |w1 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w0),
+        |w2 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w1),
+        |w3 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w2),
+        |w4 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w3),
+        |w AS (SELECT b, d, CAST(xor(x, x >> 33) >> 43 AS BIGINT) - 1048576 AS wt FROM w4),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, w.b AS b, SUM(qe[w.d + 1] * w.wt) AS s
+        |  FROM qv, w GROUP BY vec_id, w.b),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |probes AS (
+        |  SELECT vec_id AS query_id,
+        |    unnest(list_prepend(bucket,
+        |      [xor(bucket, CAST(1 AS BIGINT) << i) for i in range(8)])) AS pbucket
+        |  FROM bkt WHERE vec_id < 5)
+        |SELECT p.query_id, c.vec_id AS vec_id,
+        |  CAST(list_sum([CAST(ROUND(CAST(ce.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(qe2.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(ce.embedding)+1)]) AS BIGINT) AS dot
+        |FROM bkt c JOIN probes p ON c.bucket = p.pbucket
+        |  AND c.vec_id <> p.query_id
+        |JOIN embeddings ce ON ce.vec_id = c.vec_id
+        |JOIN embeddings qe2 ON qe2.vec_id = p.query_id""".stripMargin
   )
 }

@@ -1,0 +1,95 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
+
+/** IVF probe-list ranking with the centroid matrix as DATA, not plan
+  * literals: one expression node regardless of k.
+  *
+  * The first formulation (Similarity.ivfProbeListsExpr) builds an
+  * `array(struct(quant_dot(emb, lit(c₀)), …), …)` with one literal + one
+  * dot expression PER CENTROID — correct, but the plan tree grows O(k·dim)
+  * and codegen/analysis costs explode around k ≈ 10³, while IVF wants
+  * k ≈ √N (10⁶ at 10¹² vectors). Here the quantized centroids ride along
+  * as a constructor field — serialized once with the task, registered via
+  * `ctx.addReferenceObj` in codegen — so the expression tree is O(1) and
+  * assignment stays a zero-shuffle per-row loop at any k.
+  *
+  * Math contract (identical to the expression path, oracle-portable):
+  * embedding quantized round-half-away ×10⁴ (as [[QuantVec]]), exact int64
+  * dots against each centroid, rank by (dot DESC, list_id ASC), return the
+  * first `nProbe` list ids.
+  */
+object IvfProbeImpl {
+  private def q(x: Double): Long =
+    if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
+    else math.ceil(x * 10000.0 - 0.5).toLong
+
+  def probe(arr: ArrayData, ids: Array[Int], cents: Array[Array[Long]],
+      nProbe: Int): ArrayData = {
+    val dim = arr.numElements()
+    val qe = new Array[Long](dim)
+    var d = 0
+    while (d < dim) { qe(d) = q(arr.getFloat(d).toDouble); d += 1 }
+    val k = cents.length
+    val dots = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val c = cents(j)
+      val n = math.min(dim, c.length)
+      var s = 0L
+      d = 0
+      while (d < n) { s += qe(d) * c(d); d += 1 }
+      dots(j) = s
+      j += 1
+    }
+    // nProbe argmax passes with ties to the smaller list id — O(k·nProbe),
+    // negligible next to the O(k·dim) dot loop above
+    val m = math.min(nProbe, k)
+    val out = new Array[Int](m)
+    val used = new Array[Boolean](k)
+    var p = 0
+    while (p < m) {
+      var best = -1
+      j = 0
+      while (j < k) {
+        if (!used(j) && (best < 0 ||
+            dots(j) > dots(best) ||
+            (dots(j) == dots(best) && ids(j) < ids(best)))) best = j
+        j += 1
+      }
+      used(best) = true
+      out(p) = ids(best)
+      p += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
+case class IvfProbeLists(
+    child: Expression,
+    ids: Array[Int],
+    cents: Array[Array[Long]],
+    nProbe: Int
+) extends UnaryExpression {
+  require(cents.nonEmpty && ids.length == cents.length,
+    "need at least one centroid and one id per centroid")
+  require(nProbe > 0, "nProbe must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ivf_probe_lists"
+  override protected def nullSafeEval(input: Any): Any =
+    IvfProbeImpl.probe(input.asInstanceOf[ArrayData], ids, cents, nProbe)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // the centroid matrix is a REFERENCE OBJECT, not generated literals —
+    // generated-code size stays constant in k
+    val idsRef = ctx.addReferenceObj("ivfIds", ids, "int[]")
+    val centsRef = ctx.addReferenceObj("ivfCents", cents, "long[][]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.IvfProbeImpl.probe($c, $idsRef, $centsRef, $nProbe)")
+  }
+  override protected def withNewChildInternal(c: Expression): IvfProbeLists =
+    copy(child = c)
+}

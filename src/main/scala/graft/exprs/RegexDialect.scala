@@ -66,14 +66,20 @@ object RegexDialect {
     */
   private def scanFlags(p: String): (Boolean, Boolean) = {
     var i = 0
-    var inClass = false
+    // class NESTING DEPTH, not a boolean: Java allows nested classes
+    // ([x[^0-9]]) and the POSIX expansion above emits them — a boolean
+    // would flip "outside" at the inner ']' while still inside the outer
+    var depth = 0
     var hasU = false
     var posM = false
     while (i < p.length) {
       val c = p.charAt(i)
       if (c == '\\') i += 2
-      else if (inClass) { if (c == ']') inClass = false; i += 1 }
-      else if (c == '[') { inClass = true; i += 1 }
+      else if (depth > 0) {
+        if (c == '[') depth += 1 else if (c == ']') depth -= 1
+        i += 1
+      }
+      else if (c == '[') { depth = 1; i += 1 }
       else if (c == '(' && i + 1 < p.length && p.charAt(i + 1) == '?') {
         var j = i + 2
         var neg = false
@@ -98,14 +104,17 @@ object RegexDialect {
   private def rewriteDollars(p: String): String = {
     val sb = new StringBuilder(p.length + 8)
     var i = 0
-    var inClass = false
+    var depth = 0 // class nesting depth (see scanFlags)
     while (i < p.length) {
       val c = p.charAt(i)
       if (c == '\\' && i + 1 < p.length) {
         sb.append(c).append(p.charAt(i + 1)); i += 2
       } else {
-        if (inClass) { if (c == ']') inClass = false; sb.append(c) }
-        else if (c == '[') { inClass = true; sb.append(c) }
+        if (depth > 0) {
+          if (c == '[') depth += 1 else if (c == ']') depth -= 1
+          sb.append(c)
+        }
+        else if (c == '[') { depth = 1; sb.append(c) }
         else if (c == '$') sb.append("\\z")
         else sb.append(c)
         i += 1

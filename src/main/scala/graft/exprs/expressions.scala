@@ -3,7 +3,7 @@ package graft.exprs
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.types.{DataType, IntegerType, StringType}
+import org.apache.spark.sql.types.{DataType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Custom Catalyst expressions for the rule semantics Spark's built-ins
@@ -115,6 +115,32 @@ case class GraphemeCount(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, c => s"graft.exprs.WaryChar.graphemeCount($c.toString())")
   override protected def withNewChildInternal(c: Expression): GraphemeCount =
+    copy(child = c)
+}
+
+/** Raw microseconds of a TIMESTAMP_NTZ column, read WITHOUT any timezone
+  * conversion — internally an NTZ value already IS a long of micros, so
+  * this is an identity reinterpretation. Spark's own `unix_micros` only
+  * accepts TIMESTAMP, and routing NTZ through `cast("timestamp")` converts
+  * via the session timezone, which is non-injective around DST transitions
+  * (distinct NTZ values can collide or shift). Used by the native forward
+  * as-of to negate NTZ timestamps losslessly.
+  */
+case class NtzMicros(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "ntz_micros"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == org.apache.spark.sql.types.TimestampNTZType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"ntz_micros requires timestamp_ntz input, got ${child.dataType}")
+  override protected def nullSafeEval(input: Any): Any = input
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => c)
+  override protected def withNewChildInternal(c: Expression): NtzMicros =
     copy(child = c)
 }
 

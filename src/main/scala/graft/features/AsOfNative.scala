@@ -113,7 +113,12 @@ object AsOfNative {
       "joinForward reserves the column name __negts")
     def neg(df: DataFrame, c: String) = df.schema(c).dataType match {
       case LongType => -col(c) * 1000000L // epoch seconds -> micros
-      case TimestampNTZType => -unix_micros(col(c).cast("timestamp"))
+      case TimestampNTZType =>
+        // read the NTZ's raw micros directly — cast("timestamp") would
+        // round-trip through the session timezone, which is non-injective
+        // around DST transitions (graft.exprs.NtzMicros scaladoc)
+        -GraftBridge.column(
+          graft.exprs.NtzMicros(GraftBridge.expression(col(c))))
       case _ => -unix_micros(col(c))
     }
     val negL = left.withColumn("__negts", neg(left, leftTs))

@@ -54,9 +54,9 @@ object Checkpoint {
       runId: String
   ): Set[Int] = {
     val done = committedBuckets(out)
+    if (done.size == nBuckets) return Set.empty
     val bucketed = df.withColumn("__bucket", pmod(hash(col(keyCol)), lit(nBuckets)))
     val remaining = bucketed.filter(!col("__bucket").isin(done.toSeq: _*))
-    if (done.size == nBuckets) return Set.empty
 
     val staging = s"$out/_staging_$runId"
     // one distributed pass over the remaining rows
@@ -97,9 +97,21 @@ object Checkpoint {
       promoted += b
     }
 
+    // Concurrent writers: staging dirs are per-runId so two racing runs
+    // only meet at promotion. The manifest entry is the commit point —
+    // re-check it per bucket (another run may have committed while this
+    // one was staging) and skip instead of clobbering committed data. A
+    // target dir WITHOUT a manifest entry is a stale partial from a dead
+    // run and is safe to replace. The residual window (two runs passing
+    // the same check simultaneously) is closed by the ATOMIC_MOVE of the
+    // manifest file: both promoted identical recomputed data, so either
+    // winner leaves a consistent bucket.
+    def committedMeanwhile(b: Int): Boolean =
+      Files.exists(manifestDir(out).resolve(s"bucket-$b.json"))
     (0 until nBuckets).filterNot(done.contains).foreach { b =>
       val staged = stagingPath.resolve(s"__bucket=$b")
-      if (Files.exists(staged)) {
+      if (committedMeanwhile(b)) () // lost the race — the other run's commit stands
+      else if (Files.exists(staged)) {
         val target = Paths.get(out, s"bucket=$b")
         if (Files.exists(target)) { // stale partial from a dead run
           deleteRecursively(target)

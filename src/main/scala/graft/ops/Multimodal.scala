@@ -131,7 +131,7 @@ object Multimodal {
     (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
 
   private def asciiAt(b: Array[Byte], off: Int, s: String): Boolean =
-    off + s.length <= b.length &&
+    off >= 0 && off + s.length <= b.length &&
       s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
 
   /** REAL container-header parse: PNG signature + IHDR (CRC-verified) or
@@ -173,7 +173,14 @@ object Multimodal {
             if (channels <= 0 || rate <= 0 || bits <= 0) Some(unknown)
             else Some(MediaDecoded(id, "wav", None, None, Some(channels),
               Some(rate), Some(bits)))
-        } else off += 8 + size + (size & 1)
+        } else {
+          // advance in Long: a size near Int.MaxValue wraps `off + 8 +
+          // size` negative in Int math and the next probe would index out
+          // of bounds — structural garbage must decode as `unknown`
+          val next = off.toLong + 8L + size.toLong + (size & 1)
+          if (next > bytes.length || next <= off) return unknown
+          off = next.toInt
+        }
       }
       out.getOrElse(unknown)
     } else unknown

@@ -120,36 +120,66 @@ object Similarity {
     * inside one row.
     *
     * Recall caveats (both auditable, neither silent):
-    *  - recall < 1 by construction — vectors must collide in the single
-    *    sign-LSH bucket (lower `nBits` or add multi-probe for recall);
+    *  - recall < 1 by construction — vectors must collide within the
+    *    probed Hamming ball (raise `probes` toward nBits, or lower
+    *    `nBits`, for recall);
     *  - buckets larger than `maxBucketSize` are DROPPED (a degenerate
     *    bucket means near-identical mass duplicates — exact dedup
     *    territory — or too-few bits). Dropped buckets are surfaced by
     *    [[lshDroppedHotBuckets]] on the same input: log it next to this
     *    output, exactly like Dedup.minhashPairs/droppedHotBuckets.
     */
+  /** The exact bucket plus `probes` Hamming-1 neighbors (bit i flipped,
+    * 0 ≤ i < probes ≤ nBits) — the standard multi-probe recall lever:
+    * instead of fattening every bucket by lowering nBits, only the PROBE
+    * side fans out (×(probes+1) rows), and each probe is one more hash-
+    * join lookup. All probe values are distinct by construction, so
+    * downstream pair/candidate generation stays duplicate-free.
+    */
+  private def probeBuckets(bucket: Column, probes: Int): Column =
+    explode(array(
+      (bucket +: (0 until probes).map(i => bucket.bitwiseXOR(lit(1L << i)))): _*))
+
+  /** @param probes number of Hamming-1 neighbor buckets to probe per
+    *   vector (0 = exact-bucket only; nBits = full Hamming-1 ball).
+    *   Multi-probe expands only the LEFT side of the bucket join, and a
+    *   pair (a < b) still appears exactly once: same-bucket pairs match
+    *   via a's exact probe, Hamming-1 pairs via a's flipped probe into
+    *   b's bucket (b's flip toward a yields (b, a), killed by a < b).
+    */
   def nearDupPairsLsh(
       corpus: DataFrame,
       minDot: Long,
       dim: Int,
       nBits: Int = 12,
-      maxBucketSize: Int = 10000
+      maxBucketSize: Int = 10000,
+      probes: Int = 0
   ): DataFrame = {
+    require(probes >= 0 && probes <= nBits,
+      s"probes must be in 0..nBits (=$nBits)")
     val ids = corpus.select(
       col("vec_id"), lshBucket(col("embedding"), dim, nBits).as("bucket"))
-    // eligible buckets from ids only (count, not collect)
+    // eligible buckets from ids only (count, not collect). The size cap
+    // guards the RIGHT (exact) side — that bounds per-probe join fan-out.
+    // Singleton buckets only produce pairs under multi-probe, so the n > 1
+    // pruning applies to the exact-only case alone.
+    val okCond =
+      if (probes == 0) col("__n") > 1 && col("__n") <= maxBucketSize
+      else col("__n") <= maxBucketSize
     val ok = ids.groupBy(col("bucket"))
       .agg(count(lit(1)).as("__n"))
-      .filter(col("__n") > 1 && col("__n") <= maxBucketSize)
+      .filter(okCond)
       .select("bucket")
-    val l = ids.join(ok, Seq("bucket")).select(col("bucket"), col("vec_id").as("a"))
+    val lProbe = if (probes == 0) col("bucket") else probeBuckets(col("bucket"), probes)
+    val l = ids.select(lProbe.as("bucket"), col("vec_id").as("a"))
     val r = ids.join(ok, Seq("bucket")).select(col("bucket"), col("vec_id").as("b"))
     val cand = l.join(r, Seq("bucket"))
       .filter(col("a") < col("b"))
       .select("a", "b")
-    // no distinct: each vector lands in exactly ONE bucket (unlike the
-    // banded MinHash pairs), so every (a < b) pair is generated at most
-    // once — a dedup here would be a full extra shuffle for nothing
+    // no distinct: each vector lands in exactly ONE exact bucket and all
+    // of a vector's probe values are distinct, so every (a < b) pair is
+    // generated at most once (see the probes scaladoc) — a dedup here
+    // would be a full extra shuffle for nothing
     val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
     cand
@@ -177,10 +207,12 @@ object Similarity {
       .filter(col("n_vecs") > maxBucketSize)
 
   /** IVF centroids as a driver-side list: a deterministic sample of corpus
-    * vectors (every `step`-th id). Centroid payload is k × dim floats —
-    * driver-tiny by construction (k ≈ √N at scale). In production the
-    * sample is replaced by trained k-means centroids from a separate job;
-    * the assign/probe structure below is identical either way.
+    * vectors (every `step`-th id). The payload is k × dim floats of PLAIN
+    * DATA (see [[ivfProbeLists]] — it never becomes plan literals), so at
+    * k ≈ √N = 10⁶ this is a few GB: sized for a large driver, shipped once
+    * per executor with the task closure. In production the sample is
+    * replaced by trained k-means centroids from a separate job; the
+    * assign/probe structure below is identical either way.
     */
   def ivfCentroids(corpus: DataFrame, step: Long): Seq[(Int, Seq[Float])] =
     corpus.filter(col("vec_id") % step === 0)
@@ -190,13 +222,51 @@ object Similarity {
       .toSeq
       .sortBy(_._1)
 
+  /** Centroids packed for the DATA path: parallel arrays of list ids and
+    * pre-quantized (×10⁴ round-half-away) int64 centroid vectors — the
+    * payload a single [[graft.exprs.IvfProbeLists]] expression carries as
+    * a task-serialized reference object. At k ≈ √N (10⁶ centroids at 10¹²
+    * vectors) this is a few GB of PLAIN DATA shipped once per executor,
+    * instead of a million-node expression tree the analyzer and codegen
+    * would have to walk per plan.
+    */
+  private def packCentroids(
+      centroids: Seq[(Int, Seq[Float])]): (Array[Int], Array[Array[Long]]) = {
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
+      else math.ceil(x * 10000.0 - 0.5).toLong
+    (centroids.map(_._1).toArray,
+      centroids.map(_._2.map(v => q(v.toDouble)).toArray).toArray)
+  }
+
+  /** Nearest-centroid (inverted-list) id for a vector. One O(1)-plan-size
+    * expression (centroids as data): assignment costs ZERO shuffles (IVF
+    * assignment is embarrassingly parallel — the property that makes it
+    * the ANN structure of choice at 10^12 vectors) and the plan does not
+    * grow with k.
+    */
+  def ivfListId(embedding: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+    get(ivfProbeLists(embedding, centroids, 1), lit(0))
+
+  /** The `nProbe` nearest list ids for a query vector (descending dot,
+    * ties to the smaller id — consistent with [[ivfListId]]).
+    */
+  def ivfProbeLists(embedding: Column, centroids: Seq[(Int, Seq[Float])],
+      nProbe: Int): Column = {
+    val (ids, cents) = packCentroids(centroids)
+    bridge(graft.exprs.IvfProbeLists(expr(embedding), ids, cents, nProbe))
+  }
+
   /** Exact-integer dots against every centroid, packed as an array of
     * (dot, -list_id) structs — struct comparison is lexicographic, so
     * array_max = argmax by dot with ties to the SMALLER list id, and a
-    * descending sort ranks probe lists under the same tie rule. Pure
-    * per-row expression: assignment costs ZERO shuffles (IVF assignment
-    * is embarrassingly parallel — the property that makes it the ANN
-    * structure of choice at 10^12 vectors).
+    * descending sort ranks probe lists under the same tie rule.
+    *
+    * SMALL-k ONLY: this builds one literal + one dot expression PER
+    * CENTROID, so the plan tree grows O(k·dim) and analysis/codegen costs
+    * explode around k ≈ 10³. Kept as the composed-builtins reference
+    * implementation (equality-tested against the data path in OpsSpec);
+    * production callers go through [[ivfProbeLists]].
     */
   private def centroidDots(embedding: Column,
       centroids: Seq[(Int, Seq[Float])]): Column =
@@ -204,14 +274,12 @@ object Similarity {
       struct(quantDot(embedding, typedlit(vec)).as("d"), lit(-id).as("nid"))
     }: _*)
 
-  /** Nearest-centroid (inverted-list) id for a vector — narrow expression. */
-  def ivfListId(embedding: Column, centroids: Seq[(Int, Seq[Float])]): Column =
+  /** Literal-expression twin of [[ivfListId]] (small-k reference path). */
+  def ivfListIdExpr(embedding: Column, centroids: Seq[(Int, Seq[Float])]): Column =
     -array_max(centroidDots(embedding, centroids)).getField("nid")
 
-  /** The `nProbe` nearest list ids for a query vector (descending dot,
-    * ties to the smaller id — consistent with [[ivfListId]]).
-    */
-  def ivfProbeLists(embedding: Column, centroids: Seq[(Int, Seq[Float])],
+  /** Literal-expression twin of [[ivfProbeLists]] (small-k reference path). */
+  def ivfProbeListsExpr(embedding: Column, centroids: Seq[(Int, Seq[Float])],
       nProbe: Int): Column =
     transform(
       slice(reverse(array_sort(centroidDots(embedding, centroids))), 1, nProbe),
@@ -223,11 +291,18 @@ object Similarity {
     * to their probe lists and broadcast) — the corpus is never shuffled.
     * Recall grows with nProbe; the caller takes top-k.
     */
+  /** @param excludeSelf drop candidates whose vec_id equals the query_id —
+    *   opt-IN, for callers whose queries are drawn from the corpus (the
+    *   corpus-as-queries pattern). When queries live in a DIFFERENT id
+    *   space, leave it false: an id collision between an unrelated query
+    *   and corpus vector must not silently drop a valid candidate.
+    */
   def annIvf(
       corpus: DataFrame, // (vec_id, embedding)
       queries: DataFrame, // (query_id, q_embedding)
       centroids: Seq[(Int, Seq[Float])],
-      nProbe: Int
+      nProbe: Int,
+      excludeSelf: Boolean = false
   ): DataFrame = {
     require(centroids.nonEmpty, "need at least one centroid")
     val assigned = corpus.withColumn(
@@ -236,11 +311,12 @@ object Similarity {
       .select(col("query_id"), col("q_embedding"),
         explode(ivfProbeLists(col("q_embedding"), centroids, nProbe))
           .as("list_id"))
-    assigned
-      .join(broadcast(probes), Seq("list_id"))
-      .filter(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id"),
-        quantDot(col("embedding"), col("q_embedding")).as("dot"))
+    val joined = assigned.join(broadcast(probes), Seq("list_id"))
+    val cand =
+      if (excludeSelf) joined.filter(col("query_id") =!= col("vec_id"))
+      else joined
+    cand.select(col("query_id"), col("vec_id"),
+      quantDot(col("embedding"), col("q_embedding")).as("dot"))
   }
 
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
@@ -275,17 +351,29 @@ object Similarity {
     bits.reduce(_ + _).as("bucket")
   }
 
-  /** ANN via LSH buckets: probe only the query's bucket. Returns candidate
-    * (query_id, vec_id, dot) — recall depends on nBits; the caller re-ranks.
+  /** ANN via LSH buckets: probe the query's bucket plus `probes` Hamming-1
+    * neighbor buckets (0 = single-probe). Returns candidate (query_id,
+    * vec_id, dot) — recall grows with `probes` WITHOUT fattening corpus
+    * buckets (only the broadcast query side fans out ×(probes+1)); the
+    * caller re-ranks. Each (query, vec) pair appears at most once: a
+    * query's probe values are all distinct and a corpus vector lives in
+    * exactly one bucket.
     */
   def annCandidates(
       corpus: DataFrame,
       queries: DataFrame,
       dim: Int,
-      nBits: Int = 12
+      nBits: Int = 12,
+      probes: Int = 0
   ): DataFrame = {
+    require(probes >= 0 && probes <= nBits,
+      s"probes must be in 0..nBits (=$nBits)")
     val c = corpus.withColumn("bucket", lshBucket(col("embedding"), dim, nBits))
-    val q = queries.withColumn("bucket", lshBucket(col("q_embedding"), dim, nBits))
+    val qb = queries.withColumn("bucket", lshBucket(col("q_embedding"), dim, nBits))
+    val q =
+      if (probes == 0) qb
+      else qb.select(col("query_id"), col("q_embedding"),
+        probeBuckets(col("bucket"), probes).as("bucket"))
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id"),
