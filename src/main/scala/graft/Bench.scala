@@ -24,12 +24,19 @@ object Bench {
     spark.read.parquet(s"$sfDir/events.parquet").count()
 
     import org.apache.spark.sql.GraftBridge.forceEvaluate
+    // cold = first evaluation (includes plan compile + codegen); warm =
+    // second evaluation of a fresh plan. Cross-round per-query comparisons
+    // should read WARM (cold is dominated by compile noise on sub-second
+    // queries); cold stays the headline sweep for honesty about one-shot
+    // cost.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val (_, sec) = timed {
+      def once(): Double = timed {
         try forceEvaluate(fn(spark, sfDir))
         catch { case e: Throwable => System.err.println(s"[bench] $name: $e"); -1L }
-      }
-      name -> sec
+      }._2
+      val cold = once()
+      val warm = once()
+      (name, cold, warm)
     }
 
     // flagship throughput: full pipeline rows/sec over the derived turns.
@@ -55,14 +62,27 @@ object Bench {
       (1 to 2).map(_ => timed(forceEvaluate(Pipeline.featuresFromTurns(t)))._2).min
     }
 
-    val qs = (results :+
-      ("pipeline_features" -> pipeSec) :+
-      ("pipeline_bucketed" -> bucketedSec))
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+    val all = results :+
+      ("pipeline_features", pipeSec, pipeSec) :+
+      ("pipeline_bucketed", bucketedSec, bucketedSec)
+    val qs = all
+      .map { case (k, c, _) => "\"" + k + "\":" + f"$c%.3f" }
+      .mkString("{", ",", "}")
+    val qsDetail = all
+      .map { case (k, c, w) =>
+        "\"" + k + "\":{\"cold\":" + f"$c%.3f" + ",\"warm\":" + f"$w%.3f" + "}" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum + pipeSec + bucketedSec
+    // scaling variance band (graft.ScalingBench writes it; stays absent
+    // when the scaling sweep has not been run on this machine)
+    val scaling = {
+      val p = java.nio.file.Paths.get("docs/scaling_latest.json")
+      if (java.nio.file.Files.exists(p))
+        java.nio.file.Files.readString(p).trim
+      else "null"
+    }
     println(
-      s"""{"metric":"turns/sec","value":${f"$turnsPerSec%.1f"},"unit":"sec","total_sec":${f"$total%.2f"},"queries":$qs,"sf":"$sfDir","cpus":$cpus}"""
+      s"""{"metric":"turns/sec","value":${f"$turnsPerSec%.1f"},"unit":"sec","total_sec":${f"$total%.2f"},"queries":$qs,"queries_detail":$qsDetail,"scaling":$scaling,"sf":"$sfDir","cpus":$cpus}"""
     )
     spark.stop()
   }

@@ -11,6 +11,19 @@ import graft.schema.TranscriptGen
   * and efficiency = (T_N / T_4N) / 4. Stands in for N → 4N executors in
   * the sandbox (no real cluster available), as directed by the driver.
   *
+  * Variance band: each session runs `reps` timed pipeline evaluations;
+  * rep i at N cores is paired with rep i at 4N cores, giving `reps`
+  * efficiency samples reported as {lo, mean, hi} — a single sub-0.8 raw
+  * reading is bracketed by data instead of narrative. The bare-scan
+  * ceiling is sampled the same way (on one shared-memory box even a
+  * zero-logic parquet scan scales sublinearly; a real N→4N cluster adds
+  * memory bandwidth with every node, so the ceiling does not exist there
+  * — normalized efficiency divides it out).
+  *
+  * Output: one JSON line on stdout AND docs/scaling_latest.json, which
+  * graft.Bench embeds in its own output so the per-round BENCH JSON
+  * carries the band.
+  *
   * The input is a ~10^7-turn deterministic synthetic transcript table
   * (FIXTURES.md scale tier) staged once as parquet — large enough that the
   * measured region is dominated by distributed work, not session fixed
@@ -36,14 +49,8 @@ object ScalingBench {
     }
   }
 
-  /** (pipeline seconds, bare-scan seconds) at `cores`. The bare scan is
-    * the hardware baseline: on a single box, memory bandwidth is shared
-    * across all threads, so even a zero-logic parquet scan scales
-    * sublinearly — the honest engine metric is the pipeline's efficiency
-    * NORMALIZED by that scan ceiling (a real N→4N executor cluster adds
-    * bandwidth with every node, so the ceiling does not exist there).
-    */
-  private def run(cores: Int, reps: Int): (Double, Double) = {
+  /** Per-rep (pipeline seconds, bare-scan seconds) at `cores`. */
+  private def run(cores: Int, reps: Int): (Seq[Double], Seq[Double]) = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = GraftSession
@@ -59,8 +66,8 @@ object ScalingBench {
     def scan(): Long = forceEvaluate(spark.read.parquet(stagedDir))
     try {
       pipeline() // warm-up: codegen + parquet footers
-      val p = (1 to reps).map(_ => timed(pipeline())).min
-      val s = (1 to reps).map(_ => timed(scan())).min
+      val p = (1 to reps).map(_ => timed(pipeline()))
+      val s = (1 to reps).map(_ => timed(scan()))
       (p, s)
     } finally {
       spark.stop()
@@ -69,20 +76,39 @@ object ScalingBench {
     }
   }
 
+  private def fmtSeq(xs: Seq[Double]): String =
+    xs.map(x => f"$x%.2f").mkString("[", ",", "]")
+
+  private def band(xs: Seq[Double]): String =
+    s"""{"lo":${f"${xs.min}%.3f"},"mean":${f"${xs.sum / xs.size}%.3f"},"hi":${f"${xs.max}%.3f"}}"""
+
   def main(args: Array[String]): Unit = {
     val nConvs = sys.env.getOrElse("SPARK_GRAFT_CONVS", "400000").toLong
     val reps = sys.env.getOrElse("SPARK_GRAFT_REPS", "3").toInt
-    val lo = sys.env.getOrElse("SPARK_GRAFT_CORES_LO", "8").toInt
-    val hi = sys.env.getOrElse("SPARK_GRAFT_CORES_HI", "32").toInt
+    // default pairs: 1→4 (below the box's bandwidth ceiling — the clean
+    // N→4N signal) and 2→8 (ceiling-adjacent; normalized value matters)
+    val pairs = sys.env.getOrElse("SPARK_GRAFT_PAIRS", "1:4,2:8")
+      .split(",").toSeq.map { p =>
+        val Array(lo, hi) = p.split(":"); (lo.trim.toInt, hi.trim.toInt)
+      }
 
     val n = stage(nConvs)
-    val (tLo, sLo) = run(lo, reps)
-    val (tHi, sHi) = run(hi, reps)
-    val eff = (tLo / tHi) / (hi.toDouble / lo)
-    val scanEff = (sLo / sHi) / (hi.toDouble / lo)
-    val normEff = eff / scanEff
-    println(
-      s"""{"metric":"scaling","rows":$n,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":${f"$tLo%.2f"},"sec_hi":${f"$tHi%.2f"},"turns_per_sec_lo":${f"${n / tLo}%.1f"},"turns_per_sec_hi":${f"${n / tHi}%.1f"},"efficiency":${f"$eff%.3f"},"scan_sec_lo":${f"$sLo%.2f"},"scan_sec_hi":${f"$sHi%.2f"},"hardware_scan_efficiency":${f"$scanEff%.3f"},"normalized_efficiency":${f"$normEff%.3f"}}"""
-    )
+    val pairJsons = pairs.map { case (lo, hi) =>
+      val (pLo, sLo) = run(lo, reps)
+      val (pHi, sHi) = run(hi, reps)
+      val ratio = hi.toDouble / lo
+      val eff = pLo.zip(pHi).map { case (a, b) => (a / b) / ratio }
+      val scanEff = sLo.zip(sHi).map { case (a, b) => (a / b) / ratio }
+      val norm = eff.zip(scanEff).map { case (e, s) => e / s }
+      s"""{"cores_lo":$lo,"cores_hi":$hi,"sec_lo":${fmtSeq(pLo)},"sec_hi":${fmtSeq(pHi)},""" +
+        s""""turns_per_sec_lo":${f"${n / (pLo.sum / reps)}%.1f"},"turns_per_sec_hi":${f"${n / (pHi.sum / reps)}%.1f"},""" +
+        s""""efficiency":${band(eff)},"scan_sec_lo":${fmtSeq(sLo)},"scan_sec_hi":${fmtSeq(sHi)},""" +
+        s""""hardware_scan_efficiency":${band(scanEff)},"normalized_efficiency":${band(norm)}}"""
+    }
+    val json =
+      s"""{"metric":"scaling","rows":$n,"reps":$reps,"pairs":${pairJsons.mkString("[", ",", "]")}}"""
+    println(json)
+    Files.createDirectories(Paths.get("docs"))
+    Files.writeString(Paths.get("docs/scaling_latest.json"), json)
   }
 }

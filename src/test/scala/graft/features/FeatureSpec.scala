@@ -69,6 +69,32 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("native joinForward on TIMESTAMP_NTZ is timezone-free (DST window)") {
+    import org.apache.spark.sql.functions.{col, to_timestamp_ntz}
+    // 2026-03-08 02:00-03:00 does not exist in America/Los_Angeles (spring
+    // forward): NTZ values inside that hour collide/shift if negation
+    // round-trips through a session-timezone cast. Native must equal the
+    // union-merge, which compares NTZ values directly.
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/Los_Angeles")
+    try {
+      val anchors = Seq(("k", 1, "2026-03-08 02:10:00"),
+        ("k", 2, "2026-03-08 02:50:00"))
+        .toDF("k", "idx", "s")
+        .select(col("k"), col("idx"), to_timestamp_ntz(col("s")).as("ts"))
+      val obs = Seq(("k", "2026-03-08 02:30:00", "mid"),
+        ("k", "2026-03-08 03:30:00", "late"))
+        .toDF("k", "s", "v")
+        .select(col("k"), to_timestamp_ntz(col("s")).as("ts"), col("v"))
+      def key(df: org.apache.spark.sql.DataFrame) = df
+        .select("idx", "v").as[(Int, Option[String])].collect().toMap
+      val union = key(AsOf.joinForward(anchors, obs, Seq("k")))
+      val native = key(AsOfNative.joinForward(anchors, obs, Seq("k")))
+      assert(union === Map(1 -> Some("mid"), 2 -> Some("late")))
+      assert(native === union)
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
   test("lag matches in-memory oracle per conversation") {
     val w = Windows.turnWindow
     val got = Windows

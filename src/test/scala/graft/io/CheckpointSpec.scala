@@ -47,6 +47,41 @@ class CheckpointSpec extends AnyFunSuite {
     assert(after.toSeq == before.toSeq)
   }
 
+  test("double-run: a second writer over a fully-committed dir is a no-op " +
+    "and never clobbers the first run's commits") {
+    val df = TranscriptGen.generateDF(spark, 40)
+    val out = tmp()
+    val first = Checkpoint.write(df, "conv_id", out, 8, "synthetic:40", "a1")
+    assert(first == (0 until 8).toSet)
+    val before = Checkpoint.read(spark, out)
+      .orderBy("conv_id", "turn_idx").collect()
+    // second run (different runId) racing the same out dir after the first
+    // completed: must promote nothing and leave the first run's manifest
+    // lineage (run_id) and data bit-identical
+    val second = Checkpoint.write(df, "conv_id", out, 8, "synthetic:40", "b2")
+    assert(second.isEmpty, s"second run promoted $second")
+    val manifests = (0 until 8).map { b =>
+      Files.readString(
+        java.nio.file.Paths.get(out, "_manifest", s"bucket-$b.json"))
+    }
+    assert(manifests.forall(_.contains("\"run_id\":\"a1\"")),
+      "second run must not rewrite the first run's manifest entries")
+    val after = Checkpoint.read(spark, out)
+      .orderBy("conv_id", "turn_idx").collect()
+    assert(after.toSeq == before.toSeq)
+    // interim-commit guard: a bucket committed between the resume scan and
+    // promotion (simulated by invalidating then hand-committing bucket 3
+    // with foreign lineage before the rewrite) is skipped, not clobbered
+    Checkpoint.invalidate(out, Set(3))
+    val foreign = """{"bucket":3,"rows":0,"input":"other","run_id":"zz"}"""
+    Files.writeString(
+      java.nio.file.Paths.get(out, "_manifest", "bucket-3.json"), foreign)
+    val third = Checkpoint.write(df, "conv_id", out, 8, "synthetic:40", "c3")
+    assert(third.isEmpty)
+    assert(Files.readString(
+      java.nio.file.Paths.get(out, "_manifest", "bucket-3.json")) == foreign)
+  }
+
   test("resume after partial run equals clean run") {
     val df = TranscriptGen.generateDF(spark, 50)
     val clean = tmp()

@@ -164,7 +164,7 @@ class OpsSpec extends AnyFunSuite {
     // own-list neighbors (recall ≥ the probe'd lists by construction)
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
-    val cand = Similarity.annIvf(e, q, cents, nProbe = 2)
+    val cand = Similarity.annIvf(e, q, cents, nProbe = 2, excludeSelf = true)
       .as[(Long, Long, Long)].collect()
     assert(cand.nonEmpty)
     val brute = Similarity.topKByDot(e, q, k = e.count().toInt)
@@ -174,6 +174,72 @@ class OpsSpec extends AnyFunSuite {
     cand.foreach { case (qid, vid, dot) =>
       assert(brute((qid, vid)) == dot, s"dot mismatch ($qid,$vid)")
     }
+  }
+
+  test("IVF data path ≡ literal-expression path; plan size O(1) in k " +
+    "(k=1000 exercised)") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    // 1. bit-equality of the two formulations on sampled centroids
+    val cents = Similarity.ivfCentroids(e, step = 20L)
+    val data = e.select($"vec_id",
+      Similarity.ivfListId($"embedding", cents).as("lid"),
+      Similarity.ivfProbeLists($"embedding", cents, 3).as("p"))
+    val ref = e.select($"vec_id",
+      Similarity.ivfListIdExpr($"embedding", cents).as("lid"),
+      Similarity.ivfProbeListsExpr($"embedding", cents, 3).as("p"))
+    assert(data.exceptAll(ref).count() == 0 && ref.exceptAll(data).count() == 0)
+    // 2. k = 1000: correct nearest-centroid assignment (vs an in-memory
+    //    argmax with the same quantization + tie rule) at a k the literal
+    //    path cannot reach, and an expression tree that does NOT grow
+    def mkCents(k: Int): Seq[(Int, Seq[Float])] =
+      (0 until k).map(i =>
+        (i, (0 until 64).map(d => ((i * 31 + d * 7) % 100 - 50) / 10.0f)))
+    def q(x: Double): Long =
+      if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
+      else math.ceil(x * 10000.0 - 0.5).toLong
+    val big = mkCents(1000)
+    val qc = big.map { case (id, v) => id -> v.map(x => q(x.toDouble)) }
+    val got = e.select($"vec_id",
+      Similarity.ivfListId($"embedding", big).as("lid"))
+      .as[(Long, Int)].collect().toMap
+    val vecs = e.select($"vec_id", $"embedding")
+      .as[(Long, Seq[Float])].collect()
+    vecs.foreach { case (id, emb) =>
+      val qe = emb.map(x => q(x.toDouble))
+      val want = qc.map { case (cid, cv) =>
+        (cid, qe.zip(cv).map { case (a, b) => a * b }.sum)
+      }.maxBy { case (cid, dot) => (dot, -cid.toLong) }._1
+      assert(got(id) == want, s"vec $id")
+    }
+    def exprCount(k: Int): Int = {
+      val df = e.select(
+        Similarity.ivfProbeLists($"embedding", mkCents(k), 4).as("p"))
+      df.queryExecution.analyzed.expressions
+        .map(_.collect { case x => x }.size).sum
+    }
+    assert(exprCount(10) == exprCount(1000),
+      "IVF plan must not grow with centroid count")
+  }
+
+  test("multi-probe LSH strictly improves recall: candidates AND pairs are " +
+    "duplicate-free supersets of single-probe") {
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val q = e.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val single = Similarity.annCandidates(e, q, dim = 64, nBits = 8)
+    val multi = Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
+    val (nS, nM) = (single.count(), multi.count())
+    assert(single.exceptAll(multi).count() == 0, "multi must cover single")
+    assert(nM > nS, s"expected strictly more candidates ($nM vs $nS)")
+    assert(multi.distinct().count() == nM, "probe expansion must not duplicate")
+
+    val pairsS = Similarity.nearDupPairsLsh(e, minDot = 0L, dim = 64, nBits = 6)
+    val pairsM = Similarity.nearDupPairsLsh(e, minDot = 0L, dim = 64,
+      nBits = 6, probes = 6)
+    val (pS, pM) = (pairsS.count(), pairsM.count())
+    assert(pairsS.exceptAll(pairsM).count() == 0, "multi must cover single")
+    assert(pM > pS, s"expected strictly more pairs ($pM vs $pS)")
+    assert(pairsM.distinct().count() == pM, "pair expansion must not duplicate")
   }
 
   test("SignLsh expression equals the HOF bucket composition") {
@@ -261,6 +327,13 @@ class OpsSpec extends AnyFunSuite {
     val badWav = wav.clone()
     java.util.Arrays.fill(badWav, 16, 20, 0xFF.toByte) // fmt size = -1
     assert(Multimodal.decodeMeta(5L, badWav).format == "unknown")
+    // chunk size near Int.MaxValue must not WRAP the offset negative
+    // (off + 8 + size overflows Int) — structural garbage decodes as
+    // unknown, never ArrayIndexOutOfBounds
+    val hugeWav = Array[Byte]('R', 'I', 'F', 'F', 0, 0, 0, 0,
+      'W', 'A', 'V', 'E', 'j', 'u', 'n', 'k',
+      -1, -1, -1, 0x7f) ++ Array.fill[Byte](8)(0) // junk size = Int.MaxValue
+    assert(Multimodal.decodeMeta(6L, hugeWav).format == "unknown")
     // distributed path: generate() image/audio rows carry REAL containers
     val dec = Multimodal.decodeTable(
       Multimodal.generate(spark, 12).toDF().select($"media_id", $"bytes"))

@@ -311,6 +311,26 @@ class RuleGoldenSpec extends AnyFunSuite {
     assert(codes(str("b"), Regex("^[x[:^alpha:]]$")) == Seq("no_match"))
   }
 
+  test("regex: $ inside a NESTED class stays literal (class depth tracking)") {
+    // the negated-POSIX expansion itself emits a nested class, so after
+    // the inner ']' the translator must still know it is inside the outer
+    // class — a boolean in/out flag rewrote this '$' to \z and produced an
+    // uncompilable Java pattern
+    val pat = graft.exprs.RegexDialect.toJava("[[:^digit:]$]")
+    java.util.regex.Pattern.compile(pat) // must not throw
+    assert(codes(str("$"), Regex("^[[:^digit:]$]$")).isEmpty)
+    assert(codes(str("a"), Regex("^[[:^digit:]$]$")).isEmpty)
+    assert(codes(str("5"), Regex("^[[:^digit:]$]$")) == Seq("no_match"))
+  }
+
+  test("custom func rule: user predicate pass/fail (func.rs:6-47)") {
+    import org.apache.spark.sql.functions.length
+    val even = Func("not_even_length", "length must be even",
+      c => length(c) % 2 === 0)
+    assert(codes(str("ab"), even).isEmpty)
+    assert(codes(str("abc"), even) == Seq("not_even_length"))
+  }
+
   // --- addr (addr.rs:155-229) -------------------------------------------
   test("addr ip/ipv4/ipv6") {
     assert(codes(str("127.0.0.1"), Addr("ipv4")).isEmpty)
