@@ -462,6 +462,21 @@ object SparkEntry {
       Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
     }),
 
+    // --- ANN recall@k: multi-probe LSH measured against exact truth -------------
+    // The recall AUDIT an approximate index ships with: per query,
+    // |top-10(multi-probe candidates) ∩ top-10(exact)| in basis points.
+    // The oracle recomputes BOTH sides (brute-force ranking and the full
+    // splitmix LSH + Hamming-1 expansion) and the intersection in SQL.
+    "q_ann_recall" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val truth = Similarity.topKByDot(e, q, 10)
+        .select("query_id", "vec_id", "dot")
+      val cand = Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
+      Similarity.recallAtK(cand, truth, 10)
+    }),
+
     // --- IVF-flat ANN candidates (inverted-list scale path) ---------------------
     // Centroids are a deterministic sample of corpus vectors; assignment
     // is a zero-shuffle per-row argmax over exact quantized dots, probing
@@ -595,6 +610,51 @@ object SparkEntry {
       s.table(name).filter($"conv_id" =!= "__wm__")
         .select("conv_id", "session_seq", "n_turns", "session_start",
           "session_end")
+    }),
+
+    // --- STREAMING LOCF over a file source (live-path feature parity) ----------
+    // The LIVE twin of q_locf_backfill: per-conversation O(1) state carries
+    // the last tool observation across micro-batches; every turn emits
+    // immediately (no watermark/sentinels — nothing is held for event
+    // time). Same staged-file replay as q_stream_sessionize_files; the
+    // oracle is the BATCH LOCF SQL, so stream and batch backfill agree
+    // row-for-row.
+    "q_stream_locf" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnToolEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamlocf").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"tool", $"ts")
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = s"stream_locf_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(t.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[TurnToolEvent]
+          StreamingFeatures.locf(src)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select("conv_id", "turn_idx", "tool_locf")
     }),
 
     // --- multimodal container decode (REAL pure-JVM PNG/WAV header parse) ------
@@ -829,6 +889,15 @@ object SparkEntry {
          |FROM turns""".stripMargin,
 
     "q_locf_scalable" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
+         |    ORDER BY ts, turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
+         |FROM turns""".stripMargin,
+
+    // the streaming LOCF must agree with the BATCH backfill SQL
+    "q_stream_locf" ->
       s"""$T
          |SELECT conv_id, turn_idx,
          |  last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
@@ -1330,6 +1399,74 @@ object SparkEntry {
         |FROM bkt c JOIN probes p ON c.bucket = p.pbucket
         |  AND c.vec_id <> p.query_id
         |JOIN embeddings ce ON ce.vec_id = c.vec_id
-        |JOIN embeddings qe2 ON qe2.vec_id = p.query_id""".stripMargin
+        |JOIN embeddings qe2 ON qe2.vec_id = p.query_id""".stripMargin,
+
+    // recall@10 of the multi-probe LSH candidates vs exact truth: both
+    // rankings, the Hamming-1 expansion, and the intersection replayed
+    "q_ann_recall" ->
+      """WITH w0 AS (
+        |  SELECT tb.b AS b, td.d AS d,
+        |    xor(xor(CAST(tb.b AS UBIGINT) << 32, CAST(td.d AS UBIGINT)),
+        |        CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM range(8) tb(b), range(64) td(d)),
+        |w1 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w0),
+        |w2 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w1),
+        |w3 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w2),
+        |w4 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w3),
+        |w AS (SELECT b, d, CAST(xor(x, x >> 33) >> 43 AS BIGINT) - 1048576 AS wt FROM w4),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |dots AS (
+        |  SELECT vec_id, w.b AS b, SUM(qe[w.d + 1] * w.wt) AS s
+        |  FROM qv, w GROUP BY vec_id, w.b),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |probes AS (
+        |  SELECT vec_id AS query_id,
+        |    unnest(list_prepend(bucket,
+        |      [xor(bucket, CAST(1 AS BIGINT) << i) for i in range(8)])) AS pbucket
+        |  FROM bkt WHERE vec_id < 5),
+        |cand AS (
+        |  SELECT p.query_id, c.vec_id,
+        |    CAST(list_sum([cv.qe[i] * qq.qe[i]
+        |         for i in range(1, len(cv.qe)+1)]) AS BIGINT) AS dot
+        |  FROM bkt c JOIN probes p ON c.bucket = p.pbucket
+        |    AND c.vec_id <> p.query_id
+        |  JOIN qv cv ON cv.vec_id = c.vec_id
+        |  JOIN qv qq ON qq.vec_id = p.query_id),
+        |candtop AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS r
+        |  FROM cand) WHERE r <= 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    CAST(list_sum([e.qe[i] * q.qe[i]
+        |         for i in range(1, len(e.qe)+1)]) AS BIGINT) AS dot
+        |  FROM qv e, qv q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |truthtop AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS r
+        |  FROM scored) WHERE r <= 10),
+        |hits AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM truthtop t JOIN candtop c
+        |    ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+        |  GROUP BY t.query_id)
+        |SELECT q.query_id,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  10 AS k,
+        |  CAST(FLOOR(COALESCE(h.hits, 0) * 10000.0 / 10) AS BIGINT) AS recall_bp
+        |FROM (SELECT DISTINCT query_id FROM truthtop) q
+        |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin
   )
 }

@@ -319,6 +319,39 @@ object Similarity {
       quantDot(col("embedding"), col("q_embedding")).as("dot"))
   }
 
+  /** Recall@k of an ANN candidate stream against exact top-k truth: per
+    * query, |top-k(candidates) ∩ top-k(truth)| / k — the metric a 100 TB
+    * pipeline logs next to every approximate index so recall loss is a
+    * NUMBER, not a hope. Both sides rank by (dot desc, vec_id asc), the
+    * engine-exact quantized ordering used everywhere in this module.
+    * Queries absent from `candidates` (empty probe) still appear, with
+    * recall 0. `recall_bp` is basis points (hits×10⁴/k, floored) so the
+    * output stays integer-exact/oracle-portable.
+    */
+  def recallAtK(
+      candidates: DataFrame, // (query_id, vec_id, dot)
+      truth: DataFrame, // (query_id, vec_id, dot) — exact scores
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    def topK(df: DataFrame) = df
+      .withColumn("__r", row_number().over(w))
+      .filter(col("__r") <= k)
+      .select("query_id", "vec_id")
+    val hits = topK(truth).join(topK(candidates), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    topK(truth).select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(
+        col("query_id"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        lit(k).as("k"),
+        floor(coalesce(col("hits"), lit(0L)) * 10000.0 / k).cast("long")
+          .as("recall_bp"))
+  }
+
   /** Sign-bit LSH bucket id from `nBits` fixed pseudo-random hyperplanes.
     * Hyperplane weights are derived per (bit, dimension) from a splitmix-
     * style integer hash — deterministic, no stored model. Vectors in the

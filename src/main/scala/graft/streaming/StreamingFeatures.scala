@@ -42,6 +42,59 @@ object StreamingFeatures {
     */
   final case class SessState(open: Option[OpenSess], emitted: Long)
 
+  /** A transcript turn carrying its (nullable) tool observation — the
+    * input row for the streaming LOCF path.
+    */
+  final case class TurnToolEvent(
+      conv_id: String,
+      turn_idx: Int,
+      tool: Option[String],
+      ts: Timestamp
+  )
+
+  final case class LocfOut(
+      conv_id: String,
+      turn_idx: Int,
+      tool_locf: Option[String]
+  )
+
+  /** Per-conversation LOCF state: the last non-null observation seen, in
+    * (ts, turn_idx) order — O(1) per key, never a buffer.
+    */
+  final case class LocfState(tool: Option[String])
+
+  /** Streaming LOCF (last-observation-carried-forward) — the LIVE-path
+    * twin of [[graft.features.Windows.locf]]: each turn is emitted
+    * immediately with the latest non-null `tool` at or before it. State is
+    * one Option[String] per conversation; no watermark or timeout is
+    * needed because every input row produces exactly one output row in
+    * the same micro-batch (nothing is held back for event time).
+    *
+    * Matches batch output exactly when each conversation's turns arrive in
+    * event-time order across micro-batches (the same cross-batch contract
+    * as [[sessionize]]); within a batch rows are sorted by (ts, turn_idx)
+    * so intra-batch disorder is absorbed.
+    */
+  def locf(turns: Dataset[TurnToolEvent]): Dataset[LocfOut] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[TurnToolEvent],
+         state: GroupState[LocfState]) => {
+          val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+          var last = state.getOption.getOrElse(LocfState(None)).tool
+          val out = sorted.map { t =>
+            if (t.tool.isDefined) last = t.tool
+            LocfOut(key, t.turn_idx, last)
+          }
+          state.update(LocfState(last))
+          out.iterator
+        }
+      )
+  }
+
   /** Event-time windowed role counts with a watermark (late rows beyond
     * the watermark are dropped, bounding state).
     */

@@ -242,6 +242,44 @@ class OpsSpec extends AnyFunSuite {
     assert(pairsM.distinct().count() == pM, "pair expansion must not duplicate")
   }
 
+  test("recallAtK: exact intersection counts, zero-hit queries included") {
+    import org.apache.spark.sql.functions.col
+    val truth = Seq(
+      (1L, 10L, 100L), (1L, 11L, 90L), (1L, 12L, 80L),
+      (2L, 20L, 50L), (2L, 21L, 40L)).toDF("query_id", "vec_id", "dot")
+    // query 1: candidates cover 2 of top-2 truth; query 2: none
+    val cand = Seq(
+      (1L, 11L, 90L), (1L, 10L, 100L), (1L, 99L, 1L)).toDF("query_id", "vec_id", "dot")
+    val got = Similarity.recallAtK(cand, truth, 2)
+      .select("query_id", "hits", "recall_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 10000L), (2L, 0L, 0L)))
+    // self-check of the ranking: a candidate OUTSIDE its own top-k does
+    // not count even if it is in truth's top-k
+    val capped = Similarity.recallAtK(
+      cand, truth.filter(col("query_id") === 1L), 1)
+      .select("query_id", "hits").as[(Long, Long)].collect().toSet
+    assert(capped == Set((1L, 1L)))
+  }
+
+  test("ANN/near-dup edges: empty query set, singleton corpus, empty corpus") {
+    import org.apache.spark.sql.functions.col
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+    val noQ = e.filter(col("vec_id") < 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+    assert(Similarity.annCandidates(e, noQ, dim = 64, nBits = 8).count() == 0)
+    assert(Similarity.annCandidates(e, noQ, dim = 64, nBits = 8, probes = 8)
+      .count() == 0)
+    val one = e.filter(col("vec_id") === 0)
+    assert(Similarity.nearDupPairsLsh(one, 0L, dim = 64, nBits = 6).count() == 0)
+    assert(Similarity.nearDupPairsLsh(one, 0L, dim = 64, nBits = 6, probes = 6)
+      .count() == 0)
+    val none = e.filter(col("vec_id") < 0)
+    assert(Similarity.nearDupPairsLsh(none, 0L, dim = 64, nBits = 6, probes = 6)
+      .count() == 0)
+    assert(Similarity.nearDupPairs(none, 0L).count() == 0)
+  }
+
   test("SignLsh expression equals the HOF bucket composition") {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val both = e.select(

@@ -95,6 +95,43 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("A", 0L, 2L, 100L, 110L)), got.mkString(","))
   }
 
+  test("streaming LOCF equals batch backfill across micro-batches " +
+    "(state carries the last observation)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.TurnToolEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnToolEvent]
+    val q = StreamingFeatures.locf(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_locf_unit").start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // batch 1: A sees a tool at idx 1; B sees nothing
+    input.addData(
+      TurnToolEvent("A", 0, None, ts(10)),
+      TurnToolEvent("A", 1, Some("search"), ts(20)),
+      TurnToolEvent("B", 0, None, ts(15)))
+    q.processAllAvailable()
+    // batch 2: A's carry-in crosses the batch boundary; B gets its first
+    // tool; intra-batch disorder (idx 3 before idx 2 in arrival order)
+    // is absorbed by the in-batch (ts, turn_idx) sort
+    input.addData(
+      TurnToolEvent("A", 3, None, ts(40)),
+      TurnToolEvent("A", 2, Some("code"), ts(30)),
+      TurnToolEvent("B", 1, Some("fetch"), ts(25)),
+      TurnToolEvent("B", 2, None, ts(35)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_locf_unit")
+      .collect().map(r => (r.getString(0), r.getInt(1), Option(r.getString(2))))
+      .toSet
+    val want = Set(
+      ("A", 0, None), ("A", 1, Some("search")),
+      ("A", 2, Some("code")), ("A", 3, Some("code")),
+      ("B", 0, None), ("B", 1, Some("fetch")), ("B", 2, Some("fetch")))
+    assert(got == want, got.toSeq.sortBy(t => (t._1, t._2)).mkString(","))
+  }
+
   test("sessionize drops a late row more than a gap before the open " +
     "session instead of corrupting its bounds") {
     import java.sql.Timestamp
