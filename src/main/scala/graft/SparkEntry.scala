@@ -477,6 +477,22 @@ object SparkEntry {
       Similarity.recallAtK(cand, truth, 10)
     }),
 
+    // --- ANN recall@k for the IVF index (same audit, the other index) ----------
+    // recall@10 of IVF-flat candidates at nProbe=2 vs exact truth — the
+    // number that tells an operator whether to raise nProbe before
+    // shipping the index. Oracle replays assignment, probe ranking,
+    // re-rank, both top-10s, and the intersection.
+    "q_ann_recall_ivf" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val cents = Similarity.ivfCentroids(e, step = 100L)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val truth = Similarity.topKByDot(e, q, 10)
+        .select("query_id", "vec_id", "dot")
+      val cand = Similarity.annIvf(e, q, cents, nProbe = 2, excludeSelf = true)
+      Similarity.recallAtK(cand, truth, 10)
+    }),
+
     // --- IVF-flat ANN candidates (inverted-list scale path) ---------------------
     // Centroids are a deterministic sample of corpus vectors; assignment
     // is a zero-shuffle per-row argmax over exact quantized dots, probing
@@ -655,6 +671,58 @@ object SparkEntry {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.awaitTermination() finally q.stop()
       s.table(name).select("conv_id", "turn_idx", "tool_locf")
+    }),
+
+    // --- STREAMING exact dedup with audit (live-path firehose filter) ----------
+    // The LIVE twin of q_dedup_exact: each document is emitted immediately
+    // with kept=1 iff its md5(text) fingerprint was never seen before.
+    // Duplicates are synthesized in-query (every doc_id % 3 == 0 doc gets
+    // a copy at doc_id + 1000000); the replay is staged in (hash, doc_id)
+    // order so every duplicate pair may straddle a micro-batch boundary —
+    // the state carry IS what's under test. Only (doc_id, digest) pairs
+    // cross the stateful shuffle, never document text.
+    "q_stream_dedup" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.DocEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamdedup").toString
+      val watched = s"$tmp/watched"
+      val d = docs(s, dir).select($"doc_id", $"text")
+      val union = d.unionAll(
+        d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hashed = union.select(
+        col("doc_id"), md5(col("text").cast("binary")).as("hash"))
+      val nChunks = 4
+      val ordered = hashed.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("hash"), col("doc_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = s"stream_dedup_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(hashed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[DocEvent]
+          StreamingFeatures.dedupExact(src)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(
+        col("doc_id"), col("hash"), col("kept").cast("long").as("kept"))
     }),
 
     // --- multimodal container decode (REAL pure-JVM PNG/WAV header parse) ------
@@ -904,6 +972,21 @@ object SparkEntry {
          |    ORDER BY ts, turn_idx
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
          |FROM turns""".stripMargin,
+
+    // the streaming dedup audit must agree with batch first-wins dedup:
+    // same synthesized duplicates, kept = first occurrence per md5 hash
+    "q_stream_dedup" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |h AS (SELECT doc_id, md5(text) AS hash FROM u)
+        |SELECT doc_id, hash,
+        |  CAST(CASE WHEN row_number() OVER (
+        |      PARTITION BY hash ORDER BY doc_id) = 1
+        |    THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM h""".stripMargin,
 
     "q_sessionize" ->
       s"""$T,
@@ -1443,6 +1526,54 @@ object SparkEntry {
         |  FROM bkt c JOIN probes p ON c.bucket = p.pbucket
         |    AND c.vec_id <> p.query_id
         |  JOIN qv cv ON cv.vec_id = c.vec_id
+        |  JOIN qv qq ON qq.vec_id = p.query_id),
+        |candtop AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS r
+        |  FROM cand) WHERE r <= 10),
+        |scored AS (
+        |  SELECT q.vec_id AS query_id, e.vec_id,
+        |    CAST(list_sum([e.qe[i] * q.qe[i]
+        |         for i in range(1, len(e.qe)+1)]) AS BIGINT) AS dot
+        |  FROM qv e, qv q WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+        |truthtop AS (SELECT query_id, vec_id FROM (
+        |  SELECT query_id, vec_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS r
+        |  FROM scored) WHERE r <= 10),
+        |hits AS (
+        |  SELECT t.query_id, CAST(count(*) AS BIGINT) AS hits
+        |  FROM truthtop t JOIN candtop c
+        |    ON c.query_id = t.query_id AND c.vec_id = t.vec_id
+        |  GROUP BY t.query_id)
+        |SELECT q.query_id,
+        |  COALESCE(h.hits, 0) AS hits,
+        |  10 AS k,
+        |  CAST(FLOOR(COALESCE(h.hits, 0) * 10000.0 / 10) AS BIGINT) AS recall_bp
+        |FROM (SELECT DISTINCT query_id FROM truthtop) q
+        |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+
+    // recall@10 of the IVF candidates vs exact truth: assignment, probe
+    // ranking, re-rank, both top-10s, and the intersection replayed
+    "q_ann_recall_ivf" ->
+      """WITH qv AS (SELECT vec_id,
+        |  [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT CAST(vec_id // 100 AS INT) AS list_id, qe AS ce
+        |          FROM qv WHERE vec_id % 100 = 0),
+        |cdots AS (SELECT v.vec_id, c.list_id,
+        |  CAST(list_sum([v.qe[i] * c.ce[i] for i in range(1, len(v.qe)+1)]) AS BIGINT) AS cdot
+        |  FROM qv v, cents c),
+        |ranked AS (SELECT vec_id, list_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id ASC) AS rnk
+        |  FROM cdots),
+        |assign AS (SELECT vec_id, list_id FROM ranked WHERE rnk = 1),
+        |probes AS (SELECT vec_id AS query_id, list_id FROM ranked
+        |           WHERE rnk <= 2 AND vec_id < 5),
+        |cand AS (SELECT p.query_id, a.vec_id,
+        |  CAST(list_sum([cv.qe[i] * qq.qe[i] for i in range(1, len(cv.qe)+1)]) AS BIGINT) AS dot
+        |  FROM probes p
+        |  JOIN assign a ON a.list_id = p.list_id AND a.vec_id <> p.query_id
+        |  JOIN qv cv ON cv.vec_id = a.vec_id
         |  JOIN qv qq ON qq.vec_id = p.query_id),
         |candtop AS (SELECT query_id, vec_id FROM (
         |  SELECT query_id, vec_id,

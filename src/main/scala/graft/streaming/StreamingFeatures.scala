@@ -95,6 +95,60 @@ object StreamingFeatures {
       )
   }
 
+  /** A document arriving on the live path, already reduced to its content
+    * fingerprint (hash the text BEFORE the stateful shuffle so only the
+    * digest moves, never the payload).
+    */
+  final case class DocEvent(doc_id: Long, hash: String)
+
+  final case class DedupOut(doc_id: Long, hash: String, kept: Boolean)
+
+  /** Per-fingerprint dedup state: whether this content hash has been seen.
+    * One boolean per distinct hash — the minimum any exact first-wins
+    * dedup can hold.
+    */
+  final case class SeenState(seen: Boolean)
+
+  /** Streaming exact dedup with audit — the LIVE twin of
+    * [[graft.ops.Dedup.exactGroups]]: every arriving document is emitted
+    * immediately with `kept = true` iff its content hash was never seen
+    * before (first occurrence wins). Nothing is suppressed, so the output
+    * doubles as the drop AUDIT a training-data firehose needs: filter
+    * `kept` for the clean stream, count `!kept` for the dedup rate.
+    *
+    * State is one boolean per distinct fingerprint, grouped BY the hash —
+    * the stateful shuffle moves (doc_id, digest) pairs only, never text.
+    * "First" is (arrival order, then doc_id within a micro-batch): equal
+    * to the batch `min(doc_id)` winner whenever duplicates arrive in
+    * doc_id order across batches — the same cross-batch ordering contract
+    * as [[locf]] and [[sessionize]].
+    *
+    * State never expires here (exact dedup is unbounded by definition);
+    * production deployments bound it by keying on (hash, day) or routing
+    * through the batch-side [[graft.ops.Dedup]] compaction — see
+    * docs/ICEBERG.md for the lifecycle split.
+    */
+  def dedupExact(docs: Dataset[DocEvent]): Dataset[DedupOut] = {
+    import docs.sparkSession.implicits._
+    docs
+      .groupByKey(_.hash)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (hash: String, rows: Iterator[DocEvent],
+         state: GroupState[SeenState]) => {
+          val sorted = rows.toSeq.sortBy(_.doc_id)
+          var seen = state.getOption.exists(_.seen)
+          val out = sorted.map { d =>
+            val kept = !seen
+            seen = true
+            DedupOut(d.doc_id, hash, kept)
+          }
+          state.update(SeenState(seen))
+          out.iterator
+        }
+      )
+  }
+
   /** Event-time windowed role counts with a watermark (late rows beyond
     * the watermark are dropped, bounding state).
     */

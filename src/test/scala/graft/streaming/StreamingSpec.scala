@@ -132,6 +132,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, got.toSeq.sortBy(t => (t._1, t._2)).mkString(","))
   }
 
+  test("streaming dedup keeps only the first occurrence per hash, " +
+    "including duplicates straddling a batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.DocEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[DocEvent]
+    val q = StreamingFeatures.dedupExact(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_dedup_unit").start()
+    // batch 1: h1 appears twice IN one batch (arrival order reversed —
+    // the in-batch doc_id sort must pick 1, not 7); h2 once
+    input.addData(DocEvent(7, "h1"), DocEvent(1, "h1"), DocEvent(2, "h2"))
+    q.processAllAvailable()
+    // batch 2: h1 and h2 again (cross-batch state must mark both dups),
+    // h3 new
+    input.addData(DocEvent(3, "h1"), DocEvent(4, "h2"), DocEvent(5, "h3"))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_dedup_unit")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getBoolean(2)))
+      .toSet
+    val want = Set(
+      (1L, "h1", true), (7L, "h1", false), (3L, "h1", false),
+      (2L, "h2", true), (4L, "h2", false),
+      (5L, "h3", true))
+    assert(got == want, got.toSeq.sortBy(_._1).mkString(","))
+  }
+
   test("sessionize drops a late row more than a gap before the open " +
     "session instead of corrupting its bounds") {
     import java.sql.Timestamp
