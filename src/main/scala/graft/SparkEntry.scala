@@ -757,6 +757,22 @@ object SparkEntry {
       Similarity.nearDupPairsLsh(embeds(s, dir), minDot = 0L,
         dim = 64, nBits = 6)),
 
+    // --- embedding near-dup by COSINE threshold ---------------------------------
+    // Near-duplicates synthesized in-query by scaling every 7th vector by
+    // 0.5f (exact in binary float — mantissa untouched — and sign-LSH
+    // invariant, so each copy shares its original's bucket); the cosine
+    // gate at 0.999 then keeps exactly the (original, copy) pairs. The
+    // predicate is pure integer arithmetic (dot²·10⁸ vs bp²·|a|²·|b|² in
+    // 128-bit), replayed verbatim by the oracle in HUGEINT.
+    "q_cosine_dup" -> ((s, dir) => {
+      val e = embeds(s, dir).select(col("vec_id"), col("embedding"))
+      val scaled = e.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      Similarity.nearDupPairsCosine(e.unionAll(scaled),
+        minCosineBp = 9990, dim = 64, nBits = 6)
+    }),
+
     // --- embedding norms (quantized, exact) -------------------------------------
     "q_embed_norm" -> ((s, dir) =>
       embeds(s, dir).select(
@@ -1355,6 +1371,63 @@ object SparkEntry {
         |  JOIN qv ea ON ea.vec_id = c.a
         |  JOIN qv eb ON eb.vec_id = c.b)
         |SELECT a, b, dot FROM scored WHERE dot >= 0""".stripMargin,
+
+    // cosine near-dup: same LSH bucket replay over the scaled-copy union,
+    // then the exact integer cosine predicate in HUGEINT
+    "q_cosine_dup" ->
+      """WITH w0 AS (
+        |  SELECT tb.b AS b, td.d AS d,
+        |    xor(xor(CAST(tb.b AS UBIGINT) << 32, CAST(td.d AS UBIGINT)),
+        |        CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM range(6) tb(b), range(64) td(d)),
+        |w1 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w0),
+        |w2 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w1),
+        |w3 AS (SELECT b, d, xor(x, x >> 33) AS x FROM w2),
+        |w4 AS (SELECT b, d, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM w3),
+        |w AS (SELECT b, d, CAST(xor(x, x >> 33) >> 43 AS BIGINT) - 1048576 AS wt FROM w4),
+        |qv AS (
+        |  SELECT vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*0.5*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |dots AS (
+        |  SELECT vec_id, w.b AS b, SUM(qe[w.d + 1] * w.wt) AS s
+        |  FROM qv, w GROUP BY vec_id, w.b),
+        |bkt AS (
+        |  SELECT vec_id,
+        |    SUM(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |ok AS (SELECT bucket FROM (
+        |  SELECT bucket, count(*) AS n FROM bkt GROUP BY bucket)
+        |  WHERE n > 1 AND n <= 10000),
+        |cand AS (
+        |  SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM bkt l JOIN bkt r ON l.bucket = r.bucket AND l.vec_id < r.vec_id
+        |  JOIN ok ON ok.bucket = l.bucket),
+        |scored AS (
+        |  SELECT c.a, c.b,
+        |    CAST(list_sum([ea.qe[i] * eb.qe[i]
+        |         for i in range(1, len(ea.qe)+1)]) AS BIGINT) AS dot,
+        |    CAST(list_sum([ea.qe[i] * ea.qe[i]
+        |         for i in range(1, len(ea.qe)+1)]) AS BIGINT) AS sq_a,
+        |    CAST(list_sum([eb.qe[i] * eb.qe[i]
+        |         for i in range(1, len(eb.qe)+1)]) AS BIGINT) AS sq_b
+        |  FROM cand c
+        |  JOIN qv ea ON ea.vec_id = c.a
+        |  JOIN qv eb ON eb.vec_id = c.b)
+        |SELECT a, b, dot, sq_a, sq_b FROM scored
+        |WHERE dot > 0 AND sq_a > 0 AND sq_b > 0
+        |  AND dot::HUGEINT * dot::HUGEINT * 100000000 >=
+        |      CAST(99800100 AS HUGEINT) * sq_a::HUGEINT * sq_b::HUGEINT""".stripMargin,
 
     "q_embed_norm" ->
       """SELECT vec_id, CAST(len(embedding) AS INT) AS dim,

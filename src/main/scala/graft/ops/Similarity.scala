@@ -155,6 +155,70 @@ object Similarity {
       maxBucketSize: Int = 10000,
       probes: Int = 0
   ): DataFrame = {
+    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    lshPairCandidates(corpus, dim, nBits, maxBucketSize, probes)
+      .join(ea, Seq("a"))
+      .join(eb, Seq("b"))
+      .select(col("a"), col("b"), quantDot(col("ea"), col("eb")).as("dot"))
+      .filter(col("dot") >= minDot)
+  }
+
+  /** Embedding near-duplicate pairs by COSINE threshold — the metric
+    * embedding-dedup pipelines actually specify ("drop pairs above 0.999
+    * cosine"), over the same sub-quadratic LSH candidate path as
+    * [[nearDupPairsLsh]]. `minCosineBp` is the threshold in basis points
+    * (9990 = 0.999).
+    *
+    * The predicate is EXACT integer arithmetic — no sqrt, no float
+    * division:  cos(a,b) ≥ t  ⇔  dot > 0  ∧  dot²·10⁸ ≥ (t·10⁴)²·|a|²·|b|²
+    * evaluated in decimal(38,0) (quantized dots reach ~10⁹·dim, so dot²·10⁸
+    * needs ~10²⁸ — past int64, comfortably inside 128-bit). Zero-norm
+    * vectors (undefined cosine) never match. Output carries the integer
+    * evidence (dot, sq_a, sq_b) so downstream can recompute the exact
+    * cosine at any precision it likes.
+    */
+  def nearDupPairsCosine(
+      corpus: DataFrame,
+      minCosineBp: Int,
+      dim: Int,
+      nBits: Int = 12,
+      maxBucketSize: Int = 10000,
+      probes: Int = 0
+  ): DataFrame = {
+    require(minCosineBp > 0 && minCosineBp <= 10000,
+      s"minCosineBp must be in 1..10000 (= cosine 0..1], got $minCosineBp)")
+    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val dec = "decimal(19,0)"
+    val dotD = col("dot").cast(dec)
+    val lhs = dotD * dotD * lit(100000000L).cast(dec)
+    val rhs = lit(minCosineBp.toLong * minCosineBp).cast(dec) *
+      col("sq_a").cast(dec) * col("sq_b").cast(dec)
+    lshPairCandidates(corpus, dim, nBits, maxBucketSize, probes)
+      .join(ea, Seq("a"))
+      .join(eb, Seq("b"))
+      .select(
+        col("a"), col("b"),
+        quantDot(col("ea"), col("eb")).as("dot"),
+        quantSqNorm(col("ea")).as("sq_a"),
+        quantSqNorm(col("eb")).as("sq_b"))
+      .filter(col("dot") > 0 && col("sq_a") > 0 && col("sq_b") > 0 &&
+        lhs >= rhs)
+  }
+
+  /** Shared LSH candidate generation for the near-dup family: (a < b)
+    * vector-id pairs sharing a bucket (or, under multi-probe, within
+    * Hamming-`probes` of one). Id-only rows cross the shuffle — never
+    * embeddings.
+    */
+  private def lshPairCandidates(
+      corpus: DataFrame,
+      dim: Int,
+      nBits: Int,
+      maxBucketSize: Int,
+      probes: Int
+  ): DataFrame = {
     require(probes >= 0 && probes <= nBits,
       s"probes must be in 0..nBits (=$nBits)")
     val ids = corpus.select(
@@ -173,20 +237,13 @@ object Similarity {
     val lProbe = if (probes == 0) col("bucket") else probeBuckets(col("bucket"), probes)
     val l = ids.select(lProbe.as("bucket"), col("vec_id").as("a"))
     val r = ids.join(ok, Seq("bucket")).select(col("bucket"), col("vec_id").as("b"))
-    val cand = l.join(r, Seq("bucket"))
-      .filter(col("a") < col("b"))
-      .select("a", "b")
     // no distinct: each vector lands in exactly ONE exact bucket and all
     // of a vector's probe values are distinct, so every (a < b) pair is
     // generated at most once (see the probes scaladoc) — a dedup here
     // would be a full extra shuffle for nothing
-    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
-    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    cand
-      .join(ea, Seq("a"))
-      .join(eb, Seq("b"))
-      .select(col("a"), col("b"), quantDot(col("ea"), col("eb")).as("dot"))
-      .filter(col("dot") >= minDot)
+    l.join(r, Seq("bucket"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
   }
 
   /** Buckets the `maxBucketSize` cap would drop in [[nearDupPairsLsh]]:

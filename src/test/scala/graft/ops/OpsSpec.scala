@@ -262,6 +262,33 @@ class OpsSpec extends AnyFunSuite {
     assert(capped == Set((1L, 1L)))
   }
 
+  test("nearDupPairsCosine finds exactly the scaled copies; integer " +
+    "predicate survives max-magnitude vectors (decimal, not int64)") {
+    import org.apache.spark.sql.functions.{col, lit, transform => atransform}
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val scaled = e.filter(col("vec_id") % 7 === 0).select(
+      (col("vec_id") + 10000L).as("vec_id"),
+      atransform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    val nScaled = scaled.count()
+    val pairs = Similarity.nearDupPairsCosine(e.unionAll(scaled),
+      minCosineBp = 9990, dim = 64, nBits = 6)
+      .select("a", "b").as[(Long, Long)].collect()
+    assert(pairs.length == nScaled, s"want $nScaled pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => b == a + 10000L },
+      pairs.filterNot { case (a, b) => b == a + 10000L }.take(5).mkString(","))
+    // dot²·10⁸ for two all-ones dim-64 vectors is ~4.2e27 — far past
+    // int64; the decimal(38,0) predicate must neither overflow nor
+    // misclassify an exact-identical pair (cosine exactly 1)
+    val ones = Seq.fill(64)(1.0f)
+    val big = Seq((0L, ones), (1L, ones), (2L, ones.map(-_)))
+      .toDF("vec_id", "embedding")
+    val bigPairs = Similarity.nearDupPairsCosine(big,
+      minCosineBp = 10000, dim = 64, nBits = 6)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(bigPairs == Set((0L, 1L)), bigPairs.mkString(","))
+  }
+
   test("ANN/near-dup edges: empty query set, singleton corpus, empty corpus") {
     import org.apache.spark.sql.functions.col
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
