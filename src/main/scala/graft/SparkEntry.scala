@@ -316,6 +316,33 @@ object SparkEntry {
         TextStats.wsTokenCount(col("text")).as("ws_tokens"),
         TextStats.regexTokenCount(col("text")).as("re_tokens"))),
 
+    // --- stratified mixture sampling (deterministic, no RNG state) -------------
+    // Training-mix curation: keep 80% of en, 50% of zh, 25% of es, 10% of
+    // de, 5% of everything else — decided per row by a codegen'd fmix64
+    // gate on doc_id, so the sample is reproducible, nests across rates,
+    // and the oracle replays the exact bit pattern (UBIGINT xor/shift +
+    // HUGEINT mod-2^64 multiplies).
+    "q_sample_mix" -> ((s, dir) => {
+      val rates = Map("en" -> 8000, "zh" -> 5000, "es" -> 2500, "de" -> 1000)
+      graft.ops.Curation.sampleStratified(
+          docs(s, dir), "doc_id", "lang", rates, defaultBp = 500)
+        .select(col("doc_id"), col("lang"),
+          graft.ops.Curation.sampleGateBp(col("doc_id")).as("gate_bp"))
+    }),
+
+    // --- token-budget shard packing --------------------------------------------
+    // Sequence packing for training shards: per-lang streams in doc_id
+    // order, shard = floor(exclusive-cumsum(bpe-ish tokens) / 2000).
+    // Straddling documents belong to the shard where they START (stated
+    // overrun contract); strata parallelize the inherently-sequential
+    // packing, which is the 100 TB shape.
+    "q_pack_shards" -> ((s, dir) =>
+      graft.ops.Curation.packShards(
+          docs(s, dir), strataCol = "lang", orderCol = "doc_id",
+          tokens = TextStats.regexTokenCount(col("text")),
+          budgetTokens = 2000L)
+        .select("doc_id", "lang", "n_tokens", "shard_seq")),
+
     // --- language id (marker heuristic) --------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val langs = Seq(
@@ -1153,6 +1180,42 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
         |FROM documents""".stripMargin,
+
+    // fmix64 sampling gate replayed bit-exactly, then the per-stratum
+    // rate CASE — same mod-2^64 multiply recipe as the LSH oracles
+    "q_sample_mix" ->
+      """WITH x0 AS (SELECT doc_id, lang,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |g AS (SELECT doc_id, lang,
+        |    CAST((xor(x, x >> 33) >> 20) % 10000 AS BIGINT) AS gate_bp
+        |  FROM x4)
+        |SELECT doc_id, lang, gate_bp FROM g
+        |WHERE gate_bp < CASE lang
+        |  WHEN 'en' THEN 8000 WHEN 'zh' THEN 5000
+        |  WHEN 'es' THEN 2500 WHEN 'de' THEN 1000 ELSE 500 END""".stripMargin,
+
+    // packing is a pure window replay: exclusive running token sum per
+    // lang in doc_id order, divided by the shard budget
+    "q_pack_shards" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM t""".stripMargin,
 
     "q_lang_id" ->
       """WITH sc AS (SELECT doc_id,

@@ -1,0 +1,38 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType}
+
+/** Deterministic sampling gate in basis points: fmix64 (the same
+  * splitmix-style finalizer [[SignLshImpl.weight]] uses for LSH
+  * hyperplanes) of an int64 id, reduced to [0, 10000). A row is "in the
+  * sample at rate r bp" iff gate < r — so samples at different rates NEST
+  * (r1 < r2 ⇒ sample(r1) ⊆ sample(r2)), re-runs are reproducible with no
+  * stored randomness, and the oracle replays the exact bit pattern with
+  * UBIGINT xor/shift + HUGEINT mod-2^64 multiplies (q_sample_mix).
+  *
+  * The final `% 10000` has the usual modulo bias of ~2^-31 per bucket —
+  * irrelevant for curation sampling and exactly reproduced by the oracle.
+  */
+object SampleHashImpl {
+  def gateBp(id: Long): Long = {
+    var x = id ^ 0x9E3779B97F4A7C15L
+    x ^= x >>> 33; x *= 0xFF51AFD7ED558CCDL
+    x ^= x >>> 33; x *= 0xC4CEB9FE1A85EC53L
+    x ^= x >>> 33
+    (x >>> 20) % 10000L
+  }
+}
+
+case class SampleHash(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "sample_gate_bp"
+  override protected def nullSafeEval(input: Any): Any =
+    SampleHashImpl.gateBp(input.asInstanceOf[Long])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.exprs.SampleHashImpl.gateBp($c)")
+  override protected def withNewChildInternal(c: Expression): SampleHash =
+    copy(child = c)
+}

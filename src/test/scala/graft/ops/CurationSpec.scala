@@ -1,0 +1,65 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class CurationSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("sample gate is deterministic and samples nest across rates") {
+    val ids = (0L until 2000L).toDF("id")
+    val g1 = ids.select(Curation.sampleGateBp(col("id")).as("g"))
+      .as[Long].collect()
+    val g2 = ids.select(Curation.sampleGateBp(col("id")).as("g"))
+      .as[Long].collect()
+    assert(g1.toSeq == g2.toSeq)
+    assert(g1.forall(g => g >= 0 && g < 10000))
+    // nesting: the 10% sample is a subset of the 30% sample
+    val in10 = ids.filter(Curation.sampleGateBp(col("id")) < 1000)
+      .as[Long].collect().toSet
+    val in30 = ids.filter(Curation.sampleGateBp(col("id")) < 3000)
+      .as[Long].collect().toSet
+    assert(in10.subsetOf(in30))
+    // rate is roughly honored (fmix64 is uniform; 2000 ids, 10% ± wide)
+    assert(in10.size > 100 && in10.size < 320, s"got ${in10.size}")
+    // matches the scalar implementation bit-for-bit
+    assert(g1(42) == graft.exprs.SampleHashImpl.gateBp(42L))
+  }
+
+  test("stratified sampling: per-stratum rates, default for unmapped strata") {
+    val df = (0L until 300L).map(i =>
+      (i, if (i % 3 == 0) "en" else if (i % 3 == 1) "zh" else "xx"))
+      .toDF("doc_id", "lang")
+    val kept = Curation.sampleStratified(
+      df, "doc_id", "lang", Map("en" -> 10000, "zh" -> 0), defaultBp = 10000)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    // en: keep-all, zh: drop-all, xx: default keep-all
+    assert(kept.count(_._2 == "en") == 100)
+    assert(kept.count(_._2 == "zh") == 0)
+    assert(kept.count(_._2 == "xx") == 100)
+    assertThrows[IllegalArgumentException] {
+      Curation.sampleStratified(df, "doc_id", "lang", Map("en" -> 10001))
+    }
+  }
+
+  test("shard packing: boundaries, straddling docs, oversized docs") {
+    // stratum A: tokens 900, 900, 900 with budget 1000 ->
+    //   doc 0 starts at 0 (shard 0), doc 1 at 900 (shard 0, straddles),
+    //   doc 2 at 1800 (shard 1)
+    // stratum B: an oversized doc (2500) then a small one ->
+    //   doc 10 at 0 (shard 0), doc 11 at 2500 (shard 2 — shard 1 is empty,
+    //   swallowed by the oversized doc)
+    val df = Seq(
+      (0L, "A", 900L), (1L, "A", 900L), (2L, "A", 900L),
+      (10L, "B", 2500L), (11L, "B", 100L))
+      .toDF("doc_id", "lang", "tok")
+    val got = Curation.packShards(df, "lang", "doc_id", col("tok"), 1000L)
+      .select("doc_id", "shard_seq").as[(Long, Long)].collect().toMap
+    assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 10L -> 0L, 11L -> 2L),
+      got.toSeq.sortBy(_._1).mkString(","))
+  }
+}
