@@ -316,6 +316,16 @@ object SparkEntry {
         TextStats.wsTokenCount(col("text")).as("ws_tokens"),
         TextStats.regexTokenCount(col("text")).as("re_tokens"))),
 
+    // --- exact corpus distribution stats ----------------------------------------
+    // Per-language doc-length percentiles by EXACT discrete rank selection
+    // (value at ceil(q·n) in (value, doc_id) order) — integer-exact, so
+    // unlike approx_percentile sketches or interpolating percentile
+    // functions it sits under the byte-exact oracle.
+    "q_corpus_stats" -> ((s, dir) =>
+      graft.ops.Stats.exactGroupedQuantiles(
+        docs(s, dir), "lang", col("n_chars"), "doc_id",
+        Seq(5000, 9000, 9900))),
+
     // --- stratified mixture sampling (deterministic, no RNG state) -------------
     // Training-mix curation: keep 80% of en, 50% of zh, 25% of es, 10% of
     // de, 5% of everything else — decided per row by a codegen'd fmix64
@@ -1180,6 +1190,19 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
         |FROM documents""".stripMargin,
+
+    // exact discrete quantiles: identical row_number + integer-ceil rank
+    // selection (rn·10⁴ ≥ q·n ∧ (rn−1)·10⁴ < q·n)
+    "q_corpus_stats" ->
+      """WITH r AS (SELECT lang, n_chars AS v,
+        |  row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |  count(*) OVER (PARTITION BY lang) AS n
+        |FROM documents)
+        |SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |  max(CASE WHEN rn*10000 >= 5000*n AND (rn-1)*10000 < 5000*n THEN v END) AS q5000,
+        |  max(CASE WHEN rn*10000 >= 9000*n AND (rn-1)*10000 < 9000*n THEN v END) AS q9000,
+        |  max(CASE WHEN rn*10000 >= 9900*n AND (rn-1)*10000 < 9900*n THEN v END) AS q9900
+        |FROM r GROUP BY lang""".stripMargin,
 
     // fmix64 sampling gate replayed bit-exactly, then the per-stratum
     // rate CASE — same mod-2^64 multiply recipe as the LSH oracles

@@ -46,6 +46,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("exact grouped quantiles: discrete rank selection, hand-checked") {
+    // group A: values 10,20,30,40 (n=4): p50 -> rank ceil(2)=2 -> 20;
+    //   p90 -> ceil(3.6)=4 -> 40; p25 -> ceil(1)=1 -> 10
+    // group B: single value (n=1): every quantile is that value
+    val df = Seq(
+      ("A", 1L, 30L), ("A", 2L, 10L), ("A", 3L, 40L), ("A", 4L, 20L),
+      ("B", 5L, 7L))
+      .toDF("g", "id", "v")
+    val got = Stats.exactGroupedQuantiles(
+      df, "g", col("v"), "id", Seq(2500, 5000, 9000))
+      .orderBy("g")
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("A", 4L, 10L, 20L, 40L), ("B", 1L, 7L, 7L, 7L)),
+      got.mkString(","))
+    // ties are stable under the tiebreaker: duplicate values never make
+    // the pick ambiguous
+    val ties = Seq(("C", 1L, 5L), ("C", 2L, 5L), ("C", 3L, 5L), ("C", 4L, 9L))
+      .toDF("g", "id", "v")
+    val p75 = Stats.exactGroupedQuantiles(ties, "g", col("v"), "id", Seq(7500))
+      .select("q7500").as[Long].head()
+    assert(p75 == 5L) // rank ceil(3) = 3 -> third 5
+  }
+
   test("shard packing: boundaries, straddling docs, oversized docs") {
     // stratum A: tokens 900, 900, 900 with budget 1000 ->
     //   doc 0 starts at 0 (shard 0), doc 1 at 900 (shard 0, straddles),
