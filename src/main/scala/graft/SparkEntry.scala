@@ -389,6 +389,21 @@ object SparkEntry {
       Dedup.wordJaccard(pairs, d, "doc_id", "text")
     }),
 
+    // --- benchmark decontamination (n-gram overlap vs probe set) ---------------
+    // Probes simulate leaked benchmark items: the first 150 chars of every
+    // 97th document. A probe's shingles are (near-)all present in its
+    // source document, so each probe flags its source at ~10000 bp while
+    // unrelated documents stay below the 5000 bp gate. Hot shingles
+    // (df > 100) are excluded from matching, mirroring the LSH bucket cap.
+    "q_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          substring(col("text"), 1, 150).as("text"))
+      graft.ops.Decontam.ngramOverlap(d, probes, "doc_id", "probe_id",
+        "text", k = 3, minContamBp = 5000, maxShingleDf = 100)
+    }),
+
     // --- composed corpus cleaning (dedup + quality + language gates) ----------
     "q_corpus_clean" -> ((s, dir) =>
       graft.ops.CorpusClean(docs(s, dir))
@@ -1310,6 +1325,37 @@ object SparkEntry {
         |FROM bands l JOIN bands r
         |  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
         |  AND l.doc_id < r.doc_id""".stripMargin,
+
+    // decontamination: same shingle recipe as q_minhash_pairs, distinct
+    // per side, df-capped shingles, overlap counted against the probe
+    "q_decontam" ->
+      """WITH probes AS (SELECT doc_id AS probe_id, substr(text, 1, 150) AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |csh AS (SELECT DISTINCT doc_id, s AS shingle FROM (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM cw WHERE len(ws) >= 3)),
+        |ok AS (SELECT shingle FROM (
+        |  SELECT shingle, count(*) AS df FROM csh GROUP BY shingle)
+        |  WHERE df <= 100),
+        |pw AS (SELECT probe_id, string_split(lower(text), ' ') AS ws FROM probes),
+        |psh AS (SELECT DISTINCT probe_id, s AS shingle FROM (
+        |  SELECT probe_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM pw WHERE len(ws) >= 3)),
+        |pn AS (SELECT probe_id, count(*) AS n_probe FROM psh GROUP BY probe_id),
+        |j AS (SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+        |  FROM csh c JOIN ok USING (shingle) JOIN psh p USING (shingle)
+        |  GROUP BY c.doc_id, p.probe_id)
+        |SELECT j.doc_id, j.probe_id,
+        |  CAST(j.n_shared AS BIGINT) AS n_shared,
+        |  CAST(pn.n_probe AS BIGINT) AS n_probe,
+        |  CAST(FLOOR(j.n_shared * 10000.0 / pn.n_probe) AS BIGINT) AS contam_bp
+        |FROM j JOIN pn USING (probe_id)
+        |WHERE FLOOR(j.n_shared * 10000.0 / pn.n_probe) >= 5000""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws

@@ -69,6 +69,36 @@ class CurationSpec extends AnyFunSuite {
     assert(p75 == 5L) // rank ceil(3) = 3 -> third 5
   }
 
+  test("decontamination: overlap vs probe, short probes, hot-shingle cap") {
+    val corpus = Seq(
+      (1L, "a b c d e f"), // shingles: "a b c","b c d","c d e","d e f"
+      (2L, "x y z a b c w")) // shares "a b c"
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (100L, "a b c d"), // shingles: "a b c","b c d"
+      (200L, "q r")) // < k words: no shingles, can never match
+      .toDF("probe_id", "text")
+    val got = Decontam.ngramOverlap(corpus, probes, "doc_id", "probe_id",
+      "text", k = 3, minContamBp = 5000, maxShingleDf = 1000)
+      .select("doc_id", "probe_id", "n_shared", "n_probe", "contam_bp")
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 100L, 2L, 2L, 10000L),
+      (2L, 100L, 1L, 2L, 5000L)), got.mkString(","))
+    // df cap: "a b c" occurs in 2 corpus docs; cap at 1 removes it from
+    // matching (doc 1 keeps "b c d" -> 5000; doc 2 drops below the gate)
+    // and the audit reports exactly that shingle
+    val capped = Decontam.ngramOverlap(corpus, probes, "doc_id", "probe_id",
+      "text", k = 3, minContamBp = 5000, maxShingleDf = 1)
+      .select("doc_id", "probe_id", "contam_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 100L, 5000L)), capped.mkString(","))
+    val dropped = Decontam.droppedHotShingles(corpus, "doc_id", "text",
+      k = 3, maxShingleDf = 1)
+      .as[(String, Long)].collect().toSet
+    assert(dropped == Set(("a b c", 2L)), dropped.mkString(","))
+  }
+
   test("shard packing: boundaries, straddling docs, oversized docs") {
     // stratum A: tokens 900, 900, 900 with budget 1000 ->
     //   doc 0 starts at 0 (shard 0), doc 1 at 900 (shard 0, straddles),
