@@ -316,6 +316,13 @@ object SparkEntry {
         TextStats.wsTokenCount(col("text")).as("ws_tokens"),
         TextStats.regexTokenCount(col("text")).as("re_tokens"))),
 
+    // --- repetition quality signals (Gopher/RefinedWeb filter family) ----------
+    // top-bigram fraction + duplicate-trigram fraction per document, in
+    // basis points — the two numbers that catch boilerplate and
+    // generation loops before any model-based scorer runs.
+    "q_repetition" -> ((s, dir) =>
+      TextStats.repetitionStats(docs(s, dir), "doc_id", "text")),
+
     // --- exact corpus distribution stats ----------------------------------------
     // Per-language doc-length percentiles by EXACT discrete rank selection
     // (value at ceil(q·n) in (value, doc_id) order) — integer-exact, so
@@ -1205,6 +1212,36 @@ object SparkEntry {
         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS re_tokens
         |FROM documents""".stripMargin,
+
+    // repetition signals: same shingle recipe at k=2 and k=3, counts
+    // aggregated per (doc, gram), fractions floored in basis points
+    "q_repetition" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |g2 AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i+1]
+        |          for i in range(1, greatest(len(ws)-1, 0)+1)]) AS g
+        |  FROM w WHERE len(ws) >= 2),
+        |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+        |t2 AS (SELECT doc_id, sum(c) AS tot, max(c) AS mx FROM c2 GROUP BY doc_id),
+        |g3 AS (SELECT doc_id,
+        |  unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |          for i in range(1, greatest(len(ws)-2, 0)+1)]) AS g
+        |  FROM w WHERE len(ws) >= 3),
+        |c3 AS (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY doc_id, g),
+        |t3 AS (SELECT doc_id, sum(c) AS tot,
+        |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup FROM c3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(t2.tot, 0) AS BIGINT) AS top2_total,
+        |  CAST(COALESCE(t2.mx, 0) AS BIGINT) AS top2_max,
+        |  CAST(CASE WHEN COALESCE(t2.tot, 0) > 0
+        |    THEN FLOOR(t2.mx * 10000.0 / t2.tot) ELSE 0 END AS BIGINT) AS top2_frac_bp,
+        |  CAST(COALESCE(t3.tot, 0) AS BIGINT) AS dup3_total,
+        |  CAST(COALESCE(t3.dup, 0) AS BIGINT) AS dup3_dup,
+        |  CAST(CASE WHEN COALESCE(t3.tot, 0) > 0
+        |    THEN FLOOR(t3.dup * 10000.0 / t3.tot) ELSE 0 END AS BIGINT) AS dup3_frac_bp
+        |FROM documents d
+        |LEFT JOIN t2 ON t2.doc_id = d.doc_id
+        |LEFT JOIN t3 ON t3.doc_id = d.doc_id""".stripMargin,
 
     // exact discrete quantiles: identical row_number + integer-ceil rank
     // selection (rn·10⁴ ≥ q·n ∧ (rn−1)·10⁴ < q·n)

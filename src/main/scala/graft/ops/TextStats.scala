@@ -118,4 +118,54 @@ object TextStats {
     "n_upper" -> upperCount(text),
     "n_punct" -> punctCount(text)
   )
+
+  /** Repetition quality signals (the Gopher/RefinedWeb filter family):
+    * per document, the fraction of word n-gram instances claimed by the
+    * single most frequent n-gram (`top<n>_frac_bp`) and the fraction of
+    * instances whose n-gram occurs more than once (`dup<n>_frac_bp`) —
+    * both in basis points, both exact integers under the oracle
+    * (q_repetition). Boilerplate, keyword-stuffed, and
+    * generation-loop documents light up these two numbers long before a
+    * perplexity model sees them.
+    *
+    * Scale shape: explode → two-level partial-aggregated groupBy keyed by
+    * (doc, n-gram) — the same shuffle geometry as the MinHash shingle
+    * path; no per-row quadratic work, no UDF. Documents with fewer than
+    * n words have no n-grams and report 0 fractions over 0 totals.
+    */
+  def repetitionStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      nTop: Int = 2,
+      nDup: Int = 3
+  ): org.apache.spark.sql.DataFrame = {
+    def grams(n: Int) = df.select(
+      col(idCol),
+      explode(Dedup.shingles(Dedup.words(col(textCol)), n)).as("g"))
+    def counted(n: Int) = grams(n)
+      .groupBy(col(idCol), col("g"))
+      .agg(count(lit(1)).as("c"))
+    def bp(num: Column, den: Column) =
+      when(den > 0, floor(num * 10000L / den)).otherwise(0L).cast("long")
+    val top = counted(nTop).groupBy(col(idCol)).agg(
+      sum(col("c")).as(s"top${nTop}_total"),
+      max(col("c")).as(s"top${nTop}_max"))
+    val dup = counted(nDup).groupBy(col(idCol)).agg(
+      sum(col("c")).as(s"dup${nDup}_total"),
+      sum(when(col("c") > 1, col("c")).otherwise(0L)).as(s"dup${nDup}_dup"))
+    df.select(col(idCol))
+      .join(top, Seq(idCol), "left")
+      .join(dup, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col(s"top${nTop}_total"), lit(0L)).as(s"top${nTop}_total"),
+        coalesce(col(s"top${nTop}_max"), lit(0L)).as(s"top${nTop}_max"),
+        bp(coalesce(col(s"top${nTop}_max"), lit(0L)),
+          coalesce(col(s"top${nTop}_total"), lit(0L))).as(s"top${nTop}_frac_bp"),
+        coalesce(col(s"dup${nDup}_total"), lit(0L)).as(s"dup${nDup}_total"),
+        coalesce(col(s"dup${nDup}_dup"), lit(0L)).as(s"dup${nDup}_dup"),
+        bp(coalesce(col(s"dup${nDup}_dup"), lit(0L)),
+          coalesce(col(s"dup${nDup}_total"), lit(0L))).as(s"dup${nDup}_frac_bp"))
+  }
 }

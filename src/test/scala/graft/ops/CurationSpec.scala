@@ -69,6 +69,26 @@ class CurationSpec extends AnyFunSuite {
     assert(p75 == 5L) // rank ceil(3) = 3 -> third 5
   }
 
+  test("repetition signals: top-bigram and dup-trigram fractions, " +
+    "hand-checked incl. sub-n documents") {
+    val df = Seq(
+      // "a b a b a b": bigrams a b, b a, a b, b a, a b -> top "a b" 3/5
+      //   trigrams: aba, bab, aba, bab -> every instance duplicated: 4/4
+      (1L, "a b a b a b"),
+      // all-distinct words: top bigram 1/3, no duplicate trigrams 0/2
+      (2L, "w x y z"),
+      // one word: no bigrams, no trigrams -> all zeros
+      (3L, "solo"))
+      .toDF("doc_id", "text")
+    val got = TextStats.repetitionStats(df, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 5L, 3L, 6000L, 4L, 4L, 10000L),
+      (2L, 3L, 1L, 3333L, 2L, 0L, 0L),
+      (3L, 0L, 0L, 0L, 0L, 0L, 0L)), got.mkString(","))
+  }
+
   test("decontamination: overlap vs probe, short probes, hot-shingle cap") {
     val corpus = Seq(
       (1L, "a b c d e f"), // shingles: "a b c","b c d","c d e","d e f"
