@@ -732,6 +732,63 @@ object SparkEntry {
       s.table(name).select("conv_id", "turn_idx", "tool_locf")
     }),
 
+    // --- STREAMING watermarked windowed counts (built-in stateful agg) ---------
+    // The watermark-correctness proof for the built-in windowed
+    // aggregation path: 5-minute tumbling role counts over a file-source
+    // replay in event-time order. Append mode only emits FINALIZED
+    // windows (watermark past window end), so two far-future sentinel
+    // files advance the watermark (it updates BETWEEN batches) until
+    // every real window flushes; sentinel windows never finalize and are
+    // filtered. The oracle is the plain batch GROUP BY epoch-bucket.
+    "q_stream_window" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamwin").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).select($"conv_id", $"role", $"ts")
+      val maxTs = t.agg(max($"ts")).head.getTimestamp(0).getTime
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      // watermark 600 s + window 300 s + margin, twice (watermark lags
+      // one batch)
+      val step = (600L + 300L + 10L) * 1000L
+      (1 to 2).foreach { i =>
+        val sentinel = Seq(("__wm__", "__wm__",
+          new java.sql.Timestamp(maxTs + i * step)))
+          .toDF("conv_id", "role", "ts")
+        stageOrderedFile(sentinel, s"$tmp/sent$i", watched,
+          s"sentinel-$i.parquet", 1700000000000L + (nChunks + i) * 10000L)
+      }
+      val name = s"stream_win_${System.nanoTime()}"
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(t.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+          StreamingFeatures.windowedRoleCounts(src)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).filter($"role" =!= "__wm__")
+        .select(col("window.start").cast("long").as("w_start_sec"),
+          col("role"), col("n"))
+    }),
+
     // --- STREAMING exact dedup with audit (live-path firehose filter) ----------
     // The LIVE twin of q_dedup_exact: each document is emitted immediately
     // with kept=1 iff its md5(text) fingerprint was never seen before.
@@ -1047,6 +1104,13 @@ object SparkEntry {
          |    ORDER BY ts, turn_idx
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
          |FROM turns""".stripMargin,
+
+    // windowed counts: plain batch GROUP BY 5-minute epoch bucket
+    "q_stream_window" ->
+      s"""$T
+         |SELECT CAST(FLOOR(epoch(ts) / 300) * 300 AS BIGINT) AS w_start_sec,
+         |  role, CAST(count(*) AS BIGINT) AS n
+         |FROM turns GROUP BY 1, 2""".stripMargin,
 
     // the streaming dedup audit must agree with batch first-wins dedup:
     // same synthesized duplicates, kept = first occurrence per md5 hash
