@@ -416,6 +416,36 @@ object SparkEntry {
       graft.ops.CorpusClean(docs(s, dir))
         .select("doc_id", "n_chars_q", "n_words", "lang_pred")),
 
+    // --- END-TO-END curation pipeline under ONE oracle --------------------------
+    // The actual 100 TB training-data job as one declarative DAG:
+    // quality+dedup gates (CorpusClean) → decontamination anti-join
+    // (documents flagged ≥ 50% vs the leaked-snippet probe set are
+    // DROPPED) → stratified mixture sampling on the real lang column →
+    // token-budget shard packing over the survivors. Every stage is an
+    // already-oracled operator; this row proves they COMPOSE — Catalyst
+    // fuses the whole thing into one plan, and the oracle replays all
+    // four stages in sequence.
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val cleaned = graft.ops.CorpusClean(d)
+      val probes = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          substring(col("text"), 1, 150).as("text"))
+      val flagged = graft.ops.Decontam.ngramOverlap(d, probes,
+          "doc_id", "probe_id", "text", k = 3,
+          minContamBp = 5000, maxShingleDf = 100)
+        .select("doc_id").distinct()
+      val decon = cleaned.join(flagged, Seq("doc_id"), "left_anti")
+      val sampled = graft.ops.Curation.sampleStratified(decon, "doc_id",
+        "lang", Map("en" -> 8000, "zh" -> 5000, "es" -> 2500, "de" -> 1000),
+        defaultBp = 500)
+      graft.ops.Curation.packShards(sampled, strataCol = "lang",
+          orderCol = "doc_id",
+          tokens = TextStats.regexTokenCount(col("text")),
+          budgetTokens = 2000L)
+        .select("doc_id", "lang", "n_tokens", "shard_seq")
+    }),
+
     // --- enum (sum-type) gate: each turn encoded as a tagged union of a
     // "msg" variant (user/assistant: text rules) and a "sys" variant
     // (system/tool: tool required) — per-variant rules fire only for the
@@ -1426,6 +1456,80 @@ object SparkEntry {
         |FROM bands l JOIN bands r
         |  ON l.band_idx = r.band_idx AND l.band_key = r.band_key
         |  AND l.doc_id < r.doc_id""".stripMargin,
+
+    // end-to-end pipeline: the four stage oracles stitched in sequence
+    // (clean gates → decontam anti-join → fmix64 sample → pack window)
+    "q_corpus_pipeline" ->
+      """WITH sc AS (SELECT doc_id, lang, text,
+        |  row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rnk,
+        |  CAST(length(text) AS BIGINT) AS nc,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+        |  CAST(len(regexp_extract_all(text, '\bthe\b')) + len(regexp_extract_all(text, '\ba\b')) AS BIGINT) AS s_en,
+        |  CAST(len(regexp_extract_all(text, '\bdata\b')) + len(regexp_extract_all(text, '\btable\b')) + len(regexp_extract_all(text, '\brow\b')) AS BIGINT) AS s_db,
+        |  CAST(len(regexp_extract_all(text, '\bquery\b')) + len(regexp_extract_all(text, '\bjoin\b')) + len(regexp_extract_all(text, '\bscan\b')) AS BIGINT) AS s_qy
+        |FROM documents),
+        |lp AS (SELECT *,
+        |  CASE WHEN s_en = greatest(s_en, s_db, s_qy) AND s_en > 0 THEN 'en'
+        |       WHEN s_db = greatest(s_en, s_db, s_qy) AND s_db > 0 THEN 'db'
+        |       WHEN s_qy = greatest(s_en, s_db, s_qy) AND s_qy > 0 THEN 'qy'
+        |       ELSE 'und' END AS lang_pred
+        |FROM sc),
+        |clean AS (SELECT doc_id, lang, text FROM lp
+        |  WHERE rnk = 1 AND nc BETWEEN 50 AND 10000 AND nw >= 8
+        |    AND lang_pred IN ('en','db','qy')),
+        |probes AS (SELECT doc_id AS probe_id, substr(text, 1, 150) AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |csh AS (SELECT DISTINCT doc_id, s AS shingle FROM (
+        |  SELECT doc_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM cw WHERE len(ws) >= 3)),
+        |okk AS (SELECT shingle FROM (
+        |  SELECT shingle, count(*) AS df FROM csh GROUP BY shingle)
+        |  WHERE df <= 100),
+        |pw AS (SELECT probe_id, string_split(lower(text), ' ') AS ws FROM probes),
+        |psh AS (SELECT DISTINCT probe_id, s AS shingle FROM (
+        |  SELECT probe_id,
+        |    unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |            for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM pw WHERE len(ws) >= 3)),
+        |pn AS (SELECT probe_id, count(*) AS n_probe FROM psh GROUP BY probe_id),
+        |jj AS (SELECT c.doc_id, p.probe_id, count(*) AS n_shared
+        |  FROM csh c JOIN okk USING (shingle) JOIN psh p USING (shingle)
+        |  GROUP BY c.doc_id, p.probe_id),
+        |flagged AS (SELECT DISTINCT jj.doc_id
+        |  FROM jj JOIN pn USING (probe_id)
+        |  WHERE FLOOR(jj.n_shared * 10000.0 / pn.n_probe) >= 5000),
+        |decon AS (SELECT * FROM clean
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM flagged)),
+        |x0 AS (SELECT doc_id, lang, text,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM decon),
+        |x1 AS (SELECT doc_id, lang, text, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, lang, text, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, lang, text, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, lang, text, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |samp AS (SELECT doc_id, lang, text FROM (
+        |  SELECT doc_id, lang, text,
+        |    CAST((xor(x, x >> 33) >> 20) % 10000 AS BIGINT) AS gate_bp FROM x4)
+        |  WHERE gate_bp < CASE lang
+        |    WHEN 'en' THEN 8000 WHEN 'zh' THEN 5000
+        |    WHEN 'es' THEN 2500 WHEN 'de' THEN 1000 ELSE 500 END),
+        |tt AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM samp)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM tt""".stripMargin,
 
     // decontamination: same shingle recipe as q_minhash_pairs, distinct
     // per side, df-capped shingles, overlap counted against the probe
