@@ -23,9 +23,7 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType}
   * first `nProbe` list ids.
   */
 object IvfProbeImpl {
-  private def q(x: Double): Long =
-    if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
-    else math.ceil(x * 10000.0 - 0.5).toLong
+  private def q(x: Double): Long = QuantVec.q(x)
 
   def probe(arr: ArrayData, ids: Array[Int], cents: Array[Array[Long]],
       nProbe: Int): ArrayData = {

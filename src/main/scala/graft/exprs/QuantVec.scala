@@ -16,7 +16,12 @@ import org.apache.spark.sql.types.{DataType, LongType}
   * Spark's `round` (BigDecimal HALF_UP) and DuckDB's `ROUND`.
   */
 object QuantVec {
-  private def q(x: Double): Long =
+  /** THE quantizer — the single definition every operator and expression
+    * must share (IvfProbe, SignLsh, centroid packing): the quantization
+    * contract is the oracle-portability linchpin, and a second copy that
+    * drifts would silently desynchronize assignments from the oracle.
+    */
+  def q(x: Double): Long =
     if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
     else math.ceil(x * 10000.0 - 0.5).toLong
 

@@ -41,9 +41,7 @@ object SignLshImpl {
       Array.tabulate(b, d)(weight)
     })
 
-  private def q(x: Double): Long =
-    if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
-    else math.ceil(x * 10000.0 - 0.5).toLong
+  private def q(x: Double): Long = QuantVec.q(x)
 
   def bucket(arr: ArrayData, nBits: Int): Long = {
     val dim = arr.numElements()

@@ -99,13 +99,16 @@ object Checkpoint {
 
     // Concurrent writers: staging dirs are per-runId so two racing runs
     // only meet at promotion. The manifest entry is the commit point —
-    // re-check it per bucket (another run may have committed while this
-    // one was staging) and skip instead of clobbering committed data. A
-    // target dir WITHOUT a manifest entry is a stale partial from a dead
-    // run and is safe to replace. The residual window (two runs passing
-    // the same check simultaneously) is closed by the ATOMIC_MOVE of the
-    // manifest file: both promoted identical recomputed data, so either
-    // winner leaves a consistent bucket.
+    // checked per bucket, and RE-checked immediately before any
+    // destructive replace: a target dir that exists with a manifest
+    // entry is a rival's commit (possibly landed between the two checks)
+    // and stands; a target dir WITHOUT a manifest entry is a stale
+    // partial from a dead run and is safe to replace. The residual
+    // window — a rival committing in the instant between our second
+    // check and our delete+move — replaces its data with the IDENTICAL
+    // deterministic recomputation, so the bucket converges; only a
+    // reader that polls mid-promotion (rather than after write()
+    // returns, the documented discipline) could glimpse the swap.
     def committedMeanwhile(b: Int): Boolean =
       Files.exists(manifestDir(out).resolve(s"bucket-$b.json"))
     (0 until nBuckets).filterNot(done.contains).foreach { b =>
@@ -113,11 +116,15 @@ object Checkpoint {
       if (committedMeanwhile(b)) () // lost the race — the other run's commit stands
       else if (Files.exists(staged)) {
         val target = Paths.get(out, s"bucket=$b")
-        if (Files.exists(target)) { // stale partial from a dead run
-          deleteRecursively(target)
+        if (Files.exists(target) && committedMeanwhile(b)) {
+          () // rival committed between the two checks — its data stands
+        } else {
+          if (Files.exists(target)) { // stale partial from a dead run
+            deleteRecursively(target)
+          }
+          Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+          commit(b, stagedCounts.getOrElse(b, 0L))
         }
-        Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-        commit(b, stagedCounts.getOrElse(b, 0L))
       } else {
         // the bucket genuinely has no rows in this input — commit it as
         // empty so resumes don't rescan the input for it forever

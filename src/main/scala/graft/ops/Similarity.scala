@@ -146,6 +146,9 @@ object Similarity {
     *   pair (a < b) still appears exactly once: same-bucket pairs match
     *   via a's exact probe, Hamming-1 pairs via a's flipped probe into
     *   b's bucket (b's flip toward a yields (b, a), killed by a < b).
+    *   The `maxBucketSize` cap is symmetric — a vector in an oversized
+    *   bucket pairs with nothing, on either side, so output never
+    *   depends on which endpoint carries the smaller id.
     */
   def nearDupPairsLsh(
       corpus: DataFrame,
@@ -172,11 +175,17 @@ object Similarity {
     *
     * The predicate is EXACT integer arithmetic — no sqrt, no float
     * division:  cos(a,b) ≥ t  ⇔  dot > 0  ∧  dot²·10⁸ ≥ (t·10⁴)²·|a|²·|b|²
-    * evaluated in decimal(38,0) (quantized dots reach ~10⁹·dim, so dot²·10⁸
-    * needs ~10²⁸ — past int64, comfortably inside 128-bit). Zero-norm
-    * vectors (undefined cosine) never match. Output carries the integer
-    * evidence (dot, sq_a, sq_b) so downstream can recompute the exact
-    * cosine at any precision it likes.
+    * evaluated in decimal(38,0). Zero-norm vectors (undefined cosine)
+    * never match. Output carries the integer evidence (dot, sq_a, sq_b)
+    * so downstream can recompute the exact cosine at any precision.
+    *
+    * Numeric domain (decimal precision caps at 38 digits, so dot²·10⁸
+    * must stay under 10³⁸): exact for |quantized dot| < 10¹⁵, i.e.
+    * dim·(maxAbs·10⁴)² < 10¹⁵ — dim 4096 at |x| ≤ 7.8, dim 64 at
+    * |x| ≤ 62. Real embedding columns (unit-ish floats) sit orders of
+    * magnitude inside this. Beyond it the session's ANSI mode makes the
+    * overflow THROW (fail loud), never silently drop a pair; pre-scale
+    * pathological-magnitude vectors before calling.
     */
   def nearDupPairsCosine(
       corpus: DataFrame,
@@ -211,6 +220,13 @@ object Similarity {
     * vector-id pairs sharing a bucket (or, under multi-probe, within
     * Hamming-`probes` of one). Id-only rows cross the shuffle — never
     * embeddings.
+    *
+    * The `maxBucketSize` cap is SYMMETRIC: a vector whose own exact
+    * bucket is oversized participates in no pairs at all — neither as
+    * the probing nor the probed side — so the output never depends on
+    * which endpoint happens to carry the smaller id, and
+    * [[lshDroppedHotBuckets]] (which reports exactly the oversized
+    * buckets) fully accounts for every dropped pair.
     */
   private def lshPairCandidates(
       corpus: DataFrame,
@@ -224,9 +240,10 @@ object Similarity {
     val ids = corpus.select(
       col("vec_id"), lshBucket(col("embedding"), dim, nBits).as("bucket"))
     // eligible buckets from ids only (count, not collect). The size cap
-    // guards the RIGHT (exact) side — that bounds per-probe join fan-out.
-    // Singleton buckets only produce pairs under multi-probe, so the n > 1
-    // pruning applies to the exact-only case alone.
+    // bounds join fan-out on BOTH sides. Singleton buckets only produce
+    // pairs under multi-probe, so the n > 1 pruning applies to the
+    // exact-only case alone (where it is a pure optimization: an l-side
+    // singleton's pair requires its own bucket via the r side anyway).
     val okCond =
       if (probes == 0) col("__n") > 1 && col("__n") <= maxBucketSize
       else col("__n") <= maxBucketSize
@@ -234,9 +251,10 @@ object Similarity {
       .agg(count(lit(1)).as("__n"))
       .filter(okCond)
       .select("bucket")
+    val okIds = ids.join(ok, Seq("bucket"))
     val lProbe = if (probes == 0) col("bucket") else probeBuckets(col("bucket"), probes)
-    val l = ids.select(lProbe.as("bucket"), col("vec_id").as("a"))
-    val r = ids.join(ok, Seq("bucket")).select(col("bucket"), col("vec_id").as("b"))
+    val l = okIds.select(lProbe.as("bucket"), col("vec_id").as("a"))
+    val r = okIds.select(col("bucket"), col("vec_id").as("b"))
     // no distinct: each vector lands in exactly ONE exact bucket and all
     // of a vector's probe values are distinct, so every (a < b) pair is
     // generated at most once (see the probes scaladoc) — a dedup here
@@ -289,9 +307,7 @@ object Similarity {
     */
   private def packCentroids(
       centroids: Seq[(Int, Seq[Float])]): (Array[Int], Array[Array[Long]]) = {
-    def q(x: Double): Long =
-      if (x >= 0) math.floor(x * 10000.0 + 0.5).toLong
-      else math.ceil(x * 10000.0 - 0.5).toLong
+    def q(x: Double): Long = graft.exprs.QuantVec.q(x)
     (centroids.map(_._1).toArray,
       centroids.map(_._2.map(v => q(v.toDouble)).toArray).toArray)
   }
@@ -383,7 +399,11 @@ object Similarity {
     * engine-exact quantized ordering used everywhere in this module.
     * Queries absent from `candidates` (empty probe) still appear, with
     * recall 0. `recall_bp` is basis points (hits×10⁴/k, floored) so the
-    * output stays integer-exact/oracle-portable.
+    * output stays integer-exact/oracle-portable. Duplicate
+    * (query_id, vec_id) candidate rows — e.g. the union of two index
+    * probes — are collapsed (best dot wins) BEFORE ranking, so a pair
+    * can never be counted twice nor crowd a distinct candidate out of
+    * the top-k, and hits ≤ k always holds.
     */
   def recallAtK(
       candidates: DataFrame, // (query_id, vec_id, dot)
@@ -397,7 +417,10 @@ object Similarity {
       .withColumn("__r", row_number().over(w))
       .filter(col("__r") <= k)
       .select("query_id", "vec_id")
-    val hits = topK(truth).join(topK(candidates), Seq("query_id", "vec_id"))
+    val dedupedCand = candidates
+      .groupBy(col("query_id"), col("vec_id"))
+      .agg(max(col("dot")).as("dot"))
+    val hits = topK(truth).join(topK(dedupedCand), Seq("query_id", "vec_id"))
       .groupBy("query_id").agg(count(lit(1)).as("hits"))
     topK(truth).select("query_id").distinct()
       .join(hits, Seq("query_id"), "left")

@@ -42,6 +42,13 @@ object StreamingFeatures {
     */
   final case class SessState(open: Option[OpenSess], emitted: Long)
 
+  /** Full-precision event-time sort key: (millis, nanos). Timestamp.getTime
+    * alone truncates to milliseconds, which would tie sub-millisecond-
+    * distinct timestamps and break the documented `ORDER BY ts, turn_idx`
+    * batch-parity contract — parquet timestamps carry MICROS.
+    */
+  private def tsKey(t: Timestamp): (Long, Int) = (t.getTime, t.getNanos)
+
   /** A transcript turn carrying its (nullable) tool observation — the
     * input row for the streaming LOCF path.
     */
@@ -83,7 +90,7 @@ object StreamingFeatures {
         OutputMode.Append, GroupStateTimeout.NoTimeout)(
         (key: String, rows: Iterator[TurnToolEvent],
          state: GroupState[LocfState]) => {
-          val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+          val sorted = rows.toSeq.sortBy(t => (tsKey(t.ts), t.turn_idx))
           var last = state.getOption.getOrElse(LocfState(None)).tool
           val out = sorted.map { t =>
             if (t.tool.isDefined) last = t.tool
@@ -226,7 +233,7 @@ object StreamingFeatures {
             // bounded by the micro-batch's rows for this key (i.e. by the
             // trigger interval), NOT by conversation length — a long
             // conversation still holds O(1) state between batches
-            val sorted = rows.toSeq.sortBy(t => (t.ts.getTime, t.turn_idx))
+            val sorted = rows.toSeq.sortBy(t => (tsKey(t.ts), t.turn_idx))
             val st0 = state.getOption.getOrElse(SessState(None, 0L))
             var emitted = st0.emitted
             var open = st0.open

@@ -289,6 +289,48 @@ class OpsSpec extends AnyFunSuite {
     assert(bigPairs == Set((0L, 1L)), bigPairs.mkString(","))
   }
 
+  test("multi-probe hot-bucket cap is symmetric: output invariant under " +
+    "id relabeling, hot-bucket vectors pair with nothing") {
+    import org.apache.spark.sql.functions.{col, lit}
+    val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .filter(col("vec_id") < 40)
+    // tiny cap at few bits -> some buckets oversized, some ok
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      Similarity.nearDupPairsLsh(df, minDot = Long.MinValue, dim = 64,
+        nBits = 3, maxBucketSize = 4, probes = 3)
+        .select("a", "b").as[(Long, Long)].collect()
+        .map { case (a, b) => Set(a, b) }.toSet
+    val fwd = pairs(e)
+    // relabel ids in reverse order: the same geometric pairs must survive
+    val rev = pairs(e.select((lit(1000L) - col("vec_id")).as("vec_id"),
+        col("embedding")))
+      .map(_.map(1000L - _))
+    assert(fwd == rev, s"asymmetric under relabeling: " +
+      s"fwdOnly=${(fwd -- rev).take(3)} revOnly=${(rev -- fwd).take(3)}")
+    // no pair touches a vector whose own bucket is oversized
+    val hot = Similarity.lshDroppedHotBuckets(e, dim = 64, nBits = 3,
+      maxBucketSize = 4).select("bucket").as[Long].collect().toSet
+    assert(hot.nonEmpty, "fixture must actually have an oversized bucket")
+    val bucketOf = e.select(col("vec_id"),
+        Similarity.lshBucket(col("embedding"), 64, 3).as("b"))
+      .as[(Long, Long)].collect().toMap
+    val hotIds = bucketOf.filter { case (_, b) => hot(b) }.keySet
+    assert(fwd.forall(p => p.intersect(hotIds).isEmpty),
+      s"pair touches hot-bucket vector: ${fwd.find(_.intersect(hotIds).nonEmpty)}")
+  }
+
+  test("recallAtK collapses duplicate candidate pairs (hits never exceed k)") {
+    val truth = Seq((1L, 10L, 100L), (1L, 11L, 90L))
+      .toDF("query_id", "vec_id", "dot")
+    val cand = Seq((1L, 10L, 100L), (1L, 10L, 100L), (1L, 11L, 90L))
+      .toDF("query_id", "vec_id", "dot")
+    val got = Similarity.recallAtK(cand, truth, 2)
+      .select("query_id", "hits", "recall_bp")
+      .as[(Long, Long, Long)].collect().toSet
+    // duplicated (1,10) must count once and must not crowd (1,11) out
+    assert(got == Set((1L, 2L, 10000L)), got.mkString(","))
+  }
+
   test("ANN/near-dup edges: empty query set, singleton corpus, empty corpus") {
     import org.apache.spark.sql.functions.col
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")

@@ -132,6 +132,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, got.toSeq.sortBy(t => (t._1, t._2)).mkString(","))
   }
 
+  test("streaming LOCF orders sub-millisecond timestamps at full " +
+    "precision (batch ORDER BY ts parity, not getTime truncation)") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.TurnToolEvent
+    implicit val sqlCtx = spark.sqlContext
+    def tsMicros(sec: Long, micros: Int) = {
+      val t = new Timestamp(sec * 1000L)
+      t.setNanos(micros * 1000)
+      t
+    }
+    val input = MemoryStream[TurnToolEvent]
+    val q = StreamingFeatures.locf(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_locf_micros").start()
+    // same millisecond, different microseconds, event-time order OPPOSITE
+    // to turn_idx order: batch `ORDER BY ts, turn_idx` processes turn 2
+    // (at .000500) before turn 1 (at .000900), so turn 1 must see the tool
+    input.addData(
+      TurnToolEvent("A", 1, None, tsMicros(10, 900)),
+      TurnToolEvent("A", 2, Some("a"), tsMicros(10, 500)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_locf_micros")
+      .collect().map(r => (r.getInt(1), Option(r.getString(2)))).toSet
+    assert(got == Set((2, Some("a")), (1, Some("a"))), got.mkString(","))
+  }
+
   test("streaming dedup keeps only the first occurrence per hash, " +
     "including duplicates straddling a batch boundary") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
