@@ -323,6 +323,25 @@ object SparkEntry {
     "q_repetition" -> ((s, dir) =>
       TextStats.repetitionStats(docs(s, dir), "doc_id", "text")),
 
+    // --- shard SINK roundtrip (write one file per shard dir, read back) --------
+    // The materialization step a dataloader consumes: writeShards lays
+    // out out/<lang>=…/shard_seq=…/one-parquet-file, and the readback
+    // must carry exactly the same assignments as the in-plan packing —
+    // the oracle is the same packing SQL as q_pack_shards, so this row
+    // proves the SINK (partition pruning layout, partition-value type
+    // roundtrip, one-task-per-shard routing) end-to-end.
+    "q_write_shards" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_shards").toString
+      graft.ops.Curation.writeShards(
+        docs(s, dir), strataCol = "lang", orderCol = "doc_id",
+        tokens = TextStats.regexTokenCount(col("text")),
+        budgetTokens = 2000L, outDir = tmp)
+      s.read.parquet(tmp)
+        .select(col("doc_id"), col("lang"), col("n_tokens"),
+          col("shard_seq").cast("long").as("shard_seq"))
+    }),
+
     // --- exact corpus distribution stats ----------------------------------------
     // Per-language doc-length percentiles by EXACT discrete rank selection
     // (value at ceil(q·n) in (value, doc_id) order) — integer-exact, so
@@ -1336,6 +1355,17 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN t2 ON t2.doc_id = d.doc_id
         |LEFT JOIN t3 ON t3.doc_id = d.doc_id""".stripMargin,
+
+    // the sink roundtrip must reproduce the packing assignment exactly
+    "q_write_shards" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM t""".stripMargin,
 
     // exact discrete quantiles: identical row_number + integer-ceil rank
     // selection (rn·10⁴ ≥ q·n ∧ (rn−1)·10⁴ < q·n)

@@ -81,4 +81,33 @@ object Curation {
     df.withColumn("n_tokens", tokens)
       .withColumn("shard_seq", floor(cumExcl / budgetTokens).cast("long"))
   }
+
+  /** Materialize packed training shards: [[packShards]] then write ONE
+    * parquet file per (stratum, shard) directory —
+    * `out/<strataCol>=…/shard_seq=…/part-….parquet` — which is the layout
+    * a training dataloader consumes (one sequential file per shard, shards
+    * enumerable by listing). The repartition on (stratum, shard) routes
+    * each shard's rows to exactly one task, so each directory holds
+    * exactly one file; rows inside it are sorted by `orderCol`.
+    *
+    * Readback note: parquet partition-value inference types `shard_seq`
+    * as INT — cast it back to long (the q_write_shards roundtrip oracle
+    * does exactly this), and remember partition columns return at the END
+    * of the readback schema.
+    */
+  def writeShards(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      tokens: Column,
+      budgetTokens: Long,
+      outDir: String
+  ): Unit =
+    packShards(df, strataCol, orderCol, tokens, budgetTokens)
+      .repartition(col(strataCol), col("shard_seq"))
+      .sortWithinPartitions(col(strataCol), col("shard_seq"), col(orderCol))
+      .write
+      .partitionBy(strataCol, "shard_seq")
+      .mode("overwrite")
+      .parquet(outDir)
 }

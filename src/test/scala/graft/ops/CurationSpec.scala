@@ -119,6 +119,33 @@ class CurationSpec extends AnyFunSuite {
     assert(dropped == Set(("a b c", 2L)), dropped.mkString(","))
   }
 
+  test("writeShards lays out exactly one parquet file per shard directory " +
+    "and the readback preserves assignments") {
+    val df = Seq(
+      (0L, "A", 900L), (1L, "A", 900L), (2L, "A", 900L),
+      (10L, "B", 2500L), (11L, "B", 100L))
+      .toDF("doc_id", "lang", "tok")
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft_writeshards").toString
+    Curation.writeShards(df, "lang", "doc_id", col("tok"), 1000L, tmp)
+    // layout: one file per (lang, shard_seq) dir
+    val shardDirs = new java.io.File(tmp).listFiles
+      .filter(f => f.isDirectory && f.getName.startsWith("lang="))
+      .flatMap(_.listFiles.filter(_.getName.startsWith("shard_seq=")))
+    assert(shardDirs.length == 4, shardDirs.map(_.getPath).mkString(","))
+    shardDirs.foreach { d =>
+      val parts = d.listFiles.filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1, s"${d.getPath}: ${parts.length} files")
+    }
+    // readback equals the in-plan packing
+    val back = spark.read.parquet(tmp)
+      .select(col("doc_id"), col("shard_seq").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val want = Curation.packShards(df, "lang", "doc_id", col("tok"), 1000L)
+      .select("doc_id", "shard_seq").as[(Long, Long)].collect().toMap
+    assert(back == want, s"back=$back want=$want")
+  }
+
   test("shard packing: boundaries, straddling docs, oversized docs") {
     // stratum A: tokens 900, 900, 900 with budget 1000 ->
     //   doc 0 starts at 0 (shard 0), doc 1 at 900 (shard 0, straddles),
