@@ -59,6 +59,19 @@ object SparkEntry {
       dest, java.nio.file.attribute.FileTime.fromMillis(mtimeMs))
   }
 
+  /** A fresh memory-sink table name, dropping this prefix's previous
+    * incarnations first: memory-sink tables pin their full result in the
+    * driver for the session lifetime, and Bench/Verify cycles re-run
+    * every query — without the cleanup each pass would leak one result
+    * copy per streaming query.
+    */
+  private def freshStreamView(s: SparkSession, prefix: String): String = {
+    s.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith(prefix))
+      .foreach(s.catalog.dropTempView(_))
+    s"$prefix${System.nanoTime()}"
+  }
+
   // ------------------------------------------------------------- queries
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -639,7 +652,7 @@ object SparkEntry {
         .sortBy(t => (t.ts.getTime, t.conv_id, t.turn_idx))
       val maxTs = rows.iterator.map(_.ts.getTime).max
       val input = MemoryStream[TurnEvent]
-      val name = s"stream_sessions_${System.nanoTime()}"
+      val name = freshStreamView(s, "stream_sessions_")
       // The stateful operator's parallelism (= state-store count) is
       // frozen from shuffle.partitions at query start; per-batch state
       // checkpointing costs O(batches × partitions) file ops, so pin a
@@ -713,7 +726,7 @@ object SparkEntry {
           s"$tmp/scratch_wm$i", watched, s"wm-$i.parquet",
           base + (nChunks + i) * 10000L)
       }
-      val name = s"stream_sessions_files_${System.nanoTime()}"
+      val name = freshStreamView(s, "stream_sessions_files_")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q =
@@ -760,7 +773,7 @@ object SparkEntry {
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
           1700000000000L + i * 10000L)
       }
-      val name = s"stream_locf_${System.nanoTime()}"
+      val name = freshStreamView(s, "stream_locf_")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q =
@@ -816,7 +829,7 @@ object SparkEntry {
         stageOrderedFile(sentinel, s"$tmp/sent$i", watched,
           s"sentinel-$i.parquet", 1700000000000L + (nChunks + i) * 10000L)
       }
-      val name = s"stream_win_${System.nanoTime()}"
+      val name = freshStreamView(s, "stream_win_")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q =
@@ -868,7 +881,7 @@ object SparkEntry {
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
           1700000000000L + i * 10000L)
       }
-      val name = s"stream_dedup_${System.nanoTime()}"
+      val name = freshStreamView(s, "stream_dedup_")
       val prevParts = s.conf.get("spark.sql.shuffle.partitions")
       s.conf.set("spark.sql.shuffle.partitions", "8")
       val q =

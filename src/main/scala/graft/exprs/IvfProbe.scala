@@ -28,6 +28,13 @@ object IvfProbeImpl {
   def probe(arr: ArrayData, ids: Array[Int], cents: Array[Array[Long]],
       nProbe: Int): ArrayData = {
     val dim = arr.numElements()
+    // fail loud on a dimension mismatch (e.g. centroids packed from a
+    // previous embedding model): a truncated dot would return
+    // plausible-but-wrong assignments and recall would degrade silently
+    if (dim != cents(0).length)
+      throw new IllegalArgumentException(
+        s"embedding dim $dim != centroid dim ${cents(0).length} — " +
+          "centroids were built for a different embedding column")
     val qe = new Array[Long](dim)
     var d = 0
     while (d < dim) { qe(d) = q(arr.getFloat(d).toDouble); d += 1 }
@@ -36,10 +43,9 @@ object IvfProbeImpl {
     var j = 0
     while (j < k) {
       val c = cents(j)
-      val n = math.min(dim, c.length)
       var s = 0L
       d = 0
-      while (d < n) { s += qe(d) * c(d); d += 1 }
+      while (d < dim) { s += qe(d) * c(d); d += 1 }
       dots(j) = s
       j += 1
     }
@@ -74,7 +80,18 @@ case class IvfProbeLists(
 ) extends UnaryExpression {
   require(cents.nonEmpty && ids.length == cents.length,
     "need at least one centroid and one id per centroid")
+  require(cents.forall(_.length == cents(0).length),
+    "all centroids must have the same dimension")
   require(nProbe > 0, "nProbe must be positive")
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"ivf_probe_lists requires array<float> embeddings, got $other")
+    }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "ivf_probe_lists"

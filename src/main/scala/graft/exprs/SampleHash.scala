@@ -29,6 +29,16 @@ case class SampleHash(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override def prettyName: String = "sample_gate_bp"
+  // fail at analysis, not with a mode-dependent runtime cast: interpreted
+  // eval would CCE on a non-long child while codegen silently widens
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == LongType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sample_gate_bp requires a bigint id, got ${child.dataType} — " +
+          "cast the id to long first")
   override protected def nullSafeEval(input: Any): Any =
     SampleHashImpl.gateBp(input.asInstanceOf[Long])
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =

@@ -104,11 +104,13 @@ object Checkpoint {
     // entry is a rival's commit (possibly landed between the two checks)
     // and stands; a target dir WITHOUT a manifest entry is a stale
     // partial from a dead run and is safe to replace. The residual
-    // window — a rival committing in the instant between our second
-    // check and our delete+move — replaces its data with the IDENTICAL
-    // deterministic recomputation, so the bucket converges; only a
-    // reader that polls mid-promotion (rather than after write()
-    // returns, the documented discipline) could glimpse the swap.
+    // window — a rival's rename landing in the instant between our
+    // second check and our own move — surfaces as the move FAILING
+    // (rename onto an existing directory), which is caught below and
+    // treated as a lost race: the rival promoted the identical
+    // deterministic recomputation and its manifest commit follows, so
+    // skipping is correct. No path deletes data that carries a manifest
+    // entry at the moment of deletion.
     def committedMeanwhile(b: Int): Boolean =
       Files.exists(manifestDir(out).resolve(s"bucket-$b.json"))
     (0 until nBuckets).filterNot(done.contains).foreach { b =>
@@ -122,8 +124,17 @@ object Checkpoint {
           if (Files.exists(target)) { // stale partial from a dead run
             deleteRecursively(target)
           }
-          Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
-          commit(b, stagedCounts.getOrElse(b, 0L))
+          try {
+            Files.move(staged, target, StandardCopyOption.ATOMIC_MOVE)
+            commit(b, stagedCounts.getOrElse(b, 0L))
+          } catch {
+            case _: java.nio.file.FileSystemException
+                if Files.exists(target) =>
+              // a rival renamed its (identical) staged copy into place
+              // between our check and our move — its promotion stands;
+              // remaining buckets continue promoting normally
+              ()
+          }
         }
       } else {
         // the bucket genuinely has no rows in this input — commit it as

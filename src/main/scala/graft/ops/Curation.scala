@@ -75,11 +75,18 @@ object Curation {
       budgetTokens: Long
   ): DataFrame = {
     require(budgetTokens > 0, "budgetTokens must be positive")
+    require(!df.columns.contains("n_tokens") &&
+      !df.columns.contains("shard_seq"),
+      "packShards reserves the column names n_tokens and shard_seq")
     val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
     val cumExcl = coalesce(sum(tokens).over(w), lit(0L))
+    // integral `div`, not float `/`: a stratum's cumulative token sum at
+    // 100 TB can pass 2^53, where a double quotient misplaces boundary
+    // documents — keep the module's exact-integer contract
     df.withColumn("n_tokens", tokens)
-      .withColumn("shard_seq", floor(cumExcl / budgetTokens).cast("long"))
+      .withColumn("shard_seq",
+        call_function("div", cumExcl, lit(budgetTokens)).cast("long"))
   }
 
   /** Materialize packed training shards: [[packShards]] then write ONE

@@ -37,6 +37,8 @@ object Stats {
   ): DataFrame = {
     require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
       "quantiles are basis points in 1..10000")
+    require(!Seq("__v", "__rn", "__n").exists(df.columns.contains),
+      "exactGroupedQuantiles reserves the column names __v, __rn, __n")
     val w = Window.partitionBy(col(groupCol)).orderBy(value, col(tieCol))
     val wAll = Window.partitionBy(col(groupCol))
     val ranked = df

@@ -16,10 +16,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class FixtureAuditSpec extends AnyFunSuite {
 
   private def repoFile(rel: String): Path = {
-    // tests fork with cwd = repo root, but be robust to sbt subproject cwds
-    val direct = Paths.get(rel)
-    if (Files.exists(direct)) direct
-    else Paths.get(sys.props.getOrElse("user.dir", "."), rel)
+    // tests fork with cwd = repo root; when run from a nested cwd, walk up
+    // to the directory that actually contains the file (a bare
+    // Paths.get(rel) and a user.dir-prefixed path denote the same
+    // location, so the old user.dir fallback was no fallback at all)
+    Iterator.iterate(Paths.get("").toAbsolutePath)(_.getParent)
+      .takeWhile(_ != null)
+      .map(_.resolve(rel))
+      .find(Files.exists(_))
+      .getOrElse(Paths.get(rel))
   }
 
   /** Reference files cited in FIXTURES.md §B table rows. */

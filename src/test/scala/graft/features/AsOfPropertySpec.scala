@@ -96,9 +96,12 @@ class AsOfPropertySpec extends AnyFunSuite {
     val r = right
       .map(o => (o.key, new Timestamp(o.ts * 1000L), o.obs))
       .toDF("conv_id", "ts", "obs")
-    // the native exec skips null-ts LEFT anchors entirely (they are not
-    // emitted by the union-merge either way via the null guard); feed it
-    // only positioned anchors and treat missing rows as unmatched below
+    // The native exec EMITS null-ts left anchors with a null match (same
+    // cardinality and payload as the union-merge — its nulls-first left
+    // ordering processes them before any held match exists). Feeding it
+    // only positioned anchors here and treating the missing rows as
+    // unmatched below checks the same contract from the caller side and
+    // keeps the oracle bookkeeping simple.
     val lNative = l.filter(org.apache.spark.sql.functions.col("ts").isNotNull)
     val out =
       (forward, native) match {
