@@ -230,7 +230,14 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "next_tool")
     }),
 
-    // --- NATIVE forward as-of (backward sort-merge exec over negated ts) -------
+    // --- NATIVE forward as-of WITH TOLERANCE (backward exec over negated ts) ---
+    // Distinct from q_asof_forward (the untolerated default): this row
+    // exercises the forward tolerance window — an observation only
+    // matches within 24 h after the anchor, at TRUE microsecond duration
+    // (o.ts - a.ts <= 86 400 000 ms; see AsOfNative.joinForward's
+    // scaladoc on the micros rescale). On this data the window matches
+    // ~1/3 of anchors and NULLs the rest, so the oracle checks the
+    // cutoff itself, not just the pairing.
     "q_asof_fwd_native" -> ((s, dir) => {
       val t = turns(s, dir)
       val anchors = t.filter(col("role") === "assistant")
@@ -238,7 +245,8 @@ object SparkEntry {
       val obs = t.filter(col("tool").isNotNull)
         .groupBy(col("conv_id"), col("ts"))
         .agg(max_by(col("tool"), col("turn_idx")).as("next_tool"))
-      graft.features.AsOfNative.joinForward(anchors, obs, Seq("conv_id"))
+      graft.features.AsOfNative.joinForward(anchors, obs, Seq("conv_id"),
+          toleranceMs = Some(86400000L))
         .select("conv_id", "turn_idx", "next_tool")
     }),
 
@@ -559,7 +567,7 @@ object SparkEntry {
       val e = embeds(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      Similarity.topKByDot(e, q, 10)
+      Similarity.topKByDot(e, q, 10, excludeSelf = true)
         .select("query_id", "vec_id", "dot", "rank")
     }),
 
@@ -568,7 +576,7 @@ object SparkEntry {
       val e = embeds(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      Similarity.annCandidates(e, q, dim = 64, nBits = 8)
+      Similarity.annCandidates(e, q, dim = 64, nBits = 8, excludeSelf = true)
     }),
 
     // --- MULTI-PROBE LSH ANN (recall lever: full Hamming-1 ball) ----------------
@@ -580,7 +588,7 @@ object SparkEntry {
       val e = embeds(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
+      Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8, excludeSelf = true)
     }),
 
     // --- ANN recall@k: multi-probe LSH measured against exact truth -------------
@@ -592,9 +600,9 @@ object SparkEntry {
       val e = embeds(s, dir)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val truth = Similarity.topKByDot(e, q, 10)
+      val truth = Similarity.topKByDot(e, q, 10, excludeSelf = true)
         .select("query_id", "vec_id", "dot")
-      val cand = Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
+      val cand = Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8, excludeSelf = true)
       Similarity.recallAtK(cand, truth, 10)
     }),
 
@@ -608,7 +616,7 @@ object SparkEntry {
       val cents = Similarity.ivfCentroids(e, step = 100L)
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
-      val truth = Similarity.topKByDot(e, q, 10)
+      val truth = Similarity.topKByDot(e, q, 10, excludeSelf = true)
         .select("query_id", "vec_id", "dot")
       val cand = Similarity.annIvf(e, q, cents, nProbe = 2, excludeSelf = true)
       Similarity.recallAtK(cand, truth, 10)
@@ -809,7 +817,7 @@ object SparkEntry {
         .createTempDirectory("graft_verify_streamwin").toString
       val watched = s"$tmp/watched"
       val t = turns(s, dir).select($"conv_id", $"role", $"ts")
-      val maxTs = t.agg(max($"ts")).head.getTimestamp(0).getTime
+      val maxTs = t.agg(max($"ts")).head().getTimestamp(0).getTime
       val nChunks = 4
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
@@ -956,12 +964,213 @@ object SparkEntry {
       embeds(s, dir).select(
         col("vec_id"),
         size(col("embedding")).as("dim"),
-        Similarity.quantSqNorm(col("embedding")).as("sq_sum")))
+        Similarity.quantSqNorm(col("embedding")).as("sq_sum"))),
+
+    // --- near-dup pair -> CLUSTER resolution ------------------------------------
+    // The step every real dedup run needs after candidate pairs:
+    // connected components (hash-min label propagation) over the
+    // minhashPairs stream, labeling each paired document with its
+    // component's MIN doc_id — the canonical keep-one decision.
+    // The oracle replays the transitive closure as a DuckDB recursive
+    // CTE over the identical pair SQL.
+    "q_dup_clusters" -> ((s, dir) => {
+      val pairs = Dedup.minhashPairs(docs(s, dir), "doc_id", "text")
+      graft.ops.Clusters.connectedComponents(pairs)
+        .select(col("id").as("doc_id"), col("cluster_id"),
+          (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
+    // --- tokenizer-accurate token counts (greedy vocab longest-match) -----------
+    // Counting with the REAL tokenizer's vocabulary instead of a regex:
+    // greedy longest-match against an in-plan vocab (reference-object
+    // expression, one node at any vocab size) with one-codepoint
+    // fallback tokens. The oracle replays the greedy walk as a DuckDB
+    // recursive CTE (one step per emitted token), so the match order,
+    // longest-match ties and fallback are all under the hard signal.
+    // Subset (every 5th doc) keeps the recursive oracle cheap.
+    "q_token_bpe" -> ((s, dir) =>
+      docs(s, dir).filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"),
+          TextStats.vocabTokenCount(col("text"), bpeVocab).as("bpe_tokens"),
+          TextStats.regexTokenCount(col("text")).as("re_tokens"))),
+
+    // --- shard packing by TOKENIZER-accurate counts ------------------------------
+    // The packing sibling the vocab counter exists for: same two-phase
+    // packShards, budgeted on vocabTokenCount instead of the regex
+    // approximation (subset keeps the recursive oracle cheap).
+    "q_pack_shards_bpe" -> ((s, dir) =>
+      graft.ops.Curation.packShards(
+          docs(s, dir).filter(col("doc_id") % 5 === 0),
+          strataCol = "lang", orderCol = "doc_id",
+          tokens = TextStats.vocabTokenCount(col("text"), bpeVocab),
+          budgetTokens = 2000L)
+        .select("doc_id", "lang", "n_tokens", "shard_seq")),
+
+    // --- STREAMING kill -> RESTART from checkpoint, under the oracle ------------
+    // The live path's resumability proof (the twin of the batch
+    // q_checkpoint_resume): streaming LOCF processes half the replay
+    // files, the query STOPS (simulated kill), a fresh query restarts
+    // from the SAME checkpointLocation with the remaining files staged,
+    // and the union of both runs' parquet-sink output must equal the
+    // batch LOCF SQL. Conversations straddle the kill boundary (chunks
+    // cut by global ts order), so the recovered state store — not
+    // reprocessing — is what makes the second half correct; the sink's
+    // commit log guarantees no batch is emitted twice.
+    "q_stream_resume" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnToolEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamresume").toString
+      val watched = s"$tmp/watched"
+      val sink = s"$tmp/sink"
+      val ckpt = s"$tmp/ckpt"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"tool", $"ts")
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      def stage(i: Int): Unit =
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      def runOnce(): Unit = {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try {
+            val src = s.readStream
+              .schema(t.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(watched)
+              .as[TurnToolEvent]
+            StreamingFeatures.locf(src)
+              .writeStream.outputMode("append").format("parquet")
+              .option("path", sink)
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.awaitTermination() finally q.stop()
+      }
+      (1 to 2).foreach(stage)
+      runOnce() // first run drains the staged half, then stops (the kill)
+      (3 to 4).foreach(stage)
+      runOnce() // restart: recovered state + only the new files
+      s.read.parquet(sink).select("conv_id", "turn_idx", "tool_locf")
+    })
   )
+
+  /** Heuristic ASCII merge vocab for the tokenizer-accurate counting
+    * queries — stands in for a real training tokenizer's vocabulary
+    * (which would be loaded from its artifact and passed the same way).
+    */
+  private val bpeVocab: Seq[String] = Seq(
+    "the", "ing", "ion", "ent", "data", "table", "query", "join", "scan",
+    "er", "an", "qu", "le", "e", "t", "a", " ")
 
   // ---------------------------------------------------------------- oracle
 
+  /** The vocab as a SQL VALUES list — generated from [[bpeVocab]] so the
+    * Spark expression and the recursive oracle can never drift.
+    */
+  private def bpeVocabValues: String =
+    bpeVocab.map(t => s"('${t.replace("'", "''")}', ${t.length})")
+      .mkString(", ")
+
+  /** Greedy longest-match token walk as a recursive CTE: one step per
+    * emitted token — pos advances by the longest vocab entry matching at
+    * pos (correlated MAX over the vocab VALUES) or by 1 character as the
+    * fallback token. Expects CTEs `v(tok, l)` and `d(doc_id, text, n, …)`
+    * in scope; yields step(doc_id, pos, cnt) with the final row at
+    * pos = n + 1.
+    */
+  private def bpeStepCte: String =
+    """step(doc_id, pos, cnt) AS (
+      |  SELECT doc_id, 1, 0 FROM d
+      |  UNION ALL
+      |  SELECT s.doc_id,
+      |    s.pos + COALESCE(
+      |      (SELECT MAX(l) FROM v WHERE substr(d.text, s.pos, l) = tok), 1),
+      |    s.cnt + 1
+      |  FROM step s JOIN d USING (doc_id)
+      |  WHERE s.pos <= d.n)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // transitive closure of the minhash pair stream: symmetric edges,
+    // label walk (every label reaches everything in its component), then
+    // min label per vertex = the component's min doc_id
+    "q_dup_clusters" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
+        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, wk.lbl FROM walk wk JOIN edges e ON e.src = wk.id)
+        |SELECT id AS doc_id, min(lbl) AS cluster_id,
+        |  (id = min(lbl)) AS is_keeper
+        |FROM walk GROUP BY id""".stripMargin,
+
+    // greedy longest-match walk over the vocab, one recursion step per
+    // token; compared against the regex approximation side by side
+    "q_token_bpe" ->
+      s"""WITH RECURSIVE v(tok, l) AS (VALUES $bpeVocabValues),
+         |d AS (SELECT doc_id, text, length(text) AS n,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS re_tokens
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |$bpeStepCte
+         |SELECT s.doc_id, CAST(s.cnt AS BIGINT) AS bpe_tokens, d.re_tokens
+         |FROM step s JOIN d USING (doc_id)
+         |WHERE s.pos = d.n + 1""".stripMargin,
+
+    // the same recursive token counts feeding the packing window
+    "q_pack_shards_bpe" ->
+      s"""WITH RECURSIVE v(tok, l) AS (VALUES $bpeVocabValues),
+         |d AS (SELECT doc_id, lang, text, length(text) AS n
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |$bpeStepCte,
+         |t AS (SELECT s.doc_id, d.lang, CAST(s.cnt AS BIGINT) AS n_tokens
+         |  FROM step s JOIN d USING (doc_id)
+         |  WHERE s.pos = d.n + 1)
+         |SELECT doc_id, lang, n_tokens,
+         |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) / 2000.0) AS BIGINT) AS shard_seq
+         |FROM t""".stripMargin,
+
+    // kill -> restart must be invisible: the two-run union equals the
+    // plain batch backfill SQL
+    "q_stream_resume" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  last_value(tool IGNORE NULLS) OVER (PARTITION BY conv_id
+         |    ORDER BY ts, turn_idx
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
+         |FROM turns""".stripMargin,
+
     "q_gate_normalize" ->
       s"""$T
          |SELECT conv_id, turn_idx,
@@ -1266,6 +1475,8 @@ object SparkEntry {
          |   ORDER BY o.ts ASC LIMIT 1) AS next_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 
+    // forward + tolerance: the match must start no later than 24 h after
+    // the anchor, at exact microsecond duration (epoch_us difference)
     "q_asof_fwd_native" ->
       s"""$T,
          |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
@@ -1273,6 +1484,7 @@ object SparkEntry {
          |SELECT a.conv_id, a.turn_idx,
          |  (SELECT o.next_tool FROM obs o
          |   WHERE o.conv_id = a.conv_id AND o.ts >= a.ts
+         |     AND epoch_us(o.ts) - epoch_us(a.ts) <= 86400000000
          |   ORDER BY o.ts ASC LIMIT 1) AS next_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 

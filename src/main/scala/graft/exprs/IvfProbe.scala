@@ -37,7 +37,17 @@ object IvfProbeImpl {
           "centroids were built for a different embedding column")
     val qe = new Array[Long](dim)
     var d = 0
-    while (d < dim) { qe(d) = q(arr.getFloat(d).toDouble); d += 1 }
+    while (d < dim) {
+      // fail loud on null elements too: ArrayData.getFloat would read a
+      // null slot as 0.0 and silently skew every centroid dot —
+      // inconsistent with the dimension check's fail-loud stance
+      if (arr.isNullAt(d))
+        throw new IllegalArgumentException(
+          s"embedding has a null element at index $d — ivf_probe_lists " +
+            "requires fully-populated vectors (filter or impute upstream)")
+      qe(d) = q(arr.getFloat(d).toDouble)
+      d += 1
+    }
     val k = cents.length
     val dots = new Array[Long](k)
     var j = 0

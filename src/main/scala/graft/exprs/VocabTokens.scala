@@ -1,0 +1,86 @@
+package graft.exprs
+
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Tokenizer-accurate token counting: greedy longest-match against a
+  * broadcast vocabulary — the counts shard packing and token budgets
+  * should key on, instead of the "BPE-ish" regex approximation
+  * ([[graft.ops.TextStats.regexTokenCount]]). At each position the
+  * longest vocab entry matching there is consumed as one token; a
+  * position matching nothing consumes one CODEPOINT as a fallback token
+  * (the byte/char-fallback every real BPE vocab has).
+  *
+  * The vocab rides along as a task-serialized reference object (the
+  * [[IvfProbeLists]] pattern): ONE expression node and O(1) generated
+  * code regardless of vocab size, shipped once per executor — never a
+  * plan literal per entry. Lookup is a first-char-gated linear scan,
+  * fine for the heuristic vocabs used here; a 50k-entry production
+  * vocab would swap in a trie behind the same expression contract.
+  *
+  * Vocab entries must be non-empty ASCII: ASCII makes Java's UTF-16
+  * `startsWith` offsets coincide with codepoint offsets, so the count
+  * is identical to engines that match by codepoint (the DuckDB oracle's
+  * `substr` arithmetic) on ANY input text, non-BMP included.
+  */
+object VocabTokensImpl {
+
+  def count(text: UTF8String, vocab: Array[String]): Long = {
+    val s = text.toString
+    val len = s.length
+    var i = 0
+    var n = 0L
+    while (i < len) {
+      val c = s.charAt(i)
+      var best = 0
+      var j = 0
+      while (j < vocab.length) {
+        val tok = vocab(j)
+        if (tok.length > best && tok.charAt(0) == c && s.startsWith(tok, i))
+          best = tok.length
+        j += 1
+      }
+      if (best > 0) i += best
+      else i += Character.charCount(s.codePointAt(i))
+      n += 1L
+    }
+    n
+  }
+}
+
+case class VocabTokenCount(
+    child: Expression,
+    vocab: Array[String]
+) extends UnaryExpression {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  require(vocab.forall(t => t.nonEmpty && t.forall(_ < 128)),
+    "vocab entries must be non-empty ASCII (keeps UTF-16 offsets == " +
+      "codepoint offsets, so counts match codepoint-based engines exactly)")
+  require(vocab.distinct.length == vocab.length,
+    "duplicate vocab entries")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vocab_token_count requires a string column, got $other")
+    }
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vocab_token_count"
+  override protected def nullSafeEval(input: Any): Any =
+    VocabTokensImpl.count(input.asInstanceOf[UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    // vocab as a REFERENCE OBJECT: generated code stays O(1) in its size
+    val vocabRef = ctx.addReferenceObj("vocab", vocab, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.VocabTokensImpl.count($c, $vocabRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): VocabTokenCount =
+    copy(child = c)
+}

@@ -90,10 +90,17 @@ object Checkpoint {
     def commit(b: Int, rows: Long): Unit = {
       val entry =
         s"""{"bucket":$b,"rows":$rows,"input":"$input","run_id":"$runId"}"""
-      val tmp = manifestDir(out).resolve(s".bucket-$b.json.tmp")
+      val tmp = manifestDir(out).resolve(s".bucket-$b.json.$runId.tmp")
       Files.writeString(tmp, entry)
-      Files.move(tmp, manifestDir(out).resolve(s"bucket-$b.json"),
-        StandardCopyOption.ATOMIC_MOVE)
+      // createLink, not ATOMIC_MOVE: POSIX rename REPLACES an existing
+      // target, so a rival's manifest entry landing between a check and
+      // our move would be silently overwritten (clobbering its run_id
+      // lineage). A hard link is atomic AND fails if the target exists —
+      // first committer wins, always; the loser's data is the identical
+      // deterministic recomputation, so dropping its entry is correct.
+      try Files.createLink(manifestDir(out).resolve(s"bucket-$b.json"), tmp)
+      catch { case _: java.nio.file.FileAlreadyExistsException => () }
+      finally Files.deleteIfExists(tmp)
       promoted += b
     }
 
@@ -138,8 +145,12 @@ object Checkpoint {
         }
       } else {
         // the bucket genuinely has no rows in this input — commit it as
-        // empty so resumes don't rescan the input for it forever
-        commit(b, 0L)
+        // empty so resumes don't rescan the input for it forever.
+        // Re-check for a rival commit landed since the loop's first check
+        // (mirrors the staged-data branch); the commit itself is
+        // first-writer-wins (createLink) so even the residual window
+        // cannot clobber a rival's manifest entry.
+        if (!committedMeanwhile(b)) commit(b, 0L)
       }
     }
     deleteRecursively(stagingPath)

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Near-dup PAIR → CLUSTER resolution: the step that turns candidate
+  * pairs ([[Dedup.minhashPairs]], [[Similarity.nearDupPairsLsh]],
+  * [[Similarity.nearDupPairsCosine]]) into an actual keep/drop decision.
+  * Pairwise similarity is not transitive-closed — a~b and b~c duplicate
+  * means ONE of {a, b, c} should survive — so every real dedup run needs
+  * connected components over the pair stream before it can drop rows.
+  *
+  * Algorithm: bounded-iteration hash-min label propagation. Every vertex
+  * starts labeled with itself; each round takes the min of its own label
+  * and its neighbors' labels; a fixpoint (no label changed) means every
+  * vertex carries the MINIMUM id of its component — a canonical,
+  * pair-order- and relabeling-stable cluster id (ClustersPropertySpec).
+  *
+  * Scale shape: each round is one join (labels ⋈ edges, keyed on the
+  * vertex id) plus one groupBy(vertex).min — both shuffle on the vertex
+  * id and are partial-agg friendly; nothing is ever collected to the
+  * driver except the one `changed` counter per round. Lineage is
+  * truncated every round (localCheckpoint), so the plan stays O(1) in
+  * the iteration count. Rounds needed = O(max component diameter):
+  * near-dup components are short chains/cliques in practice, so a
+  * handful of rounds; a pathological million-hop chain would need the
+  * alternating large-star/small-star variant (O(log n) rounds) — out of
+  * scope here, and `maxIters` FAILS LOUD instead of silently emitting
+  * half-merged clusters if that assumption ever breaks.
+  */
+object Clusters {
+
+  /** Connected components over an undirected pair stream: one row per
+    * distinct vertex id appearing in `pairs`, labeled
+    * `(id, cluster_id)` where cluster_id = min vertex id of the
+    * component. Vertices in no pair are trivially their own cluster and
+    * are NOT emitted (join the output back to the full table with a
+    * coalesce-to-self for a total assignment — [[dropNearDuplicates]]
+    * does exactly that).
+    */
+  def connectedComponents(
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    require(maxIters > 0, "maxIters must be positive")
+    // symmetrize + dedup parallel edges (distinct bounds the per-round
+    // join fan-out to the true degree)
+    val edges = pairs.select(col(aCol).cast("long").as("src"),
+        col(bCol).cast("long").as("dst"))
+      .union(pairs.select(col(bCol).cast("long").as("src"),
+        col(aCol).cast("long").as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .localCheckpoint()
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIters) {
+      // neighbor minimum per vertex: edges carry (src, dst); look up each
+      // dst's current label, take the min per src
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src"))
+        .agg(min(col("lbl")).as("nlbl"))
+        .withColumnRenamed("src", "id")
+      val stepped = labels
+        .join(neighborMin, Seq("id"), "left")
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nlbl"), col("lbl"))).as("lbl"))
+        .localCheckpoint() // eager: materializes + truncates lineage
+      converged = stepped.filter(col("lbl") < col("old")).isEmpty
+      labels = stepped.select("id", "lbl")
+      it += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxIters rounds — " +
+          "a component has diameter > maxIters; raise maxIters (rounds " +
+          "are O(diameter)) or pre-split the graph")
+    labels.select(col("id"), col("lbl").as("cluster_id"))
+  }
+
+  /** Canonical keep-one dedup: drop from `df` every row whose id sits in
+    * a pair-connected component but is NOT the component's minimum id
+    * (the keeper). Rows in no pair survive untouched. One broadcast-free
+    * anti-join on the id — the drop set is component-members-minus-
+    * keepers, far smaller than the corpus.
+    */
+  def dropNearDuplicates(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val drops = connectedComponents(pairs, aCol, bCol, maxIters)
+      .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+}

@@ -60,14 +60,79 @@ object Curation {
     * larger than the whole budget still lands in exactly one shard) —
     * the standard streaming-packer contract, stated rather than hidden.
     *
-    * Scale shape: packing is inherently sequential IN ORDER, so the
-    * window partitions by the stratum (mixture component / source / day
-    * bucket) — shards parallelize across strata, which is how production
-    * packers shard 100 TB without a global sort. For a single mega
-    * stratum, pre-split it (e.g. by date) or run the two-phase running-sum
-    * used by [[graft.features.LocfScalable]].
+    * Scale shape — TWO-PHASE, mega-stratum safe (the [[graft.features
+    * .LocfScalable]] range-partition pattern applied to a running sum):
+    * real training mixtures are dominated by one stratum (web ≈ 80%), so
+    * a per-stratum window would serialize tens of TB into one task. Here
+    * each stratum is split into order-contiguous chunks
+    * (`floor(orderCol / chunkSpan)`):
+    *   1. exclusive cumsum WITHIN each (stratum, chunk) — chunk-sized
+    *      tasks, a mega stratum spreads over many of them;
+    *   2. per-chunk token totals, then an exclusive cumsum ACROSS chunks
+    *      (one row per chunk — tiny) gives each chunk's carry-in;
+    *   global exclusive cumsum = carry-in + within-chunk cumsum, exactly.
+    * No task ever sorts more than one chunk of real rows; byte-equality
+    * with the single-window formulation is tested in CurationSpec.
+    *
+    * `orderCol` must be numeric or timestamp (anything whose long cast is
+    * order-preserving) and unique within its stratum. Token counts must
+    * be non-negative: a negative count would make the cumulative sum dip
+    * and `shard_seq` diverge from the documented floor contract, so the
+    * packing FAILS LOUD on one (raise_error) instead of mis-sharding.
     */
   def packShards(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      tokens: Column,
+      budgetTokens: Long,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val reserved = Seq("n_tokens", "shard_seq", "__pchunk", "__pwithin",
+      "__pcarry", "__ptot")
+    require(!reserved.exists(df.columns.contains),
+      s"packShards reserves the column names ${reserved.mkString(", ")}")
+    val guarded = when(tokens >= 0L, tokens).otherwise(raise_error(concat(
+      lit("packShards: negative token count "), tokens.cast("string"),
+      lit(" — token counts must be >= 0"))))
+    val df1 = df
+      .withColumn("n_tokens", guarded)
+      .withColumn("__pchunk",
+        floor(col(orderCol).cast("long") / chunkSpan))
+    // phase 1: exclusive cumsum within (stratum, chunk)
+    val w1 = Window.partitionBy(col(strataCol), col("__pchunk"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // phase 2: chunk totals, then the exclusive across-chunk cumsum over
+    // one row per chunk — the carry-in each chunk starts from
+    val chunkTotals = df1.groupBy(col(strataCol), col("__pchunk"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+    val wc = Window.partitionBy(col(strataCol)).orderBy(col("__pchunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkTotals
+      .withColumn("__pcarry", coalesce(sum(col("__ptot")).over(wc), lit(0L)))
+      .select(col(strataCol), col("__pchunk"), col("__pcarry"))
+    // integral `div`, not float `/`: a stratum's cumulative token sum at
+    // 100 TB can pass 2^53, where a double quotient misplaces boundary
+    // documents — keep the module's exact-integer contract
+    df1
+      .withColumn("__pwithin",
+        coalesce(sum(col("n_tokens")).over(w1), lit(0L)))
+      .join(carry, Seq(strataCol, "__pchunk"))
+      .withColumn("shard_seq",
+        call_function("div", col("__pcarry") + col("__pwithin"),
+          lit(budgetTokens)).cast("long"))
+      .drop("__pchunk", "__pwithin", "__pcarry")
+  }
+
+  /** Single-window reference formulation of [[packShards]] — one task per
+    * stratum, kept as the differential-test twin (CurationSpec asserts
+    * byte-equality with the two-phase default on random inputs) and for
+    * callers with many small strata who want the simpler plan.
+    */
+  def packShardsSingleWindow(
       df: DataFrame,
       strataCol: String,
       orderCol: String,
@@ -78,15 +143,16 @@ object Curation {
     require(!df.columns.contains("n_tokens") &&
       !df.columns.contains("shard_seq"),
       "packShards reserves the column names n_tokens and shard_seq")
+    val guarded = when(tokens >= 0L, tokens).otherwise(raise_error(concat(
+      lit("packShards: negative token count "), tokens.cast("string"),
+      lit(" — token counts must be >= 0"))))
     val w = Window.partitionBy(col(strataCol)).orderBy(col(orderCol))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val cumExcl = coalesce(sum(tokens).over(w), lit(0L))
-    // integral `div`, not float `/`: a stratum's cumulative token sum at
-    // 100 TB can pass 2^53, where a double quotient misplaces boundary
-    // documents — keep the module's exact-integer contract
-    df.withColumn("n_tokens", tokens)
+    df.withColumn("n_tokens", guarded)
       .withColumn("shard_seq",
-        call_function("div", cumExcl, lit(budgetTokens)).cast("long"))
+        call_function("div",
+          coalesce(sum(col("n_tokens")).over(w), lit(0L)),
+          lit(budgetTokens)).cast("long"))
   }
 
   /** Materialize packed training shards: [[packShards]] then write ONE

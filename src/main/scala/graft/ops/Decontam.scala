@@ -10,12 +10,18 @@ import org.apache.spark.sql.functions._
   * (benchmark item's) distinct shingles appear in the document — so a
   * short leaked question inside a long document still scores 10000 bp.
   *
-  * Scale shape: both sides reduce to DISTINCT (id, shingle) rows and meet
-  * in ONE equi-join on the shingle string — the shuffle key is the
-  * shingle, whose cardinality grows with the corpus, so the join
-  * parallelizes like any dedup bucket join. Ubiquitous shingles (boiler-
-  * plate, common phrases) are the skew risk: shingles appearing in more
-  * than `maxShingleDf` corpus documents are dropped from matching, and
+  * Scale shape: the probe side is a benchmark suite — small by
+  * construction — so it is BROADCAST, and the raw corpus shingle stream
+  * is pruned against it map-side BEFORE any distinct or aggregate: the
+  * full corpus shingle stream NEVER crosses a shuffle. Everything
+  * downstream (the per-(doc, shingle, probe) dedup, the document-
+  * frequency cap, the final per-pair count) runs on the pruned stream,
+  * whose volume is bounded by probe-shingle hits, not corpus size — the
+  * whole operator is corpus-scan-bound. Ubiquitous shingles (boiler-
+  * plate, common phrases) are the skew/false-positive risk: shingles
+  * appearing in more than `maxShingleDf` corpus documents are dropped
+  * from matching (their document frequency is computed exactly on the
+  * pruned stream — membership pruning cannot change a shingle's df), and
   * [[droppedHotShingles]] is the audit companion that makes that cap
   * observable rather than silent (same contract as the LSH hot-bucket
   * cap in [[Dedup.minhashPairsWithAudit]]).
@@ -52,19 +58,33 @@ object Decontam {
     require(k > 0, "k must be positive")
     require(minContamBp >= 0 && minContamBp <= 10000,
       "minContamBp is basis points in 0..10000")
-    val c = shingleRows(corpus, idCol, textCol, k)
-      .withColumnRenamed(idCol, "doc_id")
-    val ok = c.groupBy("shingle")
-      .agg(count(lit(1)).as("__df"))
-      .filter(col("__df") <= maxShingleDf)
-      .select("shingle")
+    // raw (doc, shingle) occurrences — NOT distinct'd yet: the distinct
+    // would shuffle the full corpus shingle stream, and after the
+    // broadcast pruning below it only has to process probe-shingle hits
+    val cRaw = corpus.select(
+      col(idCol).as("doc_id"),
+      explode(Dedup.shingles(Dedup.words(col(textCol)), k)).as("shingle"))
     val p = shingleRows(probes, probeIdCol, textCol, k)
       .withColumnRenamed(probeIdCol, "probe_id")
     val pSized = p.withColumn(
       "n_probe", count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy(col("probe_id"))))
-    c.join(ok, Seq("shingle"))
-      .join(pSized, Seq("shingle"))
+    // map-side hash join against the broadcast probe set prunes the
+    // corpus stream before anything stateful touches it (plan-asserted
+    // in OpsSpec); then dedup multiple occurrences of a shingle within
+    // one document — tiny, post-pruning
+    val matched = cRaw.join(broadcast(pSized), Seq("shingle")).distinct()
+    // exact per-shingle document frequency from the pruned stream: df(s)
+    // counts distinct docs CONTAINING s, and pruning only dropped
+    // shingles that are not s — the value is identical to the corpus-
+    // wide df for every shingle that can match. Hot shingles are a
+    // subset of probe shingles here, so the anti-join broadcasts too.
+    val hot = matched.select(col("shingle"), col("doc_id")).distinct()
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+      .select("shingle")
+    matched.join(broadcast(hot), Seq("shingle"), "left_anti")
       .groupBy(col("doc_id"), col("probe_id"))
       .agg(
         count(lit(1)).as("n_shared"),

@@ -50,15 +50,23 @@ object Similarity {
 
   /** Brute-force top-k by quantized inner product; ties broken by vec id.
     * `queries` is expected to be small — it is broadcast.
+    *
+    * @param excludeSelf drop candidates whose vec_id equals the query_id —
+    *   opt-IN, for corpus-as-queries callers, same contract as [[annIvf]]
+    *   and [[annCandidates]]: when queries live in a DIFFERENT id space,
+    *   an id collision must not silently drop a valid candidate, so the
+    *   default keeps every candidate.
     */
   def topKByDot(
       corpus: DataFrame, // (vec_id, embedding)
       queries: DataFrame, // (query_id, q_embedding)
-      k: Int
+      k: Int,
+      excludeSelf: Boolean = false
   ): DataFrame = {
-    val scored = corpus
-      .crossJoin(broadcast(queries))
-      .filter(col("query_id") =!= col("vec_id"))
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf)
+        joined.filter(col("query_id") =!= col("vec_id"))
+      else joined)
       .select(
         col("query_id"),
         col("vec_id"),
@@ -471,13 +479,19 @@ object Similarity {
     * caller re-ranks. Each (query, vec) pair appears at most once: a
     * query's probe values are all distinct and a corpus vector lives in
     * exactly one bucket.
+    *
+    * @param excludeSelf drop candidates whose vec_id equals the query_id —
+    *   opt-IN for corpus-as-queries callers (see [[topKByDot]]); defaults
+    *   to keeping every candidate so disjoint id spaces never lose one to
+    *   an id collision.
     */
   def annCandidates(
       corpus: DataFrame,
       queries: DataFrame,
       dim: Int,
       nBits: Int = 12,
-      probes: Int = 0
+      probes: Int = 0,
+      excludeSelf: Boolean = false
   ): DataFrame = {
     require(probes >= 0 && probes <= nBits,
       s"probes must be in 0..nBits (=$nBits)")
@@ -487,8 +501,9 @@ object Similarity {
       if (probes == 0) qb
       else qb.select(col("query_id"), col("q_embedding"),
         probeBuckets(col("bucket"), probes).as("bucket"))
-    c.join(broadcast(q), Seq("bucket"))
-      .filter(col("query_id") =!= col("vec_id"))
+    val joined = c.join(broadcast(q), Seq("bucket"))
+    (if (excludeSelf) joined.filter(col("query_id") =!= col("vec_id"))
+     else joined)
       .select(col("query_id"), col("vec_id"),
         quantDot(col("embedding"), col("q_embedding")).as("dot"))
   }

@@ -12,7 +12,7 @@ import org.apache.spark.sql.functions._
   * rows is the value at rank ceil(q·n) in (value, tiebreaker) order — an
   * element of the data, computed by rank selection, never interpolated.
   * That makes the result integer-exact and engine-portable (the oracle
-  * replays the identical row_number + ceil arithmetic in SQL), unlike
+  * replays the identical rank arithmetic in SQL), unlike
   * approx_percentile (non-deterministic sketch) or interpolating
   * percentile functions (float formulas that differ across engines).
   */
@@ -22,13 +22,85 @@ object Stats {
     * row per group: (group, n, q<bp1>, q<bp2>, ...). `qsBp` are quantile
     * levels in basis points (5000 = median, 9900 = p99).
     *
-    * Scale shape: one shuffle on the group key, then a per-group sort
-    * window — groups parallelize, the same contract as every grouped
-    * window in this library. The rank selection is pure integer
-    * predicates, no division:  rn = ceil(q·n/10⁴)  ⇔
-    * rn·10⁴ ≥ q·n  ∧  (rn−1)·10⁴ < q·n.
+    * Scale shape — DISTRIBUTED rank selection, mega-group safe. A
+    * per-group `row_number` window would sort a dominant group (one
+    * language ≈ most of a corpus) in a single task; instead:
+    *   0. rows collapse to distinct (group, value) COUNTS — one
+    *      partial-agg-friendly shuffle, the only one that sees full row
+    *      volume. The value at a rank never depends on the tie order
+    *      (equal values are adjacent in (value, tie) order), so the
+    *      tiebreaker only documents the rank contract;
+    *   1. values are range-chunked (`floor(value / chunkSpan)`); per
+    *      (group, chunk) count totals plus an across-chunk exclusive
+    *      cumsum (one row per chunk — tiny) give each chunk's rank
+    *      offset ([[graft.features.LocfScalable]]'s two-phase pattern);
+    *   2. a within-chunk cumulative count (tasks bounded by ≤ chunkSpan
+    *      distinct integer values) yields each value's global cumulative
+    *      count cum(≤v); v holds rank r  ⇔  cum(<v) < r ≤ cum(≤v).
+    * The rank predicate stays pure integer arithmetic, no division:
+    * r = ceil(q·n/10⁴)  ⇔  cum(≤v)·10⁴ ≥ q·n  ∧  cum(<v)·10⁴ < q·n.
+    * Byte-equality with the single-window formulation is tested in
+    * CurationSpec (incl. a mega-group spread over many chunk tasks).
     */
   def exactGroupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      tieCol: String,
+      qsBp: Seq[Int],
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
+      "quantiles are basis points in 1..10000")
+    require(qsBp.distinct.size == qsBp.size,
+      s"duplicate quantile levels would produce duplicate output columns: " +
+        qsBp.mkString(", "))
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val reserved = Seq("__v", "__c", "__chunk", "__tot", "__before", "__n",
+      "__wcum", "__cum")
+    require(!reserved.exists(df.columns.contains),
+      s"exactGroupedQuantiles reserves the column names " +
+        reserved.mkString(", "))
+    // phase 0: the one full-volume shuffle — map-side combinable
+    val vc = df.groupBy(col(groupCol), value.as("__v"))
+      .agg(count(lit(1)).as("__c"))
+      .withColumn("__chunk", floor(col("__v").cast("long") / chunkSpan))
+    // phase 1: per-chunk totals; across-chunk exclusive cumsum = each
+    // chunk's starting rank offset, plus the group's total n
+    val chunkTotals = vc.groupBy(col(groupCol), col("__chunk"))
+      .agg(sum(col("__c")).as("__tot"))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    val carry = chunkTotals
+      .withColumn("__before", coalesce(sum(col("__tot")).over(wc), lit(0L)))
+      .withColumn("__n", sum(col("__tot")).over(wAll))
+      .select(col(groupCol), col("__chunk"), col("__before"), col("__n"))
+    // phase 2: within-chunk inclusive cumulative count; global
+    // cum(≤v) = chunk offset + within-chunk cumulative
+    val w1 = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("__wcum", sum(col("__c")).over(w1))
+      .join(carry, Seq(groupCol, "__chunk"))
+      .withColumn("__cum", col("__before") + col("__wcum"))
+    val picks = qsBp.map { q =>
+      val qn = lit(q.toLong) * col("__n")
+      val isPick = col("__cum") * 10000L >= qn &&
+        (col("__cum") - col("__c")) * 10000L < qn
+      max(when(isPick, col("__v"))).as(s"q$q")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
+
+  /** Single-window reference formulation (`row_number` per group — one
+    * task per group): the differential-test twin of
+    * [[exactGroupedQuantiles]] and the documented rank contract, value at
+    * rank ceil(q·n) in (value, tieCol) order.
+    */
+  def exactGroupedQuantilesSingleWindow(
       df: DataFrame,
       groupCol: String,
       value: Column,
@@ -37,6 +109,9 @@ object Stats {
   ): DataFrame = {
     require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
       "quantiles are basis points in 1..10000")
+    require(qsBp.distinct.size == qsBp.size,
+      s"duplicate quantile levels would produce duplicate output columns: " +
+        qsBp.mkString(", "))
     require(!Seq("__v", "__rn", "__n").exists(df.columns.contains),
       "exactGroupedQuantiles reserves the column names __v, __rn, __n")
     val w = Window.partitionBy(col(groupCol)).orderBy(value, col(tieCol))

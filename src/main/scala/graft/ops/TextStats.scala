@@ -109,6 +109,18 @@ object TextStats {
       graft.exprs.RollingHash(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** Tokenizer-accurate token count: greedy longest-match against an
+    * ASCII vocabulary shipped as DATA (one reference-object expression,
+    * the IvfProbeLists pattern) with a one-codepoint fallback token —
+    * the count a shard packer should budget on when the real training
+    * tokenizer's vocab is available (pass it here); see
+    * [[graft.exprs.VocabTokenCount]] for the exact matching contract.
+    */
+  def vocabTokenCount(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.VocabTokenCount(
+        org.apache.spark.sql.GraftBridge.expression(text), vocab.toArray))
+
   /** Simple quality score components (integers; ratio left to consumers). */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_chars_q" -> char_length(text).cast("long"),

@@ -25,4 +25,26 @@ class EntrySmokeSpec extends AnyFunSuite {
     val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
+
+  test("no two plan-inspectable queries are the same computation") {
+    // canonicalized optimized plans must be pairwise distinct — two green
+    // oracle rows for one computation would inflate the query count.
+    // Queries with side effects (temp dirs, sinks, streaming replays)
+    // embed fresh paths per call and are inherently distinct; comparing
+    // the pure ones is the meaningful check and keeps this test cheap.
+    val dir = "/root/testdata/sf0.001"
+    val sideEffecting = Set("q_ingest_split", "q_checkpoint_resume",
+      "q_write_shards", "q_stream_sessionize", "q_stream_sessionize_files",
+      "q_stream_locf", "q_stream_window", "q_stream_dedup", "q_stream_resume")
+    val plans = SparkEntry.queries.view
+      .filterKeys(!sideEffecting.contains(_)).toMap
+      .map { case (name, fn) =>
+        name -> fn(spark, dir).queryExecution.optimizedPlan.canonicalized
+      }
+    val dupes = plans.toSeq
+      .groupBy(_._2.toString)
+      .values.filter(_.size > 1)
+      .map(_.map(_._1).sorted.mkString(" == "))
+    assert(dupes.isEmpty, s"duplicate query bodies: ${dupes.mkString("; ")}")
+  }
 }

@@ -1,0 +1,71 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class ClustersSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def cc(pairs: Seq[(Long, Long)], maxIters: Int = 20): Map[Long, Long] =
+    Clusters.connectedComponents(pairs.toDF("a", "b"), maxIters = maxIters)
+      .as[(Long, Long)].collect().toMap
+
+  test("connected components: transitivity, min-id labels, singletons absent") {
+    // a–b and b–c dup ⇒ one cluster of three; (10,11) separate; 99 no pair
+    val got = cc(Seq((2L, 1L), (2L, 3L), (10L, 11L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L),
+      got.toSeq.sorted.mkString(","))
+  }
+
+  test("cluster assignment is invariant under pair order, endpoint swap " +
+    "and (monotone) relabeling") {
+    val rnd = new scala.util.Random(7)
+    val pairs = (0 until 120).map(_ =>
+      (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter { case (a, b) => a != b }
+    val base = cc(pairs)
+    // order shuffled + endpoints swapped
+    val shuffled = rnd.shuffle(pairs.map { case (a, b) => (b, a) })
+    assert(cc(shuffled) == base)
+    // monotone relabeling id -> 7*id + 3: min-id labels map along
+    val mapped = cc(pairs.map { case (a, b) => (7 * a + 3, 7 * b + 3) })
+    assert(mapped == base.map { case (id, l) => (7 * id + 3, 7 * l + 3) })
+  }
+
+  test("a long chain converges (rounds = O(diameter)) and maxIters fails " +
+    "loud instead of emitting half-merged clusters") {
+    val chain = (0L until 30L).map(i => (i, i + 1))
+    val got = cc(chain, maxIters = 40)
+    assert(got.size == 31 && got.values.forall(_ == 0L))
+    assertThrows[IllegalStateException] { cc(chain, maxIters = 3) }
+  }
+
+  test("dropNearDuplicates keeps the min id per component and every " +
+    "unpaired row") {
+    val df = (0L to 5L).map(i => (i, s"doc$i")).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val kept = Clusters.dropNearDuplicates(df, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 1L, 4L, 5L))
+  }
+
+  test("composes with minhashPairs: mass duplicates collapse to one keeper") {
+    val docs = ((0L until 12L).map(i =>
+      (i, "identical boilerplate text repeated in every copy of this doc")) ++
+      Seq((100L, "something else entirely about catalyst plan rewrites here")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(docs, "doc_id", "text")
+    val comp = Clusters.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    // all 12 identical docs in one cluster labeled by the min id
+    assert((0L until 12L).forall(comp.get(_).contains(0L)), comp.mkString(","))
+    assert(!comp.contains(100L))
+    val kept = Clusters.dropNearDuplicates(docs, "doc_id", pairs)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(0L, 100L))
+  }
+}

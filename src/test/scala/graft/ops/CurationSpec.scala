@@ -146,6 +146,100 @@ class CurationSpec extends AnyFunSuite {
     assert(back == want, s"back=$back want=$want")
   }
 
+  test("two-phase shard packing equals single-window packing, with a " +
+    "dominant stratum spread across many chunk tasks") {
+    // a real training mixture: one mega stratum (web ≈ 97%) that a
+    // per-stratum window would serialize into one task
+    val df = (0L until 2050L).map { i =>
+      val stratum = if (i % 40 == 7) "books" else "web"
+      (i, stratum, (i * 37 + 11) % 700)
+    }.toDF("doc_id", "lang", "tok")
+    val twoPhase = Curation.packShards(
+      df, "lang", "doc_id", col("tok"), 1000L, chunkSpan = 64L)
+      .select("doc_id", "n_tokens", "shard_seq")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> (n, s) }.toMap
+    val single = Curation.packShardsSingleWindow(
+      df, "lang", "doc_id", col("tok"), 1000L)
+      .select("doc_id", "n_tokens", "shard_seq")
+      .as[(Long, Long, Long)].collect()
+      .map { case (id, n, s) => id -> (n, s) }.toMap
+    assert(twoPhase == single)
+    assert(twoPhase.size == 2050)
+    // the mega stratum genuinely spans many chunks — i.e. many tasks in
+    // phase 1, not one window partition
+    val chunksInWeb = df.filter(col("lang") === "web")
+      .select(floor(col("doc_id") / 64L).as("c"))
+      .distinct().count()
+    assert(chunksInWeb >= 8, s"web stratum only spans $chunksInWeb chunks")
+    // and no single window partition in the plan covers a whole stratum:
+    // every Window operator partitions by (lang, __pchunk) or runs over
+    // the per-chunk totals only
+    val plan = Curation.packShards(
+      df, "lang", "doc_id", col("tok"), 1000L, chunkSpan = 64L)
+      .queryExecution.optimizedPlan
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.nonEmpty)
+    // phase 1 partitions by (stratum, chunk); the only stratum-alone
+    // window is phase 2's carry, which must run over the per-chunk
+    // TOTALS (an Aggregate grouped on the chunk), never full rows
+    assert(windows.exists(w =>
+      w.partitionSpec.flatMap(_.references.map(_.name)).toSet ==
+        Set("lang", "__pchunk")))
+    windows.foreach { w =>
+      val partNames = w.partitionSpec.flatMap(_.references.map(_.name)).toSet
+      if (partNames == Set("lang")) {
+        val overChunkTotals = w.child.collectFirst {
+          case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+              if a.groupingExpressions
+                .flatMap(_.references.map(_.name)).contains("__pchunk") => a
+        }.isDefined
+        assert(overChunkTotals,
+          "a stratum-alone window over full rows would serialize a mega " +
+            "stratum")
+      }
+    }
+  }
+
+  test("shard packing fails loud on negative token counts") {
+    val df = Seq((0L, "A", 10L), (1L, "A", -5L)).toDF("doc_id", "lang", "tok")
+    val e = intercept[Exception] {
+      Curation.packShards(df, "lang", "doc_id", col("tok"), 1000L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++
+        messages(x.getCause))
+    assert(messages(e).exists(_.contains("negative token count")),
+      messages(e).mkString(" | "))
+  }
+
+  test("two-phase grouped quantiles equal single-window rank selection, " +
+    "with a mega group spread across many chunk tasks") {
+    // one dominant group (5000 rows, heavy value duplication) + a small one
+    val rows = (0L until 5000L).map(i => ("web", i, (i * 31) % 1000)) ++
+      (0L until 37L).map(i => ("books", 100000L + i, i * 7))
+    val df = rows.toDF("g", "id", "v")
+    val qs = Seq(100, 2500, 5000, 7500, 9900, 10000)
+    val got = Stats.exactGroupedQuantiles(
+      df, "g", col("v"), "id", qs, chunkSpan = 97L)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val want = Stats.exactGroupedQuantilesSingleWindow(
+      df, "g", col("v"), "id", qs)
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(got == want, s"got=$got want=$want")
+    // the mega group's distinct values span many chunks
+    val chunks = df.filter(col("g") === "web")
+      .select(floor(col("v") / 97L).as("c")).distinct().count()
+    assert(chunks >= 8, s"mega group only spans $chunks chunks")
+    // duplicate quantile levels are rejected up front (they would emit
+    // two identically-named output columns)
+    assertThrows[IllegalArgumentException] {
+      Stats.exactGroupedQuantiles(df, "g", col("v"), "id", Seq(5000, 5000))
+    }
+  }
+
   test("shard packing: boundaries, straddling docs, oversized docs") {
     // stratum A: tokens 900, 900, 900 with budget 1000 ->
     //   doc 0 starts at 0 (shard 0), doc 1 at 900 (shard 0, straddles),

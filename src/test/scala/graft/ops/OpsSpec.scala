@@ -32,13 +32,13 @@ class OpsSpec extends AnyFunSuite {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
-    val brute = Similarity.topKByDot(e, q, 10)
+    val brute = Similarity.topKByDot(e, q, 10, excludeSelf = true)
       .select("query_id", "vec_id", "dot")
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
-    val cand = Similarity.annCandidates(e, q, dim = 64, nBits = 8)
+    val cand = Similarity.annCandidates(e, q, dim = 64, nBits = 8, excludeSelf = true)
       .as[(Long, Long, Long)].collect()
     // same dot products wherever both computed
-    val full = Similarity.topKByDot(e, q, Int.MaxValue)
+    val full = Similarity.topKByDot(e, q, Int.MaxValue, excludeSelf = true)
       .select("query_id", "vec_id", "dot")
       .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
     cand.foreach { case (qid, vid, dot) =>
@@ -47,6 +47,33 @@ class OpsSpec extends AnyFunSuite {
     // buckets are self-consistent: every query finds SOME candidates
     // (8-bit sketch on 500 vecs ⇒ non-empty buckets with high probability)
     assert(cand.nonEmpty)
+  }
+
+  test("ANN self-exclusion is opt-in across the whole family: a query/" +
+    "corpus id collision in disjoint id spaces never drops a candidate") {
+    // corpus vec 1 and query 1 share the NUMBER 1 but identify different
+    // objects; the query embedding equals vec 1's so they share a bucket
+    val e = (1L to 5L)
+      .map(i => (i, Array.fill(64)(i.toFloat / 10f)))
+      .toDF("vec_id", "embedding")
+    val q = Seq((1L, Array.fill(64)(0.1f))).toDF("query_id", "q_embedding")
+    def ids(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("vec_id").as[Long].collect().toSet
+    // default: candidate kept everywhere
+    assert(ids(Similarity.topKByDot(e, q, 5)).contains(1L))
+    assert(ids(Similarity.annCandidates(e, q, dim = 64, nBits = 8))
+      .contains(1L))
+    assert(ids(Similarity.annIvf(e, q,
+      centroids = Seq((0, Array.fill(64)(0.1f).toSeq)), nProbe = 1))
+      .contains(1L))
+    // corpus-as-queries opt-in: the self pair is dropped everywhere
+    assert(!ids(Similarity.topKByDot(e, q, 5, excludeSelf = true))
+      .contains(1L))
+    assert(!ids(Similarity.annCandidates(e, q, dim = 64, nBits = 8,
+      excludeSelf = true)).contains(1L))
+    assert(!ids(Similarity.annIvf(e, q,
+      centroids = Seq((0, Array.fill(64)(0.1f).toSeq)), nProbe = 1,
+      excludeSelf = true)).contains(1L))
   }
 
   test("minhashPairs hot-bucket cap bounds pair output and reports drops") {
@@ -167,7 +194,7 @@ class OpsSpec extends AnyFunSuite {
     val cand = Similarity.annIvf(e, q, cents, nProbe = 2, excludeSelf = true)
       .as[(Long, Long, Long)].collect()
     assert(cand.nonEmpty)
-    val brute = Similarity.topKByDot(e, q, k = e.count().toInt)
+    val brute = Similarity.topKByDot(e, q, k = e.count().toInt, excludeSelf = true)
       .select("query_id", "vec_id", "dot")
       .as[(Long, Long, Long)].collect()
       .map(r => (r._1, r._2) -> r._3).toMap
@@ -226,8 +253,8 @@ class OpsSpec extends AnyFunSuite {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val q = e.filter($"vec_id" < 5)
       .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
-    val single = Similarity.annCandidates(e, q, dim = 64, nBits = 8)
-    val multi = Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8)
+    val single = Similarity.annCandidates(e, q, dim = 64, nBits = 8, excludeSelf = true)
+    val multi = Similarity.annCandidates(e, q, dim = 64, nBits = 8, probes = 8, excludeSelf = true)
     val (nS, nM) = (single.count(), multi.count())
     assert(single.exceptAll(multi).count() == 0, "multi must cover single")
     assert(nM > nS, s"expected strictly more candidates ($nM vs $nS)")
@@ -448,6 +475,46 @@ class OpsSpec extends AnyFunSuite {
     assert(dec.count(_.format == "png") == 4)
     assert(dec.count(_.format == "wav") == 4)
     assert(dec.count(_.format == "unknown") == 4) // opaque video payloads
+  }
+
+  test("decontam matching joins are broadcast: the corpus shingle stream " +
+    "never shuffles for matching") {
+    // "alpha beta gamma" is hot (df 200 > 100, anti-joined away);
+    // "beta gamma delta" survives in 50 docs — so BOTH broadcast joins
+    // stay in the final plan (an all-hot or all-cold fixture would let
+    // AQE elide one of them via empty-relation propagation)
+    val corpus = (0L until 200L).map { i =>
+      val tail = if (i < 50) "delta" else s"x$i"
+      (i, s"alpha beta gamma $tail")
+    }.toDF("doc_id", "text")
+    val probes = Seq((0L, "alpha beta gamma delta"))
+      .toDF("probe_id", "text")
+    val df = Decontam.ngramOverlap(corpus, probes, "doc_id", "probe_id",
+      "text", k = 3, minContamBp = 1, maxShingleDf = 100)
+    // matches must survive: an all-hot/empty result would let AQE
+    // collapse the final plan to EmptyRelation and void the assertion
+    assert(df.collect().length > 0)
+    def nodes(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.SparkPlan] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        nodes(a.executedPlan)
+      case q: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        nodes(q.plan)
+      case o => o +: o.children.flatMap(nodes)
+    }
+    val all = nodes(org.apache.spark.sql.GraftBridge.executedPlan(df))
+    val bhj = all.collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec => j
+    }
+    // pSized inner join + hot-shingle anti join, both broadcast
+    assert(bhj.size >= 2, s"expected >=2 broadcast joins, got ${bhj.size}")
+    val shuffleJoins = all.filter {
+      case _: org.apache.spark.sql.execution.joins.SortMergeJoinExec => true
+      case _: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => true
+      case _ => false
+    }
+    assert(shuffleJoins.isEmpty,
+      s"corpus shingles crossed a shuffle join: $shuffleJoins")
   }
 
   test("multimodal: featurize batch shape + frame sampling") {
