@@ -1058,6 +1058,129 @@ object SparkEntry {
       (3 to 4).foreach(stage)
       runOnce() // restart: recovered state + only the new files
       s.read.parquet(sink).select("conv_id", "turn_idx", "tool_locf")
+    }),
+
+    // --- STREAMING sessionize kill -> RESTART from checkpoint -------------------
+    // The stateful-session twin of q_stream_resume: flatMapGroupsWithState
+    // sessions (open-session state + event-time timeouts) survive a kill.
+    // Run 1 drains half the replay files — many sessions are OPEN in the
+    // state store when it stops; run 2 restarts from the same
+    // checkpointLocation with the remaining files plus the watermark
+    // sentinels staged. Sessions straddling the kill can only come out
+    // right if the recovered state store carries their open tails, so the
+    // two-run parquet-sink union equaling the batch sessionize SQL is a
+    // direct proof of state recovery (not just sink idempotence).
+    "q_stream_sess_resume" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_sessresume").toString
+      val watched = s"$tmp/watched"
+      val sink = s"$tmp/sink"
+      val ckpt = s"$tmp/ckpt"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"role", $"ts")
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      val base = 1700000000000L
+      def stage(i: Int): Unit =
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet", base + i * 10000L)
+      def runOnce(): Unit = {
+        val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+        s.conf.set("spark.sql.shuffle.partitions", "8")
+        val q =
+          try {
+            val src = s.readStream
+              .schema(t.schema)
+              .option("maxFilesPerTrigger", "1")
+              .parquet(watched)
+              .as[TurnEvent]
+            StreamingFeatures.sessionize(src, gapSeconds = 1800L)
+              .writeStream.outputMode("append").format("parquet")
+              .option("path", sink)
+              .option("checkpointLocation", ckpt)
+              .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+              .start()
+          } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+        try q.awaitTermination() finally q.stop()
+      }
+      (1 to 2).foreach(stage)
+      runOnce() // the kill: open sessions are live in the state store here
+      (3 to 4).foreach(stage)
+      val maxTs = t.agg(max($"ts")).as[java.sql.Timestamp].head().getTime
+      val step = (1800L + 600L + 10L) * 1000L
+      (1 to 2).foreach { i =>
+        stageOrderedFile(
+          Seq(TurnEvent("__wm__", i - 1, "user",
+            new java.sql.Timestamp(maxTs + i * step))).toDS().toDF(),
+          s"$tmp/scratch_wm$i", watched, s"wm-$i.parquet",
+          base + (nChunks + i) * 10000L)
+      }
+      runOnce() // restart: recovered open sessions + remaining files
+      s.read.parquet(sink).filter($"conv_id" =!= "__wm__")
+        .select("conv_id", "session_seq", "n_turns", "session_start",
+          "session_end")
+    }),
+
+    // --- corpus-wide segment-level exact dedup ----------------------------------
+    // CCNet-style span dedup: 10-word blocks keyed by a 64-bit content
+    // hash, globally-first occurrence survives, documents reassembled
+    // minus their dropped blocks. The decision machinery runs on
+    // fixed-width (hash, id, idx) rows; segment text crosses exactly one
+    // shuffle (the reassembly join).
+    "q_seg_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.SegDedup.dedupSegments(d, "doc_id",
+        graft.ops.SegDedup.wordBlocks(col("text"), 10))
+    }),
+
+    // --- corpus-level top-k n-gram heavy hitters --------------------------------
+    // The boilerplate detector: exact global top-20 trigrams via
+    // two-level partial-agg count + TakeOrderedAndProject (per-partition
+    // top-k, never a full sort); ties break by n-gram text.
+    "q_top_ngrams" -> ((s, dir) =>
+      graft.ops.TextStats.topNgrams(docs(s, dir), "text", n = 3, k = 20)),
+
+    // --- k-means Lloyd step: exact-integer sufficient statistics ----------------
+    // The training half of the IVF index ("trained k-means centroids from
+    // a separate job" — this is that job's inner loop): assignment by the
+    // index's own max-quantized-dot rule (zero-shuffle expression), then
+    // per (list, dim) member count + quantized coordinate sums — the
+    // exact sufficient statistics a driver turns into new means. Means/
+    // normalization are float driver math ON TOP of these sums
+    // (kmeansTrain, differentially tested in KMeansSpec); the oracle
+    // pins the distributed part bit-for-bit.
+    "q_kmeans_step" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val cents = Similarity.ivfCentroids(e, step = 100L)
+      Similarity.clusterSums(e, cents)
+    }),
+
+    // --- cluster-dedup -> deterministic shuffle -> two-phase pack ---------------
+    // The training-prep tail COMPOSED from this round's operators: minhash
+    // near-dup pairs resolve to connected components and only each
+    // component's min-id keeper survives (transitive keep-one, not
+    // pairwise); survivors are SHUFFLED by the seedless fmix64 bijection
+    // (the "shuffle the training data" step — reproducible, coordination-
+    // free); then two-phase shard packing runs per lang ORDERED BY the
+    // shuffle key, with chunkSpan sized for the full int64 range (2^48 →
+    // the order-contiguous chunking stays balanced under a uniform hash
+    // order). Proves the pack operator's contract holds when the order
+    // column is a hash, not a dense id.
+    "q_corpus_dedup_pack" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text")
+      val kept = graft.ops.Clusters.dropNearDuplicates(d, "doc_id", pairs)
+      val shuffled = kept.withColumn("shuffle_key",
+        graft.ops.Curation.shuffleKey(col("doc_id")))
+      graft.ops.Curation.packShards(shuffled, strataCol = "lang",
+          orderCol = "shuffle_key",
+          tokens = TextStats.regexTokenCount(col("text")),
+          budgetTokens = 2000L, chunkSpan = 1L << 48)
+        .select("doc_id", "lang", "shuffle_key", "n_tokens", "shard_seq")
     })
   )
 
@@ -1170,6 +1293,142 @@ object SparkEntry {
          |    ORDER BY ts, turn_idx
          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tool_locf
          |FROM turns""".stripMargin,
+
+    // stateful kill -> restart must be invisible too: the two-run union
+    // equals the plain batch sessionize SQL (open sessions straddle the
+    // kill, so this pins the recovered state store, not just the sink)
+    "q_stream_sess_resume" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1)
+         |SELECT conv_id, session_seq, CAST(count(*) AS BIGINT) AS n_turns,
+         |  min(ts) AS session_start, max(ts) AS session_end
+         |FROM s2 GROUP BY conv_id, session_seq""".stripMargin,
+
+    // segment dedup replayed literally: 10-word blocks, md5-16 keys,
+    // (doc_id, seg_idx)-first survivor, ordered reassembly
+    "q_seg_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |segs AS (SELECT doc_id, gs.i AS seg_idx,
+        |    array_to_string(ws[gs.i*10+1 : gs.i*10+10], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i) gs),
+        |h AS (SELECT doc_id, seg_idx, seg, substr(md5(seg), 1, 16) AS hk FROM segs),
+        |firsts AS (SELECT hk, doc_id, seg_idx FROM (
+        |    SELECT hk, doc_id, seg_idx,
+        |      row_number() OVER (PARTITION BY hk ORDER BY doc_id, seg_idx) AS rn FROM h)
+        |  WHERE rn = 1),
+        |keep AS (SELECT x.doc_id, x.seg_idx, x.seg FROM h x
+        |  JOIN firsts f ON x.hk = f.hk AND x.doc_id = f.doc_id AND x.seg_idx = f.seg_idx),
+        |nsegs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_kept FROM keep GROUP BY doc_id)
+        |SELECT n.doc_id, COALESCE(r.text, '') AS text, n.n_segs,
+        |  n.n_segs - COALESCE(r.n_kept, 0) AS n_dropped
+        |FROM nsegs n LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // exact global heavy hitters; deterministic boundary (count desc,
+    // ngram asc)
+    "q_top_ngrams" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |g AS (SELECT unnest(sh) AS ngram FROM sh)
+        |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
+        |FROM g GROUP BY ngram
+        |ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    // Lloyd-step sufficient statistics: the q_ann_ivf assignment CTE
+    // (max quantized dot, ties to smaller list id) + per (list, dim)
+    // count and quantized-coordinate sums
+    "q_kmeans_step" ->
+      """WITH qv AS (SELECT vec_id,
+        |  [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings),
+        |cents AS (SELECT CAST(vec_id // 100 AS INT) AS list_id, qe AS ce
+        |          FROM qv WHERE vec_id % 100 = 0),
+        |dots AS (SELECT v.vec_id, c.list_id,
+        |  CAST(list_sum([v.qe[i] * c.ce[i] for i in range(1, len(v.qe)+1)]) AS BIGINT) AS cdot
+        |  FROM qv v, cents c),
+        |ranked AS (SELECT vec_id, list_id,
+        |  row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id ASC) AS rnk
+        |  FROM dots),
+        |assign AS (SELECT vec_id, list_id FROM ranked WHERE rnk = 1)
+        |SELECT a.list_id, CAST(r.i - 1 AS INT) AS dim_idx,
+        |  CAST(count(*) AS BIGINT) AS n, CAST(sum(v.qe[r.i]) AS BIGINT) AS qsum
+        |FROM assign a JOIN qv v USING (vec_id), range(1, 65) r(i)
+        |GROUP BY a.list_id, r.i""".stripMargin,
+
+    // cluster-dedup -> shuffle -> pack: minhash pairs (the q_minhash_pairs
+    // recipe) -> recursive transitive closure -> keep component-min ids ->
+    // fmix64 shuffle key (signed) -> per-lang pack window ordered by it
+    "q_corpus_dedup_pack" ->
+      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
+        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM bands l JOIN bands r
+        |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+        |    AND l.doc_id < r.doc_id),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, wk.lbl FROM walk wk JOIN edges e ON e.src = wk.id),
+        |losers AS (SELECT id AS doc_id FROM walk GROUP BY id
+        |  HAVING id <> min(lbl)),
+        |kept AS (SELECT d.doc_id, d.lang, d.text FROM documents d
+        |  WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)),
+        |x0 AS (SELECT doc_id, lang, text,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM kept),
+        |x1 AS (SELECT doc_id, lang, text, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, lang, text, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, lang, text, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, lang, text, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |sk AS (SELECT doc_id, lang, text,
+        |  CAST(CAST(xor(x, x >> 33) AS HUGEINT)
+        |    - CASE WHEN xor(x, x >> 33) >= CAST('9223372036854775808' AS UBIGINT)
+        |           THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT) AS shuffle_key
+        |  FROM x4),
+        |tt AS (SELECT doc_id, lang, shuffle_key,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM sk)
+        |SELECT doc_id, lang, shuffle_key, n_tokens,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY shuffle_key ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM tt""".stripMargin,
 
     "q_gate_normalize" ->
       s"""$T

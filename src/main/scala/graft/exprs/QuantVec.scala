@@ -62,6 +62,35 @@ case class QuantDot(left: Expression, right: Expression)
       l: Expression, r: Expression): QuantDot = copy(left = l, right = r)
 }
 
+/** Scalar twin of the array quantizers: one float element quantized
+  * round-half-away ×10⁴ to int64 — the exact-integer per-dimension value
+  * the k-means cluster sums aggregate ([[graft.ops.Similarity
+  * .clusterSums]]), identical to how [[QuantDot]]/[[QuantSqNorm]] and the
+  * packed IVF centroids quantize, so every vector operator in the module
+  * shares one number system and the DuckDB oracle replays it with the
+  * same ROUND arithmetic it already uses for the array paths.
+  */
+case class QuantElem(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_elem"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.FloatType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quant_elem expects a float element, got $other")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    QuantVec.q(a.asInstanceOf[Float].toDouble)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.exprs.QuantVec.q((double) $a)")
+  override protected def withNewChildInternal(c: Expression): QuantElem =
+    copy(child = c)
+}
+
 case class QuantSqNorm(child: Expression) extends UnaryExpression {
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true

@@ -25,6 +25,19 @@ object Curation {
   def sampleGateBp(id: Column): Column =
     bridge(graft.exprs.SampleHash(expr(id)))
 
+  /** Deterministic global-shuffle key from an int64 id: the full fmix64
+    * bijection ([[graft.exprs.ShuffleHash]]). Ordering by it IS the
+    * "shuffle the training data" step — uniform, reproducible, seedless,
+    * and unique whenever the id is, so it satisfies [[packShards]]'
+    * unique-order-column contract directly. When packing on it, pass a
+    * `chunkSpan` sized for the full int64 range (e.g. 2^48 → 2^16
+    * order-contiguous chunks per stratum): the two-phase cumsum only
+    * needs the chunk map to be monotone in the order column, which
+    * floor-division keeps even where the double quotient is inexact.
+    */
+  def shuffleKey(id: Column): Column =
+    bridge(graft.exprs.ShuffleHash(expr(id)))
+
   /** Stratified (mixture-weighted) sampling: keep each row with its
     * stratum's rate, deterministically by id hash. `ratesBp` maps stratum
     * value → keep-rate in basis points (10000 = keep all); strata absent

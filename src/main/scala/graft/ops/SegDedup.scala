@@ -1,0 +1,98 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Segment-level exact deduplication: remove repeated SPANS (lines,
+  * paragraphs, word blocks) across the whole corpus, keeping each
+  * distinct segment's globally FIRST occurrence — the CCNet-style
+  * line-dedup step that strips boilerplate (headers, cookie banners,
+  * license blurbs) a document-level dedup can never see, because the
+  * documents carrying them are otherwise distinct.
+  *
+  * Contract: segments are keyed by a 64-bit content hash (the first 16
+  * md5 hex chars — md5 so the DuckDB oracle replays the key bit-for-bit);
+  * the first occurrence in (id, segment-index) order survives, every
+  * later occurrence of the same hash is dropped, and each document's
+  * surviving segments are reassembled in their original order. Hash-keyed
+  * is the production contract, not an approximation — at 10^12 segments
+  * a 64-bit key's expected collision count is ~10^4 (birthday bound,
+  * n²/2^65), i.e. a ~10^-8 false-drop rate, which segment dedup trades
+  * for never shuffling segment text as a key.
+  *
+  * Scale shape (the point of the design): segment TEXT crosses exactly
+  * ONE shuffle — the final per-document reassembly join. The
+  * first-occurrence decision runs entirely on fixed-width rows:
+  *   1. explode → (hash, id, seg_idx) — 24-byte rows, no text;
+  *   2. groupBy(hash).min(struct(id, seg_idx)) — partial-agg friendly;
+  *   3. the DROP set (occurrences that are not their hash's first) is
+  *      re-derived by joining the fixed-width stream, still no text;
+  *   4. drops collapse to one row per affected document
+  *      (collect_set of dropped indexes — bounded by the document's own
+  *      segment count), and a single id-keyed join back to the original
+  *      table rebuilds the text with an index-filtered higher-order
+  *      function. Documents with nothing dropped pass through the left
+  *      join untouched; AQE broadcasts the drop side when it is small
+  *      (the common case — boilerplate is concentrated).
+  */
+object SegDedup {
+
+  /** Word-block segmentation: consecutive `span`-word blocks of the
+    * single-space word split (the segmenter for corpora without line
+    * structure; for line-structured text pass `split(col, "\n")`
+    * instead — [[dedupSegments]] takes any array-of-strings column).
+    */
+  def wordBlocks(text: Column, span: Int): Column = {
+    require(span > 0, "span must be positive")
+    val ws = split(text, " ", -1)
+    transform(
+      sequence(lit(0), ceil(size(ws) / lit(span.toDouble)).cast("int") - 1),
+      i => array_join(slice(ws, i * span + 1, lit(span)), " "))
+  }
+
+  private def segKey(seg: Column): Column = substring(md5(seg), 1, 16)
+
+  /** Corpus-wide first-occurrence segment dedup over `segs` (an
+    * array-of-strings column derived from `df`'s text). Returns one row
+    * per input row: (idCol, text = surviving segments joined by `sep`,
+    * n_segs, n_dropped). `idCol` must be unique and orderable — it
+    * defines which occurrence is "first".
+    */
+  def dedupSegments(
+      df: DataFrame,
+      idCol: String,
+      segs: Column,
+      sep: String = " "
+  ): DataFrame = {
+    val reserved = Seq("__segs", "__idx", "__seg", "__h", "__first",
+      "__dropped", "n_segs", "n_dropped")
+    require(!reserved.exists(df.columns.contains),
+      s"dedupSegments reserves the column names ${reserved.mkString(", ")}")
+    val base = df.select(col(idCol), segs.as("__segs"))
+    // fixed-width decision stream: (hash, id, seg_idx) only — segment
+    // text never rides through the first-occurrence machinery
+    val occ = base
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("__idx", "__seg")))
+      .select(col(idCol), col("__idx"), segKey(col("__seg")).as("__h"))
+    val firsts = occ.groupBy(col("__h"))
+      .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
+    val drops = occ.join(firsts, Seq("__h"))
+      .filter(col(idCol) =!= col(s"__first.$idCol") ||
+        col("__idx") =!= col("__first.__idx"))
+      .select(col(idCol), col("__idx"))
+    // one row per affected document; bounded by that document's own
+    // segment count, so collect_set is safe at any corpus size
+    val dropsPerDoc = drops.groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("__idx"))).as("__dropped"))
+    base
+      .join(dropsPerDoc, Seq(idCol), "left")
+      .select(
+        col(idCol),
+        array_join(
+          filter(col("__segs"), (_, i) =>
+            col("__dropped").isNull || !array_contains(col("__dropped"), i)),
+          sep).as("text"),
+        size(col("__segs")).cast("long").as("n_segs"),
+        coalesce(size(col("__dropped")), lit(0)).cast("long").as("n_dropped"))
+  }
+}

@@ -507,4 +507,80 @@ object Similarity {
       .select(col("query_id"), col("vec_id"),
         quantDot(col("embedding"), col("q_embedding")).as("dot"))
   }
+
+  // ------------------------------------------------------------- k-means
+
+  /** One Lloyd-step's sufficient statistics, exact-integer: assign every
+    * corpus vector to its nearest centroid (the [[ivfListId]] rule —
+    * max quantized dot, ties to the smaller list id, the SAME assignment
+    * the IVF index uses at query time, so training optimizes the
+    * index's own routing), then per (list, dimension) emit the member
+    * count and the sum of quantized coordinates. `n` and `qsum` are
+    * int64 sums of ×10⁴-quantized values — exact, engine-portable, and
+    * everything a driver needs to form the new means (`qsum / n / 10⁴`).
+    *
+    * Scale shape: assignment is the zero-shuffle [[graft.exprs
+    * .IvfProbeLists]] expression; posexplode fans each row out to `dim`
+    * fixed-width rows that collapse in ONE partial-agg-friendly
+    * groupBy(list, dim) — k·dim result rows total, no iteration state on
+    * the executors. This is the distributed half of k-means; the k·dim
+    * reduction is the only thing that ever reaches the driver.
+    */
+  def clusterSums(
+      corpus: DataFrame, // (vec_id, embedding)
+      centroids: Seq[(Int, Seq[Float])]
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    corpus
+      .select(ivfListId(col("embedding"), centroids).as("list_id"),
+        posexplode(col("embedding")).as(Seq("dim_idx", "__x")))
+      .groupBy(col("list_id"), col("dim_idx"))
+      .agg(count(lit(1)).as("n"),
+        sum(bridge(graft.exprs.QuantElem(expr(col("__x"))))).as("qsum"))
+  }
+
+  /** Lloyd iterations over [[clusterSums]]: each round assigns (zero
+    * shuffles), reduces to k·dim sufficient-statistic rows, and the
+    * driver forms the new centroids — mean per dimension, then (spherical
+    * k-means, the right objective for a DOT-product index) rescaled to
+    * unit L2 norm so max-dot assignment equals nearest-by-angle and a
+    * large-norm centroid cannot capture everything. A cluster that loses
+    * all members keeps its previous centroid. The driver-side collect is
+    * k·dim rows per round — the irreducible k-means synchronization
+    * point, identical in role to [[ivfCentroids]]'s documented driver
+    * sizing; vectors themselves never leave the executors.
+    */
+  def kmeansTrain(
+      corpus: DataFrame,
+      init: Seq[(Int, Seq[Float])],
+      iters: Int,
+      spherical: Boolean = true
+  ): Seq[(Int, Seq[Float])] = {
+    require(iters >= 0, "iters must be non-negative")
+    var cents = init
+    for (_ <- 0 until iters) {
+      val stats = clusterSums(corpus, cents).collect()
+        .groupBy(_.getInt(0))
+        .map { case (lid, rows) =>
+          val dims = rows.map(r =>
+            (r.getInt(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+          val n = dims.head._2
+          lid -> dims.map { case (_, _, qsum) =>
+            (qsum.toDouble / n / 10000.0).toFloat }.toSeq
+        }
+      cents = cents.map { case (lid, old) =>
+        stats.get(lid) match {
+          case None => (lid, old) // empty cluster: keep previous centroid
+          case Some(mean) =>
+            if (!spherical) (lid, mean)
+            else {
+              val norm = math.sqrt(mean.map(x => x.toDouble * x).sum)
+              if (norm == 0.0) (lid, old)
+              else (lid, mean.map(x => (x / norm).toFloat))
+            }
+        }
+      }
+    }
+    cents
+  }
 }

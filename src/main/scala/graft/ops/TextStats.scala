@@ -180,4 +180,30 @@ object TextStats {
         bp(coalesce(col(s"dup${nDup}_dup"), lit(0L)),
           coalesce(col(s"dup${nDup}_total"), lit(0L))).as(s"dup${nDup}_frac_bp"))
   }
+
+  /** CORPUS-level top-k n-gram heavy hitters: the boilerplate detector —
+    * the n-grams that dominate a crawl (navigation chrome, license
+    * blurbs, cookie banners) surface here first, and their counts feed
+    * both the decontamination df-cap and segment-dedup tuning.
+    *
+    * Exact, not sketched: explode → two-level count (map-side partial
+    * aggregation absorbs the heavy hitters by definition — the hotter the
+    * n-gram, the more it collapses before the shuffle) → global top-k via
+    * TakeOrderedAndProject (per-partition top-k, k rows to the driver —
+    * never a full sort). Ties at the boundary break by n-gram text, so
+    * the result is a deterministic total order.
+    */
+  def topNgrams(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      n: Int,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(n > 0 && k > 0, "n and k must be positive")
+    df.select(explode(Dedup.shingles(Dedup.words(col(textCol)), n)).as("ngram"))
+      .groupBy(col("ngram"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("ngram").asc)
+      .limit(k)
+  }
 }

@@ -35,7 +35,8 @@ class EntrySmokeSpec extends AnyFunSuite {
     val dir = "/root/testdata/sf0.001"
     val sideEffecting = Set("q_ingest_split", "q_checkpoint_resume",
       "q_write_shards", "q_stream_sessionize", "q_stream_sessionize_files",
-      "q_stream_locf", "q_stream_window", "q_stream_dedup", "q_stream_resume")
+      "q_stream_locf", "q_stream_window", "q_stream_dedup", "q_stream_resume",
+      "q_stream_sess_resume")
     val plans = SparkEntry.queries.view
       .filterKeys(!sideEffecting.contains(_)).toMap
       .map { case (name, fn) =>

@@ -203,6 +203,29 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("two-phase packing holds when the order column is a HASH (full " +
+    "int64 range, negative values, sparse chunks)") {
+    // the q_corpus_dedup_pack geometry: order by the fmix64 shuffle key
+    // with chunkSpan sized for the int64 range — chunk ids go negative
+    // and sparse; the only requirement is a monotone chunk map
+    val df = (0L until 900L).map { i =>
+      (i, if (i % 5 == 0) "books" else "web", (i * 13 + 3) % 400)
+    }.toDF("doc_id", "lang", "tok")
+      .withColumn("sk", Curation.shuffleKey(col("doc_id")))
+    val twoPhase = Curation.packShards(
+      df, "lang", "sk", col("tok"), 1000L, chunkSpan = 1L << 48)
+      .select("doc_id", "shard_seq").as[(Long, Long)].collect().toMap
+    val single = Curation.packShardsSingleWindow(
+      df, "lang", "sk", col("tok"), 1000L)
+      .select("doc_id", "shard_seq").as[(Long, Long)].collect().toMap
+    assert(twoPhase == single)
+    // hash order really exercises the negative-chunk path
+    val negChunks = df
+      .select(floor(col("sk").cast("long") / (1L << 48)).as("c"))
+      .filter(col("c") < 0).distinct().count()
+    assert(negChunks > 0, "expected negative chunk ids under a hash order")
+  }
+
   test("shard packing fails loud on negative token counts") {
     val df = Seq((0L, "A", 10L), (1L, "A", -5L)).toDF("doc_id", "lang", "tok")
     val e = intercept[Exception] {

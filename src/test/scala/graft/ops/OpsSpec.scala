@@ -534,4 +534,37 @@ class OpsSpec extends AnyFunSuite {
       .as[Long].collect().toSeq
     assert(h1 == h2)
   }
+
+  test("topNgrams: exact counts, (count desc, ngram asc) boundary, and a " +
+    "TakeOrdered plan — never a global sort") {
+    val df = Seq(
+      "x y z x y z x y z", // "x y z" ×3 (+ wrap grams), "y z x" ×2 ...
+      "a b c a b c",
+      "z z z z"
+    ).zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = TextStats.topNgrams(df, "text", n = 3, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("x y z", 3L), ("a b c", 2L), ("y z x", 2L)))
+    val plan = TextStats.topNgrams(df, "text", 3, 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("ShuffleHash: bijective sample of ids, consistent with the gate, " +
+    "and order-defining (all distinct)") {
+    import org.apache.spark.sql.functions.col
+    val ids = ((-500L to 500L) ++ Seq(Long.MinValue, Long.MaxValue, 1L << 62))
+    val df = ids.toDF("id")
+    val got = df.select(col("id"),
+        Curation.shuffleKey(col("id")).as("k"),
+        Curation.sampleGateBp(col("id")).as("g"))
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(_._2).distinct.length == ids.size) // injective on sample
+    // the gate is derived from the same mix: (mix >>> 20) % 10000
+    assert(got.forall { case (_, k, g) => ((k >>> 20) % 10000L) == g })
+    // deterministic across evaluation modes (interpreted vs codegen paths
+    // agree by construction — re-evaluate and compare)
+    val again = df.select(Curation.shuffleKey(col("id"))).as[Long].collect()
+    assert(got.map(_._2).toSeq == again.toSeq)
+  }
 }

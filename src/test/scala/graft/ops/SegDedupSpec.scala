@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class SegDedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("line-split dedup: global first occurrence survives, later docs " +
+    "lose the repeated line, reassembly preserves order") {
+    val df = Seq(
+      (1L, "keep me\nCOOKIE BANNER\nunique one"),
+      (2L, "COOKIE BANNER\nsecond doc body"),
+      (3L, "third doc\nCOOKIE BANNER\nsecond doc body")
+    ).toDF("doc_id", "text")
+    val got = SegDedup
+      .dedupSegments(df, "doc_id", split(col("text"), "\n"), sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "keep me\nCOOKIE BANNER\nunique one", 3L, 0L)))
+    assert(got(1) == ((2L, "second doc body", 2L, 1L)))
+    assert(got(2) == ((3L, "third doc", 3L, 2L)))
+  }
+
+  test("within-document repeats drop too; a fully-duplicated document " +
+    "reassembles to the empty string but keeps its row") {
+    val df = Seq(
+      (1L, "same\nsame\nsame"),
+      (2L, "same")
+    ).toDF("doc_id", "text")
+    val got = SegDedup
+      .dedupSegments(df, "doc_id", split(col("text"), "\n"), sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(got(0) == ((1L, "same", 3L, 2L)))
+    assert(got(1) == ((2L, "", 1L, 1L)))
+  }
+
+  test("wordBlocks: span-sized blocks, ragged tail, short text = one block") {
+    val df = Seq((1L, "a b c d e f g"), (2L, "x y")).toDF("doc_id", "text")
+    val got = df.select(col("doc_id"),
+        SegDedup.wordBlocks(col("text"), 3).as("b"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) == Seq("a b c", "d e f", "g"))
+    assert(got(2L) == Seq("x y"))
+  }
+
+  test("invariant on random corpus: each distinct segment survives exactly " +
+    "once, and n_segs/n_dropped add up") {
+    val rnd = new scala.util.Random(11)
+    val vocabWords = Vector("alpha", "beta", "gamma", "delta")
+    val docsSeq = (0L until 40L).map { id =>
+      val words = (0 until 3 + rnd.nextInt(25))
+        .map(_ => vocabWords(rnd.nextInt(vocabWords.size)))
+      (id, words.mkString(" "))
+    }
+    val df = docsSeq.toDF("doc_id", "text")
+    val segs = SegDedup.wordBlocks(col("text"), 4)
+    val out = SegDedup.dedupSegments(df, "doc_id", segs)
+    // distinct input segments == total kept segments (each exactly once)
+    val distinctIn = df.select(explode(segs).as("s")).distinct().count()
+    val keptTotal = out.agg(sum(col("n_segs") - col("n_dropped"))).head().getLong(0)
+    assert(keptTotal == distinctIn)
+    // counts add up against the raw explode
+    val totalIn = df.select(explode(segs)).count()
+    val Seq(nSegs, nDropped) = out.agg(sum("n_segs"), sum("n_dropped"))
+      .head().toSeq.map(_.asInstanceOf[Long])
+    assert(nSegs == totalIn && nSegs - nDropped == distinctIn)
+    // kept text per doc is a subsequence of the doc's own segments
+    val rebuilt = out.filter(col("text") =!= "")
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().as[(String, Long)].collect().toMap
+    assert(rebuilt.keySet.subsetOf(vocabWords.toSet))
+  }
+}
