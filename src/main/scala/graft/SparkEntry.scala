@@ -1181,6 +1181,144 @@ object SparkEntry {
           tokens = TextStats.regexTokenCount(col("text")),
           budgetTokens = 2000L, chunkSpan = 1L << 48)
         .select("doc_id", "lang", "shuffle_key", "n_tokens", "shard_seq")
+    }),
+
+    // --- conversation-level feature summary --------------------------------------
+    // The per-entity summary vector (role mix, tool usage, span, max
+    // inter-turn gap) — ONE conv_id shuffle shared by the gap window and
+    // the aggregation; zero over a bucketed layout.
+    "q_conv_features" -> ((s, dir) =>
+      graft.features.ConvFeatures.summarize(turns(s, dir))),
+
+    // --- reply latency (forward-looking training target) -------------------------
+    // Per user turn: seconds to the next assistant turn, via a running
+    // conditional min over the FOLLOWING frame — no self-join of the
+    // table against its own future.
+    "q_reply_latency" -> ((s, dir) =>
+      graft.features.ConvFeatures.replyLatency(turns(s, dir))),
+
+    // --- incremental (delta) dedup against the standing corpus -------------------
+    // New batch = doc_id % 3 == 0, standing corpus = the rest. Exact
+    // drops by hash membership, near drops by sharing a MinHash band
+    // with ANY old doc — the old side contributes only its hash set and
+    // band table (the write-once index artifacts of production
+    // incremental ingest).
+    "q_incr_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.incrementalFlags(
+        d.filter(col("doc_id") % 3 === 0),
+        d.filter(col("doc_id") % 3 =!= 0),
+        "doc_id", "text")
+    }),
+
+    // --- data-dependent mixture plan ---------------------------------------------
+    // Target mixture weights + a global token budget → per-stratum keep
+    // rates, all exact-integer (overflow-free budget×bp split); one
+    // partial-agg shuffle to a rows-per-stratum frame.
+    "q_mixture_plan" -> ((s, dir) =>
+      graft.ops.Curation.mixturePlan(
+        docs(s, dir), "lang", TextStats.regexTokenCount(col("text")),
+        Map("en" -> 5000, "zh" -> 2000, "de" -> 1500), 123456L)),
+
+    // --- apply the mixture plan ---------------------------------------------------
+    // Rates come from DATA (the plan frame, broadcast) — the corpus never
+    // shuffles and no rate rides through the driver; same fmix64 gate
+    // (and nesting property) as q_sample_mix.
+    "q_mixture_apply" -> ((s, dir) => {
+      val plan = graft.ops.Curation.mixturePlan(
+        docs(s, dir), "lang", TextStats.regexTokenCount(col("text")),
+        Map("en" -> 5000, "zh" -> 2000, "de" -> 1500), 123456L)
+      graft.ops.Curation.sampleByPlan(docs(s, dir), "doc_id", "lang", plan)
+        .select("doc_id", "lang")
+    }),
+
+    // --- training-sequence assembly -----------------------------------------------
+    // Pack each conversation's non-null-text turns into ≤40-token
+    // sequences (two-phase cumsum — a mega-conversation never serializes)
+    // and materialize one row per sequence with the newline-joined text:
+    // the example-assembly step a dataloader consumes.
+    "q_assemble_seqs" -> ((s, dir) =>
+      graft.ops.Curation.assembleSequences(
+        turns(s, dir), "conv_id", "turn_idx", "text", 40L)),
+
+    // --- SemDedup: IVF-partitioned semantic dedup ---------------------------------
+    // Near-dups synthesized as in q_cosine_dup (×0.5f copies); centroids
+    // from the deterministic every-100th sample; within-list exact-cosine
+    // pairs resolve to components, min id keeps. Total assignment: every
+    // vector gets (list, cluster, keep).
+    "q_semdedup" -> ((s, dir) => {
+      val e = embeds(s, dir).select(col("vec_id"), col("embedding"))
+      val scaled = e.filter(col("vec_id") % 7 === 0).select(
+        (col("vec_id") + 10000L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+      val corpus = e.unionAll(scaled)
+      Similarity.semDedup(
+        corpus, Similarity.ivfCentroids(corpus, 100L), minCosineBp = 9990)
+    }),
+
+    // --- per-document top-k salient terms (exact tf-idf core) ---------------------
+    "q_top_terms" -> ((s, dir) =>
+      TextStats.topTermsPerDoc(docs(s, dir), "doc_id", "text", 3)),
+
+    // --- CSV ingest with malformed-row quarantine ---------------------------------
+    // Lines staged from the transcript with every (turn_idx % 11 == 3)
+    // row's turn_idx corrupted to 'x': PERMISSIVE parse keeps the good
+    // fields, nulls the bad one, and preserves the raw line — the
+    // quarantine can re-parse after a schema fix, and the job never
+    // dies on one bad line.
+    "q_csv_ingest" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_csv").toString
+      turns(s, dir).select(concat(
+          col("conv_id"), lit(","),
+          when(col("turn_idx") % 11 === 3, lit("x"))
+            .otherwise(col("turn_idx").cast("string")),
+          lit(","), col("role")).as("value"))
+        .write.mode("overwrite").text(s"$tmp/in")
+      val schema = StructType(Seq(
+        StructField("conv_id", StringType),
+        StructField("turn_idx", IntegerType),
+        StructField("role", StringType)))
+      graft.io.CsvIngest.flagged(
+        graft.io.CsvIngest.readCsv(s, s"$tmp/in", schema))
+    }),
+
+    // --- STREAMING stream-static enrichment ---------------------------------------
+    // Tool-call turns replayed through the file source and joined per
+    // micro-batch against a STATIC dimension frame (tool → category) —
+    // the stream side never shuffles for the join (broadcast hash), and
+    // the result must equal the batch join SQL.
+    "q_stream_enrich" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_enrich").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir)
+        .select(col("conv_id"), col("turn_idx"), col("tool"), col("ts"))
+      val dim = t.filter(col("tool").isNotNull).select(col("tool")).distinct()
+        .withColumn("tool_cat", substring(col("tool"), 6, 1))
+      val nChunks = 3
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val view = freshStreamView(s, "q_stream_enrich_sink_")
+      val q = s.readStream
+        .schema(t.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(watched)
+        .join(broadcast(dim), Seq("tool"))
+        .select(col("conv_id"), col("turn_idx"), col("tool"), col("tool_cat"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(view)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(view)
     })
   )
 
@@ -2522,6 +2660,237 @@ object SparkEntry {
         |  10 AS k,
         |  CAST(FLOOR(COALESCE(h.hits, 0) * 10000.0 / 10) AS BIGINT) AS recall_bp
         |FROM (SELECT DISTINCT query_id FROM truthtop) q
-        |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin
+        |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+
+    // conversation summary: the gap window then one aggregation, both
+    // keyed on conv_id
+    "q_conv_features" ->
+      s"""$T,
+         |g AS (SELECT conv_id, turn_idx, role, text, tool, ts,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT) -
+         |    CAST(FLOOR(epoch(lag(ts) OVER (PARTITION BY conv_id
+         |      ORDER BY ts, turn_idx))) AS BIGINT) AS gap
+         |  FROM turns)
+         |SELECT conv_id,
+         |  CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS BIGINT) AS n_user,
+         |  CAST(SUM(CASE WHEN role = 'assistant' THEN 1 ELSE 0 END) AS BIGINT) AS n_assistant,
+         |  CAST(SUM(CASE WHEN tool IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_tool_calls,
+         |  CAST(count(DISTINCT tool) AS BIGINT) AS n_distinct_tools,
+         |  min(ts) AS first_ts,
+         |  max(ts) AS last_ts,
+         |  CAST(FLOOR(epoch(max(ts))) AS BIGINT) -
+         |    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec,
+         |  CAST(COALESCE(SUM(length(text)), 0) AS BIGINT) AS total_chars,
+         |  max(gap) AS max_gap_sec
+         |FROM g GROUP BY conv_id""".stripMargin,
+
+    // per user turn: running conditional min of assistant ts over the
+    // FOLLOWING frame — the forward-looking label, no future self-join
+    "q_reply_latency" ->
+      s"""$T,
+         |x AS (SELECT conv_id, turn_idx, role, ts,
+         |  min(CASE WHEN role = 'assistant' THEN ts END) OVER (
+         |    PARTITION BY conv_id ORDER BY ts, turn_idx
+         |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nxt
+         |  FROM turns)
+         |SELECT conv_id, turn_idx,
+         |  CAST(FLOOR(epoch(nxt)) AS BIGINT) -
+         |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS latency_sec
+         |FROM x WHERE role = 'user'""".stripMargin,
+
+    // delta batch (doc_id % 3 = 0) vs standing corpus: exact by hash
+    // membership, near by sharing any MinHash band with an old doc
+    "q_incr_dedup" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
+        |  FROM sh),
+        |bands AS (
+        |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
+        |newd AS (SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id % 3 = 0),
+        |oldh AS (SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id % 3 <> 0),
+        |oldb AS (SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % 3 <> 0),
+        |nearhit AS (SELECT DISTINCT b.doc_id FROM bands b
+        |  JOIN oldb USING (band_idx, band_key) WHERE b.doc_id % 3 = 0)
+        |SELECT n.doc_id,
+        |  (oh.hash IS NOT NULL) AS drop_exact,
+        |  (nh.doc_id IS NOT NULL) AS drop_near,
+        |  (oh.hash IS NULL AND nh.doc_id IS NULL) AS kept
+        |FROM newd n
+        |LEFT JOIN oldh oh ON oh.hash = n.hash
+        |LEFT JOIN nearhit nh ON nh.doc_id = n.doc_id""".stripMargin,
+
+    // integer mixture plan: budget 123456 split as bp*12 + (bp*3456)//10000
+    // (the overflow-free floor identity), rates floored in integer math
+    "q_mixture_plan" ->
+      """WITH t AS (SELECT lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+        |  FROM documents),
+        |g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(tok) AS BIGINT) AS tokens_avail,
+        |  CAST(CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+        |    WHEN 'de' THEN 1500 ELSE 0 END AS BIGINT) AS weight_bp
+        |  FROM t GROUP BY lang),
+        |p AS (SELECT lang, n_docs, tokens_avail, weight_bp,
+        |  least(tokens_avail,
+        |    weight_bp * 12 + (weight_bp * 3456) // 10000) AS tokens_target
+        |  FROM g)
+        |SELECT lang, n_docs, tokens_avail, weight_bp, tokens_target,
+        |  CASE WHEN tokens_avail > 0
+        |    THEN (tokens_target * 10000) // tokens_avail
+        |    ELSE CAST(0 AS BIGINT) END AS rate_bp
+        |FROM p""".stripMargin,
+
+    // the plan's rates applied through the same fmix64 gate as
+    // q_sample_mix — rates from data, not a hardcoded map
+    "q_mixture_apply" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS tok
+        |  FROM documents),
+        |g0 AS (SELECT lang, CAST(SUM(tok) AS BIGINT) AS tokens_avail,
+        |  CAST(CASE lang WHEN 'en' THEN 5000 WHEN 'zh' THEN 2000
+        |    WHEN 'de' THEN 1500 ELSE 0 END AS BIGINT) AS weight_bp
+        |  FROM t GROUP BY lang),
+        |p AS (SELECT lang, tokens_avail, weight_bp,
+        |  least(tokens_avail,
+        |    weight_bp * 12 + (weight_bp * 3456) // 10000) AS tokens_target
+        |  FROM g0),
+        |plan AS (SELECT lang,
+        |  CASE WHEN tokens_avail > 0
+        |    THEN (tokens_target * 10000) // tokens_avail
+        |    ELSE CAST(0 AS BIGINT) END AS rate_bp
+        |  FROM p),
+        |x0 AS (SELECT doc_id, lang,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |gate AS (SELECT doc_id, lang,
+        |    CAST((xor(x, x >> 33) >> 20) % 10000 AS BIGINT) AS gate_bp
+        |  FROM x4)
+        |SELECT d.doc_id, d.lang
+        |FROM gate d JOIN plan ON plan.lang = d.lang
+        |WHERE d.gate_bp < plan.rate_bp""".stripMargin,
+
+    // per-conversation sequence packing (exclusive cumsum / 40) then the
+    // ordered newline join — the assembled training example
+    "q_assemble_seqs" ->
+      s"""$T,
+         |t AS (SELECT conv_id, turn_idx, text,
+         |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS BIGINT) AS tok
+         |  FROM turns WHERE text IS NOT NULL),
+         |p AS (SELECT conv_id, turn_idx, text, tok,
+         |  CAST(FLOOR(COALESCE(SUM(tok) OVER (PARTITION BY conv_id
+         |    ORDER BY turn_idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+         |    0) / 40.0) AS BIGINT) AS seq_id
+         |  FROM t)
+         |SELECT conv_id, seq_id, CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(SUM(tok) AS BIGINT) AS seq_tokens,
+         |  string_agg(text, chr(10) ORDER BY turn_idx) AS seq_text
+         |FROM p GROUP BY conv_id, seq_id""".stripMargin,
+
+    // SemDedup: quantized centroid assignment (argmax dot, ties to the
+    // smaller list), within-list exact-cosine pairs at bp=9990
+    // (99800100 = 9990²), transitive closure, min-id keeper
+    "q_semdedup" ->
+      """WITH RECURSIVE qv AS (
+        |  SELECT vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 10000 AS vec_id,
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*0.5*10000) AS BIGINT) for x in embedding] AS qe
+        |  FROM embeddings WHERE vec_id % 7 = 0),
+        |cents AS (SELECT CAST(vec_id // 100 AS INT) AS list_id, qe AS ce
+        |          FROM qv WHERE vec_id % 100 = 0),
+        |cdots AS (SELECT v.vec_id, c.list_id,
+        |  CAST(list_sum([v.qe[i] * c.ce[i] for i in range(1, len(v.qe)+1)]) AS BIGINT) AS cdot
+        |  FROM qv v, cents c),
+        |assign AS (SELECT vec_id, list_id FROM (
+        |  SELECT vec_id, list_id,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY cdot DESC, list_id ASC) AS rnk
+        |  FROM cdots) WHERE rnk = 1),
+        |cand AS (SELECT l.vec_id AS a, r.vec_id AS b
+        |  FROM assign l JOIN assign r
+        |    ON l.list_id = r.list_id AND l.vec_id < r.vec_id),
+        |scored AS (SELECT c.a, c.b,
+        |  CAST(list_sum([ea.qe[i] * eb.qe[i] for i in range(1, len(ea.qe)+1)]) AS BIGINT) AS dot,
+        |  CAST(list_sum([ea.qe[i] * ea.qe[i] for i in range(1, len(ea.qe)+1)]) AS BIGINT) AS sq_a,
+        |  CAST(list_sum([eb.qe[i] * eb.qe[i] for i in range(1, len(eb.qe)+1)]) AS BIGINT) AS sq_b
+        |  FROM cand c
+        |  JOIN qv ea ON ea.vec_id = c.a
+        |  JOIN qv eb ON eb.vec_id = c.b),
+        |pairs AS (SELECT a, b FROM scored
+        |  WHERE dot > 0 AND sq_a > 0 AND sq_b > 0
+        |    AND dot::HUGEINT * dot::HUGEINT * 100000000 >=
+        |        CAST(99800100 AS HUGEINT) * sq_a::HUGEINT * sq_b::HUGEINT),
+        |edges AS (SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs),
+        |walk(id, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, wk.lbl FROM walk wk JOIN edges e ON e.src = wk.id),
+        |lbls AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id)
+        |SELECT a.vec_id, a.list_id,
+        |  COALESCE(l.cluster_id, a.vec_id) AS cluster_id,
+        |  (COALESCE(l.cluster_id, a.vec_id) = a.vec_id) AS is_keeper
+        |FROM assign a LEFT JOIN lbls l ON l.id = a.vec_id""".stripMargin,
+
+    // exact-integer tf-idf core: tf per (doc, term), df from the tf
+    // table, rank by (tf DESC, df ASC, term ASC), top 3 per doc
+    "q_top_terms" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY doc_id, term),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY term),
+        |r AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+        |  row_number() OVER (PARTITION BY tf.doc_id
+        |    ORDER BY tf.tf DESC, dfq.df ASC, tf.term ASC) AS rnk
+        |  FROM tf JOIN dfq USING (term))
+        |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // PERMISSIVE parse: every (turn_idx % 11 = 3) line had its turn_idx
+    // corrupted to 'x' at staging — good fields parse, the bad one
+    // nulls, the raw line lands in quarantine
+    "q_csv_ingest" ->
+      s"""$T
+         |SELECT conv_id,
+         |  CASE WHEN turn_idx % 11 = 3 THEN NULL ELSE turn_idx END AS turn_idx,
+         |  role,
+         |  CASE WHEN turn_idx % 11 = 3
+         |    THEN conv_id || ',x,' || role ELSE NULL END AS raw,
+         |  CASE WHEN turn_idx % 11 = 3 THEN 'false' ELSE 'true' END AS valid
+         |FROM turns""".stripMargin,
+
+    // stream-static enrichment must equal the batch join; the dim is
+    // derived from the same table, so the join reduces to the projection
+    "q_stream_enrich" ->
+      s"""$T
+         |SELECT conv_id, turn_idx, tool, substr(tool, 6, 1) AS tool_cat
+         |FROM turns WHERE tool IS NOT NULL""".stripMargin
   )
 }

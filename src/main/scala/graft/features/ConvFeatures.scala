@@ -1,0 +1,77 @@
+package graft.features
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Conversation-level features over the transcript table
+  * (conv_id, turn_idx, role, text, tool, ts) — the per-entity summary
+  * vector a transcript-training pipeline keys its curation decisions on
+  * (length/role-mix filters, tool-usage stratification, latency QC).
+  *
+  * Scale shape: [[summarize]] is ONE shuffle on conv_id — the gap window
+  * and the final groupBy share HashPartitioning(conv_id), so Catalyst
+  * plans a single Exchange (and over a conv_id-bucketed table, none:
+  * q_bucketed_pipeline's layout serves this family too). All aggregates
+  * are partial-agg friendly except the window's lag, which is why the
+  * window runs first and the aggregation consumes its output in the same
+  * partitioning. Exact-integer outputs (counts, epoch-second gaps) keep
+  * it under the DuckDB oracle (q_conv_features, q_reply_latency).
+  */
+object ConvFeatures {
+
+  /** One row per conversation: turn counts by role, tool usage, time
+    * span, and the largest inter-turn gap (the sessionization signal,
+    * surfaced as a feature). `text` NULLs count zero chars.
+    */
+  def summarize(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
+    val gap = col("ts").cast("long") - lag(col("ts"), 1).over(w).cast("long")
+    turns
+      .withColumn("__gap", gap)
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(when(col("role") === "user", 1L).otherwise(0L)).as("n_user"),
+        sum(when(col("role") === "assistant", 1L).otherwise(0L)).as("n_assistant"),
+        sum(when(col("tool").isNotNull, 1L).otherwise(0L)).as("n_tool_calls"),
+        count_distinct(col("tool")).as("n_distinct_tools"),
+        min(col("ts")).as("first_ts"),
+        max(col("ts")).as("last_ts"),
+        (max(col("ts")).cast("long") - min(col("ts")).cast("long"))
+          .as("duration_sec"),
+        sum(coalesce(length(col("text")).cast("long"), lit(0L)))
+          .as("total_chars"),
+        max(col("__gap")).as("max_gap_sec")
+      )
+  }
+
+  /** Reply latency: for every `user` turn, seconds until the next
+    * `assistant` turn in the conversation's (ts, turn_idx) order — NULL
+    * when the conversation never answers. A label-generation primitive
+    * (it looks FORWARD, like [[AsOfNative.joinForward]]) so it must
+    * never feed features at the same anchor — callers join it as a
+    * training target, not a feature.
+    *
+    * One window over one shuffle: the "next assistant ts" is a running
+    * conditional min over the FOLLOWING row frame, computed in the same
+    * sort the gap features use — no self-join of the turn table against
+    * its own future, which is the naive formulation's extra shuffle.
+    */
+  def replyLatency(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("turn_idx"))
+      .rowsBetween(1, Window.unboundedFollowing)
+    val nextAssist =
+      min(when(col("role") === "assistant", col("ts"))).over(w)
+    turns
+      .withColumn("__next", nextAssist)
+      .filter(col("role") === "user")
+      .select(
+        col("conv_id"),
+        col("turn_idx"),
+        (col("__next").cast("long") - col("ts").cast("long"))
+          .as("latency_sec")
+      )
+  }
+}

@@ -65,6 +65,120 @@ object Curation {
     df.filter(sampleGateBp(col(idCol)) < rate)
   }
 
+  /** Data-dependent mixture plan: given target mixture weights (basis
+    * points per stratum) and a total token budget, compute per stratum
+    * how many tokens to take and the deterministic keep-rate that
+    * [[sampleByPlan]] applies. All integer arithmetic:
+    *
+    *   tokens_target = min(tokens_avail, floor(budget * weight_bp / 10000))
+    *   rate_bp       = floor(10000 * tokens_target / tokens_avail)   (0 when empty)
+    *
+    * The budget×weight product is computed as
+    * `bp*(budget div 10000) + (bp*(budget mod 10000)) div 10000` —
+    * algebraically equal to the floor above but overflow-free at any
+    * int64 budget. `rate_bp` assumes `tokens_avail < 2^63/10^4` (≈9×10^14
+    * tokens per stratum — two orders of magnitude above a 100 TB corpus).
+    *
+    * Scale shape: ONE partial-agg shuffle producing a rows-per-stratum
+    * frame (tiny), on which the plan math is plain projection. Nothing
+    * touches the driver; [[sampleByPlan]] broadcasts the plan back.
+    * Undersupplied strata (avail < target) simply keep everything —
+    * surfaced by `tokens_target = tokens_avail` rather than silently
+    * rescaling other strata, so the caller decides how to re-spread the
+    * unused budget (re-run with renormalized weights over the leftovers).
+    */
+  def mixturePlan(
+      df: DataFrame,
+      strataCol: String,
+      tokens: Column,
+      weightsBp: Map[String, Int],
+      budgetTokens: Long
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    require(weightsBp.values.forall(w => w >= 0 && w <= 10000),
+      "weights are basis points in 0..10000")
+    val weight = weightsBp.foldLeft(lit(0L)) { case (acc, (stratum, bp)) =>
+      when(col(strataCol) === stratum, lit(bp.toLong)).otherwise(acc)
+    }
+    val q = budgetTokens / 10000L
+    val r = budgetTokens % 10000L
+    val idealTarget = col("weight_bp") * q +
+      call_function("div", col("weight_bp") * r, lit(10000L))
+    df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokens).as("tokens_avail"),
+        max(weight).as("weight_bp")
+      )
+      .withColumn("tokens_target", least(col("tokens_avail"), idealTarget))
+      .withColumn("rate_bp",
+        when(col("tokens_avail") > 0,
+          call_function("div", col("tokens_target") * 10000L,
+            col("tokens_avail")))
+          .otherwise(0L))
+  }
+
+  /** Apply a [[mixturePlan]]: keep each row iff its deterministic id gate
+    * falls under its stratum's planned `rate_bp`. Same fmix64 gate (and
+    * therefore the same nesting property) as [[sampleStratified]], but
+    * the rates come from DATA, not a hardcoded map — the plan frame is
+    * broadcast, so the corpus never shuffles and no rate ever rides
+    * through the driver. Strata absent from the plan keep nothing.
+    */
+  def sampleByPlan(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      plan: DataFrame
+  ): DataFrame =
+    df.join(
+        broadcast(plan.select(col(strataCol), col("rate_bp").as("__rate"))),
+        Seq(strataCol), "left")
+      .filter(sampleGateBp(col(idCol)) < coalesce(col("__rate"), lit(0L)))
+      .drop("__rate")
+
+  /** Assemble training sequences from transcript turns: greedily pack
+    * each conversation's non-null-text turns, in (orderCol) order, into
+    * sequences of at most `maxTokens` regex-counted tokens (a turn that
+    * would overflow starts the next sequence — [[packShards]]' contract
+    * with the conversation as the stratum), then materialize one row per
+    * sequence with the newline-joined text. This is the example-assembly
+    * step between a curated corpus and a tokenizer: dataloaders consume
+    * (conv_id, seq_id) → text.
+    *
+    * Scale shape: the pack inherits packShards' two-phase cumsum (no
+    * single-task stratum even for a mega-conversation) and the assembly
+    * groupBy is keyed (conv, seq) — each group is at most one
+    * conversation's slice of `maxTokens`-ish tokens, so the collected
+    * struct array is budget-bounded, not data-bounded.
+    */
+  def assembleSequences(
+      turns: DataFrame,
+      convCol: String,
+      orderCol: String,
+      textCol: String,
+      maxTokens: Long
+  ): DataFrame = {
+    val packed = packShards(
+      turns.filter(col(textCol).isNotNull),
+      strataCol = convCol,
+      orderCol = orderCol,
+      tokens = TextStats.regexTokenCount(col(textCol)),
+      budgetTokens = maxTokens)
+    packed
+      .groupBy(col(convCol), col("shard_seq").as("seq_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        sum(col("n_tokens")).as("seq_tokens"),
+        array_join(
+          transform(
+            sort_array(collect_list(
+              struct(col(orderCol).as("o"), col(textCol).as("t")))),
+            x => x.getField("t")),
+          "\n").as("seq_text")
+      )
+  }
+
   /** Token-budget shard packing: assign each document (ordered by
     * `orderCol` within its `strataCol` group) to training shard
     * `floor(exclusive_cumsum(tokens) / budget)`. A document whose tokens

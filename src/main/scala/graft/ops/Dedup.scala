@@ -233,6 +233,78 @@ object Dedup {
       buckets)
   }
 
+  /** Incremental (delta) dedup: flag each NEW document against the
+    * standing corpus — `drop_exact` when its text hash already exists in
+    * `oldDf`, `drop_near` when it shares at least one MinHash LSH band
+    * with any old document, `kept` when neither. This is how dedup
+    * actually runs at 100 TB: the corpus is deduped ONCE, and every
+    * subsequent ingest batch is checked against the survivors — never
+    * old-vs-old again.
+    *
+    * Scale shape: the old side contributes only its distinct 32-char
+    * hashes and its (band_idx, band_key) table — both are write-once
+    * INDEX artifacts in production (append each accepted batch's rows;
+    * here they are derived inline so the oracle can replay them). Only
+    * the delta computes signatures; both joins shuffle on narrow keys
+    * (hash / band key) with the delta as the small side. For a very
+    * large standing corpus the exact-hash membership check can drop to a
+    * bloom filter (accepting false-positive drops) — not done here
+    * because the contract is exact.
+    *
+    * Near-dup is one-directional by construction (new vs old). Docs with
+    * fewer than `shingleLen` words have no signature, so they can only
+    * be dropped by the exact path — mirrored in the oracle.
+    */
+  def incrementalFlags(
+      newDf: DataFrame,
+      oldDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    val oldHashes = oldDf
+      .select(md5s(col(textCol)).as("hash")).distinct()
+      .withColumn("__ex", lit(true))
+    val oldBands = minhashBands(oldDf, idCol, textCol, k, bands, shingleLen)
+      .select(col("band_idx"), col("band_key")).distinct()
+      .withColumn("__nr", lit(true))
+    val nearHits = minhashBands(newDf, idCol, textCol, k, bands, shingleLen)
+      .join(oldBands, Seq("band_idx", "band_key"), "inner")
+      .select(col("doc").as("__nid")).distinct()
+      .withColumn("__near", lit(true))
+    newDf
+      .select(col(idCol), md5s(col(textCol)).as("hash"))
+      .join(oldHashes, Seq("hash"), "left")
+      .join(nearHits.withColumnRenamed("__nid", idCol), Seq(idCol), "left")
+      .select(
+        col(idCol),
+        coalesce(col("__ex"), lit(false)).as("drop_exact"),
+        coalesce(col("__near"), lit(false)).as("drop_near"),
+        (coalesce(col("__ex"), lit(false)) ||
+          coalesce(col("__near"), lit(false))).unary_!.as("kept")
+      )
+  }
+
+  /** The rows of `newDf` that survive [[incrementalFlags]] — the batch to
+    * append to the standing corpus (and whose hashes/bands to append to
+    * the index).
+    */
+  def incrementalKept(
+      newDf: DataFrame,
+      oldDf: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3
+  ): DataFrame =
+    newDf.join(
+      incrementalFlags(newDf, oldDf, idCol, textCol, k, bands, shingleLen)
+        .filter(col("kept")).select(col(idCol)),
+      Seq(idCol))
+
   /** Word-set Jaccard between explicit doc pairs: returns exact-integer
     * intersection and union sizes (ratio left to the caller — integers
     * compare exactly across engines).

@@ -207,11 +207,6 @@ object Similarity {
       s"minCosineBp must be in 1..10000 (= cosine 0..1], got $minCosineBp)")
     val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
     val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
-    val dec = "decimal(19,0)"
-    val dotD = col("dot").cast(dec)
-    val lhs = dotD * dotD * lit(100000000L).cast(dec)
-    val rhs = lit(minCosineBp.toLong * minCosineBp).cast(dec) *
-      col("sq_a").cast(dec) * col("sq_b").cast(dec)
     lshPairCandidates(corpus, dim, nBits, maxBucketSize, probes)
       .join(ea, Seq("a"))
       .join(eb, Seq("b"))
@@ -220,8 +215,21 @@ object Similarity {
         quantDot(col("ea"), col("eb")).as("dot"),
         quantSqNorm(col("ea")).as("sq_a"),
         quantSqNorm(col("eb")).as("sq_b"))
-      .filter(col("dot") > 0 && col("sq_a") > 0 && col("sq_b") > 0 &&
-        lhs >= rhs)
+      .filter(cosineAtLeastBp(minCosineBp))
+  }
+
+  /** Exact cosine ≥ threshold predicate over the quantized `dot`, `sq_a`,
+    * `sq_b` columns: dot² · 10⁸ ≥ bp² · |a|² · |b|² in decimal(38)
+    * arithmetic — no sqrt, no float, byte-replayable by the oracle in
+    * HUGEINT. Requires positive dot and norms (cosine in (0, 1]).
+    */
+  private def cosineAtLeastBp(minCosineBp: Int): Column = {
+    val dec = "decimal(19,0)"
+    val dotD = col("dot").cast(dec)
+    val lhs = dotD * dotD * lit(100000000L).cast(dec)
+    val rhs = lit(minCosineBp.toLong * minCosineBp).cast(dec) *
+      col("sq_a").cast(dec) * col("sq_b").cast(dec)
+    col("dot") > 0 && col("sq_a") > 0 && col("sq_b") > 0 && lhs >= rhs
   }
 
   /** Shared LSH candidate generation for the near-dup family: (a < b)
@@ -583,4 +591,86 @@ object Similarity {
     }
     cents
   }
+
+  /** SemDedup (semantic dedup, Abbas et al. 2023's shape): partition the
+    * corpus into IVF lists by nearest centroid, find within-list pairs
+    * whose exact quantized cosine clears `minCosineBp`, resolve them to
+    * connected components, and keep one vector (the min id) per
+    * component. Output is a TOTAL assignment: one row per corpus vector
+    * with its list, component label and keep decision — unpaired vectors
+    * are their own singleton component.
+    *
+    * Scale shape: assignment is the zero-shuffle [[ivfListId]] expression
+    * (centroids ride as data); pair generation shuffles only (vec_id,
+    * list_id) rows keyed by list, never embeddings; scoring joins
+    * embeddings by single id; component resolution is
+    * [[Clusters.connectedComponents]] (per-round joins keyed on vertex
+    * id). The within-list pairing is SemDedup's defining approximation —
+    * cross-list near-dups are invisible by design (that loss is the
+    * price of never comparing all pairs) — and `maxListSize` caps the
+    * in-list O(n²/k): an oversized list (degenerate centroid) produces
+    * no pairs and is surfaced by [[semDedupDroppedLists]], mirroring the
+    * LSH hot-bucket audit.
+    */
+  def semDedup(
+      corpus: DataFrame, // (vec_id, embedding)
+      centroids: Seq[(Int, Seq[Float])],
+      minCosineBp: Int,
+      maxListSize: Int = 10000,
+      maxIters: Int = 20
+  ): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(minCosineBp > 0 && minCosineBp <= 10000,
+      s"minCosineBp must be in 1..10000 (= cosine 0..1], got $minCosineBp)")
+    require(maxListSize > 1, s"maxListSize must be > 1, got $maxListSize")
+    val assigned = corpus.select(col("vec_id"),
+      ivfListId(col("embedding"), centroids).as("list_id"))
+    val ok = assigned.groupBy(col("list_id"))
+      .agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > 1 && col("__n") <= maxListSize)
+      .select("list_id")
+    val okIds = assigned.join(ok, Seq("list_id"))
+    val cand = okIds.select(col("list_id"), col("vec_id").as("a"))
+      .join(okIds.select(col("list_id"), col("vec_id").as("b")), Seq("list_id"))
+      .filter(col("a") < col("b"))
+      .select("a", "b")
+    val ea = corpus.select(col("vec_id").as("a"), col("embedding").as("ea"))
+    val eb = corpus.select(col("vec_id").as("b"), col("embedding").as("eb"))
+    val pairs = cand
+      .join(ea, Seq("a"))
+      .join(eb, Seq("b"))
+      .select(
+        col("a"), col("b"),
+        quantDot(col("ea"), col("eb")).as("dot"),
+        quantSqNorm(col("ea")).as("sq_a"),
+        quantSqNorm(col("eb")).as("sq_b"))
+      .filter(cosineAtLeastBp(minCosineBp))
+      .select("a", "b")
+    val labels = Clusters.connectedComponents(pairs, maxIters = maxIters)
+      .withColumnRenamed("id", "vec_id")
+    assigned
+      .join(labels, Seq("vec_id"), "left")
+      .select(
+        col("vec_id"),
+        col("list_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"),
+        (coalesce(col("cluster_id"), col("vec_id")) === col("vec_id"))
+          .as("is_keeper"))
+  }
+
+  /** IVF lists the `maxListSize` cap silences in [[semDedup]]: one row
+    * per oversized list with its vector count — the audit that keeps a
+    * degenerate centroid (half the corpus in one list) from silently
+    * disabling semantic dedup for that mass.
+    */
+  def semDedupDroppedLists(
+      corpus: DataFrame,
+      centroids: Seq[(Int, Seq[Float])],
+      maxListSize: Int = 10000
+  ): DataFrame =
+    corpus
+      .select(ivfListId(col("embedding"), centroids).as("list_id"))
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"))
+      .filter(col("n_vecs") > maxListSize)
 }

@@ -206,4 +206,43 @@ object TextStats {
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
       .limit(k)
   }
+
+  /** Per-document top-k salient terms: the exact-integer core of tf-idf.
+    * Each document's terms are ranked by (tf DESC, df ASC, term ASC) —
+    * term frequency first, corpus rarity as the tiebreak — a
+    * deterministic total order over integers, so it sits under the hard
+    * oracle where a float idf weight (ln((N+1)/(df+1)), whose last-ulp
+    * differs across engines) could not. Callers who want true tf·idf
+    * scores multiply the returned (tf, df) off the exact path; the
+    * RANKING here is the part a keyword-extraction / topic-labeling
+    * stage consumes.
+    *
+    * Scale shape: tf is one (doc, term)-keyed partial agg; df derives
+    * from the tf table by a term-keyed partial agg (count of docs, not a
+    * re-scan); the join back is term-co-partitioned with it; the final
+    * top-k window partitions by doc — bounded by a document's own
+    * distinct-term count, never corpus-sized. No collect, no full sort.
+    */
+  def topTermsPerDoc(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(k > 0, "k must be positive")
+    val tf = df
+      .select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(dfreq, Seq("term"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("df"),
+        col("rnk").cast("long").as("rnk"))
+  }
 }

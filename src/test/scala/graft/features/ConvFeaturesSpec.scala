@@ -1,0 +1,62 @@
+package graft.features
+
+import java.sql.Timestamp
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class ConvFeaturesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(sec: Long) = new Timestamp(sec * 1000L)
+
+  // (conv_id, turn_idx, role, text, tool, ts)
+  private def turns = Seq(
+    ("c1", 0, "user", "hi there", null, ts(100)),
+    ("c1", 1, "assistant", "hello", "tool_0", ts(130)),
+    ("c1", 2, "user", null, null, ts(200)),
+    ("c1", 3, "assistant", "again", "tool_0", ts(500)),
+    ("c2", 0, "user", "lonely", null, ts(50))
+  ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+
+  test("summarize: counts, span, chars, max gap") {
+    val got = ConvFeatures.summarize(turns)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val c1 = got("c1")
+    assert(c1.getLong(1) == 4) // n_turns
+    assert(c1.getLong(2) == 2) // n_user
+    assert(c1.getLong(3) == 2) // n_assistant
+    assert(c1.getLong(4) == 2) // n_tool_calls
+    assert(c1.getLong(5) == 1) // n_distinct_tools
+    assert(c1.getLong(8) == 400) // duration_sec
+    assert(c1.getLong(9) == ("hi there".length + "hello".length +
+      "again".length).toLong) // total_chars, null text = 0
+    assert(c1.getLong(10) == 300) // max gap 200 -> 500
+    val c2 = got("c2")
+    assert(c2.getLong(1) == 1)
+    assert(c2.getLong(8) == 0)
+    assert(c2.isNullAt(10)) // single turn: no gap
+  }
+
+  test("reply latency: next assistant strictly after the user turn; null when never answered") {
+    val got = ConvFeatures.replyLatency(turns)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got.keySet == Set(("c1", 0), ("c1", 2), ("c2", 0)))
+    assert(got(("c1", 0)) == Some(30)) // 100 -> 130
+    assert(got(("c1", 2)) == Some(300)) // 200 -> 500
+    assert(got(("c2", 0)) == None) // never answered
+  }
+
+  test("reply latency: an assistant turn at the SAME ts but later turn_idx counts") {
+    val t = Seq(
+      ("c", 0, "user", ts(100)),
+      ("c", 1, "assistant", ts(100))
+    ).toDF("conv_id", "turn_idx", "role", "ts")
+    val got = ConvFeatures.replyLatency(t).collect()
+    assert(got.length == 1 && got(0).getLong(2) == 0)
+  }
+}
