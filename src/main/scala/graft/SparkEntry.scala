@@ -1319,8 +1319,70 @@ object SparkEntry {
         .start()
       try q.awaitTermination() finally q.stop()
       s.table(view)
+    }),
+
+    // --- ridge quality model: exact sufficient statistics ------------------------
+    // The corpus reduces to ONE X'X / X'y row (decimal(38) partial agg —
+    // exact at 10^12 rows); the d×d solve happens on the driver
+    // (QualityModel.fitRidge, pinned by LinearFitSpec). The stats row is
+    // the part that touches data, so it is the part under the oracle.
+    "q_linfit_stats" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.features(col("text")).map(_._2)
+      graft.ops.QualityModel.sufficientStats(
+        docs(s, dir), feats, (col("lang") === "en").cast("long"))
+    }),
+
+    // --- ridge quality model: fixed-point scoring --------------------------------
+    // Published basis-point weights applied as an exact integer dot —
+    // a scan-fused codegen projection, replayed verbatim by the oracle.
+    "q_quality_score" -> ((s, dir) => {
+      val feats = graft.ops.QualityModel.features(col("text")).map(_._2)
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.QualityModel.scoreFixedPoint(feats, qualityWeightsBp)
+          .as("score_fp"))
     })
   )
+
+  /** Published fixed-point weights for q_quality_score — the artifact a
+    * trained model ships (here: hand-set so the oracle is standalone;
+    * [[graft.ops.QualityModel.fitRidge]] + toFixedPointBp produce the
+    * real thing, exercised in LinearFitSpec).
+    */
+  private val qualityWeightsBp = Seq(15000L, -20L, 450L, -300L, -120L)
+
+  /** The q_linfit_stats / q_quality_score feature columns as DuckDB SQL,
+    * index-aligned with [[graft.ops.QualityModel.features]] — generated
+    * into both oracles so the two can never drift.
+    */
+  private val linfitFeatSql = Seq(
+    """CAST(1 AS BIGINT)""",
+    """CAST(length(text) AS BIGINT)""",
+    """CAST(len(string_split(text, ' ')) AS BIGINT)""",
+    """CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT)""",
+    """CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT)""")
+
+  private def linfitStatsSql: String = {
+    val d = linfitFeatSql.size
+    val fcols = linfitFeatSql.zipWithIndex
+      .map { case (e, i) => s"$e AS f$i" }.mkString(",\n  ")
+    val xtx = for { i <- 0 until d; j <- i until d }
+      yield s"CAST(SUM(f$i * f$j) AS BIGINT) AS xtx_${i}_$j"
+    val xty = (0 until d).map(i => s"CAST(SUM(f$i * lbl) AS BIGINT) AS xty_$i")
+    s"""WITH f AS (SELECT
+       |  $fcols,
+       |  CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS lbl
+       |  FROM documents)
+       |SELECT ${(xtx ++ xty).mkString(",\n  ")},
+       |  CAST(count(*) AS BIGINT) AS n
+       |FROM f""".stripMargin
+  }
+
+  private def qualityScoreSql: String = {
+    val terms = linfitFeatSql.zip(qualityWeightsBp)
+      .map { case (f, w) => s"($w) * $f" }.mkString(" + ")
+    s"""SELECT doc_id, $terms AS score_fp
+       |FROM documents""".stripMargin
+  }
 
   /** Heuristic ASCII merge vocab for the tokenizer-accurate counting
     * queries — stands in for a real training tokenizer's vocabulary
@@ -2891,6 +2953,13 @@ object SparkEntry {
     "q_stream_enrich" ->
       s"""$T
          |SELECT conv_id, turn_idx, tool, substr(tool, 6, 1) AS tool_cat
-         |FROM turns WHERE tool IS NOT NULL""".stripMargin
+         |FROM turns WHERE tool IS NOT NULL""".stripMargin,
+
+    // one exact X'X / X'y row (upper triangle + labels + n), generated
+    // from the same feature-SQL list as the scoring oracle
+    "q_linfit_stats" -> linfitStatsSql,
+
+    // the published bp weights as an integer dot over the same features
+    "q_quality_score" -> qualityScoreSql
   )
 }
