@@ -1321,6 +1321,15 @@ object SparkEntry {
       s.table(view)
     }),
 
+    // --- deterministic exact-k sample per stratum ---------------------------------
+    // The k smallest fmix64 keys per lang — an exact-size seedless
+    // uniform sample, ranked by the two-phase cumsum (packShards with
+    // unit weights), never a per-stratum sort of real rows.
+    "q_sample_topk" -> ((s, dir) =>
+      graft.ops.Curation.sampleExactPerStratum(
+          docs(s, dir).select("doc_id", "lang"), "doc_id", "lang", 20L)
+        .select("doc_id", "lang")),
+
     // --- ridge quality model: exact sufficient statistics ------------------------
     // The corpus reduces to ONE X'X / X'y row (decimal(38) partial agg —
     // exact at 10^12 rows); the d×d solve happens on the driver
@@ -2954,6 +2963,32 @@ object SparkEntry {
       s"""$T
          |SELECT conv_id, turn_idx, tool, substr(tool, 6, 1) AS tool_cat
          |FROM turns WHERE tool IS NOT NULL""".stripMargin,
+
+    // the k smallest fmix64 keys per stratum, replayed as the bijection
+    // plus a rank filter
+    "q_sample_topk" ->
+      """WITH x0 AS (SELECT doc_id, lang,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |sk AS (SELECT doc_id, lang,
+        |  CAST(CAST(xor(x, x >> 33) AS HUGEINT)
+        |    - CASE WHEN xor(x, x >> 33) >= CAST('9223372036854775808' AS UBIGINT)
+        |           THEN CAST('18446744073709551616' AS HUGEINT) ELSE 0 END AS BIGINT) AS skey
+        |  FROM x4)
+        |SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY skey) AS rn
+        |  FROM sk) WHERE rn <= 20""".stripMargin,
 
     // one exact X'X / X'y row (upper triangle + labels + n), generated
     // from the same feature-SQL list as the scoring oracle

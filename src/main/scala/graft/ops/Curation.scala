@@ -65,6 +65,36 @@ object Curation {
     df.filter(sampleGateBp(col(idCol)) < rate)
   }
 
+  /** Deterministic EXACT-k sample per stratum: keep, for each stratum,
+    * the k rows with the smallest fmix64 shuffle key — a seedless,
+    * coordination-free uniform sample whose size is exactly min(k, n)
+    * per stratum (rate-based sampling only hits its size in
+    * expectation). Re-running, re-partitioning or re-ordering the input
+    * cannot change the selection: the key is a pure function of the id.
+    *
+    * Scale shape: this is [[packShards]] with every row weighing 1 and
+    * budget k — rank-within-stratum via the two-phase cumsum, so a
+    * dominant stratum never serializes into one task and no per-stratum
+    * sort of real rows ever runs (a `row_number` window would be exactly
+    * that). Keep ⇔ the row's 0-based rank in key order < k ⇔ its
+    * pack shard is 0.
+    */
+  def sampleExactPerStratum(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      k: Long
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(!df.columns.contains("__skey"),
+      "sampleExactPerStratum reserves the column name __skey")
+    val keyed = df.withColumn("__skey", shuffleKey(col(idCol)))
+    packShards(keyed, strataCol, "__skey", lit(1L),
+        budgetTokens = k, chunkSpan = 1L << 48)
+      .filter(col("shard_seq") === 0L)
+      .select(df.columns.map(col).toSeq: _*)
+  }
+
   /** Data-dependent mixture plan: given target mixture weights (basis
     * points per stratum) and a total token budget, compute per stratum
     * how many tokens to take and the deterministic keep-rate that

@@ -60,6 +60,29 @@ class MixtureSpec extends AnyFunSuite {
       .select("lang").as[String].collect().toSet == Set("en"))
   }
 
+  test("sampleExactPerStratum: exact size, sort-equivalent selection, small strata kept whole") {
+    val docs = (0L until 300L).map(i =>
+      (i, if (i % 5 == 0) "big" else if (i < 3) "tiny" else "mid"))
+      .filter { case (_, s) => s != "mid" }
+      .toDF("doc_id", "lang")
+    val got = Curation.sampleExactPerStratum(docs, "doc_id", "lang", 10L)
+    assert(got.columns.toSeq == Seq("doc_id", "lang"),
+      "helper columns dropped, original schema kept")
+    val byStratum = got.as[(Long, String)].collect().groupBy(_._2)
+    assert(byStratum("big").length == 10, "exactly k from a large stratum")
+    assert(byStratum("tiny").length == 2, // ids 1, 2 (0 is "big")
+      "stratum smaller than k kept whole")
+    // selection = the k smallest shuffle keys (sort-based reference)
+    val ref = docs
+      .withColumn("__k", Curation.shuffleKey(col("doc_id")))
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("lang")).orderBy(col("__k"))))
+      .filter(col("__rn") <= 10)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(got.select("doc_id").as[Long].collect().sorted.toSeq == ref)
+  }
+
   test("assembleSequences: budget boundaries, ordered join, null text dropped") {
     val turns = Seq(
       // conv a: token counts 3, 4, 5 with budget 7 ->
