@@ -1321,6 +1321,62 @@ object SparkEntry {
       s.table(view)
     }),
 
+    // --- overlapping word-window chunking -----------------------------------------
+    // Document → embedding-unit splitter: 16-word windows, stride 8
+    // (8 words of overlap), scan-side generate + slice projections.
+    "q_chunk_words" -> ((s, dir) =>
+      TextStats.chunkWords(docs(s, dir), "doc_id", "text",
+        chunkWords = 16, strideWords = 8)),
+
+    // --- STREAM-STREAM event-time interval join -----------------------------------
+    // User turns ⋈ tool turns of the same conversation within one hour,
+    // both sides replayed as watermarked file streams; Spark's symmetric
+    // hash join buffers only (watermark delay + window) of state. Must
+    // equal the batch interval-join SQL.
+    "q_stream_join" -> ((s, dir) => {
+      import graft.streaming.StreamingFeatures
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_sjoin").toString
+      val t = turns(s, dir)
+      val lBatch = t.filter(col("role") === "user")
+        .select(col("conv_id"), col("turn_idx").as("u_turn_idx"),
+          col("ts").as("u_ts"))
+      val rBatch = t.filter(col("tool").isNotNull)
+        .select(col("conv_id"), col("turn_idx").as("t_turn_idx"),
+          col("tool"), col("ts").as("t_ts"))
+      def stageStream(df: DataFrame, tsCol: String, sub: String): String = {
+        val watched = s"$tmp/$sub"
+        val nChunks = 3
+        val ordered = df.withColumn("__chunk",
+          ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col(tsCol))))
+        (1 to nChunks).foreach { i =>
+          stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+            s"$tmp/scratch_${sub}_$i", watched, s"chunk-$i.parquet",
+            1700000000000L + i * 10000L)
+        }
+        watched
+      }
+      val watchedL = stageStream(lBatch, "u_ts", "left")
+      val watchedR = stageStream(rBatch, "t_ts", "right")
+      val view = freshStreamView(s, "q_stream_join_sink_")
+      val lStream = s.readStream.schema(lBatch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watchedL)
+      val rStream = s.readStream.schema(rBatch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watchedR)
+      val q = StreamingFeatures
+        .intervalJoin(lStream, "u_ts", rStream, "t_ts", "conv_id",
+          windowSec = 3600L, watermark = "2 hours")
+        .select(col("conv_id"), col("u_turn_idx"), col("t_turn_idx"),
+          col("tool"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(view)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(view)
+    }),
+
     // --- deterministic exact-k sample per stratum ---------------------------------
     // The k smallest fmix64 keys per lang — an exact-size seedless
     // uniform sample, ranked by the two-phase cumsum (packShards with
@@ -2963,6 +3019,32 @@ object SparkEntry {
       s"""$T
          |SELECT conv_id, turn_idx, tool, substr(tool, 6, 1) AS tool_cat
          |FROM turns WHERE tool IS NOT NULL""".stripMargin,
+
+    // window geometry replayed with list slicing: chunk i covers words
+    // [i*8+1, i*8+16], n = 1 + ceil(max(0, nw-16)/8)
+    "q_chunk_words" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |  FROM documents WHERE text IS NOT NULL),
+        |n AS (SELECT doc_id, ws, CAST(len(ws) AS BIGINT) AS nw,
+        |  1 + (greatest(CAST(len(ws) AS BIGINT) - 16, 0) + 7) // 8 AS nchunks
+        |  FROM w),
+        |c AS (SELECT doc_id, ws, nw,
+        |  unnest(range(0, nchunks)) AS i FROM n)
+        |SELECT doc_id, i AS chunk_idx,
+        |  i * 8 + 1 AS word_start,
+        |  least(CAST(16 AS BIGINT), nw - i * 8) AS n_words,
+        |  array_to_string(ws[(i * 8 + 1):(i * 8 + 16)], ' ') AS chunk_text
+        |FROM c""".stripMargin,
+
+    // the stream-stream interval join must equal the batch interval join
+    "q_stream_join" ->
+      s"""$T
+         |SELECT l.conv_id, l.turn_idx AS u_turn_idx,
+         |  r.turn_idx AS t_turn_idx, r.tool
+         |FROM (SELECT * FROM turns WHERE role = 'user') l
+         |JOIN (SELECT * FROM turns WHERE tool IS NOT NULL) r
+         |  ON r.conv_id = l.conv_id AND r.ts >= l.ts
+         | AND r.ts <= l.ts + INTERVAL 3600 SECOND""".stripMargin,
 
     // the k smallest fmix64 keys per stratum, replayed as the bijection
     // plus a rank filter

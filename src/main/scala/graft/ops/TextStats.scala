@@ -207,6 +207,53 @@ object TextStats {
       .limit(k)
   }
 
+  /** Overlapping word-window chunks — the document → embedding-unit
+    * splitter: chunk i covers words [1 + i·stride, 1 + i·stride + chunk)
+    * of the single-space word split, and windows are emitted until the
+    * document's tail is covered (n = 1 + ceil(max(0, n_words − chunk) /
+    * stride), so every doc yields ≥ 1 chunk and the last window may be
+    * short). chunk ≥ stride ⇒ consecutive chunks overlap by
+    * (chunk − stride) words of context.
+    *
+    * Scale shape: one scan-side Generate (explode over a computed index
+    * sequence) + array-slice projections — no shuffle, no UDF; output
+    * row count is Σ per-doc n, known from n_words before the explode.
+    * Reconstruction-faithful on single-space text (split/join
+    * round-trip); exact-integer geometry under the oracle
+    * (q_chunk_words).
+    */
+  def chunkWords(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      chunkWords: Int,
+      strideWords: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(chunkWords > 0 && strideWords > 0,
+      "chunkWords and strideWords must be positive")
+    val ws = split(col(textCol), " ", -1)
+    val nw = size(ws)
+    val n = lit(1L) +
+      call_function("div",
+        greatest(nw.cast("long") - chunkWords, lit(0L)) + (strideWords - 1),
+        lit(strideWords.toLong))
+    df.filter(col(textCol).isNotNull)
+      .select(
+        col(idCol),
+        ws.as("__ws"),
+        explode(sequence(lit(0L), n - 1L)).as("chunk_idx"))
+      .select(
+        col(idCol),
+        col("chunk_idx"),
+        (col("chunk_idx") * strideWords + 1L).as("word_start"),
+        least(lit(chunkWords.toLong),
+          size(col("__ws")).cast("long") - col("chunk_idx") * strideWords)
+          .as("n_words"),
+        concat_ws(" ",
+          slice(col("__ws"), (col("chunk_idx") * strideWords + 1L).cast("int"),
+            lit(chunkWords))).as("chunk_text"))
+  }
+
   /** Per-document top-k salient terms: the exact-integer core of tf-idf.
     * Each document's terms are ranked by (tf DESC, df ASC, term ASC) —
     * term frequency first, corpus rarity as the tiebreak — a

@@ -166,6 +166,42 @@ object StreamingFeatures {
       .groupBy(window(col("ts"), windowLen), col("role"))
       .agg(count(lit(1)).as("n"))
 
+  /** STREAM-STREAM event-time interval join: each left row pairs with
+    * the right rows of the same `key` whose `rightTs` lies in
+    * [leftTs, leftTs + windowSec] — e.g. "tool results within an hour of
+    * the user turn". Both sides carry a watermark, so Spark's symmetric
+    * hash join can evict buffered state once the watermark passes a
+    * row's last possible match; state is bounded by (watermark delay +
+    * window) of traffic per side, not the stream's history.
+    *
+    * Correctness constraint (stated, and what q_stream_join pins): the
+    * watermark delay must be at least the join window plus the maximum
+    * event-time disorder between the two sources — a smaller delay
+    * silently evicts left rows whose matches have not arrived. The
+    * right-side key column is renamed internally; output columns are the
+    * left columns then the right's non-key columns.
+    */
+  def intervalJoin(
+      left: DataFrame,
+      leftTs: String,
+      right: DataFrame,
+      rightTs: String,
+      key: String,
+      windowSec: Long,
+      watermark: String
+  ): DataFrame = {
+    require(windowSec >= 0, "windowSec must be non-negative")
+    val l = left.withWatermark(leftTs, watermark)
+    val r = right.withColumnRenamed(key, "__rkey")
+      .withWatermark(rightTs, watermark)
+    l.join(r,
+        col(key) === col("__rkey") &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) +
+            expr(s"INTERVAL $windowSec SECOND"))
+      .drop("__rkey")
+  }
+
   /** Stateful gap sessionization via flatMapGroupsWithState with BOUNDED
     * state: per conversation the state is a 3-long summary accumulator for
     * the open session (count/min/max ts) plus the emitted-session counter —
