@@ -97,6 +97,11 @@ case class IvfProbeLists(
       : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     child.dataType match {
       case ArrayType(org.apache.spark.sql.types.FloatType, _) =>
+        // containsNull = true is accepted (parquet reads arrays as
+        // nullable-element even when no element is null) but a null
+        // ELEMENT throws in IvfProbeImpl.probe — ArrayData.getFloat
+        // would otherwise read it as 0.0f and silently skew the dots,
+        // against this expression's fail-loud stance
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case other =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
