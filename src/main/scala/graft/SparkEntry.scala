@@ -1405,6 +1405,102 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         graft.ops.QualityModel.scoreFixedPoint(feats, qualityWeightsBp)
           .as("score_fp"))
+    }),
+
+    // --- KMV distinct-cardinality sketch ------------------------------------------
+    // Distinct users per event type via the k-minimum-values order
+    // statistic: O(k) mergeable state, only k-long arrays cross the
+    // shuffle. The fmix64 bijection makes the k-th minimum exactly
+    // replayable (the oracle sorts the true distinct hash set).
+    "q_kmv_distinct" -> ((s, dir) =>
+      graft.ops.Sketches.kmvDistinct(
+        Tables.read(s, dir, "events"), Seq("event_type"), "user_id", 128)),
+
+    // --- deterministic Bloom membership pre-filter --------------------------------
+    // Standing-corpus text digests packed into a 256-word filter; the
+    // delta batch probes it as a zero-shuffle codegen'd projection
+    // (filter as a reference object). true_dup is the exact answer —
+    // every true_dup row must have bloom_hit (no false negatives); the
+    // surplus bloom_hit rows are the (deterministic) false positives.
+    "q_bloom_filter" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("text").isNotNull)
+      val key = conv(substring(md5(col("text").cast("binary")), 1, 15),
+        16, 10).cast("long")
+      val standing = d.filter(col("doc_id") % 3 =!= 0).select(key.as("k"))
+      val built = graft.ops.Sketches.bloomBuild(
+        standing, col("k"), nWords = 256, nHashes = 3)
+      val words = graft.ops.Sketches.bloomWords(built, 256)
+      // delta = genuinely-new docs (parity 0) + re-ingested members
+      // (parity 1 re-id'd): the latter MUST all hit (no false negatives)
+      val delta = d.filter(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), key.as("k"))
+        .unionAll(d.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), key.as("k")))
+      val probed = graft.ops.Sketches.bloomMightContain(
+        delta, col("k"), words, 3)
+      val standKeys = standing.distinct()
+        .withColumnRenamed("k", "__sk").withColumn("__dup", lit(true))
+      probed.join(broadcast(standKeys), col("k") === col("__sk"), "left")
+        .select(col("doc_id"), col("bloom_hit"),
+          coalesce(col("__dup"), lit(false)).as("true_dup"))
+    }),
+
+    // --- PPS (weight-proportional) sampling ---------------------------------------
+    // Expected 30 docs per lang, inclusion probability ∝ n_chars, as a
+    // broadcast-total + scan-fused exact-decimal predicate; p_num/p_den
+    // is the exact Horvitz–Thompson inclusion probability.
+    "q_pps_sample" -> ((s, dir) =>
+      graft.ops.Curation.samplePps(
+        docs(s, dir).select("doc_id", "lang", "n_chars"),
+        "doc_id", "lang", col("n_chars"), 30L)),
+
+    // --- trailing turn-context assembly -------------------------------------------
+    // Per turn: the previous ≤3 turns' role-tagged text — point-in-time
+    // correct by frame construction (ends at 1 PRECEDING), bounded
+    // window state, one conv_id exchange.
+    "q_turn_context" -> ((s, dir) =>
+      graft.features.ConvFeatures.turnContext(turns(s, dir), 3)),
+
+    // --- BOUNDED-STATE streaming dedup (watermark eviction) -----------------------
+    // dropDuplicatesWithinWatermark: first occurrence per content hash
+    // wins and its state is evicted once the watermark passes — the
+    // bounded-state twin of q_stream_dedup. Event times span 900 s
+    // against a 1 h delay, so every duplicate lands within its
+    // original's lifetime and the output equals exact batch dedup.
+    "q_stream_dedup_wm" -> ((s, dir) => {
+      import graft.streaming.StreamingFeatures
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_sdwm").toString
+      val watched = s"$tmp/watched"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val union = d.unionAll(
+        d.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val hashed = union.select(
+        col("doc_id"),
+        md5(col("text").cast("binary")).as("hash"),
+        timestamp_seconds(lit(1700000000L) + (col("doc_id") % 900L)).as("ts"))
+      val nChunks = 4
+      val ordered = hashed.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("hash"), col("doc_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val view = freshStreamView(s, "stream_dedup_wm_")
+      val src = s.readStream.schema(hashed.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watched)
+      val q = StreamingFeatures
+        .dedupWithinWatermark(src, "ts", Seq("hash"), "1 hour")
+        .select(col("doc_id"), col("hash"))
+        .writeStream.outputMode("append").format("memory").queryName(view)
+        .option("checkpointLocation", s"$tmp/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(view)
     })
   )
 
@@ -1458,6 +1554,34 @@ object SparkEntry {
     "er", "an", "qu", "le", "e", "t", "a", " ")
 
   // ---------------------------------------------------------------- oracle
+
+  /** fmix64 replayed as DuckDB LATERAL ALIAS columns: takes a UBIGINT
+    * input expression, exposes the mixed value as alias `u` (UBIGINT).
+    * Same bit math as the older per-CTE replays (q_sample_mix etc.),
+    * compacted via DuckDB's same-SELECT alias references so new oracles
+    * don't re-inline six CTEs each.
+    */
+  private def fmixLateralSql(in: String): String =
+    s"""xor($in, CAST(11400714819323198485 AS UBIGINT)) AS __m0,
+       |  xor(__m0, __m0 >> 33) AS __m1,
+       |  CAST(((((__m1 >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+       |    + (__m1 & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT))
+       |    % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS __m2,
+       |  xor(__m2, __m2 >> 33) AS __m3,
+       |  CAST(((((__m3 >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+       |    + (__m3 & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT))
+       |    % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS __m4,
+       |  xor(__m4, __m4 >> 33) AS u""".stripMargin
+
+  /** The Bloom probe salts (j·φ mod 2^64) as a SQL VALUES list —
+    * generated from [[graft.exprs.BloomImpl.Phi]] so the expression and
+    * the oracle can never drift.
+    */
+  private def bloomSaltValues(nHashes: Int): String =
+    (0 until nHashes).map { j =>
+      val salt = j.toLong * graft.exprs.BloomImpl.Phi
+      s"(CAST(${java.lang.Long.toUnsignedString(salt)} AS UBIGINT))"
+    }.mkString(", ")
 
   /** The vocab as a SQL VALUES list — generated from [[bpeVocab]] so the
     * Spark expression and the recursive oracle can never drift.
@@ -3077,6 +3201,108 @@ object SparkEntry {
     "q_linfit_stats" -> linfitStatsSql,
 
     // the published bp weights as an integer dot over the same features
-    "q_quality_score" -> qualityScoreSql
+    "q_quality_score" -> qualityScoreSql,
+
+    // KMV replayed against the TRUE distinct set: sort every distinct
+    // mixed hash, take the k=128 smallest, estimate (k-1)*2^64/(u_k+1)
+    // by exact integer division
+    "q_kmv_distinct" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |m AS (SELECT event_type,
+         |  ${fmixLateralSql("CAST(user_id AS UBIGINT)")}
+         |  FROM d),
+         |r AS (SELECT event_type, u,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+         |  FROM m),
+         |kth AS (SELECT event_type, count(*) AS k_used, max(u) AS kth
+         |  FROM r WHERE rn <= 128 GROUP BY event_type),
+         |n AS (SELECT event_type, count(user_id) AS n_ids FROM events
+         |  GROUP BY event_type)
+         |SELECT n.event_type, n.n_ids,
+         |  CAST(COALESCE(k.k_used, 0) AS BIGINT) AS k_used,
+         |  CAST(CAST(k.kth AS HUGEINT) AS DECIMAL(38,0)) AS kth_hash_u,
+         |  CAST(CASE WHEN COALESCE(k.k_used, 0) < 128 THEN COALESCE(k.k_used, 0)::HUGEINT
+         |       ELSE (127 * CAST('18446744073709551616' AS HUGEINT))
+         |            // (CAST(k.kth AS HUGEINT) + 1) END AS DECIMAL(38,0))
+         |    AS est_distinct,
+         |  (COALESCE(k.k_used, 0) < 128) AS est_exact
+         |FROM n LEFT JOIN kth k USING (event_type)""".stripMargin,
+
+    // Bloom build + probe replayed bit-for-bit: 63 bits/word, probe j
+    // mixes key ⊕ salt_j, position (u >> 1) mod 256·63; membership is
+    // bool_and over the three probe bits. true_dup is the exact join.
+    "q_bloom_filter" ->
+      s"""WITH ks AS (SELECT doc_id,
+         |    CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS k
+         |  FROM documents WHERE text IS NOT NULL),
+         |stand AS (SELECT k FROM ks WHERE doc_id % 3 <> 0),
+         |delta AS (SELECT doc_id, k FROM ks WHERE doc_id % 3 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2000000 AS doc_id, k FROM ks WHERE doc_id % 9 = 1),
+         |salts(salt) AS (VALUES ${bloomSaltValues(3)}),
+         |bpos AS (SELECT
+         |  ${fmixLateralSql("xor(CAST(k AS UBIGINT), salt)")},
+         |  CAST((u >> 1) % 16128 AS BIGINT) AS p
+         |  FROM stand, salts),
+         |words AS (SELECT CAST(p // 63 AS INTEGER) AS word_idx,
+         |    bit_or(CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)) AS bits
+         |  FROM bpos GROUP BY 1),
+         |dpos AS (SELECT doc_id, k,
+         |  ${fmixLateralSql("xor(CAST(k AS UBIGINT), salt)")},
+         |  CAST((u >> 1) % 16128 AS BIGINT) AS p
+         |  FROM delta, salts),
+         |hit AS (SELECT doc_id, k,
+         |    bool_and(COALESCE(
+         |      (w.bits & (CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)))
+         |        = (CAST(1 AS BIGINT) << CAST(p % 63 AS INTEGER)), FALSE))
+         |      AS bloom_hit
+         |  FROM dpos LEFT JOIN words w ON w.word_idx = CAST(p // 63 AS INTEGER)
+         |  GROUP BY doc_id, k)
+         |SELECT h.doc_id, h.bloom_hit,
+         |  (EXISTS (SELECT 1 FROM stand s WHERE s.k = h.k)) AS true_dup
+         |FROM hit h""".stripMargin,
+
+    // PPS keep rule u·W < w·2^64·k in HUGEINT; p_num/p_den is the exact
+    // inclusion probability min(k·w, W)/W
+    "q_pps_sample" ->
+      s"""WITH d AS (SELECT doc_id, lang, n_chars FROM documents),
+         |t AS (SELECT lang, CAST(SUM(n_chars) AS HUGEINT) AS wtot FROM d
+         |  GROUP BY lang),
+         |m AS (SELECT doc_id, lang, n_chars,
+         |  ${fmixLateralSql("CAST(doc_id AS UBIGINT)")}
+         |  FROM d)
+         |SELECT m.lang, m.doc_id, m.n_chars,
+         |  CAST(least(CAST(m.n_chars AS HUGEINT) * 30, t.wtot) AS DECIMAL(38,0)) AS p_num,
+         |  CAST(t.wtot AS DECIMAL(38,0)) AS p_den
+         |FROM m JOIN t USING (lang)
+         |WHERE CAST(m.u AS HUGEINT) * t.wtot
+         |  < CAST(m.n_chars AS HUGEINT) * CAST('18446744073709551616' AS HUGEINT) * 30""".stripMargin,
+
+    // strictly-preceding frame: the first turn's context is empty, not
+    // NULL; list order is the window order (ts, turn_idx)
+    "q_turn_context" ->
+      s"""$T
+         |SELECT conv_id, turn_idx, role,
+         |  COALESCE(array_to_string(list(role || ': ' || COALESCE(text, ''))
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '')
+         |    AS context_text,
+         |  CAST(COALESCE(len(list(role) OVER (PARTITION BY conv_id
+         |    ORDER BY ts, turn_idx ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)), 0)
+         |    AS BIGINT) AS context_turns
+         |FROM turns""".stripMargin,
+
+    // bounded-state dedup where every duplicate arrives within its
+    // original's watermark lifetime ⇒ output is exact first-wins dedup;
+    // arrival is (hash, doc_id)-sorted so "first" = min(doc_id)
+    "q_stream_dedup_wm" ->
+      """WITH u AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |h AS (SELECT doc_id, md5(text) AS hash FROM u)
+        |SELECT min(doc_id) AS doc_id, hash FROM h GROUP BY hash""".stripMargin
   )
 }

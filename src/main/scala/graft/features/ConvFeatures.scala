@@ -58,6 +58,37 @@ object ConvFeatures {
     * sort the gap features use — no self-join of the turn table against
     * its own future, which is the naive formulation's extra shuffle.
     */
+  /** Trailing context assembly: for every turn, the concatenation of the
+    * previous (up to) `lookback` turns' role-prefixed text in the
+    * conversation's (ts, turn_idx) order — the "context window" column a
+    * turn-level training example carries. Strictly PRECEDING rows only
+    * (frame ends at 1 PRECEDING), so the feature is point-in-time
+    * correct by construction: a turn never sees itself or its future
+    * (the zero-leakage contract the as-of family enforces). NULL texts
+    * contribute their role tag with an empty body; the first turn gets
+    * an empty context, not NULL, so downstream tokenization needs no
+    * null branch.
+    *
+    * Scale shape: one conv_id shuffle; the window frame is BOUNDED at
+    * `lookback` rows, so per-row state is O(lookback·avg_text) — no
+    * running unbounded collect. Over the bucketed layout the Exchange
+    * disappears entirely (same partitioning as the rest of this family).
+    */
+  def turnContext(turns: DataFrame, lookback: Int): DataFrame = {
+    require(lookback > 0, "lookback must be positive")
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("turn_idx"))
+      .rowsBetween(-lookback, -1)
+    val tagged = concat(col("role"), lit(": "), coalesce(col("text"), lit("")))
+    turns.select(
+      col("conv_id"),
+      col("turn_idx"),
+      col("role"),
+      concat_ws("\n", collect_list(tagged).over(w)).as("context_text"),
+      size(collect_list(tagged).over(w)).cast("long").as("context_turns")
+    )
+  }
+
   def replyLatency(turns: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id"))
       .orderBy(col("ts"), col("turn_idx"))

@@ -167,6 +167,59 @@ object Curation {
       .filter(sampleGateBp(col(idCol)) < coalesce(col("__rate"), lit(0L)))
       .drop("__rate")
 
+  /** Probability-proportional-to-size (PPS) sampling with a
+    * deterministic hash threshold: keep a row iff
+    *
+    *   u(id) · W  <  w · 2^64 · k
+    *
+    * where u(id) is the row's unsigned fmix64 key, w its weight
+    * (e.g. token count), W the stratum's total weight, and k the target
+    * expected sample size per stratum. That is exactly "keep with
+    * probability min(1, k·w/W)" with the hash as the uniform draw — a
+    * weighted sample that is seedless, reproducible, and NESTED in k
+    * (k1 < k2 ⇒ sample(k1) ⊆ sample(k2)), with heavy rows (w ≥ W/k)
+    * kept with certainty. Output adds the exact inclusion probability
+    * as a rational `p_num/p_den = min(k·w, W)/W` for downstream
+    * Horvitz–Thompson reweighting.
+    *
+    * All arithmetic is exact decimal(38,0); the comparison domain needs
+    * w·k < 5.4·10^18 (10^38/2^64) — e.g. billion-token documents at
+    * k up to 10^9. Negative weights fail loud (packShards' contract).
+    *
+    * Scale shape: ONE tiny partial-agg shuffle for the per-stratum
+    * totals, broadcast back; the keep decision is then a zero-shuffle
+    * scan-fused predicate — the corpus itself never shuffles, exactly
+    * like [[sampleByPlan]] but weight-proportional instead of uniform.
+    */
+  def samplePps(
+      df: DataFrame,
+      idCol: String,
+      strataCol: String,
+      weight: Column,
+      k: Long
+  ): DataFrame = {
+    require(k > 0, "k (expected sample size per stratum) must be positive")
+    val reserved = Seq("__w", "__wtot", "__u", "p_num", "p_den")
+    require(!reserved.exists(df.columns.contains),
+      s"samplePps reserves the column names ${reserved.mkString(", ")}")
+    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    val guarded = when(weight >= 0L, weight).otherwise(raise_error(concat(
+      lit("samplePps: negative weight "), weight.cast("string"),
+      lit(" — weights must be >= 0"))))
+    val weighted = df.withColumn("__w", guarded.cast("long").cast(dec38))
+    val totals = weighted.groupBy(col(strataCol))
+      .agg(sum(col("__w")).as("__wtot"))
+    val m = shuffleKey(col(idCol))
+    val u = when(m < 0L, m.cast(dec38) + two64).otherwise(m.cast(dec38))
+    weighted
+      .join(broadcast(totals), Seq(strataCol))
+      .filter(u * col("__wtot") < col("__w") * two64 * lit(k).cast(dec38))
+      .withColumn("p_num", least(col("__w") * lit(k).cast(dec38), col("__wtot")))
+      .withColumn("p_den", col("__wtot"))
+      .drop("__w", "__wtot")
+  }
+
   /** Assemble training sequences from transcript turns: greedily pack
     * each conversation's non-null-text turns, in (orderCol) order, into
     * sequences of at most `maxTokens` regex-counted tokens (a turn that

@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.exprs.{BloomImpl, BloomProbe, KMinHashAgg}
+
+/** Deterministic, exactly-replayable sketches for corpus-scale set
+  * questions: KMV order statistics for distinct cardinality and a
+  * packed Bloom filter for membership pre-filtering. Both are mergeable
+  * with O(sketch) state — the only structures that answer "how many
+  * distinct / have we seen this" over 100 TB without shuffling the raw
+  * key stream — and both are built on the repo's fmix64 bijection, so a
+  * SQL oracle replays every bit (no RNG, no JVM-private hash seeds).
+  */
+object Sketches {
+
+  private def bridge(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftBridge.column(e)
+  private def expr(c: Column) =
+    org.apache.spark.sql.GraftBridge.expression(c)
+
+  private val dec38 = DecimalType(38, 0)
+  private val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+
+  /** Exact floor(a / b) on non-negative decimal(38,0) columns: Spark's
+    * decimal division rounds at scale, so `floor(a / b)` can round a
+    * hair-under-integer quotient UP first; `(a − a mod b) / b` divides
+    * exactly (the remainder is exact) and matches integer `//`.
+    */
+  private def floorDiv(a: Column, b: Column): Column =
+    ((a - (a % b)) / b).cast(dec38)
+
+  /** Map a signed int64 hash column to its unsigned value in
+    * decimal(38,0) — the domain the KMV estimator is stated over.
+    */
+  private def unsignedDec(h: Column): Column =
+    when(h < 0L, h.cast(dec38) + two64).otherwise(h.cast(dec38))
+
+  /** Per-group distinct-cardinality estimate via the k-minimum-values
+    * sketch: group rows by `groupCols`, mix `idCol` through the fmix64
+    * bijection (distinct ids ⇒ distinct hashes, so the order statistic
+    * is exact, not probabilistic-in-collisions), keep the k smallest
+    * (unsigned) values with O(k) mergeable state ([[KMinHashAgg]]), and
+    * estimate
+    *
+    *   n_distinct ≈ floor((k−1)·2^64 / (u_(k) + 1))
+    *
+    * where u_(k) is the k-th smallest unsigned hash. When a group holds
+    * fewer than k distinct ids the sketch saw the entire set and the
+    * count is EXACT (`est_exact = true`).
+    *
+    * Scale shape: one partial-agg shuffle where only O(k)-long arrays
+    * cross the wire — never the id stream itself; the estimator math is
+    * pure projection on one row per group. Nothing touches the driver,
+    * and sketches for disjoint corpus slices union by re-aggregating
+    * the arrays (exploded) through the same aggregate.
+    */
+  def kmvDistinct(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    val mixed = Curation.shuffleKey(col(idCol))
+    val agg = bridge(KMinHashAgg(expr(mixed), k).toAggregateExpression())
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(col(idCol)).as("n_ids"),
+        agg.as("__mins"))
+      .select(
+        (groupCols.map(col) ++ Seq(
+          col("n_ids"),
+          size(col("__mins")).cast("long").as("k_used"),
+          when(size(col("__mins")) > 0,
+            unsignedDec(element_at(col("__mins"), size(col("__mins")))))
+            .as("kth_hash_u"),
+          when(size(col("__mins")) < k,
+            size(col("__mins")).cast("long").cast(dec38))
+            .otherwise(floorDiv(
+              lit((k - 1).toLong).cast(dec38) * two64,
+              unsignedDec(element_at(col("__mins"), size(col("__mins"))))
+                + lit(1L).cast(dec38)))
+            .as("est_distinct"),
+          (size(col("__mins")) < k).as("est_exact"))): _*)
+  }
+
+  /** Build a packed Bloom filter over an int64 key column as a
+    * (word_idx, bits) frame: each key sets `nHashes` bit positions
+    * (fmix64 of key ⊕ j·φ, see [[BloomImpl]]) in an m = nWords·63-bit
+    * array. One partial-agg shuffle keyed by word_idx (bit_or combines
+    * map-side), output is exactly `≤ nWords` rows no matter the corpus
+    * size — broadcastable state, the point of the structure.
+    */
+  def bloomBuild(
+      df: DataFrame,
+      keyCol: Column,
+      nWords: Int,
+      nHashes: Int
+  ): DataFrame = {
+    require(nWords > 0, "nWords must be positive")
+    require(nHashes > 0 && nHashes <= 16, "nHashes must be in [1, 16]")
+    val m = nWords.toLong * BloomImpl.BitsPerWord
+    // salts precomputed on the JVM (wrapping multiply) — ANSI-safe
+    val salts = (0 until nHashes).map(j => j.toLong * BloomImpl.Phi)
+    df.select(keyCol.cast("long").as("__key"))
+      .filter(col("__key").isNotNull)
+      .select(col("__key"),
+        explode(array(salts.map(lit(_)): _*)).as("__salt"))
+      .select(
+        (shiftrightunsigned(
+          Curation.shuffleKey(col("__key").bitwiseXOR(col("__salt"))), 1)
+          % m).as("__pos"))
+      .select(
+        (col("__pos") / BloomImpl.BitsPerWord).cast("int").as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          (col("__pos") % BloomImpl.BitsPerWord).cast("int")).as("__mask"))
+      .groupBy(col("word_idx"))
+      .agg(bit_or(col("__mask")).as("bits"))
+  }
+
+  /** Assemble a built filter into the packed long[] the probe expression
+    * carries. The collect is bounded by `nWords` — a CONFIG constant
+    * (8 B/word ⇒ a 1-in-10⁶-FP filter over 10⁹ keys is ~2.7 GB; size it
+    * for the driver/executor budget like any broadcast). Words never set
+    * by the build are zero.
+    */
+  def bloomWords(built: DataFrame, nWords: Int): Array[Long] = {
+    val words = new Array[Long](nWords)
+    built.select(col("word_idx"), col("bits")).collect().foreach { r =>
+      words(r.getInt(0)) = r.getLong(1)
+    }
+    words
+  }
+
+  /** Probe: adds `bloom_hit` — true iff every probe bit of `keyCol` is
+    * set. Zero-shuffle codegen'd projection with the filter as a
+    * reference object ([[BloomProbe]]); no false negatives, so
+    * `bloom_hit = false` rows can skip any exact check, and only the
+    * (FP-rate-bounded) positives pay the real join.
+    */
+  def bloomMightContain(
+      df: DataFrame,
+      keyCol: Column,
+      words: Array[Long],
+      nHashes: Int
+  ): DataFrame =
+    df.withColumn("bloom_hit",
+      bridge(BloomProbe(expr(keyCol.cast("long")), words, nHashes)))
+}

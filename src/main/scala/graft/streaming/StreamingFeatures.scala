@@ -156,6 +156,33 @@ object StreamingFeatures {
       )
   }
 
+  /** BOUNDED-STATE streaming dedup: first occurrence per `keyCols` wins,
+    * but state for a key is evicted once the event-time watermark passes
+    * it — the trade [[dedupExact]]'s scaladoc documents ("exact dedup is
+    * unbounded by definition") made concrete: this variant holds only
+    * (watermark delay) of traffic's keys and in exchange a duplicate
+    * arriving more than `delay` after its original is re-emitted as
+    * fresh. That is the right contract for a firehose where duplicates
+    * cluster in time (retries, replays, crawler revisits) and the
+    * standing corpus catches stragglers in batch compaction.
+    *
+    * Emission is immediate (no watermark buffering on output) and only
+    * kept rows flow downstream; within a micro-batch the winner among
+    * same-key rows follows per-partition arrival order, so a
+    * deterministic replay must arrive key-sorted (q_stream_dedup_wm
+    * stages single-part files sorted by (key, id)).
+    */
+  def dedupWithinWatermark(
+      docs: DataFrame,
+      tsCol: String,
+      keyCols: Seq[String],
+      delay: String
+  ): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one dedup key column")
+    docs.withWatermark(tsCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+  }
+
   /** Event-time windowed role counts with a watermark (late rows beyond
     * the watermark are dropped, bounding state).
     */

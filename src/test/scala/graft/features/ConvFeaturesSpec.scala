@@ -59,4 +59,29 @@ class ConvFeaturesSpec extends AnyFunSuite {
     val got = ConvFeatures.replyLatency(t).collect()
     assert(got.length == 1 && got(0).getLong(2) == 0)
   }
+
+  test("turnContext: strictly-preceding frame, lookback bound, null text, empty first") {
+    val got = ConvFeatures.turnContext(turns, 2)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getString(3), r.getLong(4)))).toMap
+    assert(got(("c1", 0)) == (("", 0L)), "first turn: empty context, not null")
+    assert(got(("c1", 1)) == (("user: hi there", 1L)))
+    assert(got(("c1", 2)) == (("user: hi there\nassistant: hello", 2L)))
+    // lookback 2 drops turn 0; null text keeps its role tag with empty body
+    assert(got(("c1", 3)) == (("assistant: hello\nuser: ", 2L)))
+    assert(got(("c2", 0)) == (("", 0L)))
+  }
+
+  test("turnContext: never sees the current or future turns (zero leakage)") {
+    val ctx = ConvFeatures.turnContext(turns, 10).collect()
+    ctx.foreach { r =>
+      val own = turns.collect().find(t =>
+        t.getString(0) == r.getString(0) && t.getInt(1) == r.getInt(1)).get
+      Option(own.getString(3)).filter(_.nonEmpty).foreach { text =>
+        assert(!r.getString(3).contains(text),
+          s"context of ${r.getString(0)}/${r.getInt(1)} leaked its own text")
+      }
+    }
+  }
 }

@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+import graft.exprs.{BloomImpl, SampleHashImpl}
+
+class SketchSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- KMV
+
+  test("kmvDistinct: below-k group is exact; estimate within KMV error") {
+    val df = Seq.tabulate(5000)(i => ("big", i.toLong % 1200)) ++
+      Seq.tabulate(40)(i => ("small", i.toLong))
+    val out = Sketches
+      .kmvDistinct(df.toDF("g", "id"), Seq("g"), "id", 256)
+      .collect().map(r => r.getString(0) -> r).toMap
+
+    val small = out("small")
+    assert(small.getAs[Long]("k_used") == 40L)
+    assert(small.getAs[Boolean]("est_exact"))
+    assert(small.getDecimal(4).longValueExact() == 40L, "exact branch = k_used")
+
+    val big = out("big")
+    assert(big.getAs[Long]("k_used") == 256L)
+    assert(!big.getAs[Boolean]("est_exact"))
+    val est = big.getDecimal(4).longValueExact()
+    // KMV relative error ~ 1/sqrt(k) ≈ 6%; allow 3x that
+    assert(est > 1000 && est < 1450, s"estimate $est for true 1200")
+  }
+
+  test("kmvDistinct: invariant under partitioning (mergeable partials)") {
+    val base = Seq.tabulate(3000)(i => ("g", (i % 700).toLong)).toDF("g", "id")
+    val a = Sketches.kmvDistinct(base.repartition(1), Seq("g"), "id", 64).collect()
+    val b = Sketches.kmvDistinct(base.repartition(13), Seq("g"), "id", 64).collect()
+    assert(a.map(_.toString).toSeq == b.map(_.toString).toSeq,
+      "the sketch is an order statistic of a set — partitioning must not matter")
+  }
+
+  test("kmvDistinct: duplicate ids collapse (distinct semantics)") {
+    val dup = (Seq.fill(50)(7L) ++ Seq.fill(50)(8L)).map(("g", _)).toDF("g", "id")
+    val r = Sketches.kmvDistinct(dup, Seq("g"), "id", 16).collect().head
+    assert(r.getAs[Long]("k_used") == 2L)
+    assert(r.getDecimal(4).longValueExact() == 2L)
+  }
+
+  // -------------------------------------------------------------- Bloom
+
+  test("bloom: zero false negatives, and position math matches BloomImpl") {
+    val members = (0L until 300L).map(_ * 17L)
+    val built = Sketches.bloomBuild(members.toDF("k"), col("k"), 64, 3)
+    val words = Sketches.bloomWords(built, 64)
+    // every member must hit — via the expression AND the reference impl
+    val hits = Sketches
+      .bloomMightContain(members.toDF("k"), col("k"), words, 3)
+      .agg(sum(when(col("bloom_hit"), 0L).otherwise(1L))).as[Long].head()
+    assert(hits == 0L, "a Bloom filter can never miss a member")
+    members.foreach(m => assert(BloomImpl.mightContain(m, words, 3)))
+  }
+
+  test("bloom: a saturated filter false-positives, an empty one never hits") {
+    val members = (0L until 5000L).toDF("k")
+    val tiny = Sketches.bloomWords(
+      Sketches.bloomBuild(members, col("k"), 2, 3), 2) // 126 bits, 5000 keys
+    val fp = (100000L until 100100L).count(BloomImpl.mightContain(_, tiny, 3))
+    assert(fp > 90, s"a saturated filter should hit nearly everything, hit $fp/100")
+    val empty = new Array[Long](64)
+    assert((0L until 100L).forall(!BloomImpl.mightContain(_, empty, 3)))
+  }
+
+  test("bloom: bit 63 is never used (checked-shift-safe packing)") {
+    val words = Sketches.bloomWords(
+      Sketches.bloomBuild((0L until 10000L).toDF("k"), col("k"), 4, 4), 4)
+    words.foreach(w => assert(w >= 0L, "sign bit must stay clear"))
+  }
+
+  // ---------------------------------------------------------------- PPS
+
+  test("samplePps: certainty rows always kept, inclusion prob exact") {
+    // one heavy row (w=1000) among 100 light (w=1): W=1100, k=2 ⇒ the
+    // heavy row has k·w=2000 > W ⇒ certainty
+    val df = (Seq((0L, 1000L)) ++ (1L to 100L).map((_, 1L)))
+      .toDF("id", "w").withColumn("s", lit("x"))
+    val kept = Curation.samplePps(df, "id", "s", col("w"), 2L)
+    val heavy = kept.filter(col("id") === 0L).collect()
+    assert(heavy.length == 1, "w ≥ W/k row must be kept with certainty")
+    assert(heavy.head.getDecimal(3).longValueExact() == 1100L, "p_num capped at W")
+    assert(heavy.head.getDecimal(4).longValueExact() == 1100L)
+    val light = kept.filter(col("id") =!= 0L).select("p_num").collect()
+    light.foreach(r => assert(r.getDecimal(0).longValueExact() == 2L,
+      "light row p_num = k·w = 2"))
+  }
+
+  test("samplePps: nested in k and weight-0 rows never kept") {
+    val df = (1L to 400L).map(i => (i, i % 7)).toDF("id", "w")
+      .withColumn("s", lit("x"))
+    def keptIds(k: Long): Set[Long] =
+      Curation.samplePps(df, "id", "s", col("w"), k)
+        .select("id").as[Long].collect().toSet
+    val k5 = keptIds(5L); val k20 = keptIds(20L)
+    assert(k5.subsetOf(k20), "samples must nest in k")
+    val zeros = df.filter(col("w") === 0).select("id").as[Long].collect().toSet
+    assert(k20.intersect(zeros).isEmpty, "zero-weight rows are never sampled")
+  }
+
+  test("samplePps: negative weight fails loud") {
+    val df = Seq((1L, -5L)).toDF("id", "w").withColumn("s", lit("x"))
+    val e = intercept[Exception] {
+      Curation.samplePps(df, "id", "s", col("w"), 1L).collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
+
+  test("unsigned order: fmix64 keys with the sign bit set sort after positives") {
+    // find ids whose mixed keys straddle the sign bit and check the
+    // sketch's k-th minimum respects UNSIGNED order
+    val ids = (0L until 2000L)
+    val negs = ids.count(i => SampleHashImpl.mix(i) < 0)
+    assert(negs > 500, "the mix should hit the top bit about half the time")
+    val r = Sketches.kmvDistinct(ids.toDF("id").withColumn("g", lit("x")),
+      Seq("g"), "id", 100).collect().head
+    val kth = r.getDecimal(3)
+    assert(kth.compareTo(new java.math.BigDecimal("9223372036854775807")) < 0,
+      "with 2000 uniform keys the 100th unsigned minimum must be far below 2^63")
+  }
+}

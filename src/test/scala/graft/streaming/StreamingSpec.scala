@@ -297,4 +297,34 @@ class StreamingSpec extends AnyFunSuite {
       assert(streamed.contains(k), s"missing closed session $k")
     }
   }
+
+  test("dedupWithinWatermark: in-window dups dropped, expired keys re-admitted") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx = spark.sqlContext
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val in = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = in.toDF.toDF("id", "hash", "ts")
+    val view = "dedup_wm_test"
+    spark.sql(s"DROP TABLE IF EXISTS $view")
+    val q = StreamingFeatures
+      .dedupWithinWatermark(df, "ts", Seq("hash"), "10 seconds")
+      .writeStream.outputMode("append").format("memory").queryName(view)
+      .start()
+    try {
+      // batch 1: first occurrence of A kept, in-batch dup dropped
+      in.addData((1L, "A", ts(100)), (2L, "A", ts(101)))
+      q.processAllAvailable()
+      // batch 2: dup within the watermark window → dropped; B is new.
+      // B's ts advances the watermark to 120 - 10 = 110, past A's state
+      in.addData((3L, "A", ts(105)), (4L, "B", ts(120)))
+      q.processAllAvailable()
+      // batch 3: A's state was evicted (event time 100 < watermark 110)
+      // → re-admitted as fresh: the documented bounded-state trade
+      in.addData((5L, "A", ts(121)))
+      q.processAllAvailable()
+      val got = spark.table(view).select("id").as[Long].collect().toSet
+      assert(got == Set(1L, 4L, 5L),
+        s"expected first A, B, and the re-admitted A; got $got")
+    } finally q.stop()
+  }
 }
