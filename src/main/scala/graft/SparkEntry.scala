@@ -1427,22 +1427,33 @@ object SparkEntry {
       val key = conv(substring(md5(col("text").cast("binary")), 1, 15),
         16, 10).cast("long")
       val standing = d.filter(col("doc_id") % 3 =!= 0).select(key.as("k"))
-      val built = graft.ops.Sketches.bloomBuild(
-        standing, col("k"), nWords = 256, nHashes = 3)
-      val words = graft.ops.Sketches.bloomWords(built, 256)
       // delta = genuinely-new docs (parity 0) + re-ingested members
       // (parity 1 re-id'd): the latter MUST all hit (no false negatives)
       val delta = d.filter(col("doc_id") % 3 === 0)
         .select(col("doc_id"), key.as("k"))
         .unionAll(d.filter(col("doc_id") % 9 === 1)
           .select((col("doc_id") + 2000000L).as("doc_id"), key.as("k")))
-      val probed = graft.ops.Sketches.bloomMightContain(
-        delta, col("k"), words, 3)
-      val standKeys = standing.distinct()
-        .withColumnRenamed("k", "__sk").withColumn("__dup", lit(true))
-      probed.join(broadcast(standKeys), col("k") === col("__sk"), "left")
+      graft.ops.Sketches
+        .membershipWithBloomFastPath(delta, "k", standing, 256, 3)
         .select(col("doc_id"), col("bloom_hit"),
-          coalesce(col("__dup"), lit(false)).as("true_dup"))
+          col("is_member").as("true_dup"))
+    }),
+
+    // --- KMV sketch MERGE (sketch-of-sketches) ------------------------------------
+    // Per-(event_type, event_id%4) sketches re-aggregated to per-type
+    // estimates: KMV merge is lossless (the union's k smallest are among
+    // each part's k smallest), so the merged estimate equals the
+    // from-scratch one — the oracle IS q_kmv_distinct's — while only
+    // k-long arrays ever move. This is the cross-day / cross-source
+    // cardinality rollup a 100 TB corpus runs nightly.
+    "q_kmv_merge" -> ((s, dir) => {
+      val ev = Tables.read(s, dir, "events")
+      val fine = graft.ops.Sketches.kmvSketch(
+        ev.withColumn("part", col("event_id") % 4),
+        Seq("event_type", "part"), "user_id", 128)
+      graft.ops.Sketches.kmvEstimate(
+        graft.ops.Sketches.kmvMergeSketches(fine, Seq("event_type"), 128),
+        Seq("event_type"), 128)
     }),
 
     // --- PPS (weight-proportional) sampling ---------------------------------------
@@ -1572,6 +1583,35 @@ object SparkEntry {
        |    + (__m3 & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT))
        |    % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS __m4,
        |  xor(__m4, __m4 >> 33) AS u""".stripMargin
+
+  /** The KMV oracle: sort every distinct mixed hash, take the k=128
+    * smallest, estimate (k−1)·2^64/(u_k+1) by exact integer division.
+    * Shared verbatim by q_kmv_distinct and q_kmv_merge — the merge is
+    * lossless, so the merged sketch must reproduce the from-scratch
+    * answer bit for bit.
+    */
+  private def kmvDistinctSql: String =
+    s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+       |  WHERE user_id IS NOT NULL),
+       |m AS (SELECT event_type,
+       |  ${fmixLateralSql("CAST(user_id AS UBIGINT)")}
+       |  FROM d),
+       |r AS (SELECT event_type, u,
+       |  row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+       |  FROM m),
+       |kth AS (SELECT event_type, count(*) AS k_used, max(u) AS kth
+       |  FROM r WHERE rn <= 128 GROUP BY event_type),
+       |n AS (SELECT event_type, count(user_id) AS n_ids FROM events
+       |  GROUP BY event_type)
+       |SELECT n.event_type, n.n_ids,
+       |  CAST(COALESCE(k.k_used, 0) AS BIGINT) AS k_used,
+       |  CAST(CAST(k.kth AS HUGEINT) AS DECIMAL(38,0)) AS kth_hash_u,
+       |  CAST(CASE WHEN COALESCE(k.k_used, 0) < 128 THEN COALESCE(k.k_used, 0)::HUGEINT
+       |       ELSE (127 * CAST('18446744073709551616' AS HUGEINT))
+       |            // (CAST(k.kth AS HUGEINT) + 1) END AS DECIMAL(38,0))
+       |    AS est_distinct,
+       |  (COALESCE(k.k_used, 0) < 128) AS est_exact
+       |FROM n LEFT JOIN kth k USING (event_type)""".stripMargin
 
   /** The Bloom probe salts (j·φ mod 2^64) as a SQL VALUES list —
     * generated from [[graft.exprs.BloomImpl.Phi]] so the expression and
@@ -3206,28 +3246,11 @@ object SparkEntry {
     // KMV replayed against the TRUE distinct set: sort every distinct
     // mixed hash, take the k=128 smallest, estimate (k-1)*2^64/(u_k+1)
     // by exact integer division
-    "q_kmv_distinct" ->
-      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events
-         |  WHERE user_id IS NOT NULL),
-         |m AS (SELECT event_type,
-         |  ${fmixLateralSql("CAST(user_id AS UBIGINT)")}
-         |  FROM d),
-         |r AS (SELECT event_type, u,
-         |  row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
-         |  FROM m),
-         |kth AS (SELECT event_type, count(*) AS k_used, max(u) AS kth
-         |  FROM r WHERE rn <= 128 GROUP BY event_type),
-         |n AS (SELECT event_type, count(user_id) AS n_ids FROM events
-         |  GROUP BY event_type)
-         |SELECT n.event_type, n.n_ids,
-         |  CAST(COALESCE(k.k_used, 0) AS BIGINT) AS k_used,
-         |  CAST(CAST(k.kth AS HUGEINT) AS DECIMAL(38,0)) AS kth_hash_u,
-         |  CAST(CASE WHEN COALESCE(k.k_used, 0) < 128 THEN COALESCE(k.k_used, 0)::HUGEINT
-         |       ELSE (127 * CAST('18446744073709551616' AS HUGEINT))
-         |            // (CAST(k.kth AS HUGEINT) + 1) END AS DECIMAL(38,0))
-         |    AS est_distinct,
-         |  (COALESCE(k.k_used, 0) < 128) AS est_exact
-         |FROM n LEFT JOIN kth k USING (event_type)""".stripMargin,
+    "q_kmv_distinct" -> kmvDistinctSql,
+
+    // the merged sketch must equal the from-scratch one (lossless KMV
+    // merge) — so the oracle is LITERALLY the same SQL
+    "q_kmv_merge" -> kmvDistinctSql,
 
     // Bloom build + probe replayed bit-for-bit: 63 bits/word, probe j
     // mixes key ⊕ salt_j, position (u >> 1) mod 256·63; membership is

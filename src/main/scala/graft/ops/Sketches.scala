@@ -62,29 +62,85 @@ object Sketches {
       groupCols: Seq[String],
       idCol: String,
       k: Int
+  ): DataFrame =
+    kmvEstimate(kmvSketch(df, groupCols, idCol, k), groupCols, k)
+
+  /** The raw sketch frame: one row per group with `n_ids` (non-null id
+    * count) and `mins` (the ascending unsigned k-minimum array). This is
+    * the MATERIALIZABLE artifact — persist it per corpus slice / day /
+    * source and re-aggregate later: KMV merge is lossless (the k
+    * smallest of a union are among the k smallest of each part), so
+    * estimates from merged sketches equal estimates from scratch.
+    */
+  def kmvSketch(
+      df: DataFrame,
+      groupCols: Seq[String],
+      idCol: String,
+      k: Int
   ): DataFrame = {
     val mixed = Curation.shuffleKey(col(idCol))
     val agg = bridge(KMinHashAgg(expr(mixed), k).toAggregateExpression())
     df.groupBy(groupCols.map(col): _*)
       .agg(
         count(col(idCol)).as("n_ids"),
-        agg.as("__mins"))
-      .select(
-        (groupCols.map(col) ++ Seq(
-          col("n_ids"),
-          size(col("__mins")).cast("long").as("k_used"),
-          when(size(col("__mins")) > 0,
-            unsignedDec(element_at(col("__mins"), size(col("__mins")))))
-            .as("kth_hash_u"),
-          when(size(col("__mins")) < k,
-            size(col("__mins")).cast("long").cast(dec38))
-            .otherwise(floorDiv(
-              lit((k - 1).toLong).cast(dec38) * two64,
-              unsignedDec(element_at(col("__mins"), size(col("__mins"))))
-                + lit(1L).cast(dec38)))
-            .as("est_distinct"),
-          (size(col("__mins")) < k).as("est_exact"))): _*)
+        agg.as("mins"))
   }
+
+  /** Merge sketches down to a coarser grouping: explode the min-arrays
+    * and push them through the SAME bounded aggregate (values are
+    * already mixed — no re-hash), summing the id counts. Input rows are
+    * [[kmvSketch]] outputs at any finer grouping; output is a sketch
+    * frame at `groupCols`. Only k-long arrays are read or shuffled.
+    */
+  def kmvMergeSketches(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      k: Int
+  ): DataFrame = {
+    val agg = bridge(
+      KMinHashAgg(expr(col("__v")), k).toAggregateExpression())
+    sketches
+      // outer explode keeps all-empty parts alive (their group must
+      // still appear, with n_ids 0); count each SOURCE row's n_ids once
+      // (at element position 0) since the explode repeats it per element
+      .select((groupCols.map(col) :+ col("n_ids") :+
+        posexplode_outer(col("mins")).as(Seq("pos", "__v"))): _*)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        sum(when(coalesce(col("pos"), lit(0)) === 0, col("n_ids"))
+          .otherwise(0L)).as("n_ids"),
+        agg.as("mins"))
+      .select((groupCols.map(col) :+ col("n_ids") :+ col("mins")): _*)
+  }
+
+  /** Estimator projection over a sketch frame (from [[kmvSketch]] or
+    * [[kmvMergeSketches]]): k_used, the k-th unsigned minimum, and
+    *
+    *   n_distinct ≈ floor((k−1)·2^64 / (u_(k) + 1))
+    *
+    * — EXACT (`est_exact = true`) when the group held fewer than k
+    * distinct ids. Pure projection; no data motion.
+    */
+  def kmvEstimate(
+      sketches: DataFrame,
+      groupCols: Seq[String],
+      k: Int
+  ): DataFrame =
+    sketches.select(
+      (groupCols.map(col) ++ Seq(
+        col("n_ids"),
+        size(col("mins")).cast("long").as("k_used"),
+        when(size(col("mins")) > 0,
+          unsignedDec(element_at(col("mins"), size(col("mins")))))
+          .as("kth_hash_u"),
+        when(size(col("mins")) < k,
+          size(col("mins")).cast("long").cast(dec38))
+          .otherwise(floorDiv(
+            lit((k - 1).toLong).cast(dec38) * two64,
+            unsignedDec(element_at(col("mins"), size(col("mins"))))
+              + lit(1L).cast(dec38)))
+          .as("est_distinct"),
+        (size(col("mins")) < k).as("est_exact"))): _*)
 
   /** Build a packed Bloom filter over an int64 key column as a
     * (word_idx, bits) frame: each key sets `nHashes` bit positions
@@ -148,4 +204,42 @@ object Sketches {
   ): DataFrame =
     df.withColumn("bloom_hit",
       bridge(BloomProbe(expr(keyCol.cast("long")), words, nHashes)))
+
+  /** EXACT membership of `newDf[keyName]` in `oldKeys[keyName]` with the
+    * Bloom no-false-negative guarantee as the fast path: every row gets
+    * `bloom_hit`; rows with `bloom_hit = false` are definitively
+    * non-members and NEVER enter the confirm join — only the positives
+    * (true members + the FP-rate sliver) do. The result is exact
+    * (`is_member`), not probabilistic: the filter only routes.
+    *
+    * Scale shape: the new side's join input shrinks from |new| to
+    * |members| + FP·|new| — at a typical 1% duplicate rate and 10⁻³ FP
+    * rate, ~99% of a 100 TB ingest skips the shuffle entirely. The old
+    * side still feeds the confirm join once (distinct keys); keep the
+    * standing index pre-partitioned by key so that side's exchange
+    * disappears too.
+    */
+  def membershipWithBloomFastPath(
+      newDf: DataFrame,
+      keyName: String,
+      oldKeys: DataFrame,
+      nWords: Int,
+      nHashes: Int
+  ): DataFrame = {
+    val words = bloomWords(
+      bloomBuild(oldKeys, col(keyName), nWords, nHashes), nWords)
+    val probed = bloomMightContain(newDf, col(keyName), words, nHashes)
+    val outCols = (newDf.columns :+ "bloom_hit").map(col).toSeq
+    val misses = probed.filter(!col("bloom_hit"))
+      .select(outCols: _*)
+      .withColumn("is_member", lit(false))
+    val confirmed = probed.filter(col("bloom_hit"))
+      .join(
+        oldKeys.select(col(keyName).cast("long").as("__ok")).distinct()
+          .withColumn("__m", lit(true)),
+        col(keyName).cast("long") === col("__ok"), "left")
+      .select((outCols :+
+        coalesce(col("__m"), lit(false)).as("is_member")): _*)
+    misses.unionByName(confirmed)
+  }
 }

@@ -48,6 +48,27 @@ class SketchSpec extends AnyFunSuite {
     assert(r.getDecimal(4).longValueExact() == 2L)
   }
 
+  test("kmvMergeSketches: merged estimate equals from-scratch (lossless merge)") {
+    val rows = Seq.tabulate(4000)(i =>
+      ("g" + (i % 3), i % 5, (i % 900).toLong)).toDF("g", "part", "id")
+    val direct = Sketches.kmvDistinct(rows, Seq("g"), "id", 64)
+      .orderBy("g").collect().map(_.toString)
+    val fine = Sketches.kmvSketch(rows, Seq("g", "part"), "id", 64)
+    val merged = Sketches.kmvEstimate(
+      Sketches.kmvMergeSketches(fine, Seq("g"), 64), Seq("g"), 64)
+      .orderBy("g").collect().map(_.toString)
+    assert(merged.toSeq == direct.toSeq)
+  }
+
+  test("kmvMergeSketches: all-empty parts keep their group alive with n_ids 0") {
+    val sk = Sketches.kmvSketch(
+      Seq(("g1", Some(1L)), ("g2", None), ("g2", None))
+        .toDF("g", "id"), Seq("g"), "id", 8)
+    val merged = Sketches.kmvMergeSketches(sk, Seq("g"), 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(merged == Map("g1" -> 1L, "g2" -> 0L))
+  }
+
   // -------------------------------------------------------------- Bloom
 
   test("bloom: zero false negatives, and position math matches BloomImpl") {
@@ -76,6 +97,39 @@ class SketchSpec extends AnyFunSuite {
     val words = Sketches.bloomWords(
       Sketches.bloomBuild((0L until 10000L).toDF("k"), col("k"), 4, 4), 4)
     words.foreach(w => assert(w >= 0L, "sign bit must stay clear"))
+  }
+
+  test("membershipWithBloomFastPath: exact vs plain join; misses skip the join") {
+    val old = (0L until 400L).map(_ * 3L).toDF("k")
+    val nw = (0L until 900L).map(i => (i, i)).toDF("id", "k")
+    val got = Sketches.membershipWithBloomFastPath(nw, "k", old, 32, 3)
+    val gotMap = got.collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(2), r.getBoolean(3)))).toMap
+    (0L until 900L).foreach { i =>
+      val (hit, member) = gotMap(i)
+      assert(member == (i % 3 == 0 && i < 1200), s"wrong membership for $i")
+      if (member) assert(hit, "a member can never be a bloom miss")
+      if (!hit) assert(!member)
+    }
+    // the confirm join's probe side must be gated on bloom_hit: walk the
+    // optimized plan and check every Join's left subtree filters on the
+    // probe expression
+    val plan = org.apache.spark.sql.GraftBridge.logicalPlan(got)
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    assert(joins.nonEmpty)
+    joins.foreach { j =>
+      val gated = j.left.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter
+            if f.condition.references.exists(_.name == "bloom_hit") => f
+      }
+      assert(gated.nonEmpty, "confirm join probe side is not bloom-gated")
+      val probes = j.left.collect {
+        case p if p.expressions.exists(
+          _.exists(_.isInstanceOf[graft.exprs.BloomProbe])) => p
+      }
+      assert(probes.nonEmpty, "probe expression missing below the join")
+    }
   }
 
   // ---------------------------------------------------------------- PPS
