@@ -1439,6 +1439,19 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- skew-aware join (hot keys broadcast, cold keys shuffled) ------------------
+    // turns ⋈ conversation dims with conversations above 66 turns routed
+    // through a broadcast of their dim rows — the mega-conversation
+    // never enters the shuffle join. Output ≡ the plain join (the oracle
+    // is exactly that); only the route differs. Threshold 66 splits the
+    // fixture roughly in half so BOTH paths carry rows.
+    "q_skew_join" -> ((s, dir) => {
+      val t = turns(s, dir).select("conv_id", "turn_idx", "role")
+      val dim = graft.features.ConvFeatures.summarize(turns(s, dir))
+        .select(col("conv_id"), col("n_turns"), col("duration_sec"))
+      graft.features.Skew.skewJoin(t, dim, Seq("conv_id"), 66L)
+    }),
+
     // --- KMV sketch MERGE (sketch-of-sketches) ------------------------------------
     // Per-(event_type, event_id%4) sketches re-aggregated to per-type
     // estimates: KMV merge is lossless (the union's k smallest are among
@@ -3242,6 +3255,17 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // the skew-aware join must equal the plain join — the oracle IS the
+    // plain join
+    "q_skew_join" ->
+      s"""$T,
+         |d AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         |  CAST(FLOOR(epoch(max(ts))) AS BIGINT) -
+         |    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS duration_sec
+         |  FROM turns GROUP BY conv_id)
+         |SELECT t.conv_id, t.turn_idx, t.role, d.n_turns, d.duration_sec
+         |FROM turns t JOIN d USING (conv_id)""".stripMargin,
 
     // KMV replayed against the TRUE distinct set: sort every distinct
     // mixed hash, take the k=128 smallest, estimate (k-1)*2^64/(u_k+1)

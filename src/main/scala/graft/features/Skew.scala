@@ -83,4 +83,53 @@ object Skew {
       partials = Seq(count(lit(1)) -> "__n", sum(col(valueCol)) -> "__s"),
       merges = Seq(sum(col("__n")) -> "n", sum(col("__s")) -> "s")
     )
+
+  /** The keys of `df` whose row count exceeds `threshold` — the "hot"
+    * set a skew-aware plan special-cases. One partial-agg shuffle over
+    * the key columns only (never payload); output is as many rows as
+    * there are hot keys, which is small by definition (a key is hot
+    * BECAUSE few keys hold most rows).
+    */
+  def hotKeys(df: DataFrame, keys: Seq[String], threshold: Long): DataFrame = {
+    require(threshold > 0, "threshold must be positive")
+    df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("hot_n"))
+      .filter(col("hot_n") > threshold)
+  }
+
+  /** Skew-aware inner equi-join (north rule: "broadcast of skewed
+    * conversations"): rows whose key is HOT join against a BROADCAST of
+    * the right side's hot slice — the mega-conversation never funnels
+    * into one sort-merge partition — while cold keys take the normal
+    * shuffle join. Output ≡ `left.join(right, keys)` exactly; only the
+    * route differs.
+    *
+    * This is the case AQE's skew splitting does NOT cover: AQE splits an
+    * oversized left partition but still SHUFFLES it (and only
+    * post-shuffle); routing hot keys through a broadcast removes the hot
+    * rows from the exchange entirely, which matters when one
+    * conversation is tens of GB. The broadcast is `right ⋉ hotKeys` —
+    * size it by the right side's per-key payload (a per-conv dim row),
+    * NOT by the left's row count; `threshold` controls that trade.
+    *
+    * Scale shape: one key-only count shuffle (hot detection) + one
+    * broadcast of (hot keys ⋉ right) + one shuffle join of the cold
+    * remainder. The hot-key frame is broadcast into both split filters,
+    * so the left scans twice but never shuffles its hot rows.
+    */
+  def skewJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      hotThreshold: Long
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one join key")
+    val hot = broadcast(hotKeys(left, keys, hotThreshold).drop("hot_n"))
+    val leftHot = left.join(hot, keys, "left_semi")
+    val leftCold = left.join(hot, keys, "left_anti")
+    val rightHot = right.join(hot, keys, "left_semi")
+    val hotJoined = leftHot.join(broadcast(rightHot), keys)
+    val coldJoined = leftCold.join(right, keys)
+    hotJoined.unionByName(coldJoined)
+  }
 }

@@ -40,4 +40,46 @@ class SkewSpec extends AnyFunSuite {
     val partialCount = salted.groupBy("k", "__salt").count().count()
     assert(partialCount > 1, "salt must split the hot key")
   }
+
+  test("skewJoin equals the plain join on a mega-key fixture") {
+    // one conversation holds 90% of the rows — the exact shape the
+    // hot-path broadcast exists for
+    val left = ((1 to 900).map(i => ("mega", i)) ++
+      (1 to 100).map(i => ("c" + (i % 25), i))).toDF("k", "v")
+    val right = (Seq("mega") ++ (0 until 25).map("c" + _))
+      .zipWithIndex.map { case (k, i) => (k, i * 10) }.toDF("k", "dim")
+    val plain = left.join(right, Seq("k")).collect()
+      .map(_.toString).sorted.toSeq
+    val skewed = Skew.skewJoin(left, right, Seq("k"), 100L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(skewed == plain)
+  }
+
+  test("skewJoin routes: hot side is a broadcast join, cold side is not") {
+    val left = ((1 to 500).map(i => ("mega", i)) ++
+      (1 to 50).map(i => ("c" + i, i))).toDF("k", "v")
+    val right = (Seq("mega") ++ (1 to 50).map("c" + _))
+      .map((_, 1L)).toDF("k", "dim")
+    val joined = Skew.skewJoin(left, right, Seq("k"), 100L)
+    val plan = joined.queryExecution.optimizedPlan
+    val joins = plan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+    // 2 semi/anti splits + 1 semi on right + hot inner + cold inner
+    assert(joins.size >= 5, s"expected the split join tree, got ${joins.size}")
+    val broadcastJoins = joins.filter(j =>
+      j.hint.rightHint.exists(_.strategy.contains(
+        org.apache.spark.sql.catalyst.plans.logical.BROADCAST)) ||
+        j.hint.leftHint.exists(_.strategy.contains(
+          org.apache.spark.sql.catalyst.plans.logical.BROADCAST)))
+    assert(broadcastJoins.nonEmpty, "hot path must carry a broadcast hint")
+  }
+
+  test("skewJoin with no hot keys degrades to the plain join result") {
+    val left = (1 to 60).map(i => ("c" + (i % 20), i)).toDF("k", "v")
+    val right = (0 until 20).map(i => ("c" + i, i)).toDF("k", "dim")
+    val plain = left.join(right, Seq("k")).collect().map(_.toString).sorted.toSeq
+    val skewed = Skew.skewJoin(left, right, Seq("k"), 1000L).collect()
+      .map(_.toString).sorted.toSeq
+    assert(skewed == plain)
+  }
 }
