@@ -1439,6 +1439,24 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- temporal train/embargo/test split ----------------------------------------
+    // Cutoff 2024-01-16T00:00Z with a 1-day embargo band excluded from
+    // BOTH sides, so trailing-window features never straddle the
+    // boundary. Oracled via the boundary audit (counts + min/max second
+    // per split); the per-row column is the same pure time function.
+    "q_temporal_split" -> ((s, dir) =>
+      graft.features.TemporalSplit.audit(
+        turns(s, dir), "ts", 1705363200L, 86400L)),
+
+    // --- deterministic negative sampling ------------------------------------------
+    // 4 hash-drawn negatives per document over the dense id space;
+    // self-draws dropped (never re-rolled — keeps every row
+    // independently replayable). Zero-shuffle scan projection; N rides
+    // in as a broadcast count.
+    "q_neg_sample" -> ((s, dir) =>
+      graft.ops.Curation.negativeSample(
+        docs(s, dir).select("doc_id"), "doc_id", 4)),
+
     // --- skew-aware join (hot keys broadcast, cold keys shuffled) ------------------
     // turns ⋈ conversation dims with conversations above 66 turns routed
     // through a broadcast of their dim rows — the mega-conversation
@@ -3255,6 +3273,33 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // boundary audit: train strictly below cutoff−embargo, test at or
+    // above cutoff, embargo in between
+    "q_temporal_split" ->
+      s"""$T,
+         |s AS (SELECT CAST(FLOOR(epoch(ts)) AS BIGINT) AS sec,
+         |  CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) < 1705363200 - 86400 THEN 'train'
+         |       WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) >= 1705363200 THEN 'test'
+         |       ELSE 'embargo' END AS split
+         |  FROM turns)
+         |SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+         |  min(sec) AS min_sec, max(sec) AS max_sec
+         |FROM s GROUP BY split""".stripMargin,
+
+    // the probe-geometry draw replayed per (doc, salt): negative j of
+    // anchor a is (fmix64(a ⊕ j·φ) >> 1) mod N, self-draws dropped
+    "q_neg_sample" ->
+      s"""WITH n AS (SELECT count(*) AS nn FROM documents),
+         |salts(neg_idx, salt) AS (VALUES ${(0 until 4).map(j =>
+             s"($j, CAST(${java.lang.Long.toUnsignedString(
+               j.toLong * graft.exprs.BloomImpl.Phi)} AS UBIGINT))")
+             .mkString(", ")}),
+         |d AS (SELECT doc_id, neg_idx,
+         |  ${fmixLateralSql("xor(CAST(doc_id AS UBIGINT), salt)")},
+         |  CAST((u >> 1) % CAST((SELECT nn FROM n) AS UBIGINT) AS BIGINT) AS neg_id
+         |  FROM documents, salts)
+         |SELECT doc_id, neg_idx, neg_id FROM d WHERE neg_id <> doc_id""".stripMargin,
 
     // the skew-aware join must equal the plain join — the oracle IS the
     // plain join

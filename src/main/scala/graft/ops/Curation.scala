@@ -220,6 +220,48 @@ object Curation {
       .drop("__w", "__wtot")
   }
 
+  /** Deterministic negative sampling for contrastive training: for each
+    * anchor row, `k` pseudo-uniform OTHER ids drawn by hashing — no RNG
+    * state, reproducible across runs/partitions/engines, and each
+    * epoch's draw changes by shifting the salt index base. Negative j of
+    * anchor a is
+    *
+    *   neg_j(a) = (fmix64(a ⊕ j·φ) >>> 1) mod N
+    *
+    * (the [[graft.exprs.BloomImpl]] probe geometry — non-negative signed
+    * domain, replayable by checked-shift engines). Accidental
+    * self-draws (neg = anchor, expected k/N of rows) are dropped rather
+    * than re-rolled, so output size is exactly k·N − |collisions| and
+    * every row is independent of every other — re-rolling would chain
+    * draws and break per-row replay.
+    *
+    * Ids must be DENSE [0, N): the draw indexes the id space directly,
+    * which is what keeps this a zero-shuffle scan projection (N rides
+    * in on a broadcast single-row count, never through the driver). For
+    * sparse ids, compose with a dense-rank relabeling first.
+    */
+  def negativeSample(
+      df: DataFrame,
+      idCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k > 0 && k <= 64, "k must be in [1, 64]")
+    require(!df.columns.contains("__n"),
+      "negativeSample reserves the column name __n")
+    val n = df.agg(count(lit(1)).as("__n"))
+    val salts = (0 until k).map(j => j.toLong * graft.exprs.BloomImpl.Phi)
+    df.crossJoin(broadcast(n))
+      .select(col(idCol), col("__n"),
+        explode(array(salts.zipWithIndex.map { case (s, j) =>
+          struct(lit(j).as("neg_idx"), lit(s).as("__salt"))
+        }: _*)).as("__x"))
+      .select(col(idCol), col("__x.neg_idx").as("neg_idx"),
+        (shiftrightunsigned(
+          shuffleKey(col(idCol).bitwiseXOR(col("__x.__salt"))), 1)
+          % col("__n")).as("neg_id"))
+      .filter(col("neg_id") =!= col(idCol))
+  }
+
   /** Assemble training sequences from transcript turns: greedily pack
     * each conversation's non-null-text turns, in (orderCol) order, into
     * sequences of at most `maxTokens` regex-counted tokens (a turn that
