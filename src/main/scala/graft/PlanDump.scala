@@ -69,6 +69,26 @@ object PlanDump {
       "q_semdedup (zero-shuffle IVF assignment; id-only list pairs; " +
         "embeddings join back by single id; component rounds vertex-keyed)" ->
         SparkEntry.queries("q_semdedup")(spark, dir),
+      "q_kmv_distinct (KMV sketch: partial ObjectHashAggregate — only " +
+        "k-long arrays cross the exchange)" ->
+        SparkEntry.queries("q_kmv_distinct")(spark, dir),
+      "q_bloom_filter (bloom-gated membership: misses filtered before the " +
+        "confirm join; probe is a zero-shuffle reference-object expression)" ->
+        SparkEntry.queries("q_bloom_filter")(spark, dir),
+      "q_pps_sample (weight-proportional sampling: broadcast totals + " +
+        "scan-fused exact-decimal predicate)" ->
+        SparkEntry.queries("q_pps_sample")(spark, dir),
+      "q_skew_join (hot keys broadcast, cold keys shuffled; union ≡ plain " +
+        "join)" ->
+        SparkEntry.queries("q_skew_join")(spark, dir),
+      "q_neg_sample (hash-drawn negatives: scan → broadcast count → " +
+        "generate, zero shuffle)" ->
+        SparkEntry.queries("q_neg_sample")(spark, dir),
+      "q_turn_context (bounded strictly-preceding frame over one conv_id " +
+        "exchange)" ->
+        SparkEntry.queries("q_turn_context")(spark, dir),
+      "q_chunk_words (scan-side generate + slice projections, no shuffle)" ->
+        SparkEntry.queries("q_chunk_words")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting
