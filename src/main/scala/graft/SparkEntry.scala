@@ -1439,6 +1439,22 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- Unicode NFC normalization -------------------------------------------------
+    // Every 'a' is decomposed to 'a' + COMBINING ACUTE (U+0301), then
+    // NFC recomposes to 'á' — same tables as the oracle's
+    // nfc_normalize, exercised on real corpus text. Pipelines run this
+    // before content hashing so decomposed/composed encodings of the
+    // same characters dedup together.
+    "q_nfc_norm" -> ((s, dir) => {
+      val decomposed = regexp_replace(col("text"), "a", "a\u0301")
+      docs(s, dir).filter(col("text").isNotNull)
+        .select(
+          col("doc_id"),
+          length(decomposed).as("n_decomposed"),
+          TextStats.nfcNormalize(decomposed).as("text_nfc"))
+        .withColumn("n_nfc", length(col("text_nfc")))
+    }),
+
     // --- temporal train/embargo/test split ----------------------------------------
     // Cutoff 2024-01-16T00:00Z with a 1-day embargo band excluded from
     // BOTH sides, so trailing-window features never straddle the
@@ -3273,6 +3289,19 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // NFC recomposition replayed by the engine's own normalizer: the
+    // decomposed length counts each injected combining mark, the
+    // normalized length composes them away
+    "q_nfc_norm" ->
+      """WITH d AS (SELECT doc_id,
+        |    regexp_replace(text, 'a', 'a' || chr(769), 'g') AS dec
+        |  FROM documents WHERE text IS NOT NULL)
+        |SELECT doc_id,
+        |  CAST(length(dec) AS INTEGER) AS n_decomposed,
+        |  nfc_normalize(dec) AS text_nfc,
+        |  CAST(length(nfc_normalize(dec)) AS INTEGER) AS n_nfc
+        |FROM d""".stripMargin,
 
     // boundary audit: train strictly below cutoff−embargo, test at or
     // above cutoff, embargo in between

@@ -109,6 +109,18 @@ object TextStats {
       graft.exprs.RollingHash(
         org.apache.spark.sql.GraftBridge.expression(text)))
 
+  /** Unicode NFC normalization ([[graft.exprs.NfcNormalize]]): canonical
+    * composition so that visually-identical text hashes identically —
+    * run it BEFORE [[fingerprint]]/minhash/simhash or the corpus
+    * under-deduplicates on decomposed vs composed encodings of the same
+    * characters. Zero-shuffle codegen'd projection; already-normalized
+    * (incl. pure-ASCII) strings pass through without allocation.
+    */
+  def nfcNormalize(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.NfcNormalize(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Tokenizer-accurate token count: greedy longest-match against an
     * ASCII vocabulary shipped as DATA (one reference-object expression,
     * the IvfProbeLists pattern) with a one-codepoint fallback token —
