@@ -1439,6 +1439,24 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- Count-Min frequency sketch -------------------------------------------------
+    // Word frequencies through a depth-3 × width-32 CMS (deliberately
+    // narrow so collisions appear): est ≥ true for every word, one-sided
+    // by construction, with both counts + overestimate in the output.
+    // The sketch is ≤ 96 counter rows no matter the corpus size.
+    "q_cms_freq" -> ((s, dir) => {
+      val words = docs(s, dir).filter(col("text").isNotNull)
+        .select(explode(split(lower(col("text")), " ")).as("word"))
+        .filter(col("word") =!= "")
+      val key = conv(substring(md5(col("word").cast("binary")), 1, 15),
+        16, 10).cast("long")
+      val keyed = words.select(col("word"), key.as("k"))
+      val sketch = graft.ops.Sketches.cmsBuild(keyed, col("k"), 3, 32)
+      val truth = keyed.groupBy("word", "k").agg(count(lit(1)).as("true_count"))
+      graft.ops.Sketches.cmsEstimate(truth, col("k"), sketch, 3, 32)
+        .withColumn("overestimate", col("est_count") - col("true_count"))
+    }),
+
     // --- Unicode NFC normalization -------------------------------------------------
     // Every 'a' is decomposed to 'a' + COMBINING ACUTE (U+0301), then
     // NFC recomposes to 'á' — same tables as the oracle's
@@ -3289,6 +3307,39 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // CMS replayed counter-for-counter: same probe geometry as the
+    // Bloom oracle ((u >> 1) mod width per salt row), estimate = min
+    // over rows, overestimate = est − true (≥ 0 always)
+    "q_cms_freq" ->
+      s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |w2 AS (SELECT word, CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS k
+         |  FROM w WHERE word <> ''),
+         |salts(row_idx, salt) AS (VALUES ${(0 until 3).map(j =>
+             s"($j, CAST(${java.lang.Long.toUnsignedString(
+               j.toLong * graft.exprs.BloomImpl.Phi)} AS UBIGINT))")
+             .mkString(", ")}),
+         |pos AS (SELECT row_idx,
+         |  ${fmixLateralSql("xor(CAST(k AS UBIGINT), salt)")},
+         |  CAST((u >> 1) % 32 AS BIGINT) AS counter_idx
+         |  FROM w2, salts),
+         |counters AS (SELECT row_idx, counter_idx,
+         |    CAST(count(*) AS BIGINT) AS cnt
+         |  FROM pos GROUP BY 1, 2),
+         |q AS (SELECT word, k, CAST(count(*) AS BIGINT) AS true_count
+         |  FROM w2 GROUP BY word, k),
+         |qpos AS (SELECT word, k, true_count, row_idx,
+         |  ${fmixLateralSql("xor(CAST(k AS UBIGINT), salt)")},
+         |  CAST((u >> 1) % 32 AS BIGINT) AS counter_idx
+         |  FROM q, salts),
+         |est AS (SELECT word, k, true_count,
+         |    min(COALESCE(c.cnt, 0)) AS est_count
+         |  FROM qpos LEFT JOIN counters c USING (row_idx, counter_idx)
+         |  GROUP BY 1, 2, 3)
+         |SELECT word, k, true_count, est_count,
+         |  est_count - true_count AS overestimate
+         |FROM est""".stripMargin,
 
     // NFC recomposition replayed by the engine's own normalizer: the
     // decomposed length counts each injected combining mark, the

@@ -205,6 +205,76 @@ object Sketches {
     df.withColumn("bloom_hit",
       bridge(BloomProbe(expr(keyCol.cast("long")), words, nHashes)))
 
+  /** Count-Min sketch BUILD over an int64 key column: `depth` rows of
+    * `width` counters; key x increments counter
+    * (fmix64(x ⊕ d·φ) >>> 1) mod width in every row d. Output is the
+    * sketch as DATA — at most depth·width rows of (row_idx,
+    * counter_idx, cnt) no matter the corpus size — built in ONE
+    * partial-agg shuffle keyed by (row, counter). Sketches for corpus
+    * slices merge by unioning and re-summing (counter-wise add), the
+    * same lossless-rollup story as [[kmvMergeSketches]].
+    *
+    * Estimates (see [[cmsEstimate]]) are deterministic and one-sided:
+    * est(x) ≥ true(x) always, with overestimate bounded by the standard
+    * e·n/width at confidence 1 − e^−depth. The frequency complement to
+    * KMV (how many distinct) and Bloom (have we seen): how OFTEN — the
+    * bounded-memory heavy-hitter / hot-key detector for a stream too
+    * large to groupBy.
+    */
+  def cmsBuild(
+      df: DataFrame,
+      keyCol: Column,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(depth > 0 && depth <= 8, "depth must be in [1, 8]")
+    require(width > 0, "width must be positive")
+    val salts = (0 until depth).map(j => j.toLong * BloomImpl.Phi)
+    df.select(keyCol.cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+      .select(col("__k"),
+        explode(array(salts.zipWithIndex.map { case (s, j) =>
+          struct(lit(j).as("row_idx"), lit(s).as("__salt"))
+        }: _*)).as("__x"))
+      .select(col("__x.row_idx").as("row_idx"),
+        (shiftrightunsigned(
+          Curation.shuffleKey(col("__k").bitwiseXOR(col("__x.__salt"))), 1)
+          % width.toLong).as("counter_idx"))
+      .groupBy(col("row_idx"), col("counter_idx"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Count-Min LOOKUP: for each row of `queries`, the sketch estimate
+    * min over depth rows of that key's counter (absent counter = 0).
+    * The sketch frame is broadcast (≤ depth·width rows by
+    * construction), so the query side never shuffles for the lookup —
+    * only its own final min-groupBy, keyed by the query id.
+    */
+  def cmsEstimate(
+      queries: DataFrame,
+      keyCol: Column,
+      sketch: DataFrame,
+      depth: Int,
+      width: Int
+  ): DataFrame = {
+    require(depth > 0 && depth <= 8, "depth must be in [1, 8]")
+    val salts = (0 until depth).map(j => j.toLong * BloomImpl.Phi)
+    val outCols = queries.columns.map(col).toSeq
+    queries
+      .withColumn("__k", keyCol.cast("long"))
+      .select((outCols :+ col("__k") :+
+        explode(array(salts.zipWithIndex.map { case (s, j) =>
+          struct(lit(j).as("row_idx"), lit(s).as("__salt"))
+        }: _*)).as("__x")): _*)
+      .select((outCols :+ col("__x.row_idx").as("row_idx") :+
+        (shiftrightunsigned(
+          Curation.shuffleKey(col("__k").bitwiseXOR(col("__x.__salt"))), 1)
+          % width.toLong).as("counter_idx")): _*)
+      .join(broadcast(sketch), Seq("row_idx", "counter_idx"), "left")
+      .groupBy(outCols: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est_count"))
+  }
+
   /** EXACT membership of `newDf[keyName]` in `oldKeys[keyName]` with the
     * Bloom no-false-negative guarantee as the fast path: every row gets
     * `bloom_hit`; rows with `bloom_hit = false` are definitively

@@ -132,6 +132,51 @@ class SketchSpec extends AnyFunSuite {
     }
   }
 
+  // ---------------------------------------------------------------- CMS
+
+  test("cms: estimates are one-sided (est >= true), exact at generous width") {
+    // skewed multiset: key i appears i times
+    val rows = (1L to 50L).flatMap(i => Seq.fill(i.toInt)(i)).toDF("k")
+    val truth = rows.groupBy("k").agg(count(lit(1)).as("true_count"))
+    val wide = Sketches.cmsEstimate(truth, col("k"),
+      Sketches.cmsBuild(rows, col("k"), 3, 4096), 3, 4096)
+    wide.collect().foreach { r =>
+      assert(r.getAs[Long]("est_count") == r.getAs[Long]("true_count"),
+        s"width 4096 over 50 keys should be collision-free: $r")
+    }
+    val narrow = Sketches.cmsEstimate(truth, col("k"),
+      Sketches.cmsBuild(rows, col("k"), 3, 8), 3, 8)
+    var over = 0L
+    narrow.collect().foreach { r =>
+      val d = r.getAs[Long]("est_count") - r.getAs[Long]("true_count")
+      assert(d >= 0L, "CMS can never underestimate")
+      over += d
+    }
+    assert(over > 0L, "width 8 over 50 keys must collide somewhere")
+  }
+
+  test("cms: slice sketches merge counter-wise to the full-corpus sketch") {
+    val rows = (0L until 3000L).map(_ % 37L).toDF("k")
+    val full = Sketches.cmsBuild(rows, col("k"), 2, 64)
+      .orderBy("row_idx", "counter_idx").collect().map(_.toString).toSeq
+    val a = Sketches.cmsBuild(rows.filter(col("k") < 20L), col("k"), 2, 64)
+    val b = Sketches.cmsBuild(rows.filter(col("k") >= 20L), col("k"), 2, 64)
+    val merged = a.unionByName(b)
+      .groupBy("row_idx", "counter_idx").agg(sum("cnt").as("cnt"))
+      .orderBy("row_idx", "counter_idx").collect().map(_.toString).toSeq
+    assert(merged == full, "counter-wise add is a lossless merge")
+  }
+
+  test("cms: unseen keys estimate 0 unless they collide") {
+    val rows = (0L until 100L).toDF("k")
+    val sketch = Sketches.cmsBuild(rows, col("k"), 3, 8192)
+    val unseen = (1000000L until 1000050L).toDF("k")
+      .withColumn("true_count", lit(0L))
+    val est = Sketches.cmsEstimate(unseen, col("k"), sketch, 3, 8192)
+    val nonzero = est.filter(col("est_count") > 0).count()
+    assert(nonzero <= 2, s"at width 8192 almost all unseen keys miss, got $nonzero")
+  }
+
   // ---------------------------------------------------------------- PPS
 
   test("samplePps: certainty rows always kept, inclusion prob exact") {
