@@ -1439,6 +1439,25 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- bin-bucketed range join (no equi key) --------------------------------------
+    // Which turns (any conversation) fall inside the first hour of every
+    // 10th conversation: a pure point-in-interval join with NO equi key,
+    // normally a BroadcastNestedLoopJoin — here bin-bucketed (3600 s
+    // bins, interval ≤ 2 bins) so it runs as an equi-join on the bin.
+    // Oracle = the plain range join.
+    "q_range_join" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val iv = t.groupBy(col("conv_id").as("iv_conv"))
+        .agg(min(col("ts")).as("start_ts"))
+        .filter(substring(col("iv_conv"), 2, 10).cast("long") % 10 === 0)
+        .withColumn("end_ts",
+          timestamp_seconds(col("start_ts").cast("long") + 3600L))
+      graft.features.RangeJoin.pointInInterval(
+          t.select("conv_id", "turn_idx", "ts"), "ts",
+          iv, "start_ts", "end_ts", binWidthSec = 3600L)
+        .select(col("conv_id"), col("turn_idx"), col("iv_conv"))
+    }),
+
     // --- Count-Min frequency sketch -------------------------------------------------
     // Word frequencies through a depth-3 × width-32 CMS (deliberately
     // narrow so collisions appear): est ≥ true for every word, one-sided
@@ -3307,6 +3326,20 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // the bin-bucketed route must equal the plain range join — the
+    // oracle IS the plain range join (inclusive both ends, epoch-second
+    // truncation on both sides)
+    "q_range_join" ->
+      s"""$T,
+         |iv AS (SELECT conv_id AS iv_conv,
+         |    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS s0
+         |  FROM turns GROUP BY conv_id
+         |  HAVING CAST(substr(conv_id, 2) AS BIGINT) % 10 = 0)
+         |SELECT t.conv_id, t.turn_idx, iv.iv_conv
+         |FROM turns t JOIN iv
+         |  ON CAST(FLOOR(epoch(t.ts)) AS BIGINT) >= iv.s0
+         | AND CAST(FLOOR(epoch(t.ts)) AS BIGINT) <= iv.s0 + 3600""".stripMargin,
 
     // CMS replayed counter-for-counter: same probe geometry as the
     // Bloom oracle ((u >> 1) mod width per salt row), estimate = min
