@@ -1439,6 +1439,34 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- training-example factory (context + label + split, ONE exchange) ----------
+    // The engine's end-to-end point for the transcript tier: per user
+    // turn, trailing 3-turn context (strictly preceding), forward
+    // reply-latency label (strictly following), temporal split tag —
+    // both window frames share one conv_id sort, so the whole factory
+    // costs ONE shuffle (spec-asserted).
+    "q_example_factory" -> ((s, dir) =>
+      graft.features.ExampleFactory.examples(
+        turns(s, dir), lookback = 3,
+        cutoffEpochSec = 1705363200L, embargoSec = 86400L)),
+
+    // --- multi-horizon rolling features (one exchange, three frames) ---------------
+    // Trailing turn counts at 1 h / 6 h / 24 h per conversation — all
+    // three horizons over ONE partitionBy(conv_id) sort; adding a
+    // horizon adds a frame, never a shuffle.
+    "q_rolling_multi" -> ((s, dir) =>
+      graft.features.Windows.rollingMulti(
+        turns(s, dir).select("conv_id", "turn_idx", "ts"),
+        Seq("conv_id"), "ts", Seq(3600L, 21600L, 86400L),
+        count(lit(1)), "n_prev")
+        .select(col("conv_id"), col("turn_idx"),
+          col("n_prev_3600s"), col("n_prev_21600s"), col("n_prev_86400s"))),
+
+    // --- role-transition matrix ----------------------------------------------------
+    // Corpus dialogue-structure fingerprint: (role → next role) counts.
+    "q_role_transitions" -> ((s, dir) =>
+      graft.features.ConvFeatures.roleTransitions(turns(s, dir))),
+
     // --- bin-bucketed range join (no equi key) --------------------------------------
     // Which turns (any conversation) fall inside the first hour of every
     // 10th conversation: a pure point-in-interval join with NO equi key,
@@ -3326,6 +3354,55 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // context (strictly-preceding list), label (strictly-following
+    // conditional min), split (pure time function) — all three replayed
+    // over the same conversation order
+    "q_example_factory" ->
+      s"""$T,
+         |w AS (SELECT conv_id, turn_idx, role, text, ts,
+         |  COALESCE(array_to_string(list(role || ': ' || COALESCE(text, ''))
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |          ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING), chr(10)), '')
+         |    AS context_text,
+         |  CAST(FLOOR(epoch(min(CASE WHEN role = 'assistant' THEN ts END)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)))
+         |    AS BIGINT) - CAST(FLOOR(epoch(ts)) AS BIGINT) AS latency_sec,
+         |  CASE WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) < 1705363200 - 86400
+         |         THEN 'train'
+         |       WHEN CAST(FLOOR(epoch(ts)) AS BIGINT) >= 1705363200
+         |         THEN 'test'
+         |       ELSE 'embargo' END AS split
+         |  FROM turns)
+         |SELECT conv_id, turn_idx, context_text, latency_sec, split
+         |FROM w WHERE role = 'user' AND text IS NOT NULL""".stripMargin,
+
+    // three RANGE frames over one conversation order; RANGE includes
+    // same-ts peers identically in both engines
+    "q_rolling_multi" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  count(*) OVER (PARTITION BY conv_id
+         |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |    RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS n_prev_3600s,
+         |  count(*) OVER (PARTITION BY conv_id
+         |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |    RANGE BETWEEN 21600 PRECEDING AND CURRENT ROW) AS n_prev_21600s,
+         |  count(*) OVER (PARTITION BY conv_id
+         |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_prev_86400s
+         |FROM turns""".stripMargin,
+
+    // (role -> next role) adjacency counts in conversation order
+    "q_role_transitions" ->
+      s"""$T,
+         |x AS (SELECT role,
+         |  lead(role) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+         |    AS next_role
+         |  FROM turns)
+         |SELECT role, next_role, CAST(count(*) AS BIGINT) AS n
+         |FROM x WHERE next_role IS NOT NULL GROUP BY role, next_role""".stripMargin,
 
     // the bin-bucketed route must equal the plain range join — the
     // oracle IS the plain range join (inclusive both ends, epoch-second

@@ -46,6 +46,22 @@ object ConvFeatures {
       )
   }
 
+  /** Role-transition matrix: corpus-wide counts of (role → next role)
+    * adjacencies in conversation order — the dialogue-structure
+    * fingerprint used for corpus QC (a crawl whose user→user fraction
+    * spikes is broken threading) and for stratifying by interaction
+    * shape. One conv_id exchange for the lead, then a partial-agg
+    * rollup over at most |roles|² rows.
+    */
+  def roleTransitions(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
+    turns
+      .withColumn("__next", lead(col("role"), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .groupBy(col("role"), col("__next").as("next_role"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Reply latency: for every `user` turn, seconds until the next
     * `assistant` turn in the conversation's (ts, turn_idx) order — NULL
     * when the conversation never answers. A label-generation primitive

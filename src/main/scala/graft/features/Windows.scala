@@ -83,4 +83,37 @@ object Windows {
       acc.withColumn(name, agg.over(w))
     }
   }
+
+  /** Multi-horizon trailing features in ONE exchange: the same agg at
+    * several lookbacks (e.g. 1 h / 6 h / 24 h trailing event counts —
+    * the bread-and-butter multi-scale activity features). All horizons
+    * share one `partitionBy(key) orderBy(ts)` sort, so Catalyst plans a
+    * SINGLE Exchange + Sort feeding h Window frames — adding a horizon
+    * costs a frame, never a shuffle. Column name per horizon:
+    * `<prefix>_<seconds>s`.
+    *
+    * Frames are `rangeBetween(-h, 0)` on epoch seconds: trailing
+    * INCLUSIVE of the current row — point-in-time safe (never reads
+    * past the row's own ts).
+    */
+  def rollingMulti(
+      df: DataFrame,
+      key: Seq[String],
+      tsCol: String,
+      horizonsSec: Seq[Long],
+      agg: Column,
+      prefix: String
+  ): DataFrame = {
+    require(horizonsSec.nonEmpty, "need at least one horizon")
+    require(horizonsSec.forall(_ > 0), "horizons must be positive seconds")
+    require(horizonsSec.distinct.size == horizonsSec.size,
+      "duplicate horizons produce duplicate column names")
+    horizonsSec.foldLeft(df) { case (acc, h) =>
+      val w = Window
+        .partitionBy(key.map(col): _*)
+        .orderBy(col(tsCol).cast("long"))
+        .rangeBetween(-h, 0)
+      acc.withColumn(s"${prefix}_${h}s", agg.over(w))
+    }
+  }
 }
