@@ -89,6 +89,18 @@ object PlanDump {
         SparkEntry.queries("q_turn_context")(spark, dir),
       "q_chunk_words (scan-side generate + slice projections, no shuffle)" ->
         SparkEntry.queries("q_chunk_words")(spark, dir),
+      "q_example_factory (context + label + split: two frames over ONE " +
+        "conv_id exchange)" ->
+        SparkEntry.queries("q_example_factory")(spark, dir),
+      "q_range_join (bin-bucketed point-in-interval: equi-join on time " +
+        "bins, no BroadcastNestedLoopJoin)" ->
+        SparkEntry.queries("q_range_join")(spark, dir),
+      "q_conv_dedup (ordered digest in one conv_id exchange; keeper " +
+        "window over one row per conversation)" ->
+        SparkEntry.queries("q_conv_dedup")(spark, dir),
+      "q_cms_freq (Count-Min: word-keyed partial agg to <= depth*width " +
+        "counters; broadcast lookup)" ->
+        SparkEntry.queries("q_cms_freq")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

@@ -1439,6 +1439,19 @@ object SparkEntry {
           col("is_member").as("true_dup"))
     }),
 
+    // --- whole-conversation exact dedup ---------------------------------------------
+    // Conversations re-ingested under new ids (every 7th user's conv
+    // relabeled) must collapse onto the original: digest = md5 of the
+    // ordered turn texts, kept = min conv_id per digest. The 'd'-prefix
+    // relabels sort after 'c', so originals always win.
+    "q_conv_dedup" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val reIngested = t
+        .filter(substring(col("conv_id"), 2, 10).cast("long") % 7 === 0)
+        .withColumn("conv_id", concat(lit("d"), substring(col("conv_id"), 2, 10)))
+      graft.features.ConvFeatures.dedupConversations(t.unionByName(reIngested))
+    }),
+
     // --- training-example factory (context + label + split, ONE exchange) ----------
     // The engine's end-to-end point for the transcript tier: per user
     // turn, trailing 3-turn context (strictly preceding), forward
@@ -3354,6 +3367,23 @@ object SparkEntry {
 
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
+
+    // digest = md5(ordered texts, chr(1)-joined, chr(0) for null);
+    // kept = min conv_id per digest
+    "q_conv_dedup" ->
+      s"""$T,
+         |u AS (SELECT conv_id, turn_idx, text, ts FROM turns
+         |  UNION ALL
+         |  SELECT 'd' || substr(conv_id, 2) AS conv_id, turn_idx, text, ts
+         |  FROM turns WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0),
+         |d AS (SELECT conv_id,
+         |    md5(string_agg(COALESCE(text, chr(0)), chr(1)
+         |      ORDER BY ts, turn_idx)) AS conv_digest,
+         |    CAST(count(*) AS BIGINT) AS n_turns
+         |  FROM u GROUP BY conv_id)
+         |SELECT conv_id, conv_digest, n_turns,
+         |  conv_id = min(conv_id) OVER (PARTITION BY conv_digest) AS kept
+         |FROM d""".stripMargin,
 
     // context (strictly-preceding list), label (strictly-following
     // conditional min), split (pure time function) — all three replayed

@@ -46,6 +46,33 @@ object ConvFeatures {
       )
   }
 
+  /** Whole-conversation content fingerprint + exact dedup: a
+    * conversation's digest is md5 over its turns' texts in (ts,
+    * turn_idx) order (null text → a NUL sentinel, turns joined by
+    * U+0001 so ["ab","c"] ≠ ["a","bc"]), and `kept` marks the
+    * min-conv_id representative per digest — transcript-level exact
+    * dedup, the conversation analogue of
+    * [[graft.ops.Dedup.exactGroups]] (re-scraped or double-ingested
+    * sessions collapse even though every turn row differs by conv_id).
+    *
+    * Scale shape: one conv_id exchange builds the ordered digest (the
+    * same partitioning the rest of this family rides), then the keeper
+    * choice is a digest-keyed window over one row per CONVERSATION —
+    * corpus-row cardinality never reaches the second exchange.
+    */
+  def dedupConversations(turns: DataFrame): DataFrame = {
+    val ordered = sort_array(collect_list(struct(
+      col("ts"), col("turn_idx"),
+      coalesce(col("text"), lit("\u0000")).as("t"))))
+    val digest = md5(concat_ws("\u0001",
+      transform(ordered, s => s("t"))).cast("binary"))
+    val perConv = turns.groupBy(col("conv_id"))
+      .agg(digest.as("conv_digest"), count(lit(1)).as("n_turns"))
+    perConv.withColumn("kept",
+      col("conv_id") === min(col("conv_id"))
+        .over(Window.partitionBy(col("conv_digest"))))
+  }
+
   /** Role-transition matrix: corpus-wide counts of (role → next role)
     * adjacencies in conversation order — the dialogue-structure
     * fingerprint used for corpus QC (a crawl whose user→user fraction

@@ -73,6 +73,24 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert(got(("c2", 0)) == (("", 0L)))
   }
 
+  test("dedupConversations: re-ingested conv collapses; boundaries and nulls distinguish") {
+    val t = Seq(
+      ("c1", 0, "ab", ts(10)), ("c1", 1, "c", ts(20)), // original
+      ("c9", 0, "ab", ts(99)), ("c9", 1, "c", ts(100)), // same CONTENT, new id/ts
+      ("c2", 0, "a", ts(10)), ("c2", 1, "bc", ts(20)), // same concat, diff split
+      ("c3", 0, null, ts(10)), ("c3", 1, "x", ts(20)), // null text
+      ("c4", 0, "", ts(10)), ("c4", 1, "x", ts(20)) // empty text != null
+    ).toDF("conv_id", "turn_idx", "text", "ts")
+    val got = ConvFeatures.dedupConversations(t)
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getBoolean(3)))).toMap
+    assert(got("c1")._1 == got("c9")._1, "content-identical convs share a digest")
+    assert(got("c1")._2 && !got("c9")._2, "min conv_id is the keeper")
+    assert(got("c1")._1 != got("c2")._1, "[ab, c] must not collide with [a, bc]")
+    assert(got("c3")._1 != got("c4")._1, "null text is not empty text")
+    assert(Seq("c2", "c3", "c4").forall(got(_)._2), "unique convs all kept")
+  }
+
   test("turnContext: never sees the current or future turns (zero leakage)") {
     val ctx = ConvFeatures.turnContext(turns, 10).collect()
     ctx.foreach { r =>
