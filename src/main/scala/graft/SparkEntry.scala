@@ -3368,16 +3368,16 @@ object SparkEntry {
     // the published bp weights as an integer dot over the same features
     "q_quality_score" -> qualityScoreSql,
 
-    // digest = md5(ordered texts, chr(1)-joined, chr(0) for null);
-    // kept = min conv_id per digest
+    // digest = md5(ordered role||chr(2)||text pairs, chr(1)-joined,
+    // chr(0) for null text); kept = min conv_id per digest
     "q_conv_dedup" ->
       s"""$T,
-         |u AS (SELECT conv_id, turn_idx, text, ts FROM turns
+         |u AS (SELECT conv_id, turn_idx, role, text, ts FROM turns
          |  UNION ALL
-         |  SELECT 'd' || substr(conv_id, 2) AS conv_id, turn_idx, text, ts
+         |  SELECT 'd' || substr(conv_id, 2) AS conv_id, turn_idx, role, text, ts
          |  FROM turns WHERE CAST(substr(conv_id, 2) AS BIGINT) % 7 = 0),
          |d AS (SELECT conv_id,
-         |    md5(string_agg(COALESCE(text, chr(0)), chr(1)
+         |    md5(string_agg(role || chr(2) || COALESCE(text, chr(0)), chr(1)
          |      ORDER BY ts, turn_idx)) AS conv_digest,
          |    CAST(count(*) AS BIGINT) AS n_turns
          |  FROM u GROUP BY conv_id)

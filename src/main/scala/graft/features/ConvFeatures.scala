@@ -47,9 +47,14 @@ object ConvFeatures {
   }
 
   /** Whole-conversation content fingerprint + exact dedup: a
-    * conversation's digest is md5 over its turns' texts in (ts,
-    * turn_idx) order (null text → a NUL sentinel, turns joined by
-    * U+0001 so ["ab","c"] ≠ ["a","bc"]), and `kept` marks the
+    * conversation's digest is md5 over its turns' role:text pairs in (ts,
+    * turn_idx) order — role INCLUDED, so a user/assistant flip of the
+    * same words is a different conversation. Null text becomes a NUL
+    * sentinel; turns join on U+0001 and role/text join on U+0002, so
+    * ["ab","c"] never collides with ["a","bc"]. Text that itself
+    * contains these control codepoints could still collide — scrub
+    * control characters upstream if the corpus can contain them.
+    * `kept` marks the
     * min-conv_id representative per digest — transcript-level exact
     * dedup, the conversation analogue of
     * [[graft.ops.Dedup.exactGroups]] (re-scraped or double-ingested
@@ -63,7 +68,8 @@ object ConvFeatures {
   def dedupConversations(turns: DataFrame): DataFrame = {
     val ordered = sort_array(collect_list(struct(
       col("ts"), col("turn_idx"),
-      coalesce(col("text"), lit("\u0000")).as("t"))))
+      concat(col("role"), lit("\u0002"),
+        coalesce(col("text"), lit("\u0000"))).as("t"))))
     val digest = md5(concat_ws("\u0001",
       transform(ordered, s => s("t"))).cast("binary"))
     val perConv = turns.groupBy(col("conv_id"))
@@ -89,18 +95,6 @@ object ConvFeatures {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Reply latency: for every `user` turn, seconds until the next
-    * `assistant` turn in the conversation's (ts, turn_idx) order — NULL
-    * when the conversation never answers. A label-generation primitive
-    * (it looks FORWARD, like [[AsOfNative.joinForward]]) so it must
-    * never feed features at the same anchor — callers join it as a
-    * training target, not a feature.
-    *
-    * One window over one shuffle: the "next assistant ts" is a running
-    * conditional min over the FOLLOWING row frame, computed in the same
-    * sort the gap features use — no self-join of the turn table against
-    * its own future, which is the naive formulation's extra shuffle.
-    */
   /** Trailing context assembly: for every turn, the concatenation of the
     * previous (up to) `lookback` turns' role-prefixed text in the
     * conversation's (ts, turn_idx) order — the "context window" column a
@@ -132,6 +126,18 @@ object ConvFeatures {
     )
   }
 
+  /** Reply latency: for every `user` turn, seconds until the next
+    * `assistant` turn in the conversation's (ts, turn_idx) order — NULL
+    * when the conversation never answers. A label-generation primitive
+    * (it looks FORWARD, like [[AsOfNative.joinForward]]) so it must
+    * never feed features at the same anchor — callers join it as a
+    * training target, not a feature.
+    *
+    * One window over one shuffle: the "next assistant ts" is a running
+    * conditional min over the FOLLOWING row frame, computed in the same
+    * sort the gap features use — no self-join of the turn table against
+    * its own future, which is the naive formulation's extra shuffle.
+    */
   def replyLatency(turns: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("conv_id"))
       .orderBy(col("ts"), col("turn_idx"))

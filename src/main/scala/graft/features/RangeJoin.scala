@@ -57,9 +57,13 @@ object RangeJoin {
           lit("pointInInterval: interval end before start at "),
           col(startCol).cast("string")))))
       .withColumn("__b1", bin(col(endCol)))
-      .withColumn("__span", (col("__b1") - col("__b0") + 1L).cast("int"))
+      // span stays a LONG: casting to int first would overflow (ANSI
+      // throws a generic cast error; non-ANSI wraps and can sneak past
+      // the guard) for exactly the pathological intervals the guard is
+      // for (e.g. an end timestamp accidentally stored in millis)
+      .withColumn("__span", col("__b1") - col("__b0") + 1L)
       .withColumn("__b1",
-        when(col("__span") <= maxBinsPerInterval, col("__b1"))
+        when(col("__span") <= maxBinsPerInterval.toLong, col("__b1"))
           .otherwise(raise_error(concat(
             lit(s"pointInInterval: interval spans more than " +
               s"$maxBinsPerInterval bins of $binWidthSec s — widen " +

@@ -199,25 +199,27 @@ object Curation {
       k: Long
   ): DataFrame = {
     require(k > 0, "k (expected sample size per stratum) must be positive")
-    val reserved = Seq("__w", "__wtot", "__u", "p_num", "p_den")
+    val reserved = Seq("__w", "__wtot", "__u", "__stot", "p_num", "p_den")
     require(!reserved.exists(df.columns.contains),
       s"samplePps reserves the column names ${reserved.mkString(", ")}")
-    val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
-    val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
+    import graft.ops.ExactU64.{dec38, two64, unsignedDec}
     val guarded = when(weight >= 0L, weight).otherwise(raise_error(concat(
       lit("samplePps: negative weight "), weight.cast("string"),
       lit(" — weights must be >= 0"))))
     val weighted = df.withColumn("__w", guarded.cast("long").cast(dec38))
     val totals = weighted.groupBy(col(strataCol))
       .agg(sum(col("__w")).as("__wtot"))
-    val m = shuffleKey(col(idCol))
-    val u = when(m < 0L, m.cast(dec38) + two64).otherwise(m.cast(dec38))
+      .withColumnRenamed(strataCol, "__stot")
+    val u = unsignedDec(shuffleKey(col(idCol)))
     weighted
-      .join(broadcast(totals), Seq(strataCol))
+      // null-safe stratum match: a NULL stratum is its own stratum and
+      // samples against its own total — an inner equi-join would
+      // silently drop every null-stratum row
+      .join(broadcast(totals), col(strataCol) <=> col("__stot"))
       .filter(u * col("__wtot") < col("__w") * two64 * lit(k).cast(dec38))
       .withColumn("p_num", least(col("__w") * lit(k).cast(dec38), col("__wtot")))
       .withColumn("p_den", col("__wtot"))
-      .drop("__w", "__wtot")
+      .drop("__w", "__wtot", "__stot")
   }
 
   /** Deterministic negative sampling for contrastive training: for each

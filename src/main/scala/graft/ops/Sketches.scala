@@ -21,22 +21,7 @@ object Sketches {
   private def expr(c: Column) =
     org.apache.spark.sql.GraftBridge.expression(c)
 
-  private val dec38 = DecimalType(38, 0)
-  private val two64 = lit(new java.math.BigDecimal("18446744073709551616"))
-
-  /** Exact floor(a / b) on non-negative decimal(38,0) columns: Spark's
-    * decimal division rounds at scale, so `floor(a / b)` can round a
-    * hair-under-integer quotient UP first; `(a − a mod b) / b` divides
-    * exactly (the remainder is exact) and matches integer `//`.
-    */
-  private def floorDiv(a: Column, b: Column): Column =
-    ((a - (a % b)) / b).cast(dec38)
-
-  /** Map a signed int64 hash column to its unsigned value in
-    * decimal(38,0) — the domain the KMV estimator is stated over.
-    */
-  private def unsignedDec(h: Column): Column =
-    when(h < 0L, h.cast(dec38) + two64).otherwise(h.cast(dec38))
+  import ExactU64.{dec38, two64, unsignedDec, floorDiv}
 
   /** Per-group distinct-cardinality estimate via the k-minimum-values
     * sketch: group rows by `groupCols`, mix `idCol` through the fmix64
@@ -244,11 +229,14 @@ object Sketches {
       .agg(count(lit(1)).as("cnt"))
   }
 
-  /** Count-Min LOOKUP: for each row of `queries`, the sketch estimate
-    * min over depth rows of that key's counter (absent counter = 0).
-    * The sketch frame is broadcast (≤ depth·width rows by
-    * construction), so the query side never shuffles for the lookup —
-    * only its own final min-groupBy, keyed by the query id.
+  /** Count-Min LOOKUP: per DISTINCT row of `queries`, the sketch
+    * estimate min over depth rows of that key's counter (absent counter
+    * = 0). SET semantics: the final min-groupBy keys on all of
+    * `queries`' columns, so byte-identical query rows collapse to one
+    * output row — pass distinct keys (or a distinguishing id column)
+    * when multiplicity matters. The sketch frame is broadcast
+    * (≤ depth·width rows by construction), so the query side never
+    * shuffles for the lookup — only its own final min-groupBy.
     */
   def cmsEstimate(
       queries: DataFrame,
@@ -258,6 +246,10 @@ object Sketches {
       width: Int
   ): DataFrame = {
     require(depth > 0 && depth <= 8, "depth must be in [1, 8]")
+    val reserved = Seq("__k", "__x", "row_idx", "counter_idx", "cnt",
+      "est_count")
+    require(!reserved.exists(queries.columns.contains),
+      s"cmsEstimate reserves the column names ${reserved.mkString(", ")}")
     val salts = (0 until depth).map(j => j.toLong * BloomImpl.Phi)
     val outCols = queries.columns.map(col).toSeq
     queries
@@ -300,7 +292,11 @@ object Sketches {
       bloomBuild(oldKeys, col(keyName), nWords, nHashes), nWords)
     val probed = bloomMightContain(newDf, col(keyName), words, nHashes)
     val outCols = (newDf.columns :+ "bloom_hit").map(col).toSeq
-    val misses = probed.filter(!col("bloom_hit"))
+    // a NULL key probes to bloom_hit = NULL and is a member of nothing
+    // (equi-join semantics) — it must still appear in the output, so the
+    // miss branch keeps it rather than letting two positive filters drop
+    // the row between them
+    val misses = probed.filter(col("bloom_hit").isNull || !col("bloom_hit"))
       .select(outCols: _*)
       .withColumn("is_member", lit(false))
     val confirmed = probed.filter(col("bloom_hit"))

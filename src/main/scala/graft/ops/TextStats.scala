@@ -243,6 +243,10 @@ object TextStats {
   ): org.apache.spark.sql.DataFrame = {
     require(chunkWords > 0 && strideWords > 0,
       "chunkWords and strideWords must be positive")
+    require(strideWords <= chunkWords,
+      "strideWords must be <= chunkWords — a stride past the window " +
+        "would skip words AND the tail-coverage formula would emit a " +
+        "phantom empty chunk past the document")
     val ws = split(col(textCol), " ", -1)
     val nw = size(ws)
     val n = lit(1L) +

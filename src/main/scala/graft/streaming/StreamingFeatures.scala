@@ -218,6 +218,13 @@ object StreamingFeatures {
       watermark: String
   ): DataFrame = {
     require(windowSec >= 0, "windowSec must be non-negative")
+    val shared = left.columns.toSet.intersect(right.columns.toSet) - key
+    require(shared.isEmpty,
+      s"left/right column names must be disjoint apart from '$key', " +
+        s"both have: $shared — rename before joining (ambiguous " +
+        "resolution would silently compare a column against itself)")
+    require(leftTs != rightTs,
+      "leftTs and rightTs must have distinct names")
     val l = left.withWatermark(leftTs, watermark)
     val r = right.withColumnRenamed(key, "__rkey")
       .withWatermark(rightTs, watermark)

@@ -73,22 +73,27 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert(got(("c2", 0)) == (("", 0L)))
   }
 
-  test("dedupConversations: re-ingested conv collapses; boundaries and nulls distinguish") {
+  test("dedupConversations: re-ingested conv collapses; roles, boundaries and nulls distinguish") {
     val t = Seq(
-      ("c1", 0, "ab", ts(10)), ("c1", 1, "c", ts(20)), // original
-      ("c9", 0, "ab", ts(99)), ("c9", 1, "c", ts(100)), // same CONTENT, new id/ts
-      ("c2", 0, "a", ts(10)), ("c2", 1, "bc", ts(20)), // same concat, diff split
-      ("c3", 0, null, ts(10)), ("c3", 1, "x", ts(20)), // null text
-      ("c4", 0, "", ts(10)), ("c4", 1, "x", ts(20)) // empty text != null
-    ).toDF("conv_id", "turn_idx", "text", "ts")
+      ("c1", 0, "user", "ab", ts(10)), ("c1", 1, "assistant", "c", ts(20)),
+      // same CONTENT + roles, new id/ts: must collapse onto c1
+      ("c9", 0, "user", "ab", ts(99)), ("c9", 1, "assistant", "c", ts(100)),
+      // same concatenated text, different turn split: distinct
+      ("c2", 0, "user", "a", ts(10)), ("c2", 1, "assistant", "bc", ts(20)),
+      // same texts as c1 but roles flipped: distinct
+      ("c5", 0, "assistant", "ab", ts(10)), ("c5", 1, "user", "c", ts(20)),
+      ("c3", 0, "user", null, ts(10)), ("c3", 1, "user", "x", ts(20)),
+      ("c4", 0, "user", "", ts(10)), ("c4", 1, "user", "x", ts(20))
+    ).toDF("conv_id", "turn_idx", "role", "text", "ts")
     val got = ConvFeatures.dedupConversations(t)
       .collect().map(r => r.getString(0) ->
         ((r.getString(1), r.getBoolean(3)))).toMap
     assert(got("c1")._1 == got("c9")._1, "content-identical convs share a digest")
     assert(got("c1")._2 && !got("c9")._2, "min conv_id is the keeper")
     assert(got("c1")._1 != got("c2")._1, "[ab, c] must not collide with [a, bc]")
+    assert(got("c1")._1 != got("c5")._1, "role flip is a different conversation")
     assert(got("c3")._1 != got("c4")._1, "null text is not empty text")
-    assert(Seq("c2", "c3", "c4").forall(got(_)._2), "unique convs all kept")
+    assert(Seq("c2", "c3", "c4", "c5").forall(got(_)._2), "unique convs all kept")
   }
 
   test("turnContext: never sees the current or future turns (zero leakage)") {

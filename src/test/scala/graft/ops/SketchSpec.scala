@@ -177,6 +177,21 @@ class SketchSpec extends AnyFunSuite {
     assert(nonzero <= 2, s"at width 8192 almost all unseen keys miss, got $nonzero")
   }
 
+  test("membershipWithBloomFastPath: null keys survive with is_member=false") {
+    val old = Seq(1L, 2L, 3L).toDF("k")
+    val nw = Seq((1L, Some(1L)), (2L, Some(99L)), (3L, Option.empty[Long]))
+      .toDF("id", "k")
+    val got = Sketches.membershipWithBloomFastPath(nw, "k", old, 8, 3)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(2)).map(_.asInstanceOf[Boolean]), r.getBoolean(3))))
+      .toMap
+    assert(got.size == 3, "no row may vanish")
+    assert(got(1L) == ((Some(true), true)))
+    assert(got(2L)._2 == false)
+    assert(got(3L) == ((None, false)),
+      "null key: bloom_hit null, member of nothing")
+  }
+
   // ---------------------------------------------------------------- PPS
 
   test("samplePps: certainty rows always kept, inclusion prob exact") {
@@ -204,6 +219,20 @@ class SketchSpec extends AnyFunSuite {
     assert(k5.subsetOf(k20), "samples must nest in k")
     val zeros = df.filter(col("w") === 0).select("id").as[Long].collect().toSet
     assert(k20.intersect(zeros).isEmpty, "zero-weight rows are never sampled")
+  }
+
+  test("samplePps: a NULL stratum is its own stratum, not silently dropped") {
+    val df = ((1L to 50L).map(i => (i, Some("a"))) ++
+      (51L to 100L).map(i => (i, Option.empty[String])))
+      .map { case (i, s) => (i, s, 10L) }.toDF("id", "s", "w")
+    val kept = Curation.samplePps(df, "id", "s", col("w"), 50L)
+    // k >= group size and uniform weights => every row kept in BOTH strata
+    assert(kept.count() == 100L, "null-stratum rows must sample too")
+    val nullRows = kept.filter(col("s").isNull)
+    assert(nullRows.count() == 50L)
+    nullRows.select("p_den").collect().foreach(r =>
+      assert(r.getDecimal(0).longValueExact() == 500L,
+        "null stratum totals over ITS OWN rows"))
   }
 
   test("samplePps: negative weight fails loud") {
