@@ -1346,7 +1346,10 @@ object SparkEntry {
           col("tool"), col("ts").as("t_ts"))
       def stageStream(df: DataFrame, tsCol: String, sub: String): String = {
         val watched = s"$tmp/$sub"
-        val nChunks = 3
+        // 2 files/side = 4 micro-batches total: still proves cross-batch
+        // matching on both sides while halving the replay's state-commit
+        // cadence (this query was the bench replay tail at 3/side)
+        val nChunks = 2
         val ordered = df.withColumn("__chunk",
           ntile(nChunks).over(org.apache.spark.sql.expressions.Window
             .orderBy(col(tsCol))))
