@@ -13,9 +13,14 @@ for t in ['region','nation','customer','supplier','part','orders','lineitem',
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
 
 oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+# "subset" third arg: compare only queries that Verify actually dumped
+# (Verify's optional name filter) instead of failing on missing dirs
+subset = len(sys.argv) > 3 and sys.argv[3] == "subset"
 fails = 0
 for name, sql in sorted(oracle.items()):
     spark_path = f"{outdir}/{name}"
+    if subset and not os.path.isdir(spark_path):
+        continue
     try:
         got = con.sql(f"SELECT * FROM '{spark_path}/*.parquet'").df()
         exp = con.sql(sql).df()

@@ -1483,6 +1483,18 @@ object SparkEntry {
     "q_role_transitions" -> ((s, dir) =>
       graft.features.ConvFeatures.roleTransitions(turns(s, dir))),
 
+    // --- exponentially-decayed trailing feature (exact EWMA family) -----------------
+    // Per turn, the decayed sum of the trailing 8 turns' text lengths
+    // with integer 2^k weights (current ×128 … 7-back ×1): the
+    // "recent activity matters more" feature, bit-exact (no float decay
+    // constant). One conv_id Exchange feeds all 8 lag frames.
+    "q_ewma" -> ((s, dir) =>
+      graft.features.Windows.decayedSum(
+          turns(s, dir).select(col("conv_id"), col("turn_idx"), col("ts"),
+            coalesce(char_length(col("text")).cast("long"), lit(0L)).as("v")),
+          Windows.turnWindow, col("v"), horizon = 8, as = "decayed_len")
+        .select(col("conv_id"), col("turn_idx"), col("v"), col("decayed_len"))),
+
     // --- bin-bucketed range join (no equi key) --------------------------------------
     // Which turns (any conversation) fall inside the first hour of every
     // 10th conversation: a pure point-in-interval join with NO equi key,
@@ -3426,6 +3438,21 @@ object SparkEntry {
          |    ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
          |    RANGE BETWEEN 86400 PRECEDING AND CURRENT ROW) AS n_prev_86400s
          |FROM turns""".stripMargin,
+
+    // decayed trailing sum replayed as a dense-turn_idx range self-join:
+    // turn_idx IS row position (row_number - 1), so the ROWS frame and
+    // the idx-range join see the same 8 rows; weight 2^(7 - distance)
+    "q_ewma" ->
+      s"""$T,
+         |v AS (SELECT conv_id, turn_idx,
+         |  COALESCE(CAST(length(text) AS BIGINT), 0) AS v FROM turns)
+         |SELECT a.conv_id, a.turn_idx, a.v,
+         |  CAST(sum(b.v * (1::BIGINT << (7 - (a.turn_idx - b.turn_idx))))
+         |    AS BIGINT) AS decayed_len
+         |FROM v a JOIN v b
+         |  ON a.conv_id = b.conv_id
+         | AND b.turn_idx BETWEEN a.turn_idx - 7 AND a.turn_idx
+         |GROUP BY a.conv_id, a.turn_idx, a.v""".stripMargin,
 
     // (role -> next role) adjacency counts in conversation order
     "q_role_transitions" ->

@@ -84,6 +84,43 @@ object Windows {
     }
   }
 
+  /** Exponentially-decayed trailing sum with EXACT integer weights — the
+    * "recent activity matters more" feature (EWMA family) kept on the
+    * hard-oracle path: over the trailing `horizon` rows, the row at
+    * distance d (0 = current) contributes `value · 2^(horizon−1−d)`, so
+    * the current turn weighs 2× the previous, 4× the one before, etc.
+    * Because the weights are powers of two applied to integer values,
+    * the result is bit-exact under any execution order — no float decay
+    * constant whose last ulp differs across engines (a 0<α<1 EWMA is
+    * this divided by 2^(horizon−1) with α = 1/2, off the exact path).
+    *
+    * Scale shape: `horizon` lag frames over the SAME WindowSpec collapse
+    * into one Exchange + Sort feeding a single Window operator — adding
+    * a term costs a frame, never a shuffle; partitions are per-entity
+    * (conversation-bounded), never corpus-sized. Rows missing a lag
+    * (the first `horizon−1` of each partition) contribute 0 for the
+    * absent terms, matching the oracle's range self-join.
+    *
+    * Overflow contract: caller guarantees max|value| · 2^horizon < 2^63
+    * (e.g. text lengths < 2^40 at horizon 8). horizon ≤ 32 keeps any
+    * plausible per-turn metric safe.
+    */
+  def decayedSum(
+      df: DataFrame,
+      w: WindowSpec,
+      value: Column,
+      horizon: Int,
+      as: String
+  ): DataFrame = {
+    require(horizon >= 1 && horizon <= 32,
+      "horizon must be in [1, 32] — weights are 2^(horizon-1-d) longs")
+    val terms = (0 until horizon).map { d =>
+      val v = if (d == 0) value else lag(value, d).over(w)
+      coalesce(v.cast("long"), lit(0L)) * lit(1L << (horizon - 1 - d))
+    }
+    df.withColumn(as, terms.reduce(_ + _))
+  }
+
   /** Multi-horizon trailing features in ONE exchange: the same agg at
     * several lookbacks (e.g. 1 h / 6 h / 24 h trailing event counts —
     * the bread-and-butter multi-scale activity features). All horizons

@@ -132,6 +132,37 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("decayedSum matches in-memory oracle; horizon 1 is identity") {
+    import org.apache.spark.sql.functions.{char_length, coalesce, col, lit}
+    val v = coalesce(char_length(col("text")).cast("long"), lit(0L))
+    val got = Windows
+      .decayedSum(df.withColumn("v", v), Windows.turnWindow,
+        col("v"), horizon = 4, as = "dec")
+      .select("conv_id", "turn_idx", "dec")
+      .as[(String, Int, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    for (c <- turns.map(_.conv_id).distinct) {
+      // char_length counts CODEPOINTS (the gen's word list has an astral
+      // char, where Java String.length would over-count by one)
+      val vals = sortedConv(c).map(t =>
+        if (t.text == null) 0L
+        else t.text.codePointCount(0, t.text.length).toLong)
+      sortedConv(c).zipWithIndex.foreach { case (t, i) =>
+        // weight 2^(3 - distance) over the trailing <= 4 rows
+        val expected = (0 to math.min(3, i))
+          .map(d => vals(i - d) * (1L << (3 - d))).sum
+        assert(got((c, t.turn_idx)) == expected,
+          s"decayed mismatch at ($c, ${t.turn_idx})")
+      }
+    }
+    // horizon 1: weight 2^0 on the current row only
+    val id1 = Windows
+      .decayedSum(df.withColumn("v", v), Windows.turnWindow,
+        col("v"), horizon = 1, as = "dec")
+      .filter(col("dec") =!= col("v")).count()
+    assert(id1 == 0L, "horizon-1 decayedSum must equal the value itself")
+  }
+
   test("sessionize assigns gap-based ids matching oracle") {
     val gap = 30L
     val got = Sessionize(df, Seq("conv_id"), "ts", gap, Seq("turn_idx"))
