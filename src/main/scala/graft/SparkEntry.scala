@@ -1260,6 +1260,28 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextStats.topTermsPerDoc(docs(s, dir), "doc_id", "text", 3)),
 
+    // --- inverted index (salted two-phase per-key top-k) ----------------------------
+    // term → (df, top-3 docs by tf): the retrieval/decontam lookup
+    // structure. The per-TERM ranking is the mega-key showcase — a
+    // stopword's postings are corpus-sized, so the rank runs through
+    // Skew.topKPerKey (per-salt top-k, then re-rank ≤ salts·k
+    // survivors), never a single-task sort of the hottest term.
+    "q_inverted_index" -> ((s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"),
+          explode(Dedup.words(col("text"))).as("term"))
+        .filter(col("term") =!= "")
+        .groupBy(col("term"), col("doc_id"))
+        .agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy(col("term")).agg(count(lit(1)).as("df_docs"))
+      graft.features.Skew
+        .topKPerKey(tf, Seq("term"),
+          Seq(col("tf").desc, col("doc_id").asc), k = 3, salts = 8)
+        .join(dfq, Seq("term"))
+        .select(col("term"), col("doc_id"), col("tf"), col("df_docs"),
+          col("rnk"))
+    }),
+
     // --- CSV ingest with malformed-row quarantine ---------------------------------
     // Lines staged from the transcript with every (turn_idx % 11 == 3)
     // row's turn_idx corrupted to 'x': PERMISSIVE parse keeps the good
@@ -3303,6 +3325,21 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // per-term ranking replayed as a plain window — the salted
+    // two-phase route must be indistinguishable from it
+    "q_inverted_index" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM toks WHERE term <> '' GROUP BY term, doc_id),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs
+        |  FROM tf GROUP BY term),
+        |r AS (SELECT term, doc_id, tf,
+        |  CAST(row_number() OVER (PARTITION BY term
+        |    ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rnk FROM tf)
+        |SELECT r.term, r.doc_id, r.tf, dfq.df_docs, r.rnk
+        |FROM r JOIN dfq USING (term) WHERE r.rnk <= 3""".stripMargin,
 
     // PERMISSIVE parse: every (turn_idx % 11 = 3) line had its turn_idx
     // corrupted to 'x' at staging — good fields parse, the bad one

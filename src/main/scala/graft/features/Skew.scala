@@ -97,6 +97,59 @@ object Skew {
       .filter(col("hot_n") > threshold)
   }
 
+  /** Scale-safe per-key top-k: the k best rows of every key under
+    * `order`, WITHOUT ever sorting a whole key in one task. The naive
+    * `row_number().over(partitionBy(key))` serializes a mega-key (a
+    * stopword's postings, a dominant language) into a single sort — the
+    * same failure mode saltedAgg exists for. Here each key is spread
+    * over `salts` sub-groups (same deterministic salt recipe as
+    * [[saltedAgg]]), the top-k of each sub-group survives phase 1, and
+    * phase 2 re-ranks the ≤ salts·k survivors per key — a bounded
+    * partition no matter how hot the key.
+    *
+    * Correctness: any row in a key's global top-k is necessarily in its
+    * sub-group's top-k (row_number is monotone under a fixed order), so
+    * phase 1 never drops a winner; the routes agree exactly when
+    * `order` is a TOTAL order within each key (callers must supply a
+    * tiebreaker — with ties the surviving representatives are
+    * ambiguous under ANY distributed evaluation, salted or not).
+    *
+    * Output: the input columns plus `rnk` (1-based long). One shuffle
+    * per phase; phase 2 moves ≤ salts·k rows per key.
+    */
+  def topKPerKey(
+      df: DataFrame,
+      keys: Seq[String],
+      order: Seq[Column],
+      k: Int,
+      salts: Int = 16
+  ): DataFrame = {
+    require(keys.nonEmpty, "need at least one key column")
+    require(order.nonEmpty,
+      "need a total order (with tiebreaker) within each key")
+    require(k > 0 && salts > 0, "k and salts must be positive")
+    val hashable = df.schema.fields
+      .filterNot(f => containsMap(f.dataType))
+      .map(f => col(f.name))
+      .toSeq
+    val salted = df.withColumn(
+      "__salt",
+      pmod(hash(spark_partition_id() +: hashable: _*), lit(salts)))
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy((keys :+ "__salt").map(col): _*)
+      .orderBy(order: _*)
+    val phase1 = salted
+      .withColumn("__r1", row_number().over(w1))
+      .filter(col("__r1") <= k)
+      .drop("__salt", "__r1")
+    val w2 = org.apache.spark.sql.expressions.Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(order: _*)
+    phase1
+      .withColumn("rnk", row_number().over(w2).cast("long"))
+      .filter(col("rnk") <= k)
+  }
+
   /** Skew-aware inner equi-join (north rule: "broadcast of skewed
     * conversations"): rows whose key is HOT join against a BROADCAST of
     * the right side's hot slice — the mega-conversation never funnels

@@ -41,6 +41,30 @@ class SkewSpec extends AnyFunSuite {
     assert(partialCount > 1, "salt must split the hot key")
   }
 
+  test("topKPerKey equals the plain window route on a mega-key fixture") {
+    // one key holds 90% of rows; order (v desc, id asc) is total per key
+    val rows = (1 to 9000).map(i => ("hot", (i * 37) % 5003, i.toLong)) ++
+      (1 to 1000).map(i => (s"k${i % 61}", i % 17, 100000L + i))
+    val df = rows.toDF("k", "v", "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"k").orderBy($"v".desc, $"id".asc)
+    val plain = df.withColumn("rnk", row_number().over(w).cast("long"))
+      .filter($"rnk" <= 5)
+      .as[(String, Int, Long, Long)].collect().sorted.toSeq
+    for (salts <- Seq(1, 4, 16)) {
+      val got = Skew
+        .topKPerKey(df, Seq("k"), Seq($"v".desc, $"id".asc), k = 5, salts)
+        .as[(String, Int, Long, Long)].collect().sorted.toSeq
+      assert(got == plain, s"salts=$salts diverged from the window route")
+    }
+    // k larger than any key's row count: every row survives, ranked
+    val small = (1 to 7).map(i => ("a", i, i.toLong)).toDF("k", "v", "id")
+    val all = Skew
+      .topKPerKey(small, Seq("k"), Seq($"v".desc, $"id".asc), k = 50, 4)
+      .as[(String, Int, Long, Long)].collect()
+    assert(all.length == 7 && all.map(_._4).sorted.toSeq == (1L to 7L))
+  }
+
   test("skewJoin equals the plain join on a mega-key fixture") {
     // one conversation holds 90% of the rows — the exact shape the
     // hot-path broadcast exists for
