@@ -1260,6 +1260,13 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextStats.topTermsPerDoc(docs(s, dir), "doc_id", "text", 3)),
 
+    // --- feature hashing (the hashing trick) ----------------------------------------
+    // Fixed-dim sparse featurization with NO vocabulary: word → rolling-
+    // hash mod 64 bucket, per-(doc, bucket) counts. One partial-agg
+    // shuffle; collisions deterministic and replayed by the oracle.
+    "q_feature_hash" -> ((s, dir) =>
+      TextStats.featureHash(docs(s, dir), "doc_id", "text", dims = 64)),
+
     // --- inverted index (salted two-phase per-key top-k) ----------------------------
     // term → (df, top-3 docs by tf): the retrieval/decontam lookup
     // structure. The per-TERM ranking is the mega-key showcase — a
@@ -3325,6 +3332,20 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // hashing-trick buckets: the q_rolling_fp polynomial replayed per
+    // WORD, reduced mod 64 — collisions and all
+    "q_feature_hash" ->
+      """WITH toks AS (SELECT doc_id,
+        |  unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |h AS (SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      [unicode(c)::BIGINT for c in string_split(term, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007) % 64 AS bucket
+        |  FROM toks WHERE term <> '')
+        |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_terms
+        |FROM h GROUP BY doc_id, bucket""".stripMargin,
 
     // per-term ranking replayed as a plain window — the salted
     // two-phase route must be indistinguishable from it

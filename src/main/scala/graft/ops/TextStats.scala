@@ -133,6 +133,58 @@ object TextStats {
       graft.exprs.VocabTokenCount(
         org.apache.spark.sql.GraftBridge.expression(text), vocab.toArray))
 
+  /** Feature hashing ("hashing trick"): each whitespace word is routed
+    * to `bucket = rollingHash(word) mod dims`, and the per-(doc, bucket)
+    * counts ARE the document's sparse feature vector — fixed
+    * dimensionality with no vocabulary to build, ship, or version,
+    * which is what makes it the featurizer that still works when the
+    * corpus is 100 TB and the vocab won't fit anywhere. Collisions are
+    * the accepted trade (dims controls the rate) and are deterministic:
+    * the bucket function is the polynomial rolling hash mod 1e9+7 that
+    * [[rollingFingerprint]] exposes, replayed bit-exactly by the DuckDB
+    * oracle (q_feature_hash).
+    *
+    * Scale shape: scan-fused explode + ONE (doc, bucket)-keyed partial
+    * agg — the same geometry as term frequency; nothing driver-side,
+    * no vocabulary broadcast.
+    */
+  def featureHash(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(dims > 0, "dims must be positive")
+    df.select(col(idCol), explode(Dedup.words(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      // rolling hash is in [0, 1e9+7) — plain % is already non-negative
+      .select(col(idCol), (rollingFingerprint(col("term")) % dims).as("bucket"))
+      .groupBy(col(idCol), col("bucket"))
+      .agg(count(lit(1)).as("n_terms"))
+  }
+
+  /** [[featureHash]] assembled into a dense `array<long>` of length
+    * `dims` per document — the model-input shape. Per-doc state is
+    * bounded by dims (map_from_entries over ≤ dims buckets), never by
+    * document length; docs with no tokens get the zero vector.
+    */
+  def featureHashVector(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int
+  ): org.apache.spark.sql.DataFrame = {
+    val counts = featureHash(df, idCol, textCol, dims)
+      .groupBy(col(idCol))
+      .agg(map_from_entries(collect_list(struct(col("bucket"), col("n_terms"))))
+        .as("__m"))
+    df.select(col(idCol))
+      .join(counts, Seq(idCol), "left")
+      .select(col(idCol),
+        transform(sequence(lit(0L), lit(dims - 1L)),
+          i => coalesce(try_element_at(col("__m"), i), lit(0L))).as("vec"))
+  }
+
   /** Simple quality score components (integers; ratio left to consumers). */
   def qualityColumns(text: Column): Seq[(String, Column)] = Seq(
     "n_chars_q" -> char_length(text).cast("long"),

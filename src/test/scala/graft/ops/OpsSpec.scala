@@ -396,6 +396,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got == cases.map(naive))
   }
 
+  test("featureHash: buckets match a naive hash; vector form is consistent") {
+    import org.apache.spark.sql.functions.col
+    val docs = Seq(
+      (0L, "alpha beta gamma alpha"),
+      (1L, "beta beta"),
+      (2L, null.asInstanceOf[String]), // null text -> zero vector
+      (3L, "")                         // empty -> zero vector
+    ).toDF("doc_id", "text")
+    val dims = 16
+    def naiveBucket(w: String): Long =
+      w.foldLeft(0L)((h, c) => (h * 31 + c.toLong) % 1000000007L) % dims
+    val rows = TextStats.featureHash(docs, "doc_id", "text", dims)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    val expected = Map(
+      (0L, naiveBucket("alpha")) -> 2L,
+      (0L, naiveBucket("gamma")) -> 1L,
+      (0L, naiveBucket("beta")) -> 1L,
+      (1L, naiveBucket("beta")) -> 2L)
+    assert(rows == expected)
+    val vecs = TextStats.featureHashVector(docs, "doc_id", "text", dims)
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(vecs.keySet == Set(0L, 1L, 2L, 3L))
+    assert(vecs.values.forall(_.length == dims))
+    assert(vecs(2L).forall(_ == 0L) && vecs(3L).forall(_ == 0L))
+    for (((id, b), n) <- expected) assert(vecs(id)(b.toInt) == n)
+    assert(vecs(0L).sum == 4L && vecs(1L).sum == 2L)
+  }
+
   test("exact dedup groups duplicate texts") {
     val df = Seq((1L, "aaa"), (2L, "bbb"), (3L, "aaa")).toDF("doc_id", "text")
     val g = Dedup.exactGroups(df, "doc_id", "text")
