@@ -1260,6 +1260,32 @@ object SparkEntry {
     "q_top_terms" -> ((s, dir) =>
       TextStats.topTermsPerDoc(docs(s, dir), "doc_id", "text", 3)),
 
+    // --- column profiler (data-quality gate) ----------------------------------------
+    // One aggregation pass over documents: per column the row/null/exact
+    // distinct counts + binary-collation min/max as strings. The
+    // before/after pair of these rows is a pipeline stage's cheapest
+    // regression test.
+    "q_profile" -> ((s, dir) =>
+      graft.ops.Analytics.profile(docs(s, dir),
+        Seq("doc_id", "text", "lang", "source", "n_chars"))),
+
+    // --- exact equal-width histogram ------------------------------------------------
+    // Document-length distribution per language, 100-char bins, integer
+    // floor-div binning; one (lang, bin)-keyed partial agg.
+    "q_histogram" -> ((s, dir) =>
+      graft.ops.Analytics.histogram(docs(s, dir),
+        col("n_chars"), width = 100L, keys = Seq("lang"))),
+
+    // --- exact per-group outlier flags ----------------------------------------------
+    // |len − mean| > 3σ within the doc's language, cleared to the
+    // integer inequality (n·x−s)² > 9·(n·q−s²) in decimal(38,0) —
+    // replayed by the oracle in HUGEINT. No sqrt, no float.
+    "q_outliers" -> ((s, dir) =>
+      graft.ops.Analytics.outliers(docs(s, dir), Seq("lang"),
+          col("n_chars"), z2 = 9)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("is_outlier"))),
+
     // --- feature hashing (the hashing trick) ----------------------------------------
     // Fixed-dim sparse featurization with NO vocabulary: word → rolling-
     // hash mod 64 bucket, per-(doc, bucket) counts. One partial-agg
@@ -3332,6 +3358,45 @@ object SparkEntry {
         |  FROM tf JOIN dfq USING (term))
         |SELECT doc_id, term, tf, df, CAST(rnk AS BIGINT) AS rnk
         |FROM r WHERE rnk <= 3""".stripMargin,
+
+    // per-column profile replayed as one SELECT per column, unioned —
+    // same row/null/distinct counts, same binary-collation min/max
+    "q_profile" -> {
+      def one(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(count(*) - count($c) AS BIGINT) AS n_nulls,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_str,
+           |  CAST(max($c) AS VARCHAR) AS max_str
+           |FROM documents""".stripMargin
+      Seq("doc_id", "text", "lang", "source", "n_chars")
+        .map(one).mkString("\nUNION ALL\n")
+    },
+
+    // integer floor-div binning: subtract the non-negative mod first so
+    // // (trunc) equals floor even for negative values
+    "q_histogram" ->
+      """SELECT lang,
+        |  (n_chars - ((n_chars % 100) + 100) % 100) // 100 AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(n_chars) AS BIGINT) AS v_min,
+        |  CAST(max(n_chars) AS BIGINT) AS v_max
+        |FROM documents WHERE n_chars IS NOT NULL
+        |GROUP BY lang, bin""".stripMargin,
+
+    // (n·x − s)² > 9·(n·q − s²) in HUGEINT — division-free 3σ test
+    "q_outliers" ->
+      """WITH st AS (SELECT lang,
+        |  count(*)::HUGEINT AS gn,
+        |  sum(n_chars::HUGEINT) AS gs,
+        |  sum(n_chars::HUGEINT * n_chars::HUGEINT) AS gq
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  (st.gn * d.n_chars - st.gs) * (st.gn * d.n_chars - st.gs)
+        |    > 9 * (st.gn * st.gq - st.gs * st.gs) AS is_outlier
+        |FROM documents d JOIN st USING (lang)
+        |WHERE d.n_chars IS NOT NULL""".stripMargin,
 
     // hashing-trick buckets: the q_rolling_fp polynomial replayed per
     // WORD, reduced mod 64 — collisions and all

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class AnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profile: exact counts, nulls, distincts, binary min/max") {
+    val df = Seq(
+      (1L, "b", Some(10L)),
+      (2L, "a", None),
+      (3L, "a", Some(30L)),
+      (4L, null, Some(10L))
+    ).toDF("id", "s", "v")
+    val got = Analytics.profile(df, Seq("id", "s", "v"))
+      .as[(String, Long, Long, Long, Option[String], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("id") == (("id", 4L, 0L, 4L, Some("1"), Some("4"))))
+    assert(got("s") == (("s", 4L, 1L, 2L, Some("a"), Some("b"))))
+    assert(got("v") == (("v", 4L, 1L, 2L, Some("10"), Some("30"))))
+    intercept[IllegalArgumentException] {
+      Analytics.profile(df, Seq("id", "nope"))
+    }
+  }
+
+  test("histogram: floor binning (negatives included), per-bin min/max") {
+    val df = Seq(-101L, -1L, 0L, 99L, 100L, 250L, 250L)
+      .toDF("v")
+    val got = Analytics.histogram(df, $"v", width = 100L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // floor semantics: -101 -> bin -2, -1 -> bin -1 (trunc-div would say 0)
+    assert(got == Map(
+      -2L -> ((1L, -101L, -101L)),
+      -1L -> ((1L, -1L, -1L)),
+      0L -> ((2L, 0L, 99L)),
+      1L -> ((1L, 100L, 100L)),
+      2L -> ((2L, 250L, 250L))))
+  }
+
+  test("outliers: integer 3σ flag matches the naive float computation") {
+    // group g1: tight cluster + one far point; g2: zero variance;
+    // g3: singleton — the latter two must flag nothing
+    val rows = (1 to 50).map(i => ("g1", i.toLong, 100L + (i % 5))) ++
+      Seq(("g1", 99L, 100000L)) ++
+      (1 to 10).map(i => ("g2", 200L + i, 7L)) ++
+      Seq(("g3", 300L, 42L))
+    val df = rows.toDF("g", "id", "v")
+    val got = Analytics.outliers(df, Seq("g"), $"v", z2 = 9)
+      .select("id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    val byGroup = rows.groupBy(_._1)
+    for ((g, rs) <- byGroup) {
+      val vs = rs.map(_._3.toDouble)
+      val mean = vs.sum / vs.size
+      val varp = vs.map(x => (x - mean) * (x - mean)).sum / vs.size
+      rs.foreach { case (_, id, v) =>
+        val expected = (v - mean) * (v - mean) > 9.0 * varp
+        assert(got(id) == expected, s"group $g id $id")
+      }
+    }
+    assert(got(99L), "the far point must flag")
+    assert((201L to 210L).forall(id => !got(200L + id - 200L)),
+      "zero-variance group flags nothing")
+    assert(!got(300L), "singleton flags nothing")
+  }
+}
