@@ -262,6 +262,36 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "last_tool")
     }),
 
+    // --- leakage-free target encoding ---------------------------------------
+    // Per-role strictly-past label stats (count + sum of text byte length):
+    // the point-in-time form of target/mean encoding — same-instant ties
+    // excluded on both sides, exact integer sufficient statistics so the
+    // caller picks the smoothing. Two-phase (per-day chunks + carry), so a
+    // dominant key parallelizes instead of serializing into one task.
+    "q_target_encode" -> ((s, dir) =>
+      graft.features.Encode.targetEncode(turns(s, dir), Seq("role"), "ts",
+          octet_length(col("text")), chunkSeconds = 86400L)
+        .select("conv_id", "turn_idx", "role", "enc_cnt", "enc_sum")),
+
+    // --- deterministic group k-fold -----------------------------------------
+    // fmix64-gate(conv) mod 5: every turn of a conversation lands in one
+    // fold (group k-fold, zero cross-fold leakage), no stored randomness,
+    // zero shuffles. The oracle replays the gate bit-exactly in UBIGINT.
+    "q_fold_assign" -> ((s, dir) =>
+      graft.features.Encode.foldAssign(turns(s, dir),
+          col("conv_id").substr(lit(2), lit(24)).cast("long"), k = 5)
+        .select("conv_id", "turn_idx", "fold")),
+
+    // --- trailing-window DISTINCT count --------------------------------------
+    // Distinct tools per conversation over the trailing hour — exact, via
+    // +1/−1 last-occurrence intervals and a running sweep (no per-row
+    // sets, no moving COUNT(DISTINCT) frame, O(1) state per conversation).
+    "q_rolling_distinct" -> ((s, dir) =>
+      graft.features.RollingDistinct.rollingDistinctByTime(turns(s, dir),
+        partCols = Seq("conv_id"), tsCol = "ts", orderCols = Seq("turn_idx"),
+        keyCol = "tool", windowSeconds = 3600L, idCols = Seq("turn_idx"),
+        as = "n_tools_1h")),
+
     // --- trailing time-range window ------------------------------------------
     "q_rolling_1h" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -2380,6 +2410,41 @@ object SparkEntry {
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // strictly-past range frame: RANGE ... AND 1 PRECEDING excludes the
+    // current row AND its same-epoch ties — the no-leakage contract
+    "q_target_encode" ->
+      s"""$T
+         |SELECT conv_id, turn_idx, role,
+         |  CAST(count(strlen(text)) OVER w AS BIGINT) AS enc_cnt,
+         |  CAST(sum(strlen(text)) OVER w AS BIGINT) AS enc_sum
+         |FROM turns
+         |WINDOW w AS (PARTITION BY role
+         |  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
+
+    // the fmix64 gate replayed bit-exactly, reduced mod 5 folds
+    "q_fold_assign" ->
+      s"""$T,
+         |ids AS (SELECT conv_id, turn_idx,
+         |  CAST(substr(conv_id, 2) AS UBIGINT) AS cid FROM turns),
+         |m AS (SELECT conv_id, turn_idx, ${fmixLateralSql("cid")} FROM ids)
+         |SELECT conv_id, turn_idx,
+         |  CAST(((u >> 20) % 10000) % 5 AS BIGINT) AS fold FROM m""".stripMargin,
+
+    // trailing-hour distinct tools, replayed as the quadratic self-join the
+    // engine-side interval sweep avoids
+    "q_rolling_distinct" ->
+      s"""$T
+         |SELECT a.conv_id, a.turn_idx,
+         |  CAST(count(DISTINCT r.tool) AS BIGINT) AS n_tools_1h
+         |FROM turns a LEFT JOIN turns r
+         |  ON r.conv_id = a.conv_id AND r.tool IS NOT NULL
+         |  AND CAST(FLOOR(epoch(r.ts)) AS BIGINT)
+         |      > CAST(FLOOR(epoch(a.ts)) AS BIGINT) - 3600
+         |  AND CAST(FLOOR(epoch(r.ts)) AS BIGINT)
+         |      <= CAST(FLOOR(epoch(a.ts)) AS BIGINT)
+         |GROUP BY a.conv_id, a.turn_idx""".stripMargin,
 
     "q_rolling_1h" ->
       """SELECT user_id, event_id,
