@@ -292,6 +292,15 @@ object SparkEntry {
         keyCol = "tool", windowSeconds = 3600L, idCols = Seq("turn_idx"),
         as = "n_tools_1h")),
 
+    // --- exact per-group rank + equal-frequency buckets -----------------------
+    // Each document's min-rank / group size / quartile bucket of its length
+    // within its language — discretization as exact integers, computed by
+    // the two-phase strictly-smaller count (no whole-group single-task sort).
+    "q_quantile_bucket" -> ((s, dir) =>
+      graft.features.Encode.rankInGroup(docs(s, dir), Seq("lang"), "n_chars",
+          nBuckets = 4, valueChunk = 64L)
+        .select("doc_id", "lang", "n_chars", "rnk", "n_group", "bucket")),
+
     // --- trailing time-range window ------------------------------------------
     "q_rolling_1h" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -1174,6 +1183,13 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, dir) =>
       graft.ops.TextStats.topNgrams(docs(s, dir), "text", n = 3, k = 20)),
 
+    // --- word co-occurrence (PMI sufficient statistics) -------------------------
+    // Ordered pairs within 2 positions, pair + unigram + total counts as
+    // exact integers — PMI and collocation mining without a float log.
+    "q_cooccur" -> ((s, dir) =>
+      graft.ops.TextStats.cooccurrence(docs(s, dir), "text",
+        maxDist = 2, minCount = 5L)),
+
     // --- k-means Lloyd step: exact-integer sufficient statistics ----------------
     // The training half of the IVF index ("trained k-means centroids from
     // a separate job" — this is that job's inner loop): assignment by the
@@ -1999,6 +2015,24 @@ object SparkEntry {
         |FROM g GROUP BY ngram
         |ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""".stripMargin,
 
+    // pair lists per offset via the ngram-style list comprehension, pairs
+    // re-split from the joined key, unigram counts joined on each side
+    "q_cooccur" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |p1 AS (SELECT unnest([ws[i] || ' ' || ws[i+1]
+        |         for i in range(1, greatest(len(ws)-1, 0)+1)]) AS pr FROM w),
+        |p2 AS (SELECT unnest([ws[i] || ' ' || ws[i+2]
+        |         for i in range(1, greatest(len(ws)-2, 0)+1)]) AS pr FROM w),
+        |p AS (SELECT pr FROM p1 UNION ALL SELECT pr FROM p2),
+        |pc AS (SELECT string_split(pr, ' ')[1] AS a, string_split(pr, ' ')[2] AS b,
+        |         CAST(count(*) AS BIGINT) AS n_ab FROM p GROUP BY 1, 2),
+        |u AS (SELECT unnest(ws) AS wd FROM w),
+        |uc AS (SELECT wd, CAST(count(*) AS BIGINT) AS n_w FROM u GROUP BY wd),
+        |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM u)
+        |SELECT pc.a, pc.b, pc.n_ab, ua.n_w AS n_a, ub.n_w AS n_b, tot.n_total
+        |FROM pc JOIN uc ua ON pc.a = ua.wd JOIN uc ub ON pc.b = ub.wd, tot
+        |WHERE pc.n_ab >= 5""".stripMargin,
+
     // Lloyd-step sufficient statistics: the q_ann_ivf assignment CTE
     // (max quantized dot, ties to smaller list id) + per (list, dim)
     // count and quantized-coordinate sums
@@ -2445,6 +2479,16 @@ object SparkEntry {
          |  AND CAST(FLOOR(epoch(r.ts)) AS BIGINT)
          |      <= CAST(FLOOR(epoch(a.ts)) AS BIGINT)
          |GROUP BY a.conv_id, a.turn_idx""".stripMargin,
+
+    // min-rank == 1 + count of strictly smaller; integer floor-div bucket
+    "q_quantile_bucket" ->
+      """SELECT doc_id, lang, n_chars,
+        |  CAST(rank() OVER w AS BIGINT) AS rnk,
+        |  CAST(count(*) OVER (PARTITION BY lang) AS BIGINT) AS n_group,
+        |  CAST((4 * (rank() OVER w - 1))
+        |    // (count(*) OVER (PARTITION BY lang)) AS BIGINT) AS bucket
+        |FROM documents
+        |WINDOW w AS (PARTITION BY lang ORDER BY n_chars)""".stripMargin,
 
     "q_rolling_1h" ->
       """SELECT user_id, event_id,

@@ -27,7 +27,7 @@ object Encode {
   private def guardedEpoch(ts: Column): Column = {
     val e = ts.cast("long")
     when(e.isNotNull, e).otherwise(raise_error(lit(
-      "targetEncode: null timestamp — the order column must be non-null")))
+      "Encode: null order value — the order column must be non-null")))
   }
 
   /** Exact integral floor-division (subtract the non-negative remainder
@@ -130,6 +130,52 @@ object Encode {
     val lbl = label.cast("long")
     df.withColumn(cntAs, coalesce(count(lbl).over(w), lit(0L)))
       .withColumn(sumAs, sum(lbl).over(w))
+  }
+
+  /** Exact per-group rank features: for every row, its min-rank among the
+    * group's `valueCol` values (`rankAs`, ties share a rank), the group
+    * size (`nAs`), and — when `nBuckets > 0` — its equal-frequency
+    * quantile bucket `floor(nBuckets·(rank−1)/n)` (`bucketAs`, in
+    * `[0, nBuckets)`): the standard discretization / percentile-rank
+    * featurization, emitted as exact integers (the caller divides for a
+    * float percentile if it wants one).
+    *
+    * `Window.partitionBy(group).orderBy(value)` would sort each whole
+    * group in one task; this instead counts strictly-smaller values with
+    * the same two-phase chunked frame as [[targetEncode]] (rank−1 IS that
+    * count, by definition of min-rank), so a dominant group parallelizes
+    * across `valueChunk`-wide value ranges. One extra group-sized
+    * aggregate + join supplies n. `valueCol` must be non-null
+    * (fail-loud guard, shared with targetEncode).
+    */
+  def rankInGroup(
+      df: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      nBuckets: Int = 0,
+      valueChunk: Long = 1024L,
+      rankAs: String = "rnk",
+      nAs: String = "n_group",
+      bucketAs: String = "bucket"
+  ): DataFrame = {
+    require(nBuckets >= 0, "nBuckets must be >= 0 (0 = no bucket column)")
+    val reserved = Seq(rankAs, nAs, bucketAs, "__rk_c", "__rk_s")
+    require(!reserved.exists(df.columns.contains),
+      s"rankInGroup reserves the column names ${reserved.mkString(", ")}")
+    val ranked = targetEncode(df, keys, valueCol, lit(1L), valueChunk,
+        cntAs = "__rk_c", sumAs = "__rk_s")
+      .withColumn(rankAs, col("__rk_c") + 1L)
+      .drop("__rk_c", "__rk_s")
+    val totals = df.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as(nAs))
+      .select(col(nAs) +: keys.map(k => col(k).as(s"__rk_j_$k")): _*)
+    val cond = keys.map(k => ranked(k) <=> totals(s"__rk_j_$k")).reduce(_ && _)
+    val joined = ranked.join(totals, cond)
+      .drop(keys.map(k => s"__rk_j_$k"): _*)
+    if (nBuckets == 0) joined
+    else joined.withColumn(bucketAs,
+      call_function("div", lit(nBuckets.toLong) * (col(rankAs) - 1L),
+        col(nAs)))
   }
 
   /** Deterministic group k-fold assignment: fold = fmix64-gate(id) mod k,

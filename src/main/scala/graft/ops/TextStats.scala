@@ -360,4 +360,56 @@ object TextStats {
       .select(col(idCol), col("term"), col("tf"), col("df"),
         col("rnk").cast("long").as("rnk"))
   }
+
+  /** Corpus word co-occurrence: for every ordered word pair (a, b) with b
+    * at most `maxDist` positions after a, the pair count `n_ab` plus both
+    * words' corpus unigram counts `n_a` / `n_b` and the corpus token
+    * total `n_total` — the exact integer sufficient statistics of PMI
+    * (`log(n_ab·n_total / (n_a·n_b))`) and of phrase/collocation mining,
+    * emitted without the log so the output sits under the hard oracle
+    * (PMI ORDER is already decidable from these by integer
+    * cross-multiplication).
+    *
+    * Scale shape: window pairs explode scan-side (≤ maxDist rows per
+    * token — bounded fan-out, no quadratic doc blow-up), then ONE
+    * pair-keyed partial agg; unigram counts are a second word-keyed agg
+    * (vocabulary-sized output) joined back on each side — at web scale
+    * the vocabulary table is orders of magnitude smaller than the pair
+    * stream, and `minCount` prunes the hapax tail before the joins.
+    */
+  def cooccurrence(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      maxDist: Int,
+      minCount: Long = 1L
+  ): org.apache.spark.sql.DataFrame = {
+    require(maxDist >= 1, "maxDist must be >= 1")
+    require(minCount >= 1L, "minCount must be >= 1")
+    val ws = Dedup.words(col(textCol))
+    val pairArrays = (1 to maxDist).map { o =>
+      val n = greatest(size(ws) - o, lit(0))
+      zip_with(
+        slice(ws, lit(1), n), slice(ws, lit(o + 1), n),
+        (x, y) => struct(x.as("a"), y.as("b")))
+    }
+    val pairs = df
+      .select(explode(concat(pairArrays: _*)).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minCount)
+    val uni = df
+      .select(explode(ws).as("wd"))
+      .groupBy(col("wd"))
+      .agg(count(lit(1)).as("n_w"))
+    val total = uni.agg(sum(col("n_w")).as("n_total"))
+    val ua = uni.select(col("wd").as("__ca"), col("n_w").as("n_a"))
+    val ub = uni.select(col("wd").as("__cb"), col("n_w").as("n_b"))
+    pairs
+      .join(ua, col("a") === col("__ca"))
+      .join(ub, col("b") === col("__cb"))
+      .crossJoin(broadcast(total))
+      .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
+        col("n_total"))
+  }
 }

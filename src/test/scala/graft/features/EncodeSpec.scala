@@ -68,6 +68,29 @@ class EncodeSpec extends AnyFunSuite {
     assert(got == Set((0L, 0L, None), (10L, 1L, Some(1L)), (5L, 0L, None)))
   }
 
+  test("rankInGroup: min-rank with ties, group size, quartile buckets") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 500).map { i =>
+      (s"g${rng.nextInt(3)}", rng.nextInt(40).toLong, i) // heavy ties
+    }
+    val df = rows.toDF("g", "v", "row_id")
+    val got = Encode
+      .rankInGroup(df, Seq("g"), "v", nBuckets = 4, valueChunk = 8L)
+      .select($"row_id", $"rnk", $"n_group", $"bucket")
+      .as[(Int, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val byG = rows.groupBy(_._1)
+    rows.foreach { case (g, v, id) =>
+      val vs = byG(g).map(_._2)
+      val rank = vs.count(_ < v) + 1L
+      val n = vs.size.toLong
+      val bucket = 4L * (rank - 1) / n
+      assert(got(id) == ((rank, n, bucket)), s"g=$g v=$v")
+    }
+    // buckets cover [0, 4) and the max value lands in bucket 3
+    assert(got.values.map(_._3).toSet == Set(0L, 1L, 2L, 3L))
+  }
+
   test("foldAssign: deterministic, conversation-coherent, complete") {
     val df = (0L to 999L).flatMap(id => Seq((id, 0), (id, 1)))
       .toDF("conv", "turn")

@@ -596,4 +596,23 @@ class OpsSpec extends AnyFunSuite {
     val again = df.select(Curation.shuffleKey(col("id"))).as[Long].collect()
     assert(got.map(_._2).toSeq == again.toSeq)
   }
+
+  test("cooccurrence: windowed pair counts + unigram counts + total") {
+    import spark.implicits._
+    val df = Seq("a b a b", "b a", "c", "").toDF("text")
+    val got = TextStats.cooccurrence(df, "text", maxDist = 2)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    // tokens: a:3 b:3 c:1 "":1 → total 8
+    // dist-1 pairs: (a,b)x2 (b,a)x2; dist-2: (a,a) (b,b) from doc 1
+    assert(got == Map(
+      ("a", "b") -> ((2L, 3L, 3L, 8L)),
+      ("b", "a") -> ((2L, 3L, 3L, 8L)),
+      ("a", "a") -> ((1L, 3L, 3L, 8L)),
+      ("b", "b") -> ((1L, 3L, 3L, 8L))))
+    // minCount prunes below-threshold pairs before the joins
+    val pruned = TextStats.cooccurrence(df, "text", 2, minCount = 2L)
+      .as[(String, String, Long, Long, Long, Long)].collect()
+    assert(pruned.map(r => (r._1, r._2)).toSet == Set(("a", "b"), ("b", "a")))
+  }
 }
