@@ -610,6 +610,18 @@ object SparkEntry {
         .select("query_id", "vec_id", "dot", "rank")
     }),
 
+    // --- hard-negative mining (retrieval training) ------------------------------
+    // Per query: drop self and presumed positives (exact cosine ≥ 0.95 via
+    // the decimal predicate), skip the 2 closest survivors, emit the next
+    // 10 as neg_rank 1..10 — the "hard but not false" negative band.
+    "q_hard_negatives" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.hardNegatives(e, q, k = 10, skipTop = 2,
+        maxCosineBp = 9500)
+    }),
+
     // --- LSH-bucketed ANN candidates (scale path; Scala-oracled) ---------------
     "q_ann_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
@@ -2829,6 +2841,30 @@ object SparkEntry {
         |  SELECT query_id, vec_id, dot,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // the q_ann_topk scoring plus both quantized norms; near-positive
+    // exclusion replays the q_cosine_dup HUGEINT predicate at bp=9500
+    "q_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS dot,
+        |  CAST(list_sum([CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(q.qe)+1)]) AS BIGINT) AS sq_a,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS sq_b
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |kept AS (SELECT * FROM scored WHERE NOT (dot > 0 AND sq_a > 0 AND sq_b > 0
+        |  AND dot::HUGEINT * dot::HUGEINT * CAST(100000000 AS HUGEINT)
+        |      >= CAST(90250000 AS HUGEINT) * sq_a::HUGEINT * sq_b::HUGEINT)),
+        |ranked AS (SELECT query_id, vec_id, dot,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS INT) AS rnk
+        |  FROM kept)
+        |SELECT query_id, vec_id, dot, rnk - 2 AS neg_rank
+        |FROM ranked WHERE rnk > 2 AND rnk <= 12""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH qv AS (SELECT vec_id,

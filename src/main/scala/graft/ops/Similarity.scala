@@ -421,6 +421,52 @@ object Similarity {
     * can never be counted twice nor crowd a distinct candidate out of
     * the top-k, and hits ≤ k always holds.
     */
+  /** Hard-negative mining for retrieval/contrastive training: per query,
+    * the k highest-scoring corpus vectors AFTER dropping (a) the query
+    * itself and (b) anything so similar it is presumably a positive or a
+    * duplicate — exact cosine ≥ `maxCosineBp` via the same
+    * division-free decimal predicate the near-dup family uses. The
+    * closest `skipTop` survivors (likely unlabeled positives) are then
+    * skipped, and the next k emitted with `neg_rank` 1..k — the standard
+    * "hard but not false" negative band.
+    *
+    * Scale shape: identical to [[topKByDot]] — queries broadcast, corpus
+    * streamed, per-query output cardinality k. For full-corpus query
+    * sets swap the scored set for [[annCandidates]] / [[annIvf]] and
+    * apply the same band; this brute form is the oracle-exact baseline.
+    */
+  def hardNegatives(
+      corpus: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (query_id, q_embedding)
+      k: Int,
+      skipTop: Int = 0,
+      maxCosineBp: Int = 9500,
+      excludeSelf: Boolean = true
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(skipTop >= 0, "skipTop must be >= 0")
+    require(maxCosineBp > 0 && maxCosineBp <= 10000,
+      s"maxCosineBp must be in 1..10000, got $maxCosineBp")
+    val joined = corpus.crossJoin(broadcast(queries))
+    val scored = (if (excludeSelf)
+        joined.filter(col("query_id") =!= col("vec_id"))
+      else joined)
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        quantDot(col("embedding"), col("q_embedding")).as("dot"),
+        quantSqNorm(col("q_embedding")).as("sq_a"),
+        quantSqNorm(col("embedding")).as("sq_b"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    scored
+      .filter(!cosineAtLeastBp(maxCosineBp))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") > skipTop && col("rank") <= skipTop + k)
+      .select(col("query_id"), col("vec_id"), col("dot"),
+        (col("rank") - skipTop).as("neg_rank"))
+  }
+
   def recallAtK(
       candidates: DataFrame, // (query_id, vec_id, dot)
       truth: DataFrame, // (query_id, vec_id, dot) — exact scores

@@ -597,6 +597,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got.map(_._2).toSeq == again.toSeq)
   }
 
+  test("hardNegatives: self and near-positives excluded, band after skipTop") {
+    import spark.implicits._
+    // corpus: query q0 = unit-x; v1 = exact duplicate (cosine 1 → excluded);
+    // v2 = 0.99-ish scaled copy (excluded at bp 9500); v3..v6 descending dots
+    def vec(xs: Double*) = xs.map(_.toFloat).toArray
+    val corpus = Seq(
+      (0L, vec(1, 0, 0, 0)),
+      (1L, vec(1, 0, 0, 0)),          // duplicate of q0
+      (2L, vec(0.99, 0.141, 0, 0)),   // cosine ≈ .990 → excluded
+      (3L, vec(0.9, 0.436, 0, 0)),    // cosine .9 → kept, highest dot
+      (4L, vec(0.8, 0.6, 0, 0)),
+      (5L, vec(0.5, 0.866, 0, 0)),
+      (6L, vec(0.1, 0.995, 0, 0))
+    ).toDF("vec_id", "embedding")
+    val q = corpus.filter($"vec_id" === 0L)
+      .select($"vec_id".as("query_id"), $"embedding".as("q_embedding"))
+    val got = Similarity.hardNegatives(corpus, q, k = 2, skipTop = 1,
+        maxCosineBp = 9500)
+      .select($"vec_id", $"neg_rank").as[(Long, Int)].collect().sortBy(_._2)
+    // kept order by dot: 3 (skipped), then 4, 5 → the band
+    assert(got.toSeq == Seq((4L, 1), (5L, 2)))
+    // threshold is the lever: at bp=10000 only exact duplicates (cosine
+    // = 1.0) are excluded, so the 0.99 near-copy leads the band
+    val raw = Similarity.hardNegatives(corpus, q, k = 2, skipTop = 0,
+        maxCosineBp = 10000)
+      .select($"vec_id", $"neg_rank").as[(Long, Int)].collect().sortBy(_._2)
+    assert(raw.toSeq == Seq((2L, 1), (3L, 2)))
+  }
+
   test("cooccurrence: windowed pair counts + unigram counts + total") {
     import spark.implicits._
     val df = Seq("a b a b", "b a", "c", "").toDF("text")
