@@ -301,6 +301,28 @@ object SparkEntry {
           nBuckets = 4, valueChunk = 64L)
         .select("doc_id", "lang", "n_chars", "rnk", "n_group", "bucket")),
 
+    // --- transcript → SFT text rendering ---------------------------------------
+    // One training string per conversation, stable (ts, turn_idx) order,
+    // byte-equal to the oracle's ordered string_agg — the serialize step
+    // at the end of a chat-data pipeline.
+    "q_render_sft" -> ((s, dir) =>
+      graft.features.ConvFeatures.renderConversation(turns(s, dir))),
+
+    // --- nearest as-of join ----------------------------------------------------
+    // The closest tool event to each assistant turn in EITHER direction,
+    // backward winning ties — one shuffle + one sort, both direction
+    // frames in a single Window exec. 'asof_side' records the winner.
+    "q_asof_nearest" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("near_tool"))
+      graft.features.AsOf.joinNearest(anchors, obs, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "near_tool", "asof_side")
+    }),
+
     // --- trailing time-range window ------------------------------------------
     "q_rolling_1h" -> ((s, dir) => {
       val ev = Tables.read(s, dir, "events")
@@ -2455,6 +2477,40 @@ object SparkEntry {
          |  (SELECT o.last_tool FROM obs o
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // ordered string_agg replays the render byte-for-byte
+    "q_render_sft" ->
+      s"""$T,
+         |lines AS (SELECT conv_id, ts, turn_idx,
+         |  role || CASE WHEN tool IS NOT NULL THEN '[' || tool || ']' ELSE '' END
+         |       || ': ' || COALESCE(text, '') AS line
+         |  FROM turns),
+         |r AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         |  string_agg(line, chr(10) ORDER BY ts, turn_idx) AS sft_text
+         |  FROM lines GROUP BY conv_id)
+         |SELECT conv_id, n_turns, sft_text,
+         |  CAST(length(sft_text) AS BIGINT) AS n_chars FROM r""".stripMargin,
+
+    // nearest pick replayed as a correlated ORDER BY (abs distance,
+    // forward-flag) LIMIT 1 — deterministic because obs is unique per
+    // (conv_id, ts), so a within-direction distance tie is the same row
+    "q_asof_nearest" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS near_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.near_tool FROM obs o WHERE o.conv_id = a.conv_id
+         |   ORDER BY abs(CAST(FLOOR(epoch(o.ts)) AS BIGINT)
+         |              - CAST(FLOOR(epoch(a.ts)) AS BIGINT)),
+         |            CASE WHEN o.ts > a.ts THEN 1 ELSE 0 END
+         |   LIMIT 1) AS near_tool,
+         |  (SELECT CASE WHEN o.ts > a.ts THEN 'f' ELSE 'b' END
+         |   FROM obs o WHERE o.conv_id = a.conv_id
+         |   ORDER BY abs(CAST(FLOOR(epoch(o.ts)) AS BIGINT)
+         |              - CAST(FLOOR(epoch(a.ts)) AS BIGINT)),
+         |            CASE WHEN o.ts > a.ts THEN 1 ELSE 0 END
+         |   LIMIT 1) AS asof_side
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 
     // strictly-past range frame: RANGE ... AND 1 PRECEDING excludes the

@@ -200,4 +200,114 @@ object AsOf {
             when(inTolerance, col(s"__match.$c")).as(outName(c))) : _*
       )
   }
+
+  /** Nearest as-of join: for each left row, the right row whose ts is
+    * CLOSEST in either direction, backward winning distance ties (and
+    * exact-ts matches trivially, at distance 0). The completion of the
+    * as-of family — backward for features, forward for labels, nearest
+    * for enrichment where "the closest reading" is the semantic (sensor
+    * fusion, nearest snapshot, nearest tool event).
+    *
+    * Exact matches always win here; for exclude-exact semantics compose
+    * [[joinBackward]] and [[joinForward]] with `allowExactMatches =
+    * false` and pick manually — a separate sort order per direction is
+    * unavoidable there, and this entry point refuses to hide that cost.
+    *
+    * `sideAs` names an extra output column: 'b' / 'f' for the winning
+    * direction, null when nothing matched (within tolerance). Optional
+    * `toleranceMs` bounds |right.ts − left.ts| per side; a nearer
+    * out-of-tolerance match does not shadow a farther in-tolerance one.
+    *
+    * Scale shape: ONE shuffle on the key and ONE sort — both direction
+    * frames (backward `last` over preceding, forward `first` over
+    * following) share the same window ordering, so Catalyst evaluates
+    * them in a single Window exec. Like the other union-merge joins:
+    * no interval explosion, AQE-skew-safe.
+    */
+  def joinNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String = "ts",
+      rightTs: String = "ts",
+      toleranceMs: Option[Long] = None,
+      sideAs: String = "asof_side"
+  ): DataFrame = {
+    val leftVals = left.columns.filterNot(keys.contains).toSeq
+    val rightVals =
+      right.columns.filterNot(c => keys.contains(c) || c == rightTs).toSeq
+    val outName: Map[String, String] = rightVals.map { c =>
+      c -> (if (left.columns.contains(c)) s"${c}_r" else c)
+    }.toMap
+    require(!left.columns.contains(sideAs) && !outName.values.toSet(sideAs),
+      s"joinNearest: output already has a column named $sideAs")
+
+    // right rows sort BEFORE anchors at equal ts: the backward frame owns
+    // exact matches (distance 0 — always the winner)
+    val (rightSrc, leftSrc) = (0, 1)
+
+    val payloadType = org.apache.spark.sql.types.StructType(
+      org.apache.spark.sql.types
+        .StructField("__rts", right.schema(rightTs).dataType) +:
+        rightVals.map(c => right.schema(c))
+    )
+    val rightNonNullTs = right.filter(col(rightTs).isNotNull)
+    val r = rightNonNullTs.select(
+      keys.map(col) ++ Seq(
+        col(rightTs).as("__ts"),
+        lit(rightSrc).as("__src"),
+        struct(col(rightTs).as("__rts") +: rightVals.map(col): _*)
+          .cast(payloadType)
+          .as("__rpayload")
+      ) ++ leftVals.map(c => lit(null).cast(left.schema(c).dataType).as(c)): _*
+    )
+    val l = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTs).as("__ts"),
+        lit(leftSrc).as("__src"),
+        lit(null).cast(payloadType).as("__rpayload")
+      ) ++ leftVals.map(col): _*
+    )
+
+    val u = r.unionByName(l)
+    val order = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").asc)
+    val wb = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // the anchor's own payload is null and equal-ts right rows sort before
+    // it, so this frame yields the strictly-later side only
+    val wf = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val matched = u
+      .withColumn("__mb", last(col("__rpayload"), ignoreNulls = true).over(wb))
+      .withColumn("__mf", first(col("__rpayload"), ignoreNulls = true).over(wf))
+
+    val anchorTs = col("__ts").cast("long")
+    val distB = anchorTs - col("__mb.__rts").cast("long")
+    val distF = col("__mf.__rts").cast("long") - anchorTs
+    def tol(dist: Column): Column = toleranceMs match {
+      case Some(t) => dist * 1000L <= t
+      case None => lit(true)
+    }
+    // a null-ts anchor has no position on the timeline: matches nothing
+    // (the forward frame WOULD otherwise hand it the earliest right row —
+    // same guard as joinForward)
+    val validB =
+      col("__ts").isNotNull && col("__mb").isNotNull && tol(distB)
+    val validF =
+      col("__ts").isNotNull && col("__mf").isNotNull && tol(distF)
+    val chooseB = validB && (!validF || distB <= distF)
+    val chooseF = validF && !chooseB
+
+    matched
+      .filter(col("__src") === leftSrc)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftVals.filterNot(_ == leftTs).map(col) ++
+          rightVals.map(c =>
+            when(chooseB, col(s"__mb.$c"))
+              .when(chooseF, col(s"__mf.$c")).as(outName(c))) :+
+          when(chooseB, lit("b")).when(chooseF, lit("f")).as(sideAs): _*
+      )
+  }
 }

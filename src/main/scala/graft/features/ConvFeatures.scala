@@ -126,6 +126,41 @@ object ConvFeatures {
     )
   }
 
+  /** Renders each conversation to ONE training-ready text: turns in
+    * stable (ts, turn_idx) order, each line `role: text` (tool turns
+    * tagged `role[tool]: text`, null text rendered empty), joined by
+    * `\n` — the "serialize transcript to SFT example" step at the end of
+    * every chat-data pipeline, where the north rule's per-turn
+    * byte-equality contract becomes per-CONVERSATION byte-equality of
+    * the rendered string (the oracle replays it with an ordered
+    * string_agg).
+    *
+    * Scale shape: one conv_id-keyed aggregation; the per-group
+    * `sort_array(collect_list(struct(ts, turn_idx, line)))` is bounded
+    * by conversation length — the same per-conversation geometry as
+    * [[Curation.assembleSequences]] — never by corpus size.
+    */
+  def renderConversation(turns: DataFrame): DataFrame = {
+    val line = concat(
+      col("role"),
+      when(col("tool").isNotNull, concat(lit("["), col("tool"), lit("]")))
+        .otherwise(lit("")),
+      lit(": "),
+      coalesce(col("text"), lit("")))
+    turns
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("n_turns"),
+        concat_ws("\n",
+          transform(
+            array_sort(collect_list(struct(
+              col("ts").cast("long").as("t"),
+              col("turn_idx").as("i"),
+              line.as("line")))),
+            x => x.getField("line"))).as("sft_text"))
+      .withColumn("n_chars", length(col("sft_text")).cast("long"))
+  }
+
   /** Reply latency: for every `user` turn, seconds until the next
     * `assistant` turn in the conversation's (ts, turn_idx) order — NULL
     * when the conversation never answers. A label-generation primitive

@@ -149,6 +149,54 @@ class AsOfPropertySpec extends AnyFunSuite {
     }
   }
 
+  /** Nearest oracle: closest side wins, backward on ties; a nearer
+    * out-of-tolerance match must not shadow a farther in-tolerance one.
+    */
+  private def oracleNearest(
+      anchors: Seq[Anchor], right: Seq[Obs], tolMs: Option[Long]
+  ): Map[Int, (Option[Int], Option[String])] =
+    anchors.map { a =>
+      val m: (Option[Int], Option[String]) = a.ts match {
+        case None => (None, None)
+        case Some(ts) =>
+          val cand = right.filter(_.key == a.key)
+          val back = cand.filter(_.ts <= ts).sortBy(-_.ts).headOption
+            .filter(o => tolMs.forall((ts - o.ts) * 1000L <= _))
+          val fwd = cand.filter(_.ts > ts).sortBy(_.ts).headOption
+            .filter(o => tolMs.forall((o.ts - ts) * 1000L <= _))
+          (back, fwd) match {
+            case (Some(b), Some(f)) =>
+              if (ts - b.ts <= f.ts - ts) (Some(b.obs), Some("b"))
+              else (Some(f.obs), Some("f"))
+            case (Some(b), None) => (Some(b.obs), Some("b"))
+            case (None, Some(f)) => (Some(f.obs), Some("f"))
+            case _ => (None, None)
+          }
+      }
+      a.idx -> m
+    }.toMap
+
+  test("joinNearest ≡ in-memory oracle: random transcripts × tolerance") {
+    val tolerances = Seq(None, Some(0L), Some(1000L), Some(2999L), Some(3000L))
+    for (seed <- 1 to 10; tolMs <- tolerances) {
+      val (anchors, right) = randomInput(seed)
+      val l = anchors
+        .map(a => (a.key, a.idx, a.ts.map(s => new Timestamp(s * 1000L)).orNull))
+        .toDF("conv_id", "turn_idx", "ts")
+      val r = right
+        .map(o => (o.key, new Timestamp(o.ts * 1000L), o.obs))
+        .toDF("conv_id", "ts", "obs")
+      val got = AsOf.joinNearest(l, r, Seq("conv_id"), toleranceMs = tolMs)
+        .select("turn_idx", "obs", "asof_side").collect()
+        .map(row => row.getInt(0) -> ((
+          if (row.isNullAt(1)) None else Some(row.getInt(1)),
+          Option(row.getString(2)))))
+        .toMap
+      assert(got === oracleNearest(anchors, right, tolMs),
+        s"nearest seed=$seed tol=$tolMs")
+    }
+  }
+
   test("forward null-ts anchors match nothing (union-merge contract guard)") {
     val l = Seq(("k", 1, Timestamp.valueOf("2026-01-01 00:00:00")),
       ("k", 2, null.asInstanceOf[Timestamp]))

@@ -96,6 +96,19 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert(Seq("c2", "c3", "c4", "c5").forall(got(_)._2), "unique convs all kept")
   }
 
+  test("renderConversation: stable order, tool tags, null text, byte-exact") {
+    // out-of-order input rows must not change the render
+    val shuffled = turns.orderBy($"text".desc_nulls_first)
+    val got = ConvFeatures.renderConversation(shuffled)
+      .select($"conv_id", $"n_turns", $"sft_text", $"n_chars")
+      .as[(String, Long, String, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val c1 = "user: hi there\nassistant[tool_0]: hello\n" +
+      "user: \nassistant[tool_0]: again"
+    assert(got("c1") == ((4L, c1, c1.length.toLong)))
+    assert(got("c2") == ((1L, "user: lonely", 12L)))
+  }
+
   test("turnContext: never sees the current or future turns (zero leakage)") {
     val ctx = ConvFeatures.turnContext(turns, 10).collect()
     ctx.foreach { r =>
