@@ -875,6 +875,53 @@ object SparkEntry {
       s.table(name).select("conv_id", "turn_idx", "tool_locf")
     }),
 
+    // --- STREAMING target encoding (live strictly-past label stats) -------------
+    // The live twin of q_target_encode: per-role running (count, sum) of
+    // past labels, same-second cohorts emitted before they absorb — tie
+    // exclusion preserved. Replay files are cut at DISTINCT-epoch
+    // boundaries so a tie cohort never straddles a micro-batch.
+    "q_stream_encode" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnLabelEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamenc").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"role",
+        octet_length($"text").cast("long").as("label"), $"ts")
+      val nChunks = 4
+      val epochs = t.select($"ts").distinct
+        .withColumn("__chunk",
+          ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"))))
+      val ordered = t.join(epochs, Seq("ts"))
+        .select($"conv_id", $"turn_idx", $"role", $"label", $"ts", $"__chunk")
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_encode_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(ordered.drop("__chunk").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[TurnLabelEvent]
+          StreamingFeatures.targetEncode(src)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select("conv_id", "turn_idx", "role", "enc_cnt", "enc_sum")
+    }),
+
     // --- STREAMING watermarked windowed counts (built-in stateful agg) ---------
     // The watermark-correctness proof for the built-in windowed
     // aggregation path: 5-minute tumbling role counts over a file-source
@@ -2512,6 +2559,18 @@ object SparkEntry {
          |            CASE WHEN o.ts > a.ts THEN 1 ELSE 0 END
          |   LIMIT 1) AS asof_side
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // the live path must reproduce the BATCH range-frame semantics
+    // byte-for-byte — same oracle as q_target_encode
+    "q_stream_encode" ->
+      s"""$T
+         |SELECT conv_id, turn_idx, role,
+         |  CAST(count(strlen(text)) OVER w AS BIGINT) AS enc_cnt,
+         |  CAST(sum(strlen(text)) OVER w AS BIGINT) AS enc_sum
+         |FROM turns
+         |WINDOW w AS (PARTITION BY role
+         |  ORDER BY CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |  RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     // strictly-past range frame: RANGE ... AND 1 PRECEDING excludes the
     // current row AND its same-epoch ties — the no-leakage contract

@@ -102,6 +102,70 @@ object StreamingFeatures {
       )
   }
 
+  /** A turn carrying a training label on the live path. */
+  final case class TurnLabelEvent(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      label: Option[Long],
+      ts: Timestamp
+  )
+
+  final case class EncOut(
+      conv_id: String,
+      turn_idx: Int,
+      role: String,
+      enc_cnt: Long,
+      enc_sum: Option[Long]
+  )
+
+  /** Per-key running label stats — two longs, O(1) per key. */
+  final case class EncState(cnt: Long, sum: Long)
+
+  /** Streaming target encoding — the LIVE twin of
+    * [[graft.features.Encode.targetEncode]]: each arriving turn is emitted
+    * immediately with the count/sum of labels seen STRICTLY EARLIER on
+    * its key, then its own label joins the state. Same-timestamp ties are
+    * processed as one cohort — every tied row sees the pre-cohort state
+    * and none sees a tied sibling — reproducing the batch range frame's
+    * tie exclusion exactly.
+    *
+    * State is two longs per key; every input row is emitted in its own
+    * micro-batch, so no watermark is needed. Matches batch output exactly
+    * when a key's rows arrive in event-time order across micro-batches
+    * AND same-timestamp cohorts never straddle a batch boundary (the
+    * replay stages files cut at distinct-epoch boundaries; a production
+    * feed keyed by ingest time satisfies it by construction).
+    */
+  def targetEncode(turns: Dataset[TurnLabelEvent]): Dataset[EncOut] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.role)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (role: String, rows: Iterator[TurnLabelEvent],
+         state: GroupState[EncState]) => {
+          val sorted = rows.toSeq
+            .sortBy(t => (tsKey(t.ts), t.conv_id, t.turn_idx))
+          var st = state.getOption.getOrElse(EncState(0L, 0L))
+          val out = Seq.newBuilder[EncOut]
+          // epoch-second cohorts: emit all, then absorb all
+          sorted.groupBy(t => t.ts.getTime / 1000L).toSeq.sortBy(_._1)
+            .foreach { case (_, cohort) =>
+              cohort.foreach { t =>
+                out += EncOut(t.conv_id, t.turn_idx, role, st.cnt,
+                  if (st.cnt == 0L) None else Some(st.sum))
+              }
+              cohort.foreach(_.label.foreach { l =>
+                st = EncState(st.cnt + 1L, st.sum + l)
+              })
+            }
+          state.update(st)
+          out.result().iterator
+        }
+      )
+  }
+
   /** A document arriving on the live path, already reduced to its content
     * fingerprint (hash the text BEFORE the stateful shuffle so only the
     * digest moves, never the payload).

@@ -132,6 +132,46 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, got.toSeq.sortBy(t => (t._1, t._2)).mkString(","))
   }
 
+  test("streaming target encode: tie cohorts see pre-cohort state, " +
+    "running stats carry across micro-batches") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.TurnLabelEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[TurnLabelEvent]
+    val q = StreamingFeatures.targetEncode(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_enc_unit").start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // batch 1: role u at t10 (label 5), tie cohort at t20 (labels 7, 9) —
+    // the tied pair must BOTH see only t10's stats, not each other
+    input.addData(
+      TurnLabelEvent("c1", 0, "u", Some(5L), ts(10)),
+      TurnLabelEvent("c1", 1, "u", Some(7L), ts(20)),
+      TurnLabelEvent("c2", 0, "u", Some(9L), ts(20)))
+    q.processAllAvailable()
+    // batch 2: carry-in (3 labels, sum 21) crosses the boundary; a
+    // null-label row observes but never contributes
+    input.addData(
+      TurnLabelEvent("c1", 2, "u", None, ts(30)),
+      TurnLabelEvent("c2", 1, "u", Some(1L), ts(40)),
+      TurnLabelEvent("c3", 0, "v", Some(2L), ts(5)))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_enc_unit")
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        ((r.getLong(3), if (r.isNullAt(4)) None else Some(r.getLong(4)))))
+      .toMap
+    assert(got == Map(
+      ("c1", 0) -> ((0L, None)),
+      ("c1", 1) -> ((1L, Some(5L))),
+      ("c2", 0) -> ((1L, Some(5L))),
+      ("c1", 2) -> ((3L, Some(21L))),
+      ("c2", 1) -> ((3L, Some(21L))),
+      ("c3", 0) -> ((0L, None))),
+      got.toSeq.sortBy(_._1).mkString(","))
+  }
+
   test("streaming LOCF orders sub-millisecond timestamps at full " +
     "precision (batch ORDER BY ts parity, not getTime truncation)") {
     import java.sql.Timestamp
