@@ -308,6 +308,13 @@ object SparkEntry {
     "q_render_sft" -> ((s, dir) =>
       graft.features.ConvFeatures.renderConversation(turns(s, dir))),
 
+    // --- SFT loss-mask spans ----------------------------------------------------
+    // Each turn's [start, end) character span inside q_render_sft's
+    // training string + the assistant-only loss mask — computed from the
+    // same sort by a running sum, no join back to the rendered text.
+    "q_sft_spans" -> ((s, dir) =>
+      graft.features.ConvFeatures.sftSpans(turns(s, dir))),
+
     // --- nearest as-of join ----------------------------------------------------
     // The closest tool event to each assistant turn in EITHER direction,
     // backward winning ties — one shuffle + one sort, both direction
@@ -1098,6 +1105,18 @@ object SparkEntry {
       graft.ops.Clusters.connectedComponents(pairs)
         .select(col("id").as("doc_id"), col("cluster_id"),
           (col("id") === col("cluster_id")).as("is_keeper"))
+    }),
+
+    // --- keep-BEST dedup (policy-pluggable keeper) -------------------------------
+    // Same components as q_dup_clusters, but the survivor is the longest
+    // copy (n_chars DESC, doc_id ASC tiebreak) instead of the smallest id
+    // — the policy real curation wants. Output = the surviving corpus.
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text")
+      graft.ops.Clusters.keepBestInClusters(
+          d.select("doc_id", "n_chars"), "doc_id", col("n_chars"), pairs)
+        .select("doc_id", "n_chars")
     }),
 
     // --- tokenizer-accurate token counts (greedy vocab longest-match) -----------
@@ -1894,6 +1913,41 @@ object SparkEntry {
     * compacted via DuckDB's same-SELECT alias references so new oracles
     * don't re-inline six CTEs each.
     */
+  /** The MinHash-LSH pair replay + recursive hash-min component walk —
+    * shared by q_dup_clusters and q_dedup_keep_best, which differ only in
+    * the final keeper policy.
+    */
+  private val minhashWalkCte: String =
+    """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |sig AS (SELECT doc_id,
+      |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+      |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+      |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+      |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+      |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+      |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+      |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+      |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
+      |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+      |  FROM bands l JOIN bands r
+      |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
+      |    AND l.doc_id < r.doc_id),
+      |edges AS (SELECT a AS src, b AS dst FROM pairs
+      |  UNION SELECT b, a FROM pairs),
+      |walk(id, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, wk.lbl FROM walk wk JOIN edges e ON e.src = wk.id)""".stripMargin
+
   private def fmixLateralSql(in: String): String =
     s"""xor($in, CAST(11400714819323198485 AS UBIGINT)) AS __m0,
        |  xor(__m0, __m0 >> 33) AS __m1,
@@ -1975,38 +2029,24 @@ object SparkEntry {
     // label walk (every label reaches everything in its component), then
     // min label per vertex = the component's min doc_id
     "q_dup_clusters" ->
-      """WITH RECURSIVE w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
-        |  FROM w WHERE len(ws) >= 3),
-        |sig AS (SELECT doc_id,
-        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
-        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
-        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
-        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
-        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
-        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
-        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
-        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
-        |pairs AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
-        |  FROM bands l JOIN bands r
-        |    ON l.band_idx = r.band_idx AND l.band_key = r.band_key
-        |    AND l.doc_id < r.doc_id),
-        |edges AS (SELECT a AS src, b AS dst FROM pairs
-        |  UNION SELECT b, a FROM pairs),
-        |walk(id, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, wk.lbl FROM walk wk JOIN edges e ON e.src = wk.id)
-        |SELECT id AS doc_id, min(lbl) AS cluster_id,
-        |  (id = min(lbl)) AS is_keeper
-        |FROM walk GROUP BY id""".stripMargin,
+      s"""$minhashWalkCte
+         |SELECT id AS doc_id, min(lbl) AS cluster_id,
+         |  (id = min(lbl)) AS is_keeper
+         |FROM walk GROUP BY id""".stripMargin,
+
+    // same LSH-pair + component walk; the keeper is the component argmax
+    // by (n_chars DESC, doc_id ASC), survivors = corpus minus the drops
+    "q_dedup_keep_best" ->
+      s"""$minhashWalkCte,
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |ranked AS (SELECT c.doc_id,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL""".stripMargin,
 
     // greedy longest-match walk over the vocab, one recursion step per
     // token; compared against the regex approximation side by side
@@ -2538,6 +2578,22 @@ object SparkEntry {
          |  FROM lines GROUP BY conv_id)
          |SELECT conv_id, n_turns, sft_text,
          |  CAST(length(sft_text) AS BIGINT) AS n_chars FROM r""".stripMargin,
+
+    // offsets replayed as the same running sum over rendered line lengths
+    "q_sft_spans" ->
+      s"""$T,
+         |lines AS (SELECT conv_id, ts, turn_idx, role,
+         |  role || CASE WHEN tool IS NOT NULL THEN '[' || tool || ']' ELSE '' END
+         |       || ': ' || COALESCE(text, '') AS line
+         |  FROM turns)
+         |SELECT conv_id, turn_idx, role,
+         |  CAST(COALESCE(sum(length(line) + 1) OVER w, 0) AS BIGINT) AS start_off,
+         |  CAST(COALESCE(sum(length(line) + 1) OVER w, 0) + length(line) AS BIGINT)
+         |    AS end_off,
+         |  role = 'assistant' AS loss_mask
+         |FROM lines
+         |WINDOW w AS (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)""".stripMargin,
 
     // nearest pick replayed as a correlated ORDER BY (abs distance,
     // forward-flag) LIMIT 1 — deterministic because obs is unique per

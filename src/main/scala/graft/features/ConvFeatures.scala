@@ -1,6 +1,6 @@
 package graft.features
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -140,13 +140,18 @@ object ConvFeatures {
     * by conversation length — the same per-conversation geometry as
     * [[Curation.assembleSequences]] — never by corpus size.
     */
+  /** The rendered form of one turn — shared by [[renderConversation]] and
+    * [[sftSpans]] so span offsets always index the rendered string.
+    */
+  private def renderedLine: Column = concat(
+    col("role"),
+    when(col("tool").isNotNull, concat(lit("["), col("tool"), lit("]")))
+      .otherwise(lit("")),
+    lit(": "),
+    coalesce(col("text"), lit("")))
+
   def renderConversation(turns: DataFrame): DataFrame = {
-    val line = concat(
-      col("role"),
-      when(col("tool").isNotNull, concat(lit("["), col("tool"), lit("]")))
-        .otherwise(lit("")),
-      lit(": "),
-      coalesce(col("text"), lit("")))
+    val line = renderedLine
     turns
       .groupBy(col("conv_id"))
       .agg(
@@ -159,6 +164,36 @@ object ConvFeatures {
               line.as("line")))),
             x => x.getField("line"))).as("sft_text"))
       .withColumn("n_chars", length(col("sft_text")).cast("long"))
+  }
+
+  /** Per-turn character spans into [[renderConversation]]'s output plus
+    * the SFT loss mask: `[start_off, end_off)` (0-based, end-exclusive)
+    * is exactly where this turn's rendered line lands in the
+    * conversation's training string, and `loss_mask` is true for
+    * assistant turns — the spans a trainer needs to compute loss only on
+    * model turns without re-tokenizing per turn. The offset invariant
+    * (`sft_text.substring(start_off, end_off) == rendered line`) is
+    * property-tested; offsets count the `\n` joiners (+1 per preceding
+    * line).
+    *
+    * Scale shape: one running-sum window per conversation in the same
+    * (ts, turn_idx) sort the render uses — no join back to the rendered
+    * string needed.
+    */
+  def sftSpans(turns: DataFrame): DataFrame = {
+    val line = renderedLine
+    val w = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val start =
+      coalesce(sum(length(line).cast("long") + 1L).over(w), lit(0L))
+    turns.select(
+      col("conv_id"),
+      col("turn_idx"),
+      col("role"),
+      start.as("start_off"),
+      (start + length(line).cast("long")).as("end_off"),
+      (col("role") === "assistant").as("loss_mask"))
   }
 
   /** Reply latency: for every `user` turn, seconds until the next

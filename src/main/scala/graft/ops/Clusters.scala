@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Near-dup PAIR → CLUSTER resolution: the step that turns candidate
@@ -100,6 +100,40 @@ object Clusters {
   ): DataFrame = {
     val drops = connectedComponents(pairs, aCol, bCol, maxIters)
       .filter(col("id") =!= col("cluster_id"))
+      .select(col("id").as(idCol))
+    df.join(drops, Seq(idCol), "left_anti")
+  }
+
+  /** Policy-pluggable keep-one dedup: per pair-connected component, keep
+    * the member with the HIGHEST `score` (ties to the smallest id) and
+    * drop the rest — "keep the longest / highest-quality copy", the
+    * policy real curation runs want where [[dropNearDuplicates]]'s
+    * keep-lowest-id is arbitrary. Rows in no pair survive untouched.
+    *
+    * Scale shape: components over the pair stream (id-only rows), one
+    * score lookup join, a per-COMPONENT window (components are near-dup
+    * groups — bounded by duplication depth, never corpus size), then the
+    * same anti-join as dropNearDuplicates.
+    */
+  def keepBestInClusters(
+      df: DataFrame,
+      idCol: String,
+      score: Column,
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
+    val scored = df
+      .select(col(idCol).cast("long").as("id"), score.as("__score"))
+      .join(comp, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val drops = scored
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") > 1)
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")
   }

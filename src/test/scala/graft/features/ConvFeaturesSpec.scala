@@ -109,6 +109,26 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert(got("c2") == ((1L, "user: lonely", 12L)))
   }
 
+  test("sftSpans: substring extraction from the render is the invariant") {
+    val rendered = ConvFeatures.renderConversation(turns)
+      .select($"conv_id", $"sft_text").as[(String, String)].collect().toMap
+    val spans = ConvFeatures.sftSpans(turns)
+      .select($"conv_id", $"turn_idx", $"start_off", $"end_off", $"loss_mask")
+      .as[(String, Int, Long, Long, Boolean)].collect()
+    assert(spans.length == 5)
+    val rows = turns.collect().map(r =>
+      (r.getString(0), r.getInt(1)) ->
+        ((r.getString(2), Option(r.getString(3)), Option(r.getString(4))))
+    ).toMap
+    spans.foreach { case (c, i, s, e, mask) =>
+      val (role, text, tool) = rows((c, i))
+      val tag = tool.map(t => s"[$t]").getOrElse("")
+      val want = s"$role$tag: ${text.getOrElse("")}"
+      assert(rendered(c).substring(s.toInt, e.toInt) == want, s"$c/$i")
+      assert(mask == (role == "assistant"), s"$c/$i mask")
+    }
+  }
+
   test("turnContext: never sees the current or future turns (zero leakage)") {
     val ctx = ConvFeatures.turnContext(turns, 10).collect()
     ctx.foreach { r =>

@@ -53,6 +53,20 @@ class ClustersSpec extends AnyFunSuite {
     assert(kept == Set(0L, 1L, 4L, 5L))
   }
 
+  test("keepBestInClusters: highest score survives, ties to smallest id, " +
+    "unpaired rows untouched") {
+    // components {1,2,3} (via 1-2, 2-3) and {4,5}; 0 unpaired
+    val df = Seq(
+      (0L, 10L), (1L, 5L), (2L, 9L), (3L, 9L), (4L, 1L), (5L, 7L)
+    ).toDF("doc_id", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val kept = Clusters
+      .keepBestInClusters(df, "doc_id", col("score"), pairs)
+      .select("doc_id").as[Long].collect().toSet
+    // {1,2,3}: max score 9 tie between 2 and 3 → 2; {4,5}: 5 wins (7 > 1)
+    assert(kept == Set(0L, 2L, 5L))
+  }
+
   test("composes with minhashPairs: mass duplicates collapse to one keeper") {
     val docs = ((0L until 12L).map(i =>
       (i, "identical boilerplate text repeated in every copy of this doc")) ++
