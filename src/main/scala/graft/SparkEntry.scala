@@ -1432,6 +1432,135 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("n_chars"),
           col("is_outlier"))),
 
+    // --- distribution drift between two slices (train/serve skew gate) --------------
+    // Ref slice = even doc_id, current = odd: per 100-char length bin the
+    // conditional counts, the slice totals, and the exact proportion-
+    // shift numerator n_cur·tot_ref − n_ref·tot_cur (decimal(38,0) in
+    // the op — the HUGEINT-replayed value is cast to BIGINT here, where
+    // it provably fits). PSI/KL/chi² are one float expression downstream;
+    // everything under the oracle is integer-exact. One bin-keyed
+    // partial agg — the slice split never forces an outer join.
+    "q_drift_stats" -> ((s, dir) =>
+      graft.ops.Analytics.driftStats(docs(s, dir),
+          isRef = col("doc_id") % 2 === 0, value = col("n_chars"),
+          width = 100L)
+        .select(col("bin"), col("n_ref"), col("n_cur"),
+          col("tot_ref"), col("tot_cur"),
+          col("delta_num").cast("long").as("delta_num"))),
+
+    // --- min-max feature scaling to basis points ------------------------------------
+    // Per-language floor(10000·(len−min)/(max−min)) in pure integer
+    // arithmetic; degenerate groups (max=min) scale to NULL. The scan
+    // crosses ONE exchange (key-only min/max stats join back).
+    "q_minmax_scale" -> ((s, dir) =>
+      graft.ops.Analytics.minMaxScaleBp(docs(s, dir), Seq("lang"),
+          col("n_chars"))
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          col("scaled_bp"))),
+
+    // --- multi-level corpus report: ROLLUP in one Expand pass -----------------------
+    // (lang, source) → per-pair, per-lang, grand-total row/char counts
+    // with portable GROUPING flags (subtotal NULL ≠ data NULL). One
+    // two-level partial agg over the Expand — never one scan per level.
+    "q_rollup_stats" -> ((s, dir) =>
+      graft.ops.Analytics.rollupCounts(docs(s, dir),
+        Seq("lang", "source"), col("n_chars"))),
+
+    // --- edit-distance CONFIRM for near-dup candidate pairs -------------------------
+    // Candidates are (doc, synthesized copy with its last 3 chars
+    // rewritten to "zzz") for every 7th doc — true distance exactly 3 —
+    // plus decoy pairs (doc_id, doc_id+1) of unrelated texts. The
+    // banded threshold-10 Levenshtein confirms exactly the true copies
+    // and rejects every decoy (threshold form early-exits at
+    // O(len·maxDist), the property that makes mis-recalled candidates
+    // cheap at corpus scale).
+    "q_edit_dup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val copies = d.filter(col("doc_id") % 7 === 0).select(
+        (col("doc_id") + 100000L).as("doc_id"),
+        concat(expr("substring(text, 1, length(text) - 3)"), lit("zzz"))
+          .as("text"))
+      val corpus = d.select(col("doc_id"), col("text")).unionAll(copies)
+      val cands = d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id").as("a"), (col("doc_id") + 100000L).as("b"))
+        .unionAll(d.filter(col("doc_id") % 7 === 3)
+          .select(col("doc_id").as("a"), (col("doc_id") + 1L).as("b")))
+      Dedup.editConfirm(cands, corpus, "doc_id", "text", maxDist = 10)
+    }),
+
+    // --- chunk -> parent embedding mean-pool (sufficient statistics) ----------------
+    // Four consecutive vec_ids pool to one parent: per (parent, dim) the
+    // member count and exact int64 sum of ×10⁴-quantized coordinates —
+    // the document vector a chunked-embedding pipeline serves is
+    // qsum/n/10⁴. Explode + one partial agg; vectors cross the exchange
+    // only as per-dimension partials.
+    "q_embed_pool" -> ((s, dir) =>
+      Similarity.poolStats(embeds(s, dir),
+        groupCol = call_function("div", col("vec_id") - pmod(col("vec_id"), lit(4L)), lit(4L)),
+        vecCol = col("embedding"))),
+
+    // --- categorical drift (language-mix shift between slices) ----------------------
+    // Same drift machinery keyed on the category itself instead of a
+    // numeric bin — the train/serve language-mix gate.
+    "q_drift_cat" -> ((s, dir) =>
+      graft.ops.Analytics.driftStatsBy(docs(s, dir),
+          isRef = col("doc_id") % 2 === 0, key = col("lang"))
+        .select(col("lang"), col("n_ref"), col("n_cur"),
+          col("tot_ref"), col("tot_cur"),
+          col("delta_num").cast("long").as("delta_num"))),
+
+    // --- middle-out context truncation ----------------------------------------------
+    // Keep the first 8 + last 4 words with an elision marker — the
+    // context-window squeeze for long documents (head = instruction,
+    // tail = recent state). Within-budget texts pass through
+    // byte-identical (whitespace untouched). Scan-side slicing only.
+    "q_truncate_mid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextStats.wsTokenCount(col("text")).as("n_words"),
+        TextStats.middleTruncate(col("text"), 8, 4).as("trunc"))),
+
+    // --- SimHash near-dup pairs (banded Hamming search) -----------------------------
+    // The third recall geometry after MinHash bands and embedding LSH:
+    // exact copies (hamming 0) and one-word-appended copies are
+    // synthesized in-query; 4x16-bit signature bands recall candidates
+    // (pigeonhole-exact for hamming <= 3) and popcount(xor) confirms.
+    // Random word-soup pairs sit ~32 bits apart and vanish.
+    "q_simhash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val exact = d.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val near = d.filter(col("doc_id") % 9 === 4)
+        .select((col("doc_id") + 200000L).as("doc_id"),
+          concat(col("text"), lit(" extrawordx")).as("text"))
+      Dedup.simhashPairs(d.unionAll(exact).unionAll(near),
+        "doc_id", "text", maxHamming = 3)
+    }),
+
+    // --- word-rarity quality signals ------------------------------------------------
+    // Per doc: token count, corpus-rare token count (df < 5 — the
+    // OOV/garbage signal), and the exact integer sum of token corpus
+    // frequencies (unigram-LM sufficient statistic). Only (id, word)
+    // pairs ever shuffle.
+    "q_rarity" -> ((s, dir) =>
+      TextStats.rarityStats(docs(s, dir), "doc_id", "text", minCount = 5L)),
+
+    // --- typed parse of embedded JSON args (tool-call payloads) ---------------------
+    // Every 11th event's props is corrupted in-query; from_json against
+    // the explicit schema parses the rest scan-side (no inference pass)
+    // and the validity flag quarantines the corrupt payloads instead of
+    // failing the job.
+    "q_tool_parse" -> ((s, dir) => {
+      import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+      val perturbed = Tables.read(s, dir, "events").withColumn("props",
+        when(col("event_id") % 11 === 5, lit("{not json"))
+          .otherwise(col("props")))
+      graft.io.JsonIngest.parseJsonColumn(perturbed, "props",
+          StructType(Seq(StructField("k", IntegerType))))
+        .select(col("event_id"), col("props"),
+          col("props_parsed").getField("k").as("k"),
+          col("props_valid"))
+    }),
+
     // --- feature hashing (the hashing trick) ----------------------------------------
     // Fixed-dim sparse featurization with NO vocabulary: word → rolling-
     // hash mod 64 bucket, per-(doc, bucket) counts. One partial-agg
@@ -2024,7 +2153,82 @@ object SparkEntry {
       |  FROM step s JOIN d USING (doc_id)
       |  WHERE s.pos <= d.n)""".stripMargin
 
+  /** The q_simhash FNV-1a/bit-vote chain over an arbitrary (doc_id,
+    * text) source CTE, ending in `fpu(doc_id, ufp UBIGINT)` — shared by
+    * the signature dump and the banded pair search.
+    */
+  private def simhashFpCte(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, tok FROM (
+       |    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+       |    FROM $src) WHERE tok <> ''
+       |),
+       |th AS (
+       |  SELECT doc_id,
+       |    list_reduce(
+       |      list_prepend(CAST(14695981039346656037 AS UBIGINT),
+       |        [CAST(unicode(c) AS UBIGINT) for c in string_split(tok, '')]),
+       |      (h, c) -> CAST((xor(h, c)::HUGEINT * 1099511628211::HUGEINT)
+       |                     % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT)
+       |    ) AS h
+       |  FROM toks
+       |),
+       |votes AS (
+       |  SELECT doc_id, t.b AS b,
+       |    SUM(CASE WHEN (h >> t.b) & 1 = 1 THEN 1 ELSE -1 END) AS tally
+       |  FROM th, range(64) t(b)
+       |  GROUP BY doc_id, t.b
+       |),
+       |fpu AS (
+       |  SELECT doc_id,
+       |    CAST(SUM(CASE WHEN tally > 0 THEN (CAST(1 AS UBIGINT) << b)::HUGEINT
+       |             ELSE CAST(0 AS HUGEINT) END) AS UBIGINT) AS ufp
+       |  FROM votes GROUP BY doc_id
+       |)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
+    // banded SimHash pair search over the synthesized corpus: 4x16-bit
+    // band buckets recall candidates, popcount(xor) confirms <= 3
+    "q_simhash_pairs" ->
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 200000, text || ' extrawordx' FROM documents
+         |  WHERE doc_id % 9 = 4),
+         |${simhashFpCte("corpus")},
+         |bands AS (
+         |  SELECT doc_id, t.b AS band, (ufp >> (16 * t.b)) & 65535 AS key
+         |  FROM fpu, range(4) t(b)),
+         |cand AS (
+         |  SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+         |  FROM bands l JOIN bands r
+         |    ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id)
+         |SELECT c.a, c.b,
+         |  CAST(bit_count(xor(sa.ufp, sb.ufp)) AS BIGINT) AS hamming
+         |FROM cand c
+         |JOIN fpu sa ON sa.doc_id = c.a
+         |JOIN fpu sb ON sb.doc_id = c.b
+         |WHERE bit_count(xor(sa.ufp, sb.ufp)) <= 3""".stripMargin,
+
+    // corpus word frequencies joined back per doc; zeros for tokenless
+    "q_rarity" ->
+      """WITH toks AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |c AS (SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM toks GROUP BY w),
+        |st AS (SELECT doc_id,
+        |    CAST(count(*) AS BIGINT) AS n_words,
+        |    CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |    CAST(sum(cnt) AS BIGINT) AS freq_sum
+        |  FROM toks JOIN c USING (w) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  COALESCE(st.n_words, 0) AS n_words,
+        |  COALESCE(st.n_rare, 0) AS n_rare,
+        |  COALESCE(st.freq_sum, 0) AS freq_sum
+        |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
     // transitive closure of the minhash pair stream: symmetric edges,
     // label walk (every label reaches everything in its component), then
     // min label per vertex = the component's min doc_id
@@ -3713,6 +3917,122 @@ object SparkEntry {
         |    > 9 * (st.gn * st.gq - st.gs * st.gs) AS is_outlier
         |FROM documents d JOIN st USING (lang)
         |WHERE d.n_chars IS NOT NULL""".stripMargin,
+
+    // drift sufficient statistics: conditional bin counts per slice +
+    // exact proportion-shift numerator (HUGEINT product, fits BIGINT at
+    // verify scale)
+    "q_drift_stats" ->
+      """WITH b AS (
+        |  SELECT (n_chars - ((n_chars % 100) + 100) % 100) // 100 AS bin,
+        |         doc_id % 2 = 0 AS r
+        |  FROM documents WHERE n_chars IS NOT NULL),
+        |bins AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN r THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN NOT r THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM b GROUP BY bin),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |             CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM bins)
+        |SELECT bin, n_ref, n_cur, tot_ref, tot_cur,
+        |  CAST(n_cur::HUGEINT * tot_ref::HUGEINT
+        |     - n_ref::HUGEINT * tot_cur::HUGEINT AS BIGINT) AS delta_num
+        |FROM bins, t""".stripMargin,
+
+    // floor-div min-max scaling; degenerate groups (max = min) -> NULL
+    "q_minmax_scale" ->
+      """WITH st AS (SELECT lang,
+        |  min(n_chars) AS mn, max(n_chars) AS mx
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |  CASE WHEN st.mx > st.mn THEN
+        |    CAST(((d.n_chars - st.mn) * 10000
+        |      - (((d.n_chars - st.mn) * 10000) % (st.mx - st.mn)
+        |         + (st.mx - st.mn)) % (st.mx - st.mn))
+        |      // (st.mx - st.mn) AS BIGINT)
+        |  END AS scaled_bp
+        |FROM documents d JOIN st USING (lang)
+        |WHERE d.n_chars IS NOT NULL""".stripMargin,
+
+    // ROLLUP with portable GROUPING flags (subtotal NULL vs data NULL)
+    "q_rollup_stats" ->
+      """SELECT lang, source,
+        |  CAST(GROUPING(lang) AS INT) AS g_lang,
+        |  CAST(GROUPING(source) AS INT) AS g_source,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total
+        |FROM documents GROUP BY ROLLUP (lang, source)""".stripMargin,
+
+    // candidate pairs -> exact Levenshtein confirm at threshold 10:
+    // synthesized copies (last 3 chars -> 'zzz') pass at distance 3 (the
+    // corpus alphabet has no 'z', so all three edits are substitutions);
+    // unrelated decoy pairs exceed the threshold and vanish
+    "q_edit_dup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, substring(text, 1, length(text) - 3) || 'zzz'
+        |  FROM documents WHERE doc_id % 7 = 0),
+        |cands AS (
+        |  SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+        |  WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id AS a, doc_id + 1 AS b FROM documents
+        |  WHERE doc_id % 7 = 3)
+        |SELECT c.a, c.b,
+        |  CAST(levenshtein(ta.text, tb.text) AS BIGINT) AS edit_dist
+        |FROM cands c
+        |JOIN corpus ta ON ta.doc_id = c.a
+        |JOIN corpus tb ON tb.doc_id = c.b
+        |WHERE levenshtein(ta.text, tb.text) <= 10""".stripMargin,
+
+    // chunk->parent pooling: same ROUND(x*10000) quantization contract
+    // as q_embed_norm, grouped by vec_id // 4 and element position
+    "q_embed_pool" ->
+      """SELECT (vec_id - ((vec_id % 4) + 4) % 4) // 4 AS group_id,
+        |  CAST(i AS INT) AS dim_idx,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CAST(ROUND(CAST(embedding[i+1] AS DOUBLE)*10000)
+        |    AS BIGINT)) AS BIGINT) AS qsum
+        |FROM embeddings,
+        |  LATERAL (SELECT unnest(range(0, len(embedding))) AS i) g
+        |GROUP BY group_id, dim_idx""".stripMargin,
+
+    // categorical drift: same shape as q_drift_stats, keyed on lang
+    "q_drift_cat" ->
+      """WITH bins AS (
+        |  SELECT lang,
+        |    CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ref,
+        |    CAST(sum(CASE WHEN doc_id % 2 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_cur
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY lang),
+        |t AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tot_ref,
+        |             CAST(sum(n_cur) AS BIGINT) AS tot_cur FROM bins)
+        |SELECT lang, n_ref, n_cur, tot_ref, tot_cur,
+        |  CAST(n_cur::HUGEINT * tot_ref::HUGEINT
+        |     - n_ref::HUGEINT * tot_cur::HUGEINT AS BIGINT) AS delta_num
+        |FROM bins, t""".stripMargin,
+
+    // head-8 + marker + tail-4 words; within-budget rows byte-identical
+    "q_truncate_mid" ->
+      """WITH w AS (SELECT doc_id, text,
+        |  string_split(text, ' ') AS ws FROM documents)
+        |SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_words,
+        |  CASE WHEN len(ws) <= 12 THEN text
+        |       ELSE array_to_string(
+        |         list_concat(list_concat(ws[1:8], ['<...>']), ws[-4:]), ' ')
+        |  END AS trunc
+        |FROM w""".stripMargin,
+
+    // typed JSON-arg parse: validity flag + extracted field; corrupt
+    // payloads (event_id % 11 = 5) parse to NULL instead of failing
+    "q_tool_parse" ->
+      """WITH p AS (SELECT event_id,
+        |  CASE WHEN event_id % 11 = 5 THEN '{not json' ELSE props END AS props
+        |  FROM events)
+        |SELECT event_id, props,
+        |  CASE WHEN json_valid(props)
+        |       THEN CAST(json_extract_string(props, '$.k') AS INT) END AS k,
+        |  json_valid(props) AS props_valid
+        |FROM p""".stripMargin,
 
     // hashing-trick buckets: the q_rolling_fp polynomial replayed per
     // WORD, reduced mod 64 — collisions and all

@@ -97,4 +97,31 @@ object JsonIngest {
     spark.read.parquet(outDir)
       .filter(col("__valid") === "false")
       .drop("__valid")
+
+  /** Typed parse of an embedded JSON column (tool-call arguments, event
+    * props): `from_json` against an explicit schema — scan-side, no
+    * shuffle, no inference pass — plus a `<col>_valid` flag so malformed
+    * payloads quarantine instead of killing the job. PERMISSIVE
+    * `from_json` yields an all-NULL struct (not a NULL struct) on
+    * unparseable input, indistinguishable from a parseable payload whose
+    * fields are absent — so validity is detected the unambiguous way: a
+    * `_corrupt_record` field appended to the parse schema, which Spark
+    * populates ONLY on malformed input. The exposed `<col>_parsed`
+    * struct carries exactly the caller's fields (corrupt marker
+    * stripped) and is NULL for invalid payloads; a NULL input column is
+    * invalid (there is nothing to parse).
+    */
+  def parseJsonColumn(df: DataFrame, column: String, schema: StructType): DataFrame = {
+    require(df.columns.contains(column), s"no such column: $column")
+    val corrupt = "_corrupt_record"
+    require(!schema.fieldNames.contains(corrupt),
+      s"schema must not declare $corrupt — it is the validity marker")
+    val parsed = from_json(
+      col(column), schema.add(corrupt, org.apache.spark.sql.types.StringType))
+    val valid = col(column).isNotNull && parsed.getField(corrupt).isNull
+    val clean = struct(
+      schema.fieldNames.toSeq.map(f => parsed.getField(f).as(f)): _*)
+    df.withColumn(s"${column}_parsed", when(valid, clean))
+      .withColumn(s"${column}_valid", valid)
+  }
 }

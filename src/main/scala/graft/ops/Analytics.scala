@@ -115,4 +115,124 @@ object Analytics {
       .withColumn("is_outlier", lhs > rhs)
       .drop("__gn", "__gs", "__gq")
   }
+
+  /** Distribution-drift sufficient statistics between two slices of one
+    * table (train vs serve, yesterday vs today): per equal-width bin of
+    * `value`, the reference/current row counts, both slice totals, and
+    * the exact proportion-shift numerator
+    * `delta_num = n_cur·tot_ref − n_ref·tot_cur` (decimal(38,0), so its
+    * sign/zero test is exact — `delta_num / (tot_ref·tot_cur)` IS
+    * `p_cur − p_ref`). PSI / KL / chi² are one float expression away
+    * downstream; everything emitted here is integer-exact and oracled.
+    *
+    * Scale shape: ONE (bin)-keyed partial agg over the scan — the slice
+    * split is a conditional count inside the aggregate, so bins present
+    * in only one slice zero-fill for free (no outer join). Totals ride a
+    * 1-row broadcast back onto the bin frame.
+    */
+  def driftStats(
+      df: DataFrame,
+      isRef: Column,
+      value: Column,
+      width: Long
+  ): DataFrame = {
+    require(width > 0, "bin width must be positive")
+    val v = value.cast("long")
+    val bin = call_function("div", v - pmod(v, lit(width)), lit(width))
+    driftStatsBy(df.filter(v.isNotNull), isRef, bin.as("bin"))
+  }
+
+  /** [[driftStats]] for an arbitrary slice key — categorical drift
+    * (language mix, source mix, tool mix) uses the column itself as the
+    * key instead of a numeric bin. NULL keys are dropped (they carry no
+    * category); NULL slice flags likewise. Same one-shuffle shape.
+    */
+  def driftStatsBy(
+      df: DataFrame,
+      isRef: Column,
+      key: Column
+  ): DataFrame = {
+    val d = ExactU64.dec38
+    val bins = df
+      .filter(key.isNotNull && isRef.isNotNull)
+      .select(key, isRef.as("__r"))
+      .groupBy(df.select(key).columns.head)
+      .agg(
+        sum(when(col("__r"), 1L).otherwise(0L)).as("n_ref"),
+        sum(when(!col("__r"), 1L).otherwise(0L)).as("n_cur"))
+    val totals = bins.agg(
+      sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+    bins
+      .crossJoin(broadcast(totals))
+      .withColumn(
+        "delta_num",
+        col("n_cur").cast(d) * col("tot_ref").cast(d) -
+          col("n_ref").cast(d) * col("tot_cur").cast(d))
+  }
+
+  /** Min-max feature scaling to integer basis points: per group,
+    * `scaled_bp = floor(scaleBp · (x − min) / (max − min))` — 0 at the
+    * group minimum, `scaleBp` at the maximum, monotone in between, all
+    * in integer arithmetic (subtract the `pmod` remainder before the
+    * division so trunc-div equals floor-div even mid-range). A
+    * degenerate group (max == min, including singletons) scales to
+    * NULL — there is no order information to preserve, and 0 would
+    * masquerade as "at the minimum".
+    *
+    * Scale shape: identical to [[outliers]] — one key-only min/max agg,
+    * then a broadcast-sized join back; data rows cross one exchange.
+    */
+  def minMaxScaleBp(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column,
+      scaleBp: Long = 10000L
+  ): DataFrame = {
+    require(keys.nonEmpty, "minMaxScaleBp needs grouping keys")
+    require(scaleBp > 0, "scaleBp must be positive")
+    val v = value.cast("long")
+    val stats = df
+      .filter(v.isNotNull)
+      .groupBy(keys.map(col): _*)
+      .agg(min(v).as("__mn"), max(v).as("__mx"))
+    val span = col("__mx") - col("__mn")
+    val num = (v - col("__mn")) * lit(scaleBp)
+    val scaled = when(
+      span > 0,
+      call_function("div", num - pmod(num, span), span))
+    df.filter(v.isNotNull)
+      .join(stats, keys)
+      .withColumn("scaled_bp", scaled)
+      .drop("__mn", "__mx")
+  }
+
+  /** Multi-level corpus report in one pass: ROLLUP over `keys` with row
+    * count and an exact long sum of `value` at every prefix level
+    * (per (k1,k2), per k1, grand total). Each key gets an explicit
+    * `g_<key>` grouping flag (1 = rolled up at this level) so subtotal
+    * NULLs are distinguishable from genuine NULL key values — the flags
+    * are portable (`GROUPING(col)` on both engines), unlike the
+    * engine-specific bit order of `grouping_id()`.
+    *
+    * Scale shape: Catalyst plans rollup as ONE Expand (|levels| rows per
+    * input row, key+counter payload only) into a single two-level
+    * partial agg — no per-level rescan, output bounded by the distinct
+    * key prefixes.
+    */
+  def rollupCounts(
+      df: DataFrame,
+      keys: Seq[String],
+      value: Column
+  ): DataFrame = {
+    require(keys.nonEmpty, "rollupCounts needs at least one key")
+    // grouping() is only resolvable inside the rollup's own aggregate
+    val aggs =
+      keys.map(k => grouping(col(k)).cast("int").as(s"g_$k")) ++
+        Seq(count(lit(1)).as("n"), sum(value.cast("long")).as("total"))
+    df.rollup(keys.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(
+        keys.map(col) ++ keys.map(k => col(s"g_$k")) ++
+          Seq(col("n"), col("total")): _*)
+  }
 }

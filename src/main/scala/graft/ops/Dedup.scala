@@ -330,4 +330,83 @@ object Dedup {
           size(array_intersect(col("wa"), col("wb")))).cast("long").as("uni")
       )
   }
+
+  /** Edit-distance CONFIRM stage: the exact character-level check real
+    * dedup runs on its candidate pairs before dropping anything —
+    * MinHash/LSH recall the candidates, Levenshtein ≤ `maxDist` decides.
+    * Returns (a, b, edit_dist) for confirmed pairs only.
+    *
+    * Scale shape: the O(len·maxDist) DP runs ONLY on candidate pairs
+    * (sparse by construction), never corpus². The threshold variant of
+    * `levenshtein` banded-early-exits — a wildly different pair costs
+    * O(len·maxDist), not O(len²) — which is what makes a mis-recalled
+    * candidate cheap. Texts reach the pairs via two id-keyed joins
+    * (the same fetch geometry as [[wordJaccard]]).
+    */
+  def editConfirm(
+      pairs: DataFrame, // (a, b)
+      docs: DataFrame, // (idCol, textCol)
+      idCol: String,
+      textCol: String,
+      maxDist: Int
+  ): DataFrame = {
+    require(maxDist >= 0, s"maxDist must be non-negative, got $maxDist")
+    val t = docs.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    val d = levenshtein(col("ta"), col("tb"), maxDist)
+    pairs
+      .join(t.withColumnRenamed("__id", "a").withColumnRenamed("__t", "ta"), "a")
+      .join(t.withColumnRenamed("__id", "b").withColumnRenamed("__t", "tb"), "b")
+      .withColumn("edit_dist", d.cast("long"))
+      // threshold form returns -1 when the distance exceeds maxDist
+      .filter(col("edit_dist") >= 0)
+      .select(col("a"), col("b"), col("edit_dist"))
+  }
+
+  /** SimHash near-duplicate pairs: the third recall geometry next to
+    * MinHash bands (word-set similarity) and embedding LSH (semantic) —
+    * SimHash Hamming distance tracks weighted-feature overlap and its
+    * 64-bit signature is 8 bytes/doc, the index a web-scale crawl can
+    * actually afford. Candidates come from 4×16-bit signature bands
+    * (pigeonhole: ≤ 3 differing bits leave ≥ 1 band identical, so recall
+    * is EXACT for `maxHamming` ≤ 3, not probabilistic); each candidate
+    * pair is then confirmed by popcount of the XOR. Returns
+    * (a, b, hamming) with hamming ≤ maxHamming.
+    *
+    * Scale shape: one signature projection (scan-fused codegen'd
+    * expression), the same grouped band-bucket expansion as
+    * [[minhashPairs]] (hot buckets capped — identical boilerplate lands
+    * in [[exactGroups]] anyway), then an 8-byte-payload join to fetch
+    * two signatures per surviving pair. No text ever crosses a shuffle.
+    */
+  def simhashPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall only for maxHamming <= 3, got $maxHamming")
+    val sig = df.select(col(idCol).as("__id"),
+      graft.exprs.SimHash64(col(textCol)).as("__sig"))
+    val bandStructs = (0 until 4).map { b =>
+      struct(lit(b).as("band_idx"),
+        shiftrightunsigned(col("__sig"), 16 * b)
+          .bitwiseAND(lit(65535L)).as("band_key"))
+    }
+    val bands = sig
+      .select(col("__id").as("doc"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc"), col("band.band_idx").as("band_idx"),
+        col("band.band_key").as("band_key"))
+    val candidates = pairsFromBuckets(bucketsOf(bands), maxBucketSize)
+    candidates
+      .join(sig.withColumnRenamed("__id", "a")
+        .withColumnRenamed("__sig", "sa"), "a")
+      .join(sig.withColumnRenamed("__id", "b")
+        .withColumnRenamed("__sig", "sb"), "b")
+      .withColumn("hamming",
+        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("a"), col("b"), col("hamming"))
+  }
 }

@@ -593,6 +593,31 @@ object Similarity {
         sum(bridge(graft.exprs.QuantElem(expr(col("__x"))))).as("qsum"))
   }
 
+  /** Chunk→parent embedding POOLING sufficient statistics: per (group,
+    * dimension), the member count and the exact int64 sum of ×10⁴-
+    * quantized coordinates — the mean-pooled parent embedding real
+    * pipelines build when documents are chunked for embedding (chunk
+    * vectors in, one document vector out as `qsum / n / 10⁴`). Same
+    * exactness contract as [[clusterSums]]; only the grouping key
+    * differs (caller-supplied parent id instead of the IVF assignment).
+    *
+    * Scale shape: posexplode to fixed-width (group, dim, q) rows that
+    * collapse in ONE partial-agg-friendly groupBy — output is
+    * |groups|·dim rows, embeddings cross the single exchange only as
+    * per-dimension partial sums.
+    */
+  def poolStats(
+      df: DataFrame,
+      groupCol: Column,
+      vecCol: Column
+  ): DataFrame =
+    df
+      .select(groupCol.as("group_id"),
+        posexplode(vecCol).as(Seq("dim_idx", "__x")))
+      .groupBy(col("group_id"), col("dim_idx"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(bridge(graft.exprs.QuantElem(expr(col("__x"))))).as("qsum"))
+
   /** Lloyd iterations over [[clusterSums]]: each round assigns (zero
     * shuffles), reduces to k·dim sufficient-statistic rows, and the
     * driver forms the new centroids — mean per dimension, then (spherical

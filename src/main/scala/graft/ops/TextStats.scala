@@ -21,6 +21,33 @@ object TextStats {
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit(tokenRegex)).cast("long")
 
+  /** Middle-out truncation to a word budget: keep the first `headWords`
+    * and the last `tailWords` words with `marker` replacing the elided
+    * middle — the context-window squeeze long-document SFT/RAG
+    * pipelines apply (the head carries the instruction, the tail the
+    * recent state). Texts already within budget pass through
+    * byte-identical — including their exact whitespace, which a
+    * split+rejoin would silently normalize. Pure scan-side array
+    * slicing — no shuffle, no UDF.
+    */
+  def middleTruncate(
+      text: Column,
+      headWords: Int,
+      tailWords: Int,
+      marker: String = "<...>"
+  ): Column = {
+    require(headWords >= 1 && tailWords >= 1,
+      s"head/tail word counts must be >= 1, got $headWords/$tailWords")
+    val ws = split(text, " ", -1)
+    when(size(ws) <= headWords + tailWords, text)
+      .otherwise(array_join(
+        concat(
+          slice(ws, 1, headWords),
+          array(lit(marker)),
+          slice(ws, -tailWords, tailWords)),
+        " "))
+  }
+
   def digitCount(text: Column): Column =
     (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
 
@@ -148,6 +175,46 @@ object TextStats {
     * agg — the same geometry as term frequency; nothing driver-side,
     * no vocabulary broadcast.
     */
+  /** Word-rarity quality signals: per document, the token count, how
+    * many of its tokens occur fewer than `minCount` times in the WHOLE
+    * corpus (the OOV/typo/garbage signal heuristic quality filters
+    * threshold on), and the exact sum of the tokens' corpus frequencies
+    * (the integer sufficient statistic of a unigram-LM score — rarer
+    * words, lower sum; the float −Σlog p is one expression downstream).
+    * Documents with no tokens report zeros.
+    *
+    * Scale shape: one token-keyed count agg (partial-agg friendly), a
+    * count-payload join back to the token stream (8-byte payload per
+    * row; a stopword's occurrences co-partition exactly like any
+    * word-keyed agg), then one doc-keyed agg. Text never crosses a
+    * shuffle — only (id, word) pairs do.
+    */
+  def rarityStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      minCount: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(minCount > 0, "minCount must be positive")
+    val toks = df
+      .select(col(idCol).as("__id"), explode(Dedup.words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+    val counts = toks.groupBy("__w").agg(count(lit(1)).as("__cnt"))
+    val stats = toks
+      .join(counts, "__w")
+      .groupBy(col("__id"))
+      .agg(
+        count(lit(1)).as("__nw"),
+        sum(when(col("__cnt") < minCount, 1L).otherwise(0L)).as("__nr"),
+        sum(col("__cnt")).as("__fs"))
+    df.select(col(idCol))
+      .join(stats.withColumnRenamed("__id", idCol), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nw"), lit(0L)).as("n_words"),
+        coalesce(col("__nr"), lit(0L)).as("n_rare"),
+        coalesce(col("__fs"), lit(0L)).as("freq_sum"))
+  }
+
   def featureHash(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

@@ -67,4 +67,58 @@ class AnalyticsSpec extends AnyFunSuite {
       "zero-variance group flags nothing")
     assert(!got(300L), "singleton flags nothing")
   }
+
+  test("driftStats: conditional bin counts, totals, exact shift numerator") {
+    // ref: 10, 110, 120 -> bins 0,1,1 ; cur: 15, 250 -> bins 0,2
+    val df = Seq(
+      (Some(10L), Some(true)), (Some(110L), Some(true)),
+      (Some(120L), Some(true)),
+      (Some(15L), Some(false)), (Some(250L), Some(false)),
+      (None, Some(true)) // null value rows are ignored
+    ).toDF("v", "r")
+    val got = Analytics.driftStats(df, $"r", $"v", 100L)
+      .select($"bin", $"n_ref", $"n_cur", $"tot_ref", $"tot_cur",
+        $"delta_num".cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // totals: ref 3, cur 2; delta_num = n_cur*3 - n_ref*2
+    assert(got(0L) == ((0L, 1L, 1L, 3L, 2L, 1L * 3 - 1L * 2)))
+    assert(got(1L) == ((1L, 2L, 0L, 3L, 2L, 0L * 3 - 2L * 2)))
+    assert(got(2L) == ((2L, 0L, 1L, 3L, 2L, 1L * 3 - 0L * 2)))
+    assert(got.size == 3)
+  }
+
+  test("minMaxScaleBp: floor scaling, endpoints, degenerate group -> NULL") {
+    val df = Seq(
+      ("a", 1L, 10L), ("a", 2L, 20L), ("a", 3L, 40L),
+      ("b", 4L, 7L), ("b", 5L, 7L), // zero span
+      ("c", 6L, 5L) // singleton
+    ).toDF("g", "id", "v")
+    val got = Analytics.minMaxScaleBp(df, Seq("g"), $"v")
+      .select($"id", $"scaled_bp").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L).contains(0L), "group min -> 0")
+    assert(got(3L).contains(10000L), "group max -> scaleBp")
+    // (20-10)*10000/30 = 3333.33 -> floor 3333
+    assert(got(2L).contains(3333L))
+    assert(got(4L).isEmpty && got(5L).isEmpty && got(6L).isEmpty,
+      "degenerate groups carry no order information")
+  }
+
+  test("rollupCounts: per-level counts with grouping flags") {
+    val df = Seq(
+      ("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
+      ("fr", "web", 7L)
+    ).toDF("lang", "source", "v")
+    val got = Analytics.rollupCounts(df, Seq("lang", "source"), $"v")
+      .as[(Option[String], Option[String], Int, Int, Long, Long)]
+      .collect().toSet
+    assert(got == Set(
+      (Some("en"), Some("web"), 0, 0, 2L, 30L),
+      (Some("en"), Some("book"), 0, 0, 1L, 5L),
+      (Some("fr"), Some("web"), 0, 0, 1L, 7L),
+      (Some("en"), None, 0, 1, 3L, 35L),
+      (Some("fr"), None, 0, 1, 1L, 7L),
+      (None, None, 1, 1, 4L, 42L)))
+  }
 }

@@ -644,4 +644,128 @@ class OpsSpec extends AnyFunSuite {
       .as[(String, String, Long, Long, Long, Long)].collect()
     assert(pruned.map(r => (r._1, r._2)).toSet == Set(("a", "b"), ("b", "a")))
   }
+
+  test("editConfirm: banded Levenshtein keeps near pairs, rejects far ones") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "hello world"), (2L, "hello worlds"), // distance 1
+      (3L, "hxllo wyrld"), // distance 2 from doc 1
+      (4L, "completely different text entirely")
+    ).toDF("doc_id", "text")
+    val cands = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 4L))
+      .toDF("a", "b")
+    val got = Dedup.editConfirm(cands, docs, "doc_id", "text", maxDist = 3)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map((1L, 2L) -> 1L, (1L, 3L) -> 2L),
+      "only within-threshold pairs survive, with their exact distance")
+    // threshold 0 degenerates to exact equality
+    val eq = Dedup.editConfirm(cands, docs, "doc_id", "text", maxDist = 0)
+      .collect()
+    assert(eq.isEmpty)
+    intercept[IllegalArgumentException] {
+      Dedup.editConfirm(cands, docs, "doc_id", "text", maxDist = -1)
+    }
+  }
+
+  test("middleTruncate: head+marker+tail over budget, byte-identity under") {
+    import spark.implicits._
+    val df = Seq(
+      "a b c d e f g h", // 8 words > 2+1 budget
+      "x  y", // within budget; double space must survive byte-identical
+      "solo"
+    ).toDF("text")
+    val got = df.select(
+      TextStats.middleTruncate($"text", 2, 1).as("t")).as[String].collect()
+    assert(got.toSet == Set("a b <...> h", "x  y", "solo"))
+    intercept[IllegalArgumentException] {
+      TextStats.middleTruncate(org.apache.spark.sql.functions.lit("x"), 0, 1)
+    }
+  }
+
+  test("parseJsonColumn: corrupt marker validity, clean struct, null input") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{IntegerType, StringType, StructField, StructType}
+    val df = Seq(
+      (1L, """{"k": 7}"""),
+      (2L, "{nope"),
+      (3L, """{"other": 1}"""), // valid JSON, field absent -> k NULL, valid
+      (4L, null.asInstanceOf[String])
+    ).toDF("id", "props")
+    val out = graft.io.JsonIngest.parseJsonColumn(df, "props",
+        StructType(Seq(StructField("k", IntegerType))))
+      .select($"id", $"props_parsed".getField("k"), $"props_valid")
+      .as[(Long, Option[Int], Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(out(1L) == ((Some(7), true)))
+    assert(out(2L) == ((None, false)), "malformed JSON is invalid, not all-null-valid")
+    assert(out(3L) == ((None, true)), "missing field is a schema question, not validity")
+    assert(out(4L) == ((None, false)), "NULL input has nothing to parse")
+    intercept[IllegalArgumentException] {
+      graft.io.JsonIngest.parseJsonColumn(df, "props",
+        StructType(Seq(StructField("_corrupt_record", StringType))))
+    }
+  }
+
+  test("simhashPairs: exact copy at hamming 0, far texts rejected, " +
+    "pigeonhole bound enforced") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon"), // exact copy -> hamming 0
+      (3L, "totally unrelated words here now maybe"),
+      (4L, "zeta eta theta iota kappa lambda")
+    ).toDF("doc_id", "text")
+    val got = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.get((1L, 2L)).contains(0L), "identical text pairs at hamming 0")
+    // differential: ham <= 3 implies a shared 16-bit band (pigeonhole),
+    // so the banded search must find EXACTLY the <= 3 signature pairs
+    val sig = docs
+      .select($"doc_id", graft.exprs.SimHash64($"text").as("s"))
+      .as[(Long, Long)].collect().toMap
+    val expected = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 3
+    } yield (a, b) -> h.toLong).toMap
+    assert(got == expected)
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+    }
+  }
+
+  test("rarityStats: corpus-frequency joins, rare counts, tokenless zeros") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a a b"), // a:3 total (2 here + 1 in doc2), b:2
+      (2L, "a b rare"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val got = TextStats.rarityStats(docs, "doc_id", "text", minCount = 2L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // corpus counts: a=3, b=2, rare=1
+    assert(got(1L) == ((3L, 0L, 3L + 3L + 2L)))
+    assert(got(2L) == ((3L, 1L, 3L + 2L + 1L)))
+    assert(got(3L) == ((0L, 0L, 0L)), "tokenless doc reports zeros")
+  }
+
+  test("poolStats: per-(group, dim) exact quantized sums and counts") {
+    import spark.implicits._
+    val df = Seq(
+      (0L, Array(0.1f, -0.2f)),
+      (1L, Array(0.3f, 0.00005f)), // q rounds half away: 0.5 -> 1
+      (2L, Array(1.0f, 2.0f))
+    ).toDF("vec_id", "embedding")
+    val group = org.apache.spark.sql.functions
+      .expr("div(vec_id - pmod(vec_id, 2), 2)")
+    val got = Similarity.poolStats(df, group, $"embedding")
+      .as[(Long, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    def q(x: Float): Long = graft.exprs.QuantVec.q(x.toDouble)
+    assert(got == Map(
+      (0L, 0) -> ((2L, q(0.1f) + q(0.3f))),
+      (0L, 1) -> ((2L, q(-0.2f) + q(0.00005f))),
+      (1L, 0) -> ((1L, q(1.0f))),
+      (1L, 1) -> ((1L, q(2.0f)))))
+  }
 }
