@@ -1276,6 +1276,22 @@ object SparkEntry {
         graft.ops.SegDedup.wordBlocks(col("text"), 10))
     }),
 
+    // --- boilerplate STRIP by document frequency --------------------------------
+    // A 10-word banner is prepended to every 4th doc in-query; any
+    // segment present in >= 3 distinct documents is removed EVERYWHERE
+    // (unlike q_seg_dedup, the first copy of a cookie banner is still a
+    // cookie banner). Naturally-recurring word blocks clear the same
+    // bar on both engines.
+    "q_boilerplate" -> ((s, dir) => {
+      val banner =
+        "terms of service apply all rights reserved please contact admin"
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 4 === 0, concat(lit(banner + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.SegDedup.stripBoilerplate(d, "doc_id",
+        graft.ops.SegDedup.wordBlocks(col("text"), 10), minDf = 3)
+    }),
+
     // --- corpus-level top-k n-gram heavy hitters --------------------------------
     // The boilerplate detector: exact global top-20 trigrams via
     // two-level partial-agg count + TakeOrderedAndProject (per-partition
@@ -1543,6 +1559,16 @@ object SparkEntry {
     // pairs ever shuffle.
     "q_rarity" -> ((s, dir) =>
       TextStats.rarityStats(docs(s, dir), "doc_id", "text", minCount = 5L)),
+
+    // --- BPE-training inner loop: adjacent-token pair counts ------------------------
+    // Corpus-wide counts of adjacent token pairs under the current
+    // vocab — the statistic whose argmax is the next BPE merge. Same
+    // doc subset as q_token_bpe (keeps the recursive oracle walk
+    // cheap); the oracle carries the emitted token through the walk and
+    // pairs it with lead() in walk order.
+    "q_bpe_pairs" -> ((s, dir) =>
+      TextStats.bpePairCounts(
+        docs(s, dir).filter(col("doc_id") % 5 === 0), "text", bpeVocab)),
 
     // --- typed parse of embedded JSON args (tool-call payloads) ---------------------
     // Every 11th event's props is corrupted in-query; from_json against
@@ -2212,6 +2238,30 @@ object SparkEntry {
          |JOIN fpu sb ON sb.doc_id = c.b
          |WHERE bit_count(xor(sa.ufp, sb.ufp)) <= 3""".stripMargin,
 
+    // the q_token_bpe greedy walk, carrying the token each step emitted;
+    // adjacent pairs come from lead() in walk order
+    "q_bpe_pairs" ->
+      s"""WITH RECURSIVE v(tok, l) AS (VALUES $bpeVocabValues),
+         |d AS (SELECT doc_id, text, length(text) AS n
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |walk(doc_id, pos, tok) AS (
+         |  SELECT doc_id, 1, CAST(NULL AS VARCHAR) FROM d
+         |  UNION ALL
+         |  SELECT s.doc_id,
+         |    s.pos + COALESCE(
+         |      (SELECT MAX(l) FROM v WHERE substr(d.text, s.pos, l) = tok), 1),
+         |    COALESCE(
+         |      (SELECT tok FROM v WHERE substr(d.text, s.pos, l) = tok
+         |       ORDER BY l DESC LIMIT 1),
+         |      substr(d.text, s.pos, 1))
+         |  FROM walk s JOIN d USING (doc_id)
+         |  WHERE s.pos <= d.n),
+         |seq AS (SELECT doc_id, tok,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY pos) AS nxt
+         |  FROM walk WHERE tok IS NOT NULL)
+         |SELECT tok AS t1, nxt AS t2, CAST(count(*) AS BIGINT) AS n
+         |FROM seq WHERE nxt IS NOT NULL GROUP BY t1, t2""".stripMargin,
+
     // corpus word frequencies joined back per doc; zeros for tokenless
     "q_rarity" ->
       """WITH toks AS (SELECT doc_id, w FROM (
@@ -2321,6 +2371,31 @@ object SparkEntry {
         |  WHERE rn = 1),
         |keep AS (SELECT x.doc_id, x.seg_idx, x.seg FROM h x
         |  JOIN firsts f ON x.hk = f.hk AND x.doc_id = f.doc_id AND x.seg_idx = f.seg_idx),
+        |nsegs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id),
+        |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
+        |    CAST(count(*) AS BIGINT) AS n_kept FROM keep GROUP BY doc_id)
+        |SELECT n.doc_id, COALESCE(r.text, '') AS text, n.n_segs,
+        |  n.n_segs - COALESCE(r.n_kept, 0) AS n_dropped
+        |FROM nsegs n LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // q_seg_dedup's segmentation, with the keep rule flipped to
+    // "hash present in >= 3 distinct docs -> drop every occurrence"
+    "q_boilerplate" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0
+        |         THEN 'terms of service apply all rights reserved please contact admin ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0),
+        |segs AS (SELECT doc_id, gs.i AS seg_idx,
+        |    array_to_string(ws[gs.i*10+1 : gs.i*10+10], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i) gs),
+        |h AS (SELECT doc_id, seg_idx, seg, substr(md5(seg), 1, 16) AS hk FROM segs),
+        |hot AS (SELECT hk FROM (
+        |    SELECT hk, count(DISTINCT doc_id) AS df FROM h GROUP BY hk)
+        |  WHERE df >= 3),
+        |keep AS (SELECT x.doc_id, x.seg_idx, x.seg FROM h x
+        |  LEFT JOIN hot ON x.hk = hot.hk WHERE hot.hk IS NULL),
         |nsegs AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs FROM segs GROUP BY doc_id),
         |reb AS (SELECT doc_id, string_agg(seg, ' ' ORDER BY seg_idx) AS text,
         |    CAST(count(*) AS BIGINT) AS n_kept FROM keep GROUP BY doc_id)

@@ -48,6 +48,36 @@ object VocabTokensImpl {
     }
     n
   }
+
+  /** The same greedy walk, materializing the token SEQUENCE instead of
+    * its length — the input the tokenizer-training pair counts need.
+    * Kept as a second tight loop rather than a seq.length wrapper so
+    * [[count]] stays allocation-free on the packing hot path.
+    */
+  def tokens(
+      text: UTF8String,
+      vocab: Array[String]
+  ): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val s = text.toString
+    val len = s.length
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < len) {
+      val c = s.charAt(i)
+      var best = 0
+      var j = 0
+      while (j < vocab.length) {
+        val tok = vocab(j)
+        if (tok.length > best && tok.charAt(0) == c && s.startsWith(tok, i))
+          best = tok.length
+        j += 1
+      }
+      val step = if (best > 0) best else Character.charCount(s.codePointAt(i))
+      out += UTF8String.fromString(s.substring(i, i + step))
+      i += step
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 case class VocabTokenCount(
@@ -82,5 +112,44 @@ case class VocabTokenCount(
       c => s"graft.exprs.VocabTokensImpl.count($c, $vocabRef)")
   }
   override protected def withNewChildInternal(c: Expression): VocabTokenCount =
+    copy(child = c)
+}
+
+/** [[VocabTokenCount]]'s sequence twin: the greedy longest-match token
+  * ARRAY. Same vocab contract, same reference-object shipping; feeds the
+  * adjacent-pair counts of the BPE-training inner loop.
+  */
+case class VocabTokenSeq(
+    child: Expression,
+    vocab: Array[String]
+) extends UnaryExpression {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  require(vocab.forall(t => t.nonEmpty && t.forall(_ < 128)),
+    "vocab entries must be non-empty ASCII (keeps UTF-16 offsets == " +
+      "codepoint offsets, so tokens match codepoint-based engines exactly)")
+  require(vocab.distinct.length == vocab.length,
+    "duplicate vocab entries")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"vocab_token_seq requires a string column, got $other")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "vocab_token_seq"
+  override protected def nullSafeEval(input: Any): Any =
+    VocabTokensImpl.tokens(input.asInstanceOf[UTF8String], vocab)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val vocabRef = ctx.addReferenceObj("vocab", vocab, "java.lang.String[]")
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.VocabTokensImpl.tokens($c, $vocabRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): VocabTokenSeq =
     copy(child = c)
 }

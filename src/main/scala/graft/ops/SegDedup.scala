@@ -71,17 +71,63 @@ object SegDedup {
     val base = df.select(col(idCol), segs.as("__segs"))
     // fixed-width decision stream: (hash, id, seg_idx) only — segment
     // text never rides through the first-occurrence machinery
-    val occ = base
-      .select(col(idCol), posexplode(col("__segs")).as(Seq("__idx", "__seg")))
-      .select(col(idCol), col("__idx"), segKey(col("__seg")).as("__h"))
+    val occ = occurrences(base, idCol)
     val firsts = occ.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
     val drops = occ.join(firsts, Seq("__h"))
       .filter(col(idCol) =!= col(s"__first.$idCol") ||
         col("__idx") =!= col("__first.__idx"))
       .select(col(idCol), col("__idx"))
-    // one row per affected document; bounded by that document's own
-    // segment count, so collect_set is safe at any corpus size
+    reassemble(base, drops, idCol, sep)
+  }
+
+  /** Boilerplate STRIP: remove every occurrence of any segment that
+    * appears in at least `minDf` distinct documents — headers, cookie
+    * banners, license blurbs are defined by ubiquity, and unlike
+    * [[dedupSegments]] the first copy must go too (the "first"
+    * occurrence of a cookie banner is still a cookie banner). Returns
+    * the same (id, text, n_segs, n_dropped) shape.
+    *
+    * Scale shape: identical fixed-width geometry — the df count is a
+    * hash-keyed partial agg (count_distinct of ids per hash), the hot
+    * set is tiny by construction (segments repeated across ≥ minDf
+    * docs), and AQE broadcasts it into the occurrence stream.
+    */
+  def stripBoilerplate(
+      df: DataFrame,
+      idCol: String,
+      segs: Column,
+      minDf: Long,
+      sep: String = " "
+  ): DataFrame = {
+    require(minDf >= 2, s"minDf < 2 would strip every segment, got $minDf")
+    val reserved = Seq("__segs", "__idx", "__seg", "__h", "__df",
+      "__dropped", "n_segs", "n_dropped")
+    require(!reserved.exists(df.columns.contains),
+      s"stripBoilerplate reserves the column names ${reserved.mkString(", ")}")
+    val base = df.select(col(idCol), segs.as("__segs"))
+    val occ = occurrences(base, idCol)
+    val hot = occ.groupBy(col("__h"))
+      .agg(count_distinct(col(idCol)).as("__df"))
+      .filter(col("__df") >= minDf)
+      .select(col("__h"))
+    val drops = occ.join(hot, Seq("__h")).select(col(idCol), col("__idx"))
+    reassemble(base, drops, idCol, sep)
+  }
+
+  private def occurrences(base: DataFrame, idCol: String): DataFrame =
+    base
+      .select(col(idCol), posexplode(col("__segs")).as(Seq("__idx", "__seg")))
+      .select(col(idCol), col("__idx"), segKey(col("__seg")).as("__h"))
+
+  /** Shared tail: collapse the fixed-width drop stream to one row per
+    * affected document (bounded by that document's own segment count,
+    * so collect_set is safe at any corpus size) and rebuild each text
+    * with an index-filtered higher-order function in ONE id-keyed join.
+    */
+  private def reassemble(
+      base: DataFrame, drops: DataFrame, idCol: String, sep: String
+  ): DataFrame = {
     val dropsPerDoc = drops.groupBy(col(idCol))
       .agg(sort_array(collect_set(col("__idx"))).as("__dropped"))
     base

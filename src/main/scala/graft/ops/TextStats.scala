@@ -160,6 +160,43 @@ object TextStats {
       graft.exprs.VocabTokenCount(
         org.apache.spark.sql.GraftBridge.expression(text), vocab.toArray))
 
+  /** The greedy longest-match token SEQUENCE for `text` (the
+    * [[vocabTokenCount]] walk, materialized). */
+  def vocabTokenSeq(text: Column, vocab: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.VocabTokenSeq(
+        org.apache.spark.sql.GraftBridge.expression(text), vocab.toArray))
+
+  /** BPE-training inner loop: corpus-wide counts of ADJACENT token
+    * pairs under the current vocab — the statistic whose argmax is the
+    * next merge a BPE trainer adds. Emits (t1, t2, n) for every
+    * adjacent pair in the greedy tokenization of every document.
+    *
+    * Scale shape: tokenization is one scan-fused reference-object
+    * expression; the pair expansion is a scan-side zip of the sequence
+    * against its own tail (array expressions, no join); counts collapse
+    * in ONE (t1, t2)-keyed partial agg. Each merge round re-runs this
+    * with the grown vocab — rounds are embarrassingly sequential, the
+    * count inside each round is embarrassingly parallel.
+    */
+  def bpePairCounts(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      vocab: Seq[String]
+  ): org.apache.spark.sql.DataFrame = {
+    val t = col("__toks")
+    df.select(vocabTokenSeq(col(textCol), vocab).as("__toks"))
+      .select(explode(
+        zip_with(
+          slice(t, lit(1), greatest(size(t) - 1, lit(0))),
+          slice(t, lit(2), greatest(size(t) - 1, lit(0))),
+          (a, b) => struct(a.as("t1"), b.as("t2"))))
+        .as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy("t1", "t2")
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Feature hashing ("hashing trick"): each whitespace word is routed
     * to `bucket = rollingHash(word) mod dims`, and the per-(doc, bucket)
     * counts ARE the document's sparse feature vector — fixed

@@ -749,6 +749,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L)), "tokenless doc reports zeros")
   }
 
+  test("bpePairCounts: greedy-walk adjacent pairs, longest match wins, " +
+    "codepoint fallback") {
+    import spark.implicits._
+    val vocab = Seq("ab", "b", "a", "c")
+    val df = Seq("abab", "cba", "xab", "a").toDF("text")
+    // greedy: "abab" -> ab|ab ; "cba" -> c|b|a ; "xab" -> x(fallback)|ab ;
+    // "a" -> single token, no pair
+    val got = TextStats.bpePairCounts(df, "text", vocab)
+      .as[(String, String, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      ("ab", "ab") -> 1L, ("c", "b") -> 1L, ("b", "a") -> 1L,
+      ("x", "ab") -> 1L))
+    val toks = df.select(TextStats.vocabTokenSeq($"text", vocab))
+      .as[Seq[String]].collect().toSet
+    assert(toks == Set(Seq("ab", "ab"), Seq("c", "b", "a"),
+      Seq("x", "ab"), Seq("a")))
+  }
+
   test("poolStats: per-(group, dim) exact quantized sums and counts") {
     import spark.implicits._
     val df = Seq(

@@ -25,6 +25,32 @@ class SegDedupSpec extends AnyFunSuite {
     assert(got(2) == ((3L, "third doc", 3L, 2L)))
   }
 
+  test("stripBoilerplate: ubiquitous segment dropped EVERYWHERE (first " +
+    "copy included), below-threshold repeats untouched") {
+    val df = Seq(
+      (1L, "BANNER\nbody one"),
+      (2L, "BANNER\nbody two\nRARE PAIR"),
+      (3L, "BANNER\nRARE PAIR\nbody three")
+    ).toDF("doc_id", "text")
+    val got = SegDedup
+      .stripBoilerplate(df, "doc_id", split(col("text"), "\n"),
+        minDf = 3, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    // BANNER df=3 -> gone everywhere; RARE PAIR df=2 -> survives both
+    assert(got(0) == ((1L, "body one", 2L, 1L)))
+    assert(got(1) == ((2L, "body two\nRARE PAIR", 3L, 1L)))
+    assert(got(2) == ((3L, "RARE PAIR\nbody three", 3L, 1L)))
+    // df counts DISTINCT docs: a within-doc repeat does not fake ubiquity
+    val rep = Seq((1L, "X\nX\nX"), (2L, "other")).toDF("doc_id", "text")
+    val kept = SegDedup.stripBoilerplate(rep, "doc_id",
+        split(col("text"), "\n"), minDf = 3, sep = "\n")
+      .as[(Long, String, Long, Long)].collect().sortBy(_._1)
+    assert(kept(0)._2 == "X\nX\nX", "3 copies in ONE doc is df=1, not 3")
+    intercept[IllegalArgumentException] {
+      SegDedup.stripBoilerplate(df, "doc_id", split(col("text"), "\n"), 1)
+    }
+  }
+
   test("within-document repeats drop too; a fully-duplicated document " +
     "reassembles to the empty string but keeps its row") {
     val df = Seq(
