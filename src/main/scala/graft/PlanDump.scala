@@ -101,6 +101,21 @@ object PlanDump {
       "q_cms_freq (Count-Min: word-keyed partial agg to <= depth*width " +
         "counters; broadcast lookup)" ->
         SparkEntry.queries("q_cms_freq")(spark, dir),
+      "q_drift_stats (drift gate: ONE bin-keyed conditional agg — the " +
+        "slice split never forces an outer join; totals broadcast back)" ->
+        SparkEntry.queries("q_drift_stats")(spark, dir),
+      "q_simhash_pairs (4x16-bit band buckets over an 8-byte signature; " +
+        "popcount confirm joins signatures, never text)" ->
+        SparkEntry.queries("q_simhash_pairs")(spark, dir),
+      "q_rarity (word-keyed count agg + count-payload join back + doc " +
+        "agg; text never crosses a shuffle)" ->
+        SparkEntry.queries("q_rarity")(spark, dir),
+      "q_bpe_pairs (scan-fused reference-object tokenizer + scan-side " +
+        "pair zip; ONE (t1,t2)-keyed partial agg)" ->
+        SparkEntry.queries("q_bpe_pairs")(spark, dir),
+      "q_boilerplate (ubiquity strip: fixed-width (hash,id,idx) decision " +
+        "stream, hot set broadcast, one id-keyed reassembly join)" ->
+        SparkEntry.queries("q_boilerplate")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

@@ -160,10 +160,15 @@ object Analytics {
       .agg(
         sum(when(col("__r"), 1L).otherwise(0L)).as("n_ref"),
         sum(when(!col("__r"), 1L).otherwise(0L)).as("n_cur"))
-    val totals = bins.agg(
-      sum(col("n_ref")).as("tot_ref"), sum(col("n_cur")).as("tot_cur"))
+    // slice totals via an unpartitioned window over the BIN frame — a
+    // deliberate single task over |occupied bins| rows (bounded by the
+    // key's cardinality, not the corpus), which keeps the corpus scan
+    // at exactly ONE pass; an `agg + join back` here would re-derive
+    // the bin lineage and scan the data twice in the static plan
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
     bins
-      .crossJoin(broadcast(totals))
+      .withColumn("tot_ref", sum(col("n_ref")).over(w))
+      .withColumn("tot_cur", sum(col("n_cur")).over(w))
       .withColumn(
         "delta_num",
         col("n_cur").cast(d) * col("tot_ref").cast(d) -

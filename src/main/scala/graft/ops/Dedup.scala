@@ -394,19 +394,39 @@ object Dedup {
         shiftrightunsigned(col("__sig"), 16 * b)
           .bitwiseAND(lit(65535L)).as("band_key"))
     }
+    // the signature RIDES THROUGH the bucket (16 bytes/occurrence
+    // instead of 8): the confirm reads it straight out of the expanded
+    // pair, so the corpus is scanned and hashed exactly ONCE — no
+    // join-back to re-fetch what the bucket already held
     val bands = sig
-      .select(col("__id").as("doc"), explode(array(bandStructs: _*)).as("band"))
+      .select(struct(col("__id").as("id"), col("__sig").as("sig")).as("doc"),
+        explode(array(bandStructs: _*)).as("band"))
       .select(col("doc"), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
-    val candidates = pairsFromBuckets(bucketsOf(bands), maxBucketSize)
-    candidates
-      .join(sig.withColumnRenamed("__id", "a")
-        .withColumnRenamed("__sig", "sa"), "a")
-      .join(sig.withColumnRenamed("__id", "b")
-        .withColumnRenamed("__sig", "sb"), "b")
-      .withColumn("hamming",
-        bit_count(col("sa").bitwiseXOR(col("sb"))).cast("long"))
+    val buckets = bands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col("doc"))).as("docs"))
+      .filter(col("n_docs") > 1 && col("n_docs") <= maxBucketSize)
+    val pairs = flatten(
+      transform(
+        col("docs"),
+        (a, i) =>
+          transform(
+            slice(col("docs"), i + 2,
+              greatest(size(col("docs")) - i - 1, lit(0))),
+            bdoc => struct(a.getField("id").as("a"),
+              bdoc.getField("id").as("b"),
+              bit_count(a.getField("sig").bitwiseXOR(bdoc.getField("sig")))
+                .cast("long").as("hamming"))
+          )
+      )
+    )
+    buckets
+      .select(explode(pairs).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"),
+        col("p.hamming").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("a"), col("b"), col("hamming"))
+      .distinct()
   }
 }
