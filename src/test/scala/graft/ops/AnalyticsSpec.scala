@@ -105,6 +105,24 @@ class AnalyticsSpec extends AnyFunSuite {
       "degenerate groups carry no order information")
   }
 
+  test("driftStats invariants on randomized data: totals partition the " +
+    "corpus and delta_num sums to zero") {
+    val rng = new scala.util.Random(42)
+    val rows = Seq.fill(500)((rng.nextInt(1000).toLong, rng.nextBoolean()))
+    val df = rows.toDF("v", "r")
+    val got = Analytics.driftStats(df, $"r", $"v", 50L)
+      .select($"n_ref", $"n_cur", $"tot_ref", $"tot_cur",
+        $"delta_num".cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect()
+    val (nRef, nCur) = (rows.count(_._2).toLong, rows.count(!_._2).toLong)
+    assert(got.forall(r => r._3 == nRef && r._4 == nCur),
+      "every row carries the true slice totals")
+    assert(got.map(_._1).sum == nRef && got.map(_._2).sum == nCur,
+      "bin counts partition each slice exactly")
+    assert(got.map(_._5).sum == 0L,
+      "proportion shifts are zero-sum across bins")
+  }
+
   test("rollupCounts: per-level counts with grouping flags") {
     val df = Seq(
       ("en", "web", 10L), ("en", "web", 20L), ("en", "book", 5L),
