@@ -159,7 +159,11 @@ object ConvFeatures {
         concat_ws("\n",
           transform(
             array_sort(collect_list(struct(
-              col("ts").cast("long").as("t"),
+              // exact micros, NOT ts.cast("long") (whole seconds): the
+              // sort key must carry the timestamp's full precision or
+              // sub-second turns would render in a different order than
+              // [[sftSpans]] (and the oracle) sort them
+              unix_micros(col("ts")).as("t"),
               col("turn_idx").as("i"),
               line.as("line")))),
             x => x.getField("line"))).as("sft_text"))
@@ -179,6 +183,12 @@ object ConvFeatures {
     * Scale shape: one running-sum window per conversation in the same
     * (ts, turn_idx) sort the render uses — no join back to the rendered
     * string needed.
+    *
+    * Contract: (conv_id, ts, turn_idx) must uniquely identify turns —
+    * the render breaks a duplicate sort key by line CONTENT (array_sort
+    * over the full struct) while this window has no line to break ties
+    * with, so duplicate keys would desynchronize span offsets from the
+    * rendered string.
     */
   def sftSpans(turns: DataFrame): DataFrame = {
     val line = renderedLine

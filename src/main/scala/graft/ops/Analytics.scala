@@ -54,6 +54,8 @@ object Analytics {
     * computed with integer arithmetic (subtract the non-negative `pmod`
     * remainder, then divide exactly) so negative values bin correctly
     * and no float rounding can move a boundary value across bins.
+    * (Values within `width` of Long.MinValue would underflow the
+    * subtraction — ANSI mode fails loud there rather than mis-binning.)
     * Scan-fused projection + one partial-agg shuffle keyed by
     * (keys, bin) — output is bounded by the number of OCCUPIED bins.
     */
@@ -184,6 +186,12 @@ object Analytics {
     * NULL — there is no order information to preserve, and 0 would
     * masquerade as "at the minimum".
     *
+    * The numerator `(x − min) · scaleBp` is computed in decimal(38,0)
+    * (output stays long — integral division narrows back), so the full
+    * int64 value domain is safe at any scaleBp ≤ 10⁹ — scaling an
+    * epoch-micros feature cannot overflow the way a raw long multiply
+    * would.
+    *
     * Scale shape: identical to [[outliers]] — one key-only min/max agg,
     * then a broadcast-sized join back; data rows cross one exchange.
     */
@@ -195,13 +203,14 @@ object Analytics {
   ): DataFrame = {
     require(keys.nonEmpty, "minMaxScaleBp needs grouping keys")
     require(scaleBp > 0, "scaleBp must be positive")
+    val d = ExactU64.dec38
     val v = value.cast("long")
     val stats = df
       .filter(v.isNotNull)
       .groupBy(keys.map(col): _*)
       .agg(min(v).as("__mn"), max(v).as("__mx"))
-    val span = col("__mx") - col("__mn")
-    val num = (v - col("__mn")) * lit(scaleBp)
+    val span = col("__mx").cast(d) - col("__mn").cast(d)
+    val num = (v.cast(d) - col("__mn").cast(d)) * lit(scaleBp).cast(d)
     val scaled = when(
       span > 0,
       call_function("div", num - pmod(num, span), span))

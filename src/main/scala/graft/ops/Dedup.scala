@@ -375,8 +375,10 @@ object Dedup {
     * Scale shape: one signature projection (scan-fused codegen'd
     * expression), the same grouped band-bucket expansion as
     * [[minhashPairs]] (hot buckets capped — identical boilerplate lands
-    * in [[exactGroups]] anyway), then an 8-byte-payload join to fetch
-    * two signatures per surviving pair. No text ever crosses a shuffle.
+    * in [[exactGroups]] anyway); the signature RIDES THROUGH the bucket
+    * (16 bytes/occurrence instead of 8) so the Hamming confirm reads it
+    * straight out of the expanded pair — the corpus is scanned and
+    * hashed exactly ONCE, and no text ever crosses a shuffle.
     */
   def simhashPairs(
       df: DataFrame,
@@ -384,9 +386,41 @@ object Dedup {
       textCol: String,
       maxHamming: Int = 3,
       maxBucketSize: Int = 10000
+  ): DataFrame =
+    pairsFromSimhashBuckets(
+      simhashBuckets(df, idCol, textCol), maxHamming, maxBucketSize)
+
+  /** [[simhashPairs]] plus its mandatory drop audit from ONE evaluation
+    * of the band pass — the SimHash twin of [[minhashPairsWithAudit]]
+    * (same [[PairsWithAudit]] shape, same persist/unpersist contract).
+    */
+  def simhashPairsWithAudit(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      maxHamming: Int = 3,
+      maxBucketSize: Int = 10000
+  ): PairsWithAudit = {
+    require(maxBucketSize > 1, s"maxBucketSize must be > 1, got $maxBucketSize")
+    val buckets = simhashBuckets(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    PairsWithAudit(
+      pairsFromSimhashBuckets(buckets, maxHamming, maxBucketSize),
+      buckets.filter(col("n_docs") > maxBucketSize)
+        .select(col("band_idx"), col("band_key"), col("n_docs")),
+      buckets)
+  }
+
+  /** The shared SimHash band-bucket table: one row per (band_idx,
+    * band_key) seen more than once, carrying `n_docs` and the sorted
+    * (id, sig) member list — signatures ride through so downstream
+    * confirms never re-scan text.
+    */
+  private def simhashBuckets(
+      df: DataFrame,
+      idCol: String,
+      textCol: String
   ): DataFrame = {
-    require(maxHamming >= 0 && maxHamming <= 3,
-      s"4x16-bit bands guarantee recall only for maxHamming <= 3, got $maxHamming")
     val sig = df.select(col(idCol).as("__id"),
       graft.exprs.SimHash64(col(textCol)).as("__sig"))
     val bandStructs = (0 until 4).map { b =>
@@ -394,20 +428,24 @@ object Dedup {
         shiftrightunsigned(col("__sig"), 16 * b)
           .bitwiseAND(lit(65535L)).as("band_key"))
     }
-    // the signature RIDES THROUGH the bucket (16 bytes/occurrence
-    // instead of 8): the confirm reads it straight out of the expanded
-    // pair, so the corpus is scanned and hashed exactly ONCE — no
-    // join-back to re-fetch what the bucket already held
-    val bands = sig
+    sig
       .select(struct(col("__id").as("id"), col("__sig").as("sig")).as("doc"),
         explode(array(bandStructs: _*)).as("band"))
       .select(col("doc"), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
-    val buckets = bands
       .groupBy(col("band_idx"), col("band_key"))
       .agg(count(lit(1)).as("n_docs"),
         sort_array(collect_list(col("doc"))).as("docs"))
-      .filter(col("n_docs") > 1 && col("n_docs") <= maxBucketSize)
+      .filter(col("n_docs") > 1)
+  }
+
+  private def pairsFromSimhashBuckets(
+      buckets: DataFrame,
+      maxHamming: Int,
+      maxBucketSize: Int
+  ): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 3,
+      s"4x16-bit bands guarantee recall only for maxHamming <= 3, got $maxHamming")
     val pairs = flatten(
       transform(
         col("docs"),
@@ -423,6 +461,7 @@ object Dedup {
       )
     )
     buckets
+      .filter(col("n_docs") <= maxBucketSize)
       .select(explode(pairs).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"),
         col("p.hamming").as("hamming"))

@@ -197,21 +197,6 @@ object TextStats {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Feature hashing ("hashing trick"): each whitespace word is routed
-    * to `bucket = rollingHash(word) mod dims`, and the per-(doc, bucket)
-    * counts ARE the document's sparse feature vector — fixed
-    * dimensionality with no vocabulary to build, ship, or version,
-    * which is what makes it the featurizer that still works when the
-    * corpus is 100 TB and the vocab won't fit anywhere. Collisions are
-    * the accepted trade (dims controls the rate) and are deterministic:
-    * the bucket function is the polynomial rolling hash mod 1e9+7 that
-    * [[rollingFingerprint]] exposes, replayed bit-exactly by the DuckDB
-    * oracle (q_feature_hash).
-    *
-    * Scale shape: scan-fused explode + ONE (doc, bucket)-keyed partial
-    * agg — the same geometry as term frequency; nothing driver-side,
-    * no vocabulary broadcast.
-    */
   /** Word-rarity quality signals: per document, the token count, how
     * many of its tokens occur fewer than `minCount` times in the WHOLE
     * corpus (the OOV/typo/garbage signal heuristic quality filters
@@ -252,6 +237,21 @@ object TextStats {
         coalesce(col("__fs"), lit(0L)).as("freq_sum"))
   }
 
+  /** Feature hashing ("hashing trick"): each whitespace word is routed
+    * to `bucket = rollingHash(word) mod dims`, and the per-(doc, bucket)
+    * counts ARE the document's sparse feature vector — fixed
+    * dimensionality with no vocabulary to build, ship, or version,
+    * which is what makes it the featurizer that still works when the
+    * corpus is 100 TB and the vocab won't fit anywhere. Collisions are
+    * the accepted trade (dims controls the rate) and are deterministic:
+    * the bucket function is the polynomial rolling hash mod 1e9+7 that
+    * [[rollingFingerprint]] exposes, replayed bit-exactly by the DuckDB
+    * oracle (q_feature_hash).
+    *
+    * Scale shape: scan-fused explode + ONE (doc, bucket)-keyed partial
+    * agg — the same geometry as term frequency; nothing driver-side,
+    * no vocabulary broadcast.
+    */
   def featureHash(
       df: org.apache.spark.sql.DataFrame,
       idCol: String,

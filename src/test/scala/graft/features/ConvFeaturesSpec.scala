@@ -109,6 +109,28 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert(got("c2") == ((1L, "user: lonely", 12L)))
   }
 
+  test("render/spans agree at sub-second timestamps (exact-micros sort key)") {
+    // sub-second order OPPOSES turn_idx order: a whole-second sort key
+    // would fall through to turn_idx and render the turns backwards
+    // relative to the span window's exact-ts order
+    val t = Seq(
+      ("c", 7, "user", "first", None: Option[String],
+        new Timestamp(100100L)), // 100.1 s
+      ("c", 2, "assistant", "second", None: Option[String],
+        new Timestamp(100900L)) // 100.9 s
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val r = ConvFeatures.renderConversation(t)
+      .select($"sft_text").as[String].head()
+    assert(r == "user: first\nassistant: second")
+    val spans = ConvFeatures.sftSpans(t)
+      .select($"turn_idx", $"start_off", $"end_off")
+      .as[(Int, Long, Long)].collect()
+    spans.foreach { case (i, s, e) =>
+      val want = if (i == 7) "user: first" else "assistant: second"
+      assert(r.substring(s.toInt, e.toInt) == want, s"turn $i")
+    }
+  }
+
   test("sftSpans: substring extraction from the render is the invariant") {
     val rendered = ConvFeatures.renderConversation(turns)
       .select($"conv_id", $"sft_text").as[(String, String)].collect().toMap

@@ -105,6 +105,22 @@ class AnalyticsSpec extends AnyFunSuite {
       "degenerate groups carry no order information")
   }
 
+  test("minMaxScaleBp: wide int64 spans do not overflow (decimal numerator)") {
+    // (v - min) * 10000 = 3e22 here — far past Long.MaxValue; the
+    // decimal(38,0) numerator keeps the floor division exact
+    val df = Seq(
+      ("g", 1L, 0L),
+      ("g", 2L, 3000000000000000000L),
+      ("g", 3L, 1500000000000000000L)
+    ).toDF("g", "id", "v")
+    val got = Analytics.minMaxScaleBp(df, Seq("g"), $"v")
+      .select($"id", $"scaled_bp").as[(Long, Option[Long])]
+      .collect().toMap
+    assert(got(1L).contains(0L))
+    assert(got(2L).contains(10000L))
+    assert(got(3L).contains(5000L))
+  }
+
   test("driftStats invariants on randomized data: totals partition the " +
     "corpus and delta_num sums to zero") {
     val rng = new scala.util.Random(42)

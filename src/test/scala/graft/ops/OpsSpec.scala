@@ -733,6 +733,30 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("simhashPairsWithAudit: dropped hot buckets audited; pairs match " +
+    "simhashPairs") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "same text"), (2L, "same text"), (3L, "same text"),
+      (4L, "other words entirely"), (5L, "other words entirely")
+    ).toDF("doc_id", "text")
+    val r = Dedup.simhashPairsWithAudit(docs, "doc_id", "text",
+      maxHamming = 0, maxBucketSize = 2)
+    val pairs = r.pairs.as[(Long, Long, Long)].collect().toSet
+    // the 3-copy signature overfills its buckets in every band; the
+    // 2-copy pair's buckets stay under the cap
+    assert(pairs == Set((4L, 5L, 0L)))
+    val dropped = r.droppedHotBuckets
+      .select($"n_docs").as[Long].collect()
+    assert(dropped.nonEmpty && dropped.forall(_ >= 3L),
+      "every audited bucket is over the cap")
+    val plain = Dedup.simhashPairs(docs, "doc_id", "text",
+      maxHamming = 0, maxBucketSize = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(plain == pairs, "audit variant and plain variant agree")
+    r.unpersist()
+  }
+
   test("rarityStats: corpus-frequency joins, rare counts, tokenless zeros") {
     import spark.implicits._
     val docs = Seq(
