@@ -116,6 +116,15 @@ object PlanDump {
       "q_boilerplate (ubiquity strip: fixed-width (hash,id,idx) decision " +
         "stream, hot set broadcast, one id-keyed reassembly join)" ->
         SparkEntry.queries("q_boilerplate")(spark, dir),
+      "q_pq_encode (PQ codes via ONE codebooks-as-data expression; zero " +
+        "shuffles, plan O(1) in m*k)" ->
+        SparkEntry.queries("q_pq_encode")(spark, dir),
+      "q_pq_adc (ADC scan: per-query distance tables as ONE literal; all " +
+        "queries served by a single pass over the coded corpus)" ->
+        SparkEntry.queries("q_pq_adc")(spark, dir),
+      "q_lm_surprisal (bigram + unigram partial-agg tables joined back " +
+        "onto the pair stream; text never crosses a shuffle)" ->
+        SparkEntry.queries("q_lm_surprisal")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

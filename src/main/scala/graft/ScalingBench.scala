@@ -49,8 +49,15 @@ object ScalingBench {
     }
   }
 
-  /** Per-rep (pipeline seconds, bare-scan seconds) at `cores`. */
-  private def run(cores: Int, reps: Int): (Seq[Double], Seq[Double]) = {
+  /** Per-rep (pipeline, bare-scan, curation-pack) seconds at `cores`.
+    * The pack job is the curation family's scaling witness: role as the
+    * stratum makes every stratum a MEGA-stratum (4 strata over the whole
+    * corpus) — precisely the shape the two-phase cumsum exists for; a
+    * single-window pack would serialize each into one task and the N→4N
+    * ratio would collapse.
+    */
+  private def run(
+      cores: Int, reps: Int): (Seq[Double], Seq[Double], Seq[Double]) = {
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = GraftSession
@@ -58,17 +65,32 @@ object ScalingBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import org.apache.spark.sql.GraftBridge.forceEvaluate
+    import org.apache.spark.sql.functions.{coalesce, col, lit, octet_length, unix_millis}
     def timed(f: => Any): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
     def pipeline(): Long =
       forceEvaluate(Pipeline.featuresFromTurns(spark.read.parquet(stagedDir)))
     def scan(): Long = forceEvaluate(spark.read.parquet(stagedDir))
+    // ~1300 chunks per stratum over the generator's ~1-day ts span
+    // (millis order, 64 Ki-ms chunks): enough chunk-parallelism that a
+    // dominant stratum spreads across every core at both N and 4N
+    def pack(): Long = forceEvaluate(
+      graft.ops.Curation.packShards(
+        spark.read.parquet(stagedDir)
+          .select(col("role"),
+            unix_millis(col("ts")).as("ord"),
+            coalesce(octet_length(col("text")).cast("long"), lit(0L))
+              .as("len")),
+        strataCol = "role", orderCol = "ord", tokens = col("len"),
+        budgetTokens = 1000000L, chunkSpan = 65536L))
     try {
       pipeline() // warm-up: codegen + parquet footers
       val p = (1 to reps).map(_ => timed(pipeline()))
       val s = (1 to reps).map(_ => timed(scan()))
-      (p, s)
+      pack() // warm-up the pack plan too
+      val c = (1 to reps).map(_ => timed(pack()))
+      (p, s, c)
     } finally {
       spark.stop()
       SparkSession.clearActiveSession()
@@ -94,16 +116,19 @@ object ScalingBench {
 
     val n = stage(nConvs)
     val pairJsons = pairs.map { case (lo, hi) =>
-      val (pLo, sLo) = run(lo, reps)
-      val (pHi, sHi) = run(hi, reps)
+      val (pLo, sLo, cLo) = run(lo, reps)
+      val (pHi, sHi, cHi) = run(hi, reps)
       val ratio = hi.toDouble / lo
       val eff = pLo.zip(pHi).map { case (a, b) => (a / b) / ratio }
       val scanEff = sLo.zip(sHi).map { case (a, b) => (a / b) / ratio }
       val norm = eff.zip(scanEff).map { case (e, s) => e / s }
+      val curEff = cLo.zip(cHi).map { case (a, b) => (a / b) / ratio }
       s"""{"cores_lo":$lo,"cores_hi":$hi,"sec_lo":${fmtSeq(pLo)},"sec_hi":${fmtSeq(pHi)},""" +
         s""""turns_per_sec_lo":${f"${n / (pLo.sum / reps)}%.1f"},"turns_per_sec_hi":${f"${n / (pHi.sum / reps)}%.1f"},""" +
         s""""efficiency":${band(eff)},"scan_sec_lo":${fmtSeq(sLo)},"scan_sec_hi":${fmtSeq(sHi)},""" +
-        s""""hardware_scan_efficiency":${band(scanEff)},"normalized_efficiency":${band(norm)}}"""
+        s""""hardware_scan_efficiency":${band(scanEff)},"normalized_efficiency":${band(norm)},""" +
+        s""""curation_sec_lo":${fmtSeq(cLo)},"curation_sec_hi":${fmtSeq(cHi)},""" +
+        s""""curation_efficiency":${band(curEff)}}"""
     }
     val json =
       s"""{"metric":"scaling","rows":$n,"reps":$reps,"pairs":${pairJsons.mkString("[", ",", "]")}}"""

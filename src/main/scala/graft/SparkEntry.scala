@@ -715,6 +715,51 @@ object SparkEntry {
       Similarity.annIvf(e, q, cents, nProbe = 2, excludeSelf = true)
     }),
 
+    // --- product-quantization encode (embedding compression at 100 TB) -----------
+    // Each 64-dim vector becomes 4 codes (one per 16-dim subspace):
+    // argmin exact quantized squared L2 against 8 sampled centroids,
+    // ties to the smaller code — a 64x cut of the float payload that ADC
+    // can still search. One reference-object expression (plan O(1) in
+    // m·k), zero shuffles. The oracle replays quantization, subspace
+    // slicing, the integer distances, and the (dist, code) tie rule.
+    "q_pq_encode" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val books = Similarity.pqBooks(e, m = 4, k = 8)
+      e.select(col("vec_id"),
+        posexplode(Similarity.pqEncode(col("embedding"), books))
+          .as(Seq("subspace", "code")))
+    }),
+
+    // --- PQ asymmetric-distance search (ADC) -------------------------------------
+    // Per query: top-10 coded corpus vectors by exact-int ADC distance —
+    // m table lookups + m adds per row, the scan shape a PQ index runs
+    // at 10^12 vectors (codes stream; the query never meets a float
+    // vector). ONE corpus pass serves all queries (per-query distance
+    // tables are literal arrays); ties break by vec_id. The oracle
+    // recomputes codes AND tables in SQL and replays the ranking.
+    "q_pq_adc" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val books = Similarity.pqBooks(e, m = 4, k = 8)
+      val coded = e.select(col("vec_id"),
+        Similarity.pqEncode(col("embedding"), books).as("codes"))
+      val queries = e.filter(col("vec_id") < 3)
+        .select(col("vec_id"), col("embedding")).collect()
+      val adcCols = queries.map { r =>
+        struct(lit(r.getLong(0)).as("query_id"),
+          Similarity.pqAdcDist(col("codes"), r.getSeq[Float](1), books)
+            .as("adc"))
+      }
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      coded
+        .select(col("vec_id"), explode(array(adcCols.toSeq: _*)).as("qa"))
+        .select(col("qa.query_id").as("query_id"), col("vec_id"),
+          col("qa.adc").as("adc"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 10)
+    }),
+
     // --- embedding-cosine near-duplicate pairs ----------------------------------
     "q_embed_dup" -> ((s, dir) =>
       Similarity.nearDupPairs(
@@ -1560,6 +1605,15 @@ object SparkEntry {
     "q_rarity" -> ((s, dir) =>
       TextStats.rarityStats(docs(s, dir), "doc_id", "text", minCount = 5L)),
 
+    // --- bigram-LM surprisal sufficient statistics (perplexity filter) -----------
+    // Per document, the exact-integer multiset of its adjacent pairs'
+    // (corpus bigram count, corpus left-unigram count) — the CCNet-style
+    // perplexity filter's inputs with the logs (the only float) left
+    // downstream. One row per distinct (doc, n_ab, n_a) with its
+    // multiplicity.
+    "q_lm_surprisal" -> ((s, dir) =>
+      TextStats.lmSurprisalStats(docs(s, dir), "doc_id", "text")),
+
     // --- BPE-training inner loop: adjacent-token pair counts ------------------------
     // Corpus-wide counts of adjacent token pairs under the current
     // vocab — the statistic whose argmax is the next BPE merge. Same
@@ -2179,6 +2233,29 @@ object SparkEntry {
       |  FROM step s JOIN d USING (doc_id)
       |  WHERE s.pos <= d.n)""".stripMargin
 
+  /** Shared PQ replay for q_pq_encode / q_pq_adc: quantized vectors
+    * (`q`), the 8-lowest-id codebook rows with code = rank in vec_id
+    * order (`train`), per-(vector, subspace, code) exact integer squared
+    * L2 distances over the 4×16-dim subspaces (`dist`), and the argmin
+    * codes with ties to the smaller code (`codes`).
+    */
+  private def pqCodesCte: String =
+    """q AS (SELECT vec_id,
+      |  [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding] AS qe
+      |  FROM embeddings),
+      |train AS (SELECT qe,
+      |    CAST(ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS INT) AS code
+      |  FROM (SELECT vec_id, qe FROM q ORDER BY vec_id LIMIT 8)),
+      |sub AS (SELECT CAST(i AS INT) AS subspace FROM range(4) t(i)),
+      |dist AS (SELECT v.vec_id, s.subspace, t.code,
+      |    list_sum([(v.qe[s.subspace*16 + d] - t.qe[s.subspace*16 + d])
+      |            * (v.qe[s.subspace*16 + d] - t.qe[s.subspace*16 + d])
+      |      for d in range(1, 17)]) AS dd
+      |  FROM q v, sub s, train t),
+      |codes AS (SELECT vec_id, subspace, code FROM dist
+      |  QUALIFY row_number() OVER (PARTITION BY vec_id, subspace
+      |    ORDER BY dd, code) = 1)""".stripMargin
+
   /** The q_simhash FNV-1a/bit-vote chain over an arbitrary (doc_id,
     * text) source CTE, ending in `fpu(doc_id, ufp UBIGINT)` — shared by
     * the signature dump and the banded pair search.
@@ -2279,6 +2356,24 @@ object SparkEntry {
         |  COALESCE(st.n_rare, 0) AS n_rare,
         |  COALESCE(st.freq_sum, 0) AS freq_sum
         |FROM documents d LEFT JOIN st USING (doc_id)""".stripMargin,
+
+    // bigram counts replayed via zipped unnest slices; n_a = corpus
+    // unigram count of the LEFT word (same denominator as the Spark side)
+    "q_lm_surprisal" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |prs0 AS (SELECT doc_id,
+        |    unnest(ws[1:len(ws)-1]) AS a, unnest(ws[2:len(ws)]) AS b
+        |  FROM w),
+        |prs AS (SELECT doc_id, a, b FROM prs0 WHERE a <> '' AND b <> ''),
+        |bi AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab
+        |  FROM prs GROUP BY a, b),
+        |uni AS (SELECT w AS a, CAST(count(*) AS BIGINT) AS n_a FROM (
+        |    SELECT unnest(ws) AS w FROM w) WHERE w <> '' GROUP BY w)
+        |SELECT p.doc_id, bi.n_ab, uni.n_a,
+        |  CAST(count(*) AS BIGINT) AS n_pairs
+        |FROM prs p JOIN bi USING (a, b) JOIN uni USING (a)
+        |GROUP BY p.doc_id, bi.n_ab, uni.n_a""".stripMargin,
     // transitive closure of the minhash pair stream: symmetric edges,
     // label walk (every label reaches everything in its component), then
     // min label per vertex = the component's min doc_id
@@ -3742,6 +3837,27 @@ object SparkEntry {
         |  CAST(FLOOR(COALESCE(h.hits, 0) * 10000.0 / 10) AS BIGINT) AS recall_bp
         |FROM (SELECT DISTINCT query_id FROM truthtop) q
         |LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+
+    // PQ codes: argmin exact integer squared L2 per subspace, ties to
+    // the smaller code
+    "q_pq_encode" ->
+      s"""WITH $pqCodesCte
+         |SELECT vec_id, subspace, code FROM codes""".stripMargin,
+
+    // ADC: the query's distance table IS the dist CTE restricted to the
+    // query ids; approx distance = the sum of its code-selected entries
+    "q_pq_adc" ->
+      s"""WITH $pqCodesCte,
+         |tab AS (SELECT vec_id AS query_id, subspace, code, dd AS td
+         |  FROM dist WHERE vec_id < 3),
+         |adc AS (SELECT tb.query_id, c.vec_id, CAST(SUM(tb.td) AS BIGINT) AS adc
+         |  FROM codes c
+         |  JOIN tab tb ON tb.subspace = c.subspace AND tb.code = c.code
+         |  GROUP BY 1, 2)
+         |SELECT query_id, vec_id, adc, CAST(rnk AS BIGINT) AS rnk FROM (
+         |  SELECT query_id, vec_id, adc,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY adc, vec_id) AS rnk
+         |  FROM adc) WHERE rnk <= 10""".stripMargin,
 
     // conversation summary: the gap window then one aggregation, both
     // keyed on conv_id

@@ -744,4 +744,80 @@ object Similarity {
       .groupBy(col("list_id"))
       .agg(count(lit(1)).as("n_vecs"))
       .filter(col("n_vecs") > maxListSize)
+
+  // --- product quantization -------------------------------------------------
+
+  /** PQ codebooks as a driver-side tensor: the `k` lowest-id corpus
+    * vectors' subvectors, split into `m` equal-width contiguous
+    * subspaces — `books(i)(j)` is subspace i's j-th centroid and codes
+    * index that order. The deterministic id sample stands in for trained
+    * per-subspace k-means exactly as [[ivfCentroids]]' sample stands in
+    * for trained IVF centroids (swap in [[kmeansStep]] output per
+    * subspace in production; the encode/search structure is identical).
+    * Payload is m·k·(dim/m) = k·dim floats of plain data — the same
+    * driver sizing note as [[ivfCentroids]].
+    */
+  def pqBooks(corpus: DataFrame, m: Int, k: Int): Seq[Seq[Seq[Float]]] = {
+    require(m >= 1, s"need >= 1 subspace, got $m")
+    require(k >= 1, s"need >= 1 centroid per codebook, got $k")
+    val rows = corpus.select(col("vec_id"), col("embedding"))
+      .orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getSeq[Float](1))
+    require(rows.nonEmpty, "pqBooks: empty corpus")
+    val dim = rows(0).length
+    require(dim % m == 0,
+      s"embedding dim $dim must split into m=$m equal-width subspaces")
+    val sub = dim / m
+    (0 until m).map(i => rows.toSeq.map(v => v.slice(i * sub, (i + 1) * sub)))
+  }
+
+  private def packBooks(
+      books: Seq[Seq[Seq[Float]]]): Array[Array[Array[Long]]] =
+    books.map(_.map(
+      _.map(v => graft.exprs.QuantVec.q(v.toDouble)).toArray).toArray).toArray
+
+  /** PQ codes for a vector: `array<int>` of length m, code i = the row of
+    * codebook i nearest to subspace i in exact quantized squared L2
+    * (ties to the smaller code). ONE reference-object expression
+    * ([[graft.exprs.PqEncode]]) — zero shuffles, O(1) plan size at any
+    * m·k, the same data-path engineering as [[ivfProbeLists]].
+    */
+  def pqEncode(embedding: Column, books: Seq[Seq[Seq[Float]]]): Column =
+    bridge(graft.exprs.PqEncode(expr(embedding), packBooks(books)))
+
+  /** Asymmetric-distance (ADC) lookup: the exact int64 PQ approximation
+    * of ||query − x||² for a CODED vector x — `Σᵢ tableᵢ[codeᵢ]` with
+    * `tableᵢ[j] = ||q(query subspace i) − booksᵢⱼ||²` precomputed
+    * driver-side (m·k longs per query, ONE typed literal in the plan).
+    * This is how a PQ index scans 10¹² vectors: codes stream, the query
+    * never meets a float vector, and the per-row cost is m array lookups
+    * + m adds. Integer-exact end to end, so it sits under the hard
+    * oracle.
+    */
+  def pqAdcDist(
+      codes: Column,
+      query: Seq[Float],
+      books: Seq[Seq[Seq[Float]]]
+  ): Column = {
+    val packed = packBooks(books)
+    val qq = query.map(v => graft.exprs.QuantVec.q(v.toDouble)).toArray
+    var off = 0
+    val tables: Seq[Seq[Long]] = packed.toSeq.map { book =>
+      val sub = book(0).length
+      val t = book.toSeq.map { c =>
+        var s = 0L
+        var d = 0
+        while (d < sub) { val x = qq(off + d) - c(d); s += x * x; d += 1 }
+        s
+      }
+      off += sub
+      t
+    }
+    require(off == query.length,
+      s"query dim ${query.length} != codebook subspace widths summing to $off")
+    aggregate(
+      zip_with(codes, typedlit(tables),
+        (code, table) => element_at(table, code + 1)),
+      lit(0L), (acc, x) => acc + x)
+  }
 }

@@ -465,6 +465,58 @@ object TextStats {
         col("rnk").cast("long").as("rnk"))
   }
 
+  /** Bigram language-model SUFFICIENT STATISTICS — the CCNet-style
+    * perplexity filter kept on the hard-oracle path. The MLE bigram
+    * log-probability of a document is Σ (ln n_ab − ln n_a) over its
+    * adjacent word pairs, with n_ab the corpus count of the pair and n_a
+    * the corpus count of the left word; logs don't linearize, so the
+    * exact integer sufficient statistic per document is the MULTISET of
+    * its (n_ab, n_a) values — emitted here as one row per distinct
+    * (doc, n_ab, n_a) with its multiplicity `n_pairs`. The float
+    * surprisal −Σ n_pairs·(ln n_ab − ln n_a) (and per-token perplexity)
+    * is one expression downstream. Documents with < 2 non-empty words
+    * emit nothing (no bigram to score). n_a counts ALL corpus
+    * occurrences of the left word (the standard denominator
+    * approximation — doc-final occurrences included), replayed
+    * identically by the oracle.
+    *
+    * Scale shape: adjacent pairs explode scan-side (doc-length-bounded
+    * fan-out), corpus bigram + unigram counts are two partial-agg tables
+    * (bigram-vocabulary sized) joined back onto the (id, a, b) pair
+    * stream by key, then one doc-keyed agg of 3 longs/row — text never
+    * crosses a shuffle, the same geometry as [[rarityStats]] one order
+    * higher.
+    */
+  def lmSurprisalStats(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String
+  ): org.apache.spark.sql.DataFrame = {
+    val ws = Dedup.words(col(textCol))
+    val n = greatest(size(ws) - 1, lit(0))
+    val prs = df
+      .select(col(idCol).as("__id"),
+        explode(zip_with(
+          slice(ws, lit(1), n), slice(ws, lit(2), n),
+          (a, b) => struct(a.as("a"), b.as("b")))).as("p"))
+      .select(col("__id"), col("p.a").as("__a"), col("p.b").as("__b"))
+      .filter(col("__a") =!= "" && col("__b") =!= "")
+    val bi = prs.groupBy(col("__a"), col("__b"))
+      .agg(count(lit(1)).as("n_ab"))
+    val uni = df
+      .select(explode(ws).as("__w"))
+      .filter(col("__w") =!= "")
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("n_a"))
+    prs
+      .join(bi, Seq("__a", "__b"))
+      .join(uni.withColumnRenamed("__w", "__a"), Seq("__a"))
+      .groupBy(col("__id"), col("n_ab"), col("n_a"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("__id").as(idCol), col("n_ab"), col("n_a"),
+        col("n_pairs"))
+  }
+
   /** Corpus word co-occurrence: for every ordered word pair (a, b) with b
     * at most `maxDist` positions after a, the pair count `n_ab` plus both
     * words' corpus unigram counts `n_a` / `n_b` and the corpus token

@@ -811,4 +811,87 @@ class OpsSpec extends AnyFunSuite {
       (1L, 0) -> ((1L, q(1.0f))),
       (1L, 1) -> ((1L, q(2.0f)))))
   }
+
+  test("pqEncode: per-subspace argmin, tie to smaller code, dim guard") {
+    import spark.implicits._
+    // subspace 0 books: (0,0) vs (1,1); subspace 1 books: (0,1) vs (1,0)
+    val books: Seq[Seq[Seq[Float]]] = Seq(
+      Seq(Seq(0f, 0f), Seq(1f, 1f)),
+      Seq(Seq(0f, 1f), Seq(1f, 0f)))
+    val df = Seq(
+      (1L, Seq(0.9f, 1.1f, 0.05f, 0.95f)), // near (1,1) then near (0,1)
+      (2L, Seq(0.1f, -0.1f, 0.9f, 0.1f)) // near (0,0) then near (1,0)
+    ).toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val got = df
+      .select($"vec_id", Similarity.pqEncode($"embedding", books).as("c"))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got(1L) == Seq(1, 0))
+    assert(got(2L) == Seq(0, 1))
+    // exact tie (two identical centroids): the smaller code wins
+    val tied = df.select(Similarity.pqEncode($"embedding",
+        Seq(Seq(Seq(0f, 0f), Seq(0f, 0f)),
+          Seq(Seq(0f, 0f), Seq(0f, 0f)))).as("c"))
+      .as[Seq[Int]].collect()
+    assert(tied.forall(_ == Seq(0, 0)))
+    // wrong total width fails loud, not a truncated distance
+    val err = intercept[Exception] {
+      df.select(Similarity.pqEncode($"embedding",
+        Seq(Seq(Seq(0f, 0f, 0f)))).as("c")).collect()
+    }
+    assert(err.getMessage != null)
+  }
+
+  test("pqAdcDist equals the brute table sum over the encoded corpus") {
+    import spark.implicits._
+    val rng = new scala.util.Random(7)
+    val dim = 8
+    val vecs = (0L until 40L).map(i =>
+      (i, Seq.fill(dim)(rng.nextFloat() * 2f - 1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .select($"vec_id", $"embedding".cast("array<float>").as("embedding"))
+    val books = Similarity.pqBooks(df, m = 2, k = 4)
+    val query = vecs(5)._2
+    val got = df
+      .select($"vec_id",
+        Similarity.pqAdcDist(
+          Similarity.pqEncode($"embedding", books), query, books).as("adc"))
+      .as[(Long, Long)].collect().toMap
+    // oracle: plain-Scala quantized argmin + table lookup
+    def q(x: Float): Long = graft.exprs.QuantVec.q(x.toDouble)
+    def sq(a: Seq[Long], b: Seq[Long]): Long =
+      a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+    val qBooks = books.map(_.map(_.map(q)))
+    val qQuery = query.map(q)
+    vecs.foreach { case (id, v) =>
+      val qv = v.map(q)
+      val want = qBooks.zipWithIndex.map { case (book, i) =>
+        val sub = book(0).length
+        val qsub = qv.slice(i * sub, (i + 1) * sub)
+        val code = book.indices.minBy(j => (sq(qsub, book(j)), j))
+        sq(qQuery.slice(i * sub, (i + 1) * sub), book(code))
+      }.sum
+      assert(got(id) == want, s"vec $id")
+    }
+  }
+
+  test("lmSurprisalStats: bigram/unigram joins, multiplicities, " +
+    "short docs emit nothing") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b"),
+      (2L, "a b c"),
+      (3L, ""),
+      (4L, "solo")
+    ).toDF("doc_id", "text")
+    val got = TextStats.lmSurprisalStats(docs, "doc_id", "text")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // corpus unigrams: a=3 b=3 c=1; bigrams: (a,b)=3 (b,a)=1 (b,c)=1
+    assert(got == Set(
+      (1L, 3L, 3L, 2L), // (a,b) twice in doc 1
+      (1L, 1L, 3L, 1L), // (b,a) once
+      (2L, 3L, 3L, 1L), // (a,b)
+      (2L, 1L, 3L, 1L) // (b,c)
+    ))
+  }
 }
