@@ -27,6 +27,14 @@ object SparkEntry {
   private def turns(s: SparkSession, dir: String): DataFrame =
     Tables.transcript(s, dir)
 
+  /** Bucketized layout dimensions for the z-order family: capped char
+    * length (10 bits) and the numeric source suffix ("src7" → 7).
+    */
+  private def zDims(d: DataFrame): DataFrame =
+    d.withColumn("len_b", least(col("n_chars"), lit(1023L)))
+      .withColumn("src_b",
+        col("source").substr(lit(4), length(col("source"))).cast("long"))
+
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.read(s, dir, "documents")
 
@@ -1337,6 +1345,54 @@ object SparkEntry {
         graft.ops.SegDedup.wordBlocks(col("text"), 10), minDf = 3)
     }),
 
+    // --- maximal duplicated-span detection (ExactSubstr shape) ------------------
+    // A shared 20-word preamble is prepended to every 5th doc in-query,
+    // so those docs must report a maximal span starting at block 0 with
+    // >= 2 blocks (adjacent duplicated blocks MERGE into one span);
+    // naturally repeated 10-word blocks surface as their own spans on
+    // both engines.
+    "q_dup_spans" -> ((s, dir) => {
+      val pre =
+        "the quick brown fox jumps over the lazy dog again " +
+          "and the cat sat on the mat watching it run"
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 5 === 0, concat(lit(pre + " "), col("text")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.SegDedup.duplicatedSpans(d, "doc_id",
+        graft.ops.SegDedup.wordBlocks(col("text"), 10))
+    }),
+
+    // --- Z-order layout key ------------------------------------------------------
+    // Two bucketized dims (capped char length, source number) interleaved
+    // into one 20-bit Morton key — codegen'd built-ins only (shift/and/or
+    // terms), bit-replayed by the oracle.
+    "q_zorder" -> ((s, dir) => {
+      val d = zDims(docs(s, dir))
+      d.select(col("doc_id"), col("len_b"), col("src_b"),
+        graft.ops.Layout.zorderKey(Seq(col("len_b"), col("src_b")), bits = 10)
+          .as("zval"))
+    }),
+
+    // --- Z-layout skipping manifest ---------------------------------------------
+    // One row per z-bucket (= data file of the z-sorted layout): count +
+    // per-dim min/max — the Iceberg/Delta-style stats block a planner
+    // prunes range predicates against.
+    "q_zorder_stats" -> ((s, dir) =>
+      graft.ops.Layout.zBucketStats(
+        zDims(docs(s, dir)).select("doc_id", "len_b", "src_b"),
+        Seq("len_b", "src_b"), bits = 10, shift = 12)),
+
+    // --- manifest-pruned exact scan ---------------------------------------------
+    // 2-D range predicate answered by opening only manifest-intersecting
+    // z-buckets; the oracle is the PLAIN filter — equality proves the
+    // pruning is lossless. Selectivity vs a 1-D layout is asserted in
+    // LayoutSpec.
+    "q_zorder_prune" -> ((s, dir) =>
+      graft.ops.Layout.prunedScan(
+        zDims(docs(s, dir)).select("doc_id", "len_b", "src_b"),
+        Seq("len_b", "src_b"), bits = 10, shift = 12,
+        ranges = Seq((128L, 255L), (2L, 5L)))),
+
     // --- corpus-level top-k n-gram heavy hitters --------------------------------
     // The boilerplate detector: exact global top-20 trigrams via
     // two-level partial-agg count + TakeOrderedAndProject (per-partition
@@ -2289,6 +2345,21 @@ object SparkEntry {
        |  FROM votes GROUP BY doc_id
        |)""".stripMargin
 
+  /** The bit-interleave z-value as plain SQL over already-bucketized
+    * dims — the same shift/and/or terms [[graft.ops.Layout.zorderKey]]
+    * composes, so the oracle replays the key bit-for-bit.
+    */
+  private def zorderOracleExpr(dims: Seq[String], bits: Int): String =
+    (for {
+      i <- 0 until bits
+      (d, k) <- dims.zipWithIndex
+    } yield s"((($d >> $i) & 1) << ${i * dims.size + k})").mkString(" | ")
+
+  /** documents → (doc_id, len_b, src_b): the zDims bucketization in SQL. */
+  private def zDimsCte: String =
+    """d AS (SELECT doc_id, LEAST(n_chars, 1023) AS len_b,
+      |    CAST(substr(source, 4) AS BIGINT) AS src_b FROM documents)""".stripMargin
+
   def oracleSql: Map[String, String] = Map(
     // banded SimHash pair search over the synthesized corpus: 4x16-bit
     // band buckets recall candidates, popcount(xor) confirms <= 3
@@ -2497,6 +2568,54 @@ object SparkEntry {
         |SELECT n.doc_id, COALESCE(r.text, '') AS text, n.n_segs,
         |  n.n_segs - COALESCE(r.n_kept, 0) AS n_dropped
         |FROM nsegs n LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // q_seg_dedup's segmentation; duplicated (count > 1) block hashes,
+    // adjacent flagged blocks merged per doc (gaps-and-islands)
+    "q_dup_spans" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'the quick brown fox jumps over the lazy dog again and the cat sat on the mat watching it run ' || text
+        |         ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM d0),
+        |segs AS (SELECT doc_id, gs.i AS seg_idx,
+        |    array_to_string(ws[gs.i*10+1 : gs.i*10+10], ' ') AS seg
+        |  FROM w, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ws)/10.0) AS BIGINT))) AS i) gs),
+        |h AS (SELECT doc_id, seg_idx, substr(md5(seg), 1, 16) AS hk FROM segs),
+        |hot AS (SELECT hk FROM (SELECT hk, count(*) AS c FROM h GROUP BY hk) WHERE c > 1),
+        |f AS (SELECT doc_id, seg_idx,
+        |    seg_idx - row_number() OVER (PARTITION BY doc_id ORDER BY seg_idx) AS grp
+        |  FROM h JOIN hot USING (hk))
+        |SELECT doc_id, CAST(min(seg_idx) AS BIGINT) AS span_start,
+        |  CAST(count(*) AS BIGINT) AS span_blocks
+        |FROM f GROUP BY doc_id, grp""".stripMargin,
+
+    // the z key replayed bit-for-bit as shift/and/or terms
+    "q_zorder" ->
+      s"""WITH $zDimsCte
+         |SELECT doc_id, len_b, src_b,
+         |  CAST(${zorderOracleExpr(Seq("len_b", "src_b"), 10)} AS BIGINT) AS zval
+         |FROM d""".stripMargin,
+
+    // the skipping manifest: stats per z-bucket (zval >> 12)
+    "q_zorder_stats" ->
+      s"""WITH $zDimsCte,
+         |z AS (SELECT doc_id, len_b, src_b,
+         |    (${zorderOracleExpr(Seq("len_b", "src_b"), 10)}) AS zv FROM d)
+         |SELECT CAST(zv >> 12 AS BIGINT) AS zbucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(min(len_b) AS BIGINT) AS min_len_b,
+         |  CAST(max(len_b) AS BIGINT) AS max_len_b,
+         |  CAST(min(src_b) AS BIGINT) AS min_src_b,
+         |  CAST(max(src_b) AS BIGINT) AS max_src_b
+         |FROM z GROUP BY 1""".stripMargin,
+
+    // oracle = the PLAIN filter: equality proves the manifest pruning
+    // (bucket boxes intersecting the predicate) is lossless
+    "q_zorder_prune" ->
+      s"""WITH $zDimsCte
+         |SELECT doc_id, len_b, src_b FROM d
+         |WHERE len_b BETWEEN 128 AND 255 AND src_b BETWEEN 2 AND 5""".stripMargin,
 
     // exact global heavy hitters; deterministic boundary (count desc,
     // ngram asc)

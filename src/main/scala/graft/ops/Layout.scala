@@ -1,0 +1,163 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Multi-dimensional data layout: Z-order (Morton) clustering and the
+  * min/max skipping manifest it exists to feed — the "OPTIMIZE ZORDER"
+  * story for a 100 TB corpus laid out on object storage.
+  *
+  * A single-column sort clusters one predicate dimension and scatters
+  * every other; bit-interleaving d dimensions into one key gives every
+  * dimension locality at once, so a file-level min/max manifest prunes
+  * d-dimensional range predicates instead of one. The z-value here is a
+  * plain composition of codegen'd built-ins (shift/and/or terms — no UDF,
+  * no custom expression), exact integer, and replayed bit-for-bit by the
+  * DuckDB oracle (q_zorder).
+  *
+  * Scale shape: the key is a zero-shuffle scan projection; the layout
+  * write is ONE repartition on the bucket (same geometry as
+  * [[graft.ops.Curation.writeShards]]); the manifest is one partial-agg
+  * shuffle emitting one tiny row per bucket/file. Pruning reads the
+  * manifest (KBs), not the data — at production scale it happens at
+  * planning time against the file catalog (Iceberg/Delta metadata), and
+  * [[prunedScan]] proves the bucket→predicate intersection logic is
+  * LOSSLESS against the plain filter under the oracle (q_zorder_prune).
+  */
+object Layout {
+
+  /** Z-order key: interleave the low `bits` bits of each dimension,
+    * dimension 0 in the lowest bit positions. Dimensions must already be
+    * bucketized to non-negative values < 2^bits (compose with
+    * [[graft.ops.Analytics]] rank buckets or a min-max scale for raw
+    * features); an out-of-range value fails loud rather than silently
+    * folding into a wrong cell. Total key width dims·bits must fit a
+    * signed long.
+    */
+  def zorderKey(dims: Seq[Column], bits: Int): Column = {
+    require(dims.nonEmpty, "zorderKey needs at least one dimension")
+    require(bits > 0 && dims.size * bits <= 63,
+      s"dims*bits must be in 1..63, got ${dims.size} dims x $bits bits")
+    val n = dims.size
+    val lim = 1L << bits
+    val guarded = dims.map { d =>
+      val dl = d.cast("long")
+      when(dl >= 0L && dl < lim, dl).otherwise(raise_error(concat(
+        lit(s"zorderKey: dimension value out of [0, $lim): "),
+        dl.cast("string"))))
+    }
+    val terms = for {
+      i <- 0 until bits
+      (g, dIdx) <- guarded.zipWithIndex
+    } yield shiftleft(shiftrightunsigned(g, i).bitwiseAND(lit(1L)), i * n + dIdx)
+    terms.reduce(_ bitwiseOR _)
+  }
+
+  /** Reference (row-at-a-time) interleave for the differential property
+    * test — same contract as [[zorderKey]].
+    */
+  def zorderRef(vals: Seq[Long], bits: Int): Long = {
+    require(vals.nonEmpty && bits > 0 && vals.size * bits <= 63)
+    val n = vals.size
+    vals.zipWithIndex.foldLeft(0L) { case (acc, (v, d)) =>
+      require(v >= 0 && v < (1L << bits), s"out of range: $v")
+      (0 until bits).foldLeft(acc)((a, i) =>
+        a | (((v >>> i) & 1L) << (i * n + d)))
+    }
+  }
+
+  /** The skipping manifest: one row per z-bucket (`zorderKey >> shift` —
+    * at production scale, per FILE of the z-sorted layout) carrying the
+    * row count and each dimension's min/max. This is exactly the stats
+    * block an Iceberg/Delta manifest stores per data file; a scan with a
+    * range predicate on any subset of the dimensions opens only buckets
+    * whose [min, max] boxes intersect it.
+    *
+    * Scale shape: one map-side-combinable aggregation keyed by bucket;
+    * output cardinality is the file count, not the row count.
+    */
+  def zBucketStats(
+      df: DataFrame,
+      dimCols: Seq[String],
+      bits: Int,
+      shift: Int
+  ): DataFrame = {
+    require(dimCols.nonEmpty, "need at least one dimension column")
+    require(shift >= 0 && shift < dimCols.size * bits,
+      s"shift must be in [0, ${dimCols.size * bits}), got $shift")
+    val reserved = Seq("zbucket", "n_rows") ++
+      dimCols.flatMap(d => Seq(s"min_$d", s"max_$d"))
+    require(!reserved.exists(df.columns.contains),
+      s"zBucketStats reserves the column names ${reserved.mkString(", ")}")
+    val z = zorderKey(dimCols.map(col), bits)
+    val aggs = count(lit(1)).as("n_rows") +:
+      dimCols.flatMap(d =>
+        Seq(min(col(d)).cast("long").as(s"min_$d"),
+          max(col(d)).cast("long").as(s"max_$d")))
+    df.withColumn("zbucket", shiftrightunsigned(z, shift))
+      .groupBy(col("zbucket"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Manifest-pruned exact range scan: keep rows with
+    * `lo_d <= dim_d <= hi_d` for every dimension, reading ONLY the
+    * z-buckets whose manifest boxes intersect the predicate, then
+    * applying the exact filter inside them. Equality with the plain
+    * filter (lossless pruning) sits under the DuckDB oracle
+    * (q_zorder_prune); the SELECTIVITY — how few buckets survive —
+    * is asserted in LayoutSpec against a 1-D layout of the same data.
+    *
+    * Here the candidate set is derived from `df` itself to stay
+    * self-contained; in production it comes from the stored manifest and
+    * the semi-join below is the planner's file-list intersection
+    * (broadcast — the manifest is file-count-sized).
+    */
+  def prunedScan(
+      df: DataFrame,
+      dimCols: Seq[String],
+      bits: Int,
+      shift: Int,
+      ranges: Seq[(Long, Long)]
+  ): DataFrame = {
+    require(ranges.size == dimCols.size,
+      "one (lo, hi) range per dimension column")
+    require(!df.columns.contains("zbucket"),
+      "prunedScan reserves the column name zbucket")
+    val stats = zBucketStats(df, dimCols, bits, shift)
+    val cand = dimCols.zip(ranges)
+      .foldLeft(stats) { case (s, (d, (lo, hi))) =>
+        s.filter(col(s"max_$d") >= lo && col(s"min_$d") <= hi)
+      }
+      .select(col("zbucket"))
+    val exact = dimCols.zip(ranges)
+      .map { case (d, (lo, hi)) => col(d) >= lo && col(d) <= hi }
+      .reduce(_ && _)
+    val z = zorderKey(dimCols.map(col), bits)
+    df.withColumn("zbucket", shiftrightunsigned(z, shift))
+      .join(broadcast(cand), Seq("zbucket"), "left_semi")
+      .filter(exact)
+      .drop("zbucket")
+  }
+
+  /** The layout write path: bucket rows by `zorderKey >> shift` and sort
+    * within each bucket by the full key, so a `.write.partitionBy
+    * ("zbucket")` (or a plain parquet write) emits one multi-dimension-
+    * clustered file per bucket whose min/max stats are exactly
+    * [[zBucketStats]]' manifest row. One shuffle, same geometry as
+    * [[graft.ops.Curation.writeShards]].
+    */
+  def layoutZOrdered(
+      df: DataFrame,
+      dimCols: Seq[String],
+      bits: Int,
+      shift: Int
+  ): DataFrame = {
+    require(!df.columns.contains("zbucket") && !df.columns.contains("__z"),
+      "layoutZOrdered reserves the column names zbucket and __z")
+    df.withColumn("__z", zorderKey(dimCols.map(col), bits))
+      .withColumn("zbucket", shiftrightunsigned(col("__z"), shift))
+      .repartition(col("zbucket"))
+      .sortWithinPartitions(col("zbucket"), col("__z"))
+      .drop("__z")
+  }
+}

@@ -115,6 +115,52 @@ object SegDedup {
     reassemble(base, drops, idCol, sep)
   }
 
+  /** Maximal duplicated-SPAN detection (the ExactSubstr shape: Lee et
+    * al. 2022, "Deduplicating Training Data Makes Language Models
+    * Better"): flag every segment whose content hash occurs more than
+    * once in the corpus — including twice within one document — then
+    * merge ADJACENT flagged segments of each document into maximal
+    * spans. Where [[dedupSegments]] decides block-by-block,
+    * this reports the contiguous duplicated REGIONS (start block +
+    * length ≥ `minBlocks`), the unit an excision or audit step works
+    * with: one long quoted passage is one span, not thirty disconnected
+    * block drops.
+    *
+    * Returns (idCol, span_start, span_blocks), one row per maximal span.
+    *
+    * Scale shape: the duplicate-hash set is a hash-keyed partial agg
+    * (fixed-width, no text); the adjacency merge is a gaps-and-islands
+    * window PARTITIONED PER DOCUMENT — bounded by a single document's
+    * own segment count, never by the corpus, so no mega-task exists.
+    */
+  def duplicatedSpans(
+      df: DataFrame,
+      idCol: String,
+      segs: Column,
+      minBlocks: Int = 1
+  ): DataFrame = {
+    require(minBlocks >= 1, s"minBlocks must be >= 1, got $minBlocks")
+    val reserved = Seq("__segs", "__idx", "__seg", "__h", "__grp",
+      "span_start", "span_blocks")
+    require(!reserved.exists(df.columns.contains),
+      s"duplicatedSpans reserves the column names ${reserved.mkString(", ")}")
+    val base = df.select(col(idCol), segs.as("__segs"))
+    val occ = occurrences(base, idCol)
+    val hot = occ.groupBy(col("__h"))
+      .agg(count(lit(1)).as("__c"))
+      .filter(col("__c") > 1L)
+      .select(col("__h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("__idx"))
+    occ.join(hot, Seq("__h"))
+      .withColumn("__grp", col("__idx") - row_number().over(w))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("__idx")).cast("long").as("span_start"),
+        count(lit(1)).as("span_blocks"))
+      .filter(col("span_blocks") >= minBlocks.toLong)
+      .select(col(idCol), col("span_start"), col("span_blocks"))
+  }
+
   private def occurrences(base: DataFrame, idCol: String): DataFrame =
     base
       .select(col(idCol), posexplode(col("__segs")).as(Seq("__idx", "__seg")))

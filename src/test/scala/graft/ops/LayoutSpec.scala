@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("zorderKey matches the row-at-a-time reference on random dims " +
+    "(2 and 3 dims, seeded)") {
+    val rnd = new scala.util.Random(20260818L)
+    val rows2 = Seq.fill(300)((rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong))
+    val got2 = rows2.toDF("a", "b")
+      .select(col("a"), col("b"),
+        Layout.zorderKey(Seq(col("a"), col("b")), 10).as("z"))
+      .as[(Long, Long, Long)].collect()
+    got2.foreach { case (a, b, z) =>
+      assert(z == Layout.zorderRef(Seq(a, b), 10), s"($a, $b)")
+    }
+    val rows3 = Seq.fill(200)((rnd.nextInt(128).toLong,
+      rnd.nextInt(128).toLong, rnd.nextInt(128).toLong))
+    val got3 = rows3.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zorderKey(Seq(col("a"), col("b"), col("c")), 7).as("z"))
+      .as[(Long, Long, Long, Long)].collect()
+    got3.foreach { case (a, b, c, z) =>
+      assert(z == Layout.zorderRef(Seq(a, b, c), 7), s"($a, $b, $c)")
+    }
+  }
+
+  test("zorderKey fails loud on an out-of-range dimension") {
+    val ex = intercept[Exception] {
+      Seq((5L, 1024L)).toDF("a", "b")
+        .select(Layout.zorderKey(Seq(col("a"), col("b")), 10))
+        .collect()
+    }
+    assert(ex.getMessage.contains("out of [0, 1024)") ||
+      Option(ex.getCause).exists(_.getMessage.contains("out of [0, 1024)")))
+  }
+
+  /** 64x64 grid, bits=6, shift=8: each zbucket is exactly one ALIGNED
+    * 16x16 tile (the top two interleaved bits of each dim), 16 buckets
+    * total.
+    */
+  private def grid = (for { x <- 0 until 64; y <- 0 until 64 }
+    yield (x.toLong * 64 + y, x.toLong, y.toLong)).toDF("id", "x", "y")
+
+  test("prunedScan is lossless vs the plain filter (random rectangles)") {
+    val g = grid.cache()
+    val rnd = new scala.util.Random(42)
+    try {
+      (1 to 5).foreach { _ =>
+        val (x0, y0) = (rnd.nextInt(60).toLong, rnd.nextInt(60).toLong)
+        val (x1, y1) = (x0 + rnd.nextInt(20), y0 + rnd.nextInt(20))
+        val got = Layout
+          .prunedScan(g, Seq("x", "y"), bits = 6, shift = 8,
+            ranges = Seq((x0, x1), (y0, y1)))
+          .select("id").as[Long].collect().sorted
+        val want = g.filter(col("x").between(x0, x1) &&
+            col("y").between(y0, y1))
+          .select("id").as[Long].collect().sorted
+        assert(got.toSeq == want.toSeq, s"rect [$x0,$x1]x[$y0,$y1]")
+      }
+    } finally g.unpersist()
+  }
+
+  test("z-layout manifest prunes a y-only predicate a 1-D x-major " +
+    "layout cannot (8/16 buckets vs 16/16)") {
+    val g = grid
+    // z layout: y in [8, 23] touches y-tiles {0, 1} at every x-tile
+    val stats = Layout.zBucketStats(g, Seq("x", "y"), bits = 6, shift = 8)
+    assert(stats.count() == 16L) // 16 aligned 16x16 tiles
+    val zCand = stats.filter(col("max_y") >= 8L && col("min_y") <= 23L).count()
+    assert(zCand == 8L)
+    // 1-D x-major layout (key = x*64 + y, same 256-row buckets): every
+    // bucket is 4 full x-columns, so min_y = 0 / max_y = 63 everywhere
+    // and NOTHING is pruned. (The trade: an x-only predicate favors the
+    // 1-D layout 4 vs 8 — z-order balances ALL dims instead of one.)
+    val oneD = g.withColumn("bkt", shiftrightunsigned(col("x") * 64 + col("y"), 8))
+      .groupBy("bkt").agg(min("y").as("min_y"), max("y").as("max_y"))
+    assert(oneD.count() == 16L)
+    val oneDCand = oneD.filter(col("max_y") >= 8L && col("min_y") <= 23L).count()
+    assert(oneDCand == 16L)
+  }
+
+  test("layoutZOrdered: each output partition holds whole zbuckets " +
+    "(one file per manifest row on write)") {
+    val laid = Layout.layoutZOrdered(grid, Seq("x", "y"), bits = 6, shift = 8)
+    val perPart = laid
+      .select(col("zbucket"), spark_partition_id().as("pid"))
+      .distinct()
+      .groupBy("zbucket").agg(countDistinct("pid").as("n"))
+      .agg(max("n")).as[Long].head()
+    assert(perPart == 1L)
+  }
+}

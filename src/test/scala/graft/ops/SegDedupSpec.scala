@@ -100,4 +100,23 @@ class SegDedupSpec extends AnyFunSuite {
       .groupBy("w").count().as[(String, Long)].collect().toMap
     assert(rebuilt.keySet.subsetOf(vocabWords.toSet))
   }
+
+  test("duplicatedSpans: adjacent duplicated blocks merge into one " +
+    "maximal span; internal repeats surface; minBlocks filters singles") {
+    def blk(tag: String) = (1 to 10).map(i => s"$tag$i").mkString(" ")
+    val df = Seq(
+      (1L, Seq(blk("x"), blk("y"), blk("z"), blk("u")).mkString(" ")),
+      (2L, Seq(blk("v"), blk("x"), blk("y"), blk("z")).mkString(" ")),
+      (3L, Seq(blk("w"), blk("q"), blk("w")).mkString(" "))
+    ).toDF("doc_id", "text")
+    val segs = SegDedup.wordBlocks(col("text"), 10)
+    val got = SegDedup.duplicatedSpans(df, "doc_id", segs)
+      .as[(Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    // doc1 blocks 0-2 (X Y Z) shared with doc2 blocks 1-3 -> one maximal
+    // 3-block span each; doc3's W repeats WITHIN the doc at 0 and 2
+    assert(got == Seq((1L, 0L, 3L), (2L, 1L, 3L), (3L, 0L, 1L), (3L, 2L, 1L)))
+    val gotMin2 = SegDedup.duplicatedSpans(df, "doc_id", segs, minBlocks = 2)
+      .as[(Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(gotMin2 == Seq((1L, 0L, 3L), (2L, 1L, 3L)))
+  }
 }
