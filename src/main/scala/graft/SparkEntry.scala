@@ -439,6 +439,35 @@ object SparkEntry {
           col("shard_seq").cast("long").as("shard_seq"))
     }),
 
+    // --- JSONL shard sink roundtrip ----------------------------------------------
+    // The dataloader-facing TEXT export: token-packed shards written as
+    // {"id":…,"text":"…"} lines (serde_json escaping via the codegen'd
+    // json_quote expression), one file per (lang, shard) dir, read back
+    // and byte-matched against the oracle's to_json replay.
+    "q_write_jsonl" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_jsonl").toString
+      graft.io.JsonlSink.writeJsonlShards(
+        docs(s, dir), idCol = "doc_id", textCol = "text",
+        strataCol = "lang", budgetTokens = 2000L, outDir = tmp)
+      graft.io.JsonlSink.readBack(s, tmp, "lang")
+    }),
+
+    // --- mixture interleave schedule ----------------------------------------------
+    // Stride scheduling in closed form over the packed-shard MANIFEST:
+    // the deterministic order a trainer consumes shards so each lang
+    // appears with frequency ∝ its weight (en 40%, de 20%, rest 5%
+    // each), smoothly and statelessly replayable.
+    "q_interleave" -> ((s, dir) => {
+      val manifest = graft.ops.Curation.packShards(
+          docs(s, dir), strataCol = "lang", orderCol = "doc_id",
+          tokens = TextStats.regexTokenCount(col("text")),
+          budgetTokens = 2000L)
+        .select("lang", "shard_seq").distinct()
+      graft.ops.Curation.interleaveSchedule(manifest, "lang", "shard_seq",
+        weightsBp = Map("en" -> 4000, "de" -> 2000), defaultBp = 500)
+    }),
+
     // --- exact corpus distribution stats ----------------------------------------
     // Per-language doc-length percentiles by EXACT discrete rank selection
     // (value at ceil(q·n) in (value, doc_id) order) — integer-exact, so
@@ -3259,6 +3288,45 @@ object SparkEntry {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) / 2000.0) AS BIGINT) AS shard_seq
         |FROM t""".stripMargin,
+
+    // the pack replay + the JSONL line rebuilt with to_json (DuckDB's
+    // escape set is exactly serde_json's: \" \\ \b \t \n \f \r + \uXXXX
+    // below 0x20)
+    "q_write_jsonl" ->
+      """WITH t AS (SELECT doc_id, lang, text,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |p AS (SELECT doc_id, lang, text,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM t)
+        |SELECT lang, shard_seq,
+        |  '{"id":' || CAST(doc_id AS VARCHAR) || ',"text":' ||
+        |    CAST(to_json(text) AS VARCHAR) || '}' AS line
+        |FROM p""".stripMargin,
+
+    // the pack replay collapsed to the shard manifest, then the stride
+    // key (j+1)*10^8 // w and its global ascending rank
+    "q_interleave" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |p AS (SELECT lang,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM t),
+        |m AS (SELECT DISTINCT lang, shard_seq FROM p),
+        |k AS (SELECT lang, shard_seq,
+        |    (shard_seq + 1) * 100000000 // CAST(
+        |      CASE lang WHEN 'en' THEN 4000 WHEN 'de' THEN 2000 ELSE 500 END
+        |      AS BIGINT) AS sched_key
+        |  FROM m)
+        |SELECT lang, shard_seq, CAST(sched_key AS BIGINT) AS sched_key,
+        |  CAST(row_number() OVER (ORDER BY sched_key, lang, shard_seq)
+        |    AS BIGINT) AS global_pos
+        |FROM k""".stripMargin,
 
     // exact discrete quantiles: identical row_number + integer-ceil rank
     // selection (rn·10⁴ ≥ q·n ∧ (rn−1)·10⁴ < q·n)

@@ -306,6 +306,52 @@ object Curation {
       )
   }
 
+  /** Deterministic mixture INTERLEAVE schedule over a shard manifest —
+    * the order a trainer consumes packed shards so that stratum s
+    * appears with frequency ∝ its mixture weight, smoothly (no long
+    * single-stratum runs), reproducibly, with no RNG. This is stride
+    * scheduling in closed form: shard j of stratum s is consumed at
+    * virtual time
+    *
+    *   sched_key = (j + 1) · 10^8 div w_bp(s)
+    *
+    * and `global_pos` is the ascending rank of (sched_key, stratum,
+    * shard) — exactly the emission order of a stateful stride scheduler,
+    * computed statelessly so any engine replays it (q_interleave).
+    * Strata with weight 0 (or absent with defaultBp = 0) are excluded.
+    *
+    * Scale shape: this operates on the shard MANIFEST — file-count-
+    * sized, not row-count-sized (100 TB at 1 GB shards ≈ 10^5 rows), so
+    * the one global rank window is a deliberately tiny single task; the
+    * corpus itself is never touched. Overflow-safe to ~9·10^10 shards
+    * per stratum ((j+1)·10^8 within int64).
+    */
+  def interleaveSchedule(
+      shards: DataFrame,
+      strataCol: String,
+      shardCol: String,
+      weightsBp: Map[String, Int],
+      defaultBp: Int = 0
+  ): DataFrame = {
+    require((weightsBp.values ++ Seq(defaultBp)).forall(w => w >= 0 && w <= 10000),
+      "weights are basis points in 0..10000")
+    val reserved = Seq("__w", "sched_key", "global_pos")
+    require(!reserved.exists(shards.columns.contains),
+      s"interleaveSchedule reserves the column names ${reserved.mkString(", ")}")
+    val w = weightsBp.foldLeft(lit(defaultBp.toLong)) {
+      case (acc, (stratum, bp)) =>
+        when(col(strataCol) === stratum, lit(bp.toLong)).otherwise(acc)
+    }
+    val win = Window.orderBy(col("sched_key"), col(strataCol), col(shardCol))
+    shards.withColumn("__w", w)
+      .filter(col("__w") > 0L)
+      .withColumn("sched_key",
+        call_function("div",
+          (col(shardCol).cast("long") + 1L) * 100000000L, col("__w")))
+      .withColumn("global_pos", row_number().over(win).cast("long"))
+      .drop("__w")
+  }
+
   /** Token-budget shard packing: assign each document (ordered by
     * `orderCol` within its `strataCol` group) to training shard
     * `floor(exclusive_cumsum(tokens) / budget)`. A document whose tokens

@@ -279,4 +279,50 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(0L -> 0L, 1L -> 0L, 2L -> 1L, 10L -> 0L, 11L -> 2L),
       got.toSeq.sortBy(_._1).mkString(","))
   }
+
+  test("interleaveSchedule equals a stateful stride scheduler " +
+    "(differential, ragged strata)") {
+    val weights = Map("a" -> 5000, "b" -> 2500, "c" -> 1000)
+    val caps = Map("a" -> 40L, "b" -> 25L, "c" -> 8L)
+    val shards = for {
+      (st, n) <- Seq(("a", 40), ("b", 25), ("c", 8)); j <- 0 until n
+    } yield (st, j.toLong)
+    val got = Curation
+      .interleaveSchedule(shards.toDF("stratum", "shard"),
+        "stratum", "shard", weights)
+      .orderBy("global_pos")
+      .select("stratum", "shard").as[(String, Long)].collect().toSeq
+    // reference: a stateful stride scheduler — repeatedly emit the
+    // non-exhausted stratum with the smallest (next key, name)
+    val next = scala.collection.mutable.Map("a" -> 0L, "b" -> 0L, "c" -> 0L)
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(String, Long)]
+    while (next.exists { case (st, j) => j < caps(st) }) {
+      val (st, j) = next.filter { case (st, j) => j < caps(st) }
+        .map { case (st, j) =>
+          (((j + 1) * 100000000L / weights(st), st), (st, j)) }
+        .minBy(_._1)._2
+      buf += ((st, j)); next(st) = j + 1
+    }
+    assert(got == buf.toSeq)
+    // smoothness: in the all-strata-live prefix, stratum counts track
+    // weights within one emission
+    val live = got.take(32) // c exhausts at global key 8e5*... well past 32
+    val counts = live.groupBy(_._1).view.mapValues(_.size).toMap
+    val tot = weights.values.sum.toDouble
+    weights.foreach { case (st, w) =>
+      val expect = 32 * w / tot
+      assert(math.abs(counts.getOrElse(st, 0) - expect) <= 2.0, s"$st: $counts")
+    }
+  }
+
+  test("interleaveSchedule: zero-weight strata are excluded and shard " +
+    "order is preserved within every stratum") {
+    val shards = Seq(("a", 0L), ("a", 1L), ("a", 2L), ("z", 0L), ("z", 1L))
+      .toDF("stratum", "shard")
+    val out = Curation.interleaveSchedule(shards, "stratum", "shard",
+      Map("a" -> 3000), defaultBp = 0)
+      .orderBy("global_pos").select("stratum", "shard")
+      .as[(String, Long)].collect().toSeq
+    assert(out == Seq(("a", 0L), ("a", 1L), ("a", 2L)))
+  }
 }
