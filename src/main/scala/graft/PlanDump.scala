@@ -125,6 +125,16 @@ object PlanDump {
       "q_lm_surprisal (bigram + unigram partial-agg tables joined back " +
         "onto the pair stream; text never crosses a shuffle)" ->
         SparkEntry.queries("q_lm_surprisal")(spark, dir),
+      "q_zorder_prune (z-bucket manifest agg → broadcast semi-join file " +
+        "pruning → exact scan-side filter; the key is pure codegen'd " +
+        "shift/and/or terms)" ->
+        SparkEntry.queries("q_zorder_prune")(spark, dir),
+      "q_dup_spans (duplicate-hash partial agg, fixed-width no-text " +
+        "stream; gaps-and-islands merge bounded per document)" ->
+        SparkEntry.queries("q_dup_spans")(spark, dir),
+      "q_interleave (stride schedule over the file-count-sized shard " +
+        "manifest; the corpus is touched only by the pack)" ->
+        SparkEntry.queries("q_interleave")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

@@ -634,6 +634,40 @@ object SparkEntry {
         TextStats.piiTokenCount(col("t")).as("n_pii"))
     }),
 
+    // --- consistent key pseudonymization ------------------------------------------
+    // Release-time surrogate keys: salted md5 pseudonyms that preserve
+    // joinability/grouping within a release while rotating across
+    // releases. Zero-shuffle scan projection.
+    "q_pseudonymize" -> ((s, dir) =>
+      graft.ops.Privacy.pseudonymizeKeys(
+        turns(s, dir).select(col("conv_id"), col("turn_idx"), col("role")),
+        Seq("conv_id"), salt = "rel-2026-08")),
+
+    // --- k-anonymity suppression ---------------------------------------------------
+    // Keep only rows whose (lang, source) quasi-identifier combo occurs
+    // in >= 4 documents; near-unique combos re-identify even with ids
+    // pseudonymized. One quasi-keyed agg + the same-keyed join back.
+    "q_kanon" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonFilter(
+        docs(s, dir).select("doc_id", "lang", "source"),
+        Seq("lang", "source"), k = 4L)),
+
+    // --- snapshot diff (dataset-version audit) --------------------------------------
+    // v2 is synthesized in-query: every 7th doc removed, every 5th text
+    // edited, a 'new' doc added per 11th id — the diff must label each
+    // id added/removed/changed/unchanged by content digest.
+    "q_snapshot_diff" -> ((s, dir) => {
+      val v1 = docs(s, dir).select(col("doc_id"), col("text"))
+      val v2 = v1.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+        .unionAll(v1.filter(col("doc_id") % 11 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(lit("new "), col("text")).as("text")))
+      graft.ops.Snapshot.diffSnapshots(v1, v2, "doc_id", md5(col("text")))
+    }),
+
     // --- SimHash fingerprint (custom expression; Scala-oracled) ---------------
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))),
@@ -2830,6 +2864,39 @@ object SparkEntry {
         |    OR regexp_full_match(x, '[0-9]{1,3}(\.[0-9]{1,3}){3}')
         |    OR regexp_full_match(x, '[0-9]{7,}')]) AS BIGINT) AS n_pii
         |FROM p""".stripMargin,
+
+    // salted md5 surrogate replayed literally
+    "q_pseudonymize" ->
+      s"""$T
+         |SELECT 'u_' || substr(md5('rel-2026-08' || conv_id), 1, 16)
+         |  AS conv_id, turn_idx, role
+         |FROM turns""".stripMargin,
+
+    // combo counts >= k joined back on the quasi key
+    "q_kanon" ->
+      """SELECT d.doc_id, d.lang, d.source, c.k_count
+        |FROM documents d JOIN (
+        |  SELECT lang, source, CAST(count(*) AS BIGINT) AS k_count
+        |  FROM documents GROUP BY 1, 2 HAVING count(*) >= 4) c
+        |ON d.lang = c.lang AND d.source = c.source""".stripMargin,
+
+    // v2 synthesized identically; FULL JOIN on id + digest compare
+    "q_snapshot_diff" ->
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, 'new ' || text AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |o AS (SELECT doc_id, md5(text) AS old_digest FROM documents),
+        |n AS (SELECT doc_id, md5(text) AS new_digest FROM v2)
+        |SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, old_digest, new_digest,
+        |  CASE WHEN old_digest IS NULL THEN 'added'
+        |       WHEN new_digest IS NULL THEN 'removed'
+        |       WHEN old_digest <> new_digest THEN 'changed'
+        |       ELSE 'unchanged' END AS status
+        |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // serving-path report bytes, replicated with SQL string construction
     // (exact serde shape: numeric-free key paths, detail objects/null)

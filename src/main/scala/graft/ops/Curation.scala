@@ -342,12 +342,21 @@ object Curation {
       case (acc, (stratum, bp)) =>
         when(col(strataCol) === stratum, lit(bp.toLong)).otherwise(acc)
     }
+    // fail loud outside [0, Long.MaxValue/10^8 - 1]: a negative shard
+    // number would sort before every legitimate key and an overflowing
+    // one would wrap — both silently corrupt the schedule otherwise
+    val maxShard = Long.MaxValue / 100000000L - 1L
+    val guarded = {
+      val sl = col(shardCol).cast("long")
+      when(sl >= 0L && sl <= maxShard, sl).otherwise(raise_error(concat(
+        lit(s"interleaveSchedule: shard number out of [0, $maxShard]: "),
+        sl.cast("string"))))
+    }
     val win = Window.orderBy(col("sched_key"), col(strataCol), col(shardCol))
     shards.withColumn("__w", w)
       .filter(col("__w") > 0L)
       .withColumn("sched_key",
-        call_function("div",
-          (col(shardCol).cast("long") + 1L) * 100000000L, col("__w")))
+        call_function("div", (guarded + 1L) * 100000000L, col("__w")))
       .withColumn("global_pos", row_number().over(win).cast("long"))
       .drop("__w")
   }

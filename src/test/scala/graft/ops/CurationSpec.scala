@@ -325,4 +325,16 @@ class CurationSpec extends AnyFunSuite {
       .as[(String, Long)].collect().toSeq
     assert(out == Seq(("a", 0L), ("a", 1L), ("a", 2L)))
   }
+
+  test("interleaveSchedule fails loud on a negative shard number") {
+    val ex = intercept[Exception] {
+      Seq(("a", -1L)).toDF("stratum", "shard")
+        .transform(df => Curation.interleaveSchedule(df, "stratum", "shard",
+          Map("a" -> 1000)))
+        .collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("out of [0,")))
+  }
 }
