@@ -519,6 +519,19 @@ object SparkEntry {
         TextStats.langId(col("text"), langs).as("lang_pred"))
     }),
 
+    // --- Unicode script mix (lang-id prior / homoglyph-spam signal) --------------
+    // Docs are decorated in-query so every script class fires: zh docs
+    // get Han, every 9th doc Cyrillic, the rest extra Latin + digits.
+    // Codepoint-RANGE classes only — engine-version-independent.
+    "q_script_mix" -> ((s, dir) => {
+      val decorated = docs(s, dir).select(col("doc_id"),
+        concat(col("text"),
+          when(col("lang") === "zh", lit(" 中文测试样本"))
+            .when(col("doc_id") % 9 === 0, lit(" русский об"))
+            .otherwise(lit(" plain 42"))).as("text"))
+      graft.ops.TextStats.scriptMix(decorated, "doc_id", col("text"))
+    }),
+
     // --- document fingerprint -------------------------------------------------
     "q_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
@@ -3456,6 +3469,23 @@ object SparkEntry {
         |       WHEN s_qy = greatest(s_en, s_db, s_qy) AND s_qy > 0 THEN 'qy'
         |       ELSE 'und' END AS lang_pred
         |FROM sc""".stripMargin,
+
+    // per-script char counts: length minus length-after-removal over the
+    // identical \x{...} range classes (Java regex and RE2 read them the
+    // same; 'g' = replace-all, Spark's regexp_replace default)
+    "q_script_mix" ->
+      """WITH d AS (SELECT doc_id, text ||
+        |    CASE WHEN lang = 'zh' THEN ' 中文测试样本'
+        |         WHEN doc_id % 9 = 0 THEN ' русский об'
+        |         ELSE ' plain 42' END AS text
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars_total,
+        |  CAST(length(text) - length(regexp_replace(text, '[A-Za-z\x{00C0}-\x{024F}]', '', 'g')) AS BIGINT) AS n_latin,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{4E00}-\x{9FFF}]', '', 'g')) AS BIGINT) AS n_han,
+        |  CAST(length(text) - length(regexp_replace(text, '[\x{0400}-\x{04FF}]', '', 'g')) AS BIGINT) AS n_cyrillic,
+        |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit
+        |FROM d""".stripMargin,
 
     "q_fingerprint" ->
       """SELECT doc_id, md5(regexp_replace(lower(text), '[ \t\n]+', ' ', 'g')) AS fp

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text analysis operators for training-data pipelines: quality scoring,
@@ -20,6 +20,39 @@ object TextStats {
   val tokenRegex = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit(tokenRegex)).cast("long")
+
+  /** Unicode-script character classes as explicit CODEPOINT RANGES
+    * (`\x{…}` — the one hex-escape syntax Java regex and RE2 read
+    * identically), not `\p{script=…}` whose membership shifts with each
+    * engine's Unicode table: the oracle must count the same characters.
+    */
+  val LatinClass = "[A-Za-z\\x{00C0}-\\x{024F}]"
+  val HanClass = "[\\x{4E00}-\\x{9FFF}]"
+  val CyrillicClass = "[\\x{0400}-\\x{04FF}]"
+  val DigitClass = "[0-9]"
+
+  /** Characters of `text` matching a one-char regex class, counted as
+    * length minus length-after-removal — a scan-fused projection, no
+    * split/explode.
+    */
+  def charClassCount(text: Column, oneCharClass: String): Column =
+    (length(text) - length(regexp_replace(text, oneCharClass, "")))
+      .cast("long")
+
+  /** Script-mix histogram: per-script character counts (Latin incl.
+    * Latin-1/Extended, Han, Cyrillic, ASCII digits) plus the total — the
+    * cheap prior under language id and the standard mixed-script
+    * spam/homoglyph signal (a "Latin" document with a Cyrillic 'о' in a
+    * domain name lights up n_cyrillic). All scan-side; zero shuffles.
+    */
+  def scriptMix(df: DataFrame, idCol: String, text: Column): DataFrame =
+    df.select(
+      col(idCol),
+      length(text).cast("long").as("n_chars_total"),
+      charClassCount(text, LatinClass).as("n_latin"),
+      charClassCount(text, HanClass).as("n_han"),
+      charClassCount(text, CyrillicClass).as("n_cyrillic"),
+      charClassCount(text, DigitClass).as("n_digit"))
 
   /** Middle-out truncation to a word budget: keep the first `headWords`
     * and the last `tailWords` words with `marker` replacing the elided

@@ -894,4 +894,19 @@ class OpsSpec extends AnyFunSuite {
       (2L, 1L, 3L, 1L) // (b,c)
     ))
   }
+
+  test("scriptMix: per-script codepoint-range counts, hand-checked on " +
+    "mixed Latin/Han/Cyrillic/digit text") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "abc \u4e2d\u6587 \u0440\u0443 42"), // 3 latin, 2 han, 2 cyr, 2 digit
+      (2L, "\u00e9\u00c0\u0151"), // latin-1/extended -> latin class
+      (3L, "")
+    ).toDF("id", "text")
+    val got = TextStats.scriptMix(df, "id", org.apache.spark.sql.functions.col("text"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got(0) == ((1L, 12L, 3L, 2L, 2L, 2L)))
+    assert(got(1) == ((2L, 3L, 3L, 0L, 0L, 0L)))
+    assert(got(2) == ((3L, 0L, 0L, 0L, 0L, 0L)))
+  }
 }
