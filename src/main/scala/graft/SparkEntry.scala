@@ -191,6 +191,15 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "session_seq", "session_id")
     }),
 
+    // --- per-bucket lineage manifest -----------------------------------------------
+    // The north rule's "per-partition lineage + metrics" AS DATA: rows,
+    // null-ts count, ts range, and distinct keys per deterministic
+    // md5-hex key bucket — the manifest itself sits under the oracle
+    // rather than being a trusted side channel.
+    "q_lineage" -> ((s, dir) =>
+      graft.metrics.Lineage.bucketManifest(
+        turns(s, dir), "conv_id", "ts", nBuckets = 16)),
+
     "q_session_summary" -> ((s, dir) => {
       val sess =
         Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
@@ -2431,6 +2440,16 @@ object SparkEntry {
       (d, k) <- dims.zipWithIndex
     } yield s"((($d >> $i) & 1) << ${i * dims.size + k})").mkString(" | ")
 
+  /** `digits`-char lowercase-hex string → integer, as a fixed sum of
+    * strpos terms — the engine-portable replay of Spark's `conv(hx, 16,
+    * 10)` (q_lineage's bucket key).
+    */
+  private def hexToLongSql(hx: String, digits: Int): String =
+    (1 to digits).map { i =>
+      val mult = BigInt(16).pow(digits - i)
+      s"(strpos('0123456789abcdef', substr($hx, $i, 1)) - 1) * $mult"
+    }.mkString(" + ")
+
   /** documents → (doc_id, len_b, src_b): the zDims bucketization in SQL. */
   private def zDimsCte: String =
     """d AS (SELECT doc_id, LEAST(n_chars, 1023) AS len_b,
@@ -3097,6 +3116,18 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, session_seq,
          |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id
          |FROM s2""".stripMargin,
+
+    // md5-hex bucket replayed digit-by-digit (strpos arithmetic), then
+    // plain grouped lineage aggregates
+    "q_lineage" ->
+      s"""$T,
+         |h AS (SELECT conv_id, ts, substr(md5(conv_id), 1, 8) AS hx FROM turns)
+         |SELECT CAST((${hexToLongSql("hx", 8)}) % 16 AS BIGINT) AS bucket,
+         |  CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ts,
+         |  min(ts) AS min_ts, max(ts) AS max_ts,
+         |  CAST(count(DISTINCT conv_id) AS BIGINT) AS n_keys
+         |FROM h GROUP BY 1""".stripMargin,
 
     "q_session_summary" ->
       s"""$T,

@@ -29,6 +29,34 @@ object Lineage {
     (out, obs)
   }
 
+  /** Per-bucket lineage MANIFEST — the north rule's "per-partition
+    * lineage + metrics" as data: one row per deterministic key bucket
+    * with row count, null-ts count, ts range, and distinct-key count.
+    * The bucket is the first 8 md5 hex chars of the key mod `nBuckets` —
+    * engine-portable (Spark's internal Murmur3 bucket id is not), so the
+    * manifest itself sits under the DuckDB oracle (q_lineage) instead of
+    * being a trusted side channel. One partial-agg shuffle; output is
+    * bucket-count-sized.
+    */
+  def bucketManifest(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      nBuckets: Int
+  ): DataFrame = {
+    require(nBuckets > 0, "nBuckets must be positive")
+    val bucket = pmod(
+      conv(substring(md5(col(keyCol)), 1, 8), 16, 10).cast("long"),
+      lit(nBuckets.toLong))
+    df.groupBy(bucket.as("bucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(tsCol).isNull, 1L).otherwise(0L)).as("n_null_ts"),
+        min(col(tsCol)).as("min_ts"),
+        max(col(tsCol)).as("max_ts"),
+        count_distinct(col(keyCol)).as("n_keys"))
+  }
+
   /** Rows per physical partition (one lightweight job) + skew ratio. */
   def partitionHistogram(df: DataFrame): (Map[Int, Long], Double) = {
     val counts = df

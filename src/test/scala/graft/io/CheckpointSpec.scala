@@ -153,4 +153,20 @@ class CheckpointSpec extends AnyFunSuite {
     assert(hist.values.sum == df.count())
     assert(skew >= 1.0)
   }
+
+  test("bucketManifest: totals conserve, buckets in range, null-ts and " +
+    "distinct-key counts exact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = Seq(
+      ("c1", Some("2026-01-01 10:00:00")), ("c1", None),
+      ("c2", Some("2026-01-01 11:00:00")), ("c3", Some("2026-01-01 12:00:00"))
+    ).toDF("conv_id", "ts_s").withColumn("ts", col("ts_s").cast("timestamp"))
+    val m = Lineage.bucketManifest(df, "conv_id", "ts", nBuckets = 4).cache()
+    assert(m.agg(sum("n_rows")).head.getLong(0) == 4L)
+    assert(m.agg(sum("n_null_ts")).head.getLong(0) == 1L)
+    assert(m.agg(sum("n_keys")).head.getLong(0) == 3L) // keys hash to distinct buckets or sum still 3
+    assert(m.filter(col("bucket") < 0 || col("bucket") >= 4).count() == 0L)
+    m.unpersist()
+  }
 }
