@@ -514,6 +514,46 @@ object SparkEntry {
           budgetTokens = 2000L)
         .select("doc_id", "lang", "n_tokens", "shard_seq")),
 
+    // --- curriculum ordering (two-phase global rank) ------------------------------
+    // "Sort the corpus by difficulty, number it, cut it into equal
+    // training phases" — the global row_number computed by the two-phase
+    // chunked cumsum, so no single-task global-window sort ever runs.
+    "q_curriculum" -> ((s, dir) =>
+      graft.ops.Curation.globalRank(
+          docs(s, dir).select("doc_id", "n_chars"),
+          orderCol = "n_chars", tieCol = "doc_id", nPhases = 4,
+          chunkSpan = 256L) // small span: multiple chunks under the oracle
+        .select("doc_id", "n_chars", "global_rank", "phase")),
+
+    // --- small-file compaction plan (layout maintenance) --------------------------
+    // A file manifest (per-source ingest files of ~64 docs) packed into
+    // rewrite groups of ~2k bytes IN LAYOUT ORDER — Iceberg-binpack
+    // semantics: coalesce adjacent small files, never split or re-sort.
+    "q_compact_plan" -> ((s, dir) => {
+      val manifest = docs(s, dir)
+        .groupBy(col("source"), floor(col("doc_id") / 64).as("file_seq"))
+        .agg(sum(col("n_chars")).as("bytes"))
+      graft.ops.Layout.compactionPlan(
+        manifest, "source", "file_seq", "bytes", targetBytes = 2000L)
+    }),
+
+    // --- length-bucketed dataloader batches (padding-waste accounting) ------------
+    // Dynamic batching: searchsorted pow-ish buckets, batches of 32 in
+    // doc_id order within each bucket (two-phase rank), one summary row
+    // per batch with the exact padded-token overhead.
+    "q_batch_pack" -> ((s, dir) =>
+      graft.ops.Curation.batchByLength(
+        docs(s, dir).select("doc_id", "n_chars"), "doc_id", col("n_chars"),
+        batchSize = 32, bucketEdges = Seq(64L, 256L, 1024L, 4096L))),
+
+    // --- ingest-volume anomaly gate ------------------------------------------------
+    // Per (role, hour) turn counts vs a trailing-24-observed-buckets
+    // baseline; spike = n > 2x trailing mean, cross-multiplied exact.
+    "q_ingest_anomaly" -> ((s, dir) =>
+      graft.ops.Analytics.volumeAnomaly(
+        turns(s, dir).filter(col("ts").isNotNull), "role", "ts",
+        bucketSeconds = 3600L, trailing = 24, factor = 2L)),
+
     // --- language id (marker heuristic) --------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val langs = Seq(
@@ -1255,6 +1295,19 @@ object SparkEntry {
       graft.ops.Clusters.keepBestInClusters(
           d.select("doc_id", "n_chars"), "doc_id", col("n_chars"), pairs)
         .select("doc_id", "n_chars")
+    }),
+
+    // --- cross-source dedup attribution (flow matrix) -----------------------------
+    // For every near-dup drop under the keep-best policy: which source
+    // lost the copy and which source's copy won, with the chars lost —
+    // the "why did crawl-B shrink 40%?" gauge over the same components
+    // as q_dedup_keep_best.
+    "q_dedup_flow" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text")
+      graft.ops.Clusters.dedupFlow(
+        d.select("doc_id", "source", "n_chars"), "doc_id", "source",
+        col("n_chars"), pairs)
     }),
 
     // --- tokenizer-accurate token counts (greedy vocab longest-match) -----------
@@ -2562,6 +2615,89 @@ object SparkEntry {
          |drops AS (SELECT doc_id FROM ranked WHERE rn > 1)
          |SELECT d.doc_id, d.n_chars FROM documents d
          |LEFT JOIN drops USING (doc_id) WHERE drops.doc_id IS NULL""".stripMargin,
+
+    // same components + keep-best ranking; losers joined to their
+    // cluster's winner, aggregated into the source->source flow matrix
+    "q_dedup_flow" ->
+      s"""$minhashWalkCte,
+         |comp AS (SELECT id AS doc_id, min(lbl) AS cluster_id
+         |  FROM walk GROUP BY id),
+         |ranked AS (SELECT c.doc_id, c.cluster_id, d.source, d.n_chars,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY d.n_chars DESC, c.doc_id ASC) AS rn
+         |  FROM comp c JOIN documents d USING (doc_id)),
+         |winners AS (SELECT cluster_id, source AS src_to FROM ranked WHERE rn = 1)
+         |SELECT r.source AS src_from, w.src_to,
+         |  CAST(count(*) AS BIGINT) AS n_dropped,
+         |  CAST(sum(r.n_chars) AS BIGINT) AS cost_dropped
+         |FROM ranked r JOIN winners w USING (cluster_id)
+         |WHERE r.rn > 1 GROUP BY 1, 2""".stripMargin,
+
+    // searchsorted CASE-sum buckets, within-bucket rank window, floor-div
+    // batches, per-batch padding arithmetic
+    "q_batch_pack" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+        |    (CASE WHEN n_chars >= 64 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars >= 256 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars >= 1024 THEN 1 ELSE 0 END
+        |     + CASE WHEN n_chars >= 4096 THEN 1 ELSE 0 END) AS len_bucket
+        |  FROM documents),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY len_bucket
+        |    ORDER BY doc_id) - 1 AS rk FROM b)
+        |SELECT CAST(len_bucket AS BIGINT) AS len_bucket,
+        |  CAST(rk // 32 AS BIGINT) AS batch_seq,
+        |  CAST(count(*) AS BIGINT) AS n_rows,
+        |  CAST(min(n_chars) AS BIGINT) AS min_len,
+        |  CAST(max(n_chars) AS BIGINT) AS max_len,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_len,
+        |  CAST(count(*) * max(n_chars) - sum(n_chars) AS BIGINT) AS pad_waste
+        |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // hourly counts per role, trailing frame over observed buckets only,
+    // cross-multiplied spike predicate — division-free
+    "q_ingest_anomaly" ->
+      s"""$T,
+         |v AS (SELECT role, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM turns WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |    count(n) OVER w AS trail_n,
+         |    COALESCE(sum(n) OVER w, 0) AS trail_sum
+         |  FROM v WINDOW w AS (PARTITION BY role ORDER BY bucket
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT role, bucket, n, CAST(trail_n AS BIGINT) AS trail_n,
+         |  CAST(trail_sum AS BIGINT) AS trail_sum,
+         |  (trail_n > 0 AND n * trail_n > 2 * trail_sum) AS is_spike
+         |FROM t""".stripMargin,
+
+    // the two-phase global rank replayed as the single global window it
+    // is byte-equal to; phase = floor(rank * nPhases / n) in integer math
+    "q_curriculum" ->
+      """SELECT doc_id, n_chars,
+        |  row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS global_rank,
+        |  CAST(((row_number() OVER (ORDER BY n_chars, doc_id) - 1) * 4)
+        |    // (count(*) OVER ()) AS BIGINT) AS phase
+        |FROM documents""".stripMargin,
+
+    // manifest -> per-partition exclusive byte cumsum -> floor-div groups,
+    // then the per-group rewrite summary
+    "q_compact_plan" ->
+      """WITH m AS (SELECT source, doc_id // 64 AS file_seq,
+        |    sum(n_chars) AS bytes
+        |  FROM documents GROUP BY 1, 2),
+        |c AS (SELECT source, file_seq, bytes,
+        |    COALESCE(sum(bytes) OVER (PARTITION BY source ORDER BY file_seq
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+        |  FROM m),
+        |g AS (SELECT source, file_seq, bytes,
+        |    cum // 2000 AS group_seq FROM c)
+        |SELECT source, CAST(group_seq AS BIGINT) AS group_seq,
+        |  CAST(count(*) AS BIGINT) AS n_files,
+        |  CAST(sum(bytes) AS BIGINT) AS bytes_total,
+        |  CAST(min(file_seq) AS BIGINT) AS file_lo,
+        |  CAST(max(file_seq) AS BIGINT) AS file_hi,
+        |  (count(*) > 1) AS is_rewrite
+        |FROM g GROUP BY 1, 2""".stripMargin,
 
     // greedy longest-match walk over the vocab, one recursion step per
     // token; compared against the regex approximation side by side

@@ -249,4 +249,52 @@ object Analytics {
         keys.map(col) ++ keys.map(k => col(s"g_$k")) ++
           Seq(col("n"), col("total")): _*)
   }
+
+  /** Ingest-volume ANOMALY gate: per (key, time bucket) row counts with a
+    * trailing-window baseline and an exact integer spike flag — the
+    * monitor that catches "source X started sending 10× its usual volume
+    * this hour" (a crawler loop, a replayed feed, an upstream dedup
+    * outage) BEFORE the corpus absorbs it. For each key's bucket b:
+    * trailing count/sum over the `trailing` PRECEDING observed buckets
+    * (current excluded — the spike must not drag its own baseline), and
+    *
+    *   is_spike ⇔ n · trail_n > factor · trail_sum   (trail_n > 0)
+    *
+    * — the cross-multiplied form of `n > factor · trailing_mean`, exact
+    * in int64 with no division. Early buckets with no history never flag
+    * (no baseline, no verdict). Buckets with zero rows don't appear;
+    * the trailing frame is over OBSERVED buckets, stated not hidden.
+    *
+    * Scale shape: one partial-agg shuffle to bucket counts (output is
+    * keys × time-range-sized — metadata, not rows), then a per-key
+    * bounded-frame window over those counts: the biggest per-key task
+    * sorts one key's bucket HISTORY (8,760 rows per key-year at hourly
+    * buckets), never its rows.
+    */
+  def volumeAnomaly(
+      df: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      bucketSeconds: Long,
+      trailing: Int,
+      factor: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    require(trailing > 0, "trailing must be positive")
+    require(factor > 0, "factor must be positive")
+    val reserved = Seq("bucket", "n", "trail_n", "trail_sum", "is_spike")
+    require(!reserved.exists(df.columns.contains),
+      s"volumeAnomaly reserves the column names ${reserved.mkString(", ")}")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(keyCol)).orderBy(col("bucket"))
+      .rowsBetween(-trailing, -1)
+    df.groupBy(col(keyCol),
+        floor(unix_timestamp(col(tsCol)) / bucketSeconds).as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("trail_n", count(col("n")).over(w))
+      .withColumn("trail_sum", coalesce(sum(col("n")).over(w), lit(0L)))
+      .withColumn("is_spike",
+        col("trail_n") > 0L &&
+          col("n") * col("trail_n") > lit(factor) * col("trail_sum"))
+  }
 }

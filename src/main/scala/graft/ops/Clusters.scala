@@ -104,6 +104,53 @@ object Clusters {
     df.join(drops, Seq(idCol), "left_anti")
   }
 
+  /** Cross-source dedup ATTRIBUTION: for every dropped near-duplicate,
+    * which source lost it and which source's copy won — aggregated into a
+    * (src_from = loser's source, src_to = winner's source) flow matrix
+    * with drop counts and a summed cost column (e.g. chars or tokens
+    * lost). This is the curation debugging gauge behind "why did crawl-B
+    * shrink 40%?": a heavy off-diagonal cell means one source is
+    * systematically shadowed by another's copies; a heavy diagonal cell
+    * is intra-source duplication the ingest should have caught.
+    *
+    * Keeper policy matches [[keepBestInClusters]] (highest `score`, ties
+    * to smallest id) so the matrix explains exactly what that dedup did.
+    *
+    * Scale shape: components over the pair stream (id-only rows), one
+    * lookup join against (id, source, score), a per-COMPONENT window
+    * (component size is duplication depth, never corpus size), then a
+    * partial-agg groupBy on the source pair — output is
+    * |sources|²-bounded.
+    */
+  def dedupFlow(
+      df: DataFrame,
+      idCol: String,
+      sourceCol: String,
+      score: Column,
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
+    val scored = df
+      .select(col(idCol).cast("long").as("id"), col(sourceCol).as("__src"),
+        score.as("__score"))
+      .join(comp, Seq("id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("__score").desc, col("id").asc)
+    val ranked = scored.withColumn("__rn", row_number().over(w))
+    val winners = ranked.filter(col("__rn") === 1)
+      .select(col("cluster_id"), col("__src").as("src_to"))
+    ranked.filter(col("__rn") > 1)
+      .join(winners, Seq("cluster_id"))
+      .groupBy(col("__src").as("src_from"), col("src_to"))
+      .agg(
+        count(lit(1)).as("n_dropped"),
+        sum(col("__score")).as("cost_dropped"))
+  }
+
   /** Policy-pluggable keep-one dedup: per pair-connected component, keep
     * the member with the HIGHEST `score` (ties to the smallest id) and
     * drop the rest — "keep the longest / highest-quality copy", the

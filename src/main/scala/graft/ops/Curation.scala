@@ -436,6 +436,121 @@ object Curation {
       .drop("__pchunk", "__pwithin", "__pcarry")
   }
 
+  /** Length-bucketed dataloader BATCHES with padding-waste accounting —
+    * the dynamic-batching step between packed shards and the trainer:
+    * batching similar-length rows together is what keeps padding (dead
+    * FLOPs) low, and the waste number is the gauge that justifies the
+    * bucket edges. Rows are bucketed by `bucketEdges` (bucket = how many
+    * edges ≤ length, i.e. searchsorted — 0 is "below the first edge"),
+    * then batched WITHIN each bucket in `idCol` order, `batchSize` rows
+    * per batch (the last batch of a bucket runs short). Output is one row
+    * per batch: size, length min/max/sum, and
+    * `pad_waste = n·max_len − sum_len` — the exact padded-token overhead
+    * of batching these rows together (the short final batch pads to its
+    * OWN max, stated not hidden).
+    *
+    * Scale shape: the bucketize is a scan-fused when-chain projection;
+    * the within-bucket rank is [[packShards]] with every row weighing 1
+    * (two-phase — a dominant bucket never serializes); the batch summary
+    * is one partial-agg shuffle, output batch-count-sized.
+    */
+  def batchByLength(
+      df: DataFrame,
+      idCol: String,
+      lengths: Column,
+      batchSize: Int,
+      bucketEdges: Seq[Long]
+  ): DataFrame = {
+    require(batchSize > 0, "batchSize must be positive")
+    require(bucketEdges.nonEmpty && bucketEdges == bucketEdges.sorted &&
+      bucketEdges.distinct.size == bucketEdges.size,
+      "bucketEdges must be non-empty, strictly ascending")
+    val reserved = Seq("len_bucket", "batch_seq", "__blen")
+    require(!reserved.exists(df.columns.contains),
+      s"batchByLength reserves the column names ${reserved.mkString(", ")}")
+    val bucket = bucketEdges
+      .map(e => when(lengths >= e, 1L).otherwise(0L))
+      .reduce(_ + _)
+    val keyed = df
+      .withColumn("__blen", lengths.cast("long"))
+      .withColumn("len_bucket", bucket)
+    packShards(keyed, strataCol = "len_bucket", orderCol = idCol,
+        tokens = lit(1L), budgetTokens = batchSize.toLong)
+      .groupBy(col("len_bucket"), col("shard_seq").as("batch_seq"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(col("__blen")).as("min_len"),
+        max(col("__blen")).as("max_len"),
+        sum(col("__blen")).as("sum_len"))
+      .withColumn("pad_waste",
+        col("n_rows") * col("max_len") - col("sum_len"))
+  }
+
+  /** GLOBAL 0-based rank by (orderCol, tieCol) — the curriculum-ordering
+    * primitive: "sort the whole corpus by difficulty and number it" —
+    * WITHOUT the single-task global window `row_number().over(orderBy)`
+    * degenerates into. Output adds `global_rank` (dense 0..n-1 iff
+    * (orderCol, tieCol) is unique, which the caller must guarantee — a
+    * unique id tiebreak does) and `phase` = floor(rank · nPhases / n),
+    * the equal-size curriculum phase index in [0, nPhases).
+    *
+    * Scale shape — the [[packShards]] two-phase cumsum applied to COUNTS:
+    *   1. rows are split into order-contiguous chunks
+    *      (`floor(orderCol / chunkSpan)`; the long cast and floor-div are
+    *      both monotone, so chunk order is rank order);
+    *   2. row_number WITHIN each chunk (chunk-sized tasks, ordered by
+    *      (orderCol, tieCol));
+    *   3. per-chunk row counts, then an exclusive cumsum ACROSS chunks
+    *      (one row per chunk — metadata-sized, the only unpartitioned
+    *      window) gives each chunk's starting rank;
+    *   global_rank = chunk carry-in + within-chunk row_number − 1.
+    * No task ever sorts more than one chunk of real rows; a value so hot
+    * that one chunk dominates needs a smaller `chunkSpan` (the chunk map
+    * only has to be monotone in orderCol).
+    *
+    * `n` rides in on a broadcast single-row count (never the driver),
+    * exactly like [[negativeSample]]'s N.
+    */
+  def globalRank(
+      df: DataFrame,
+      orderCol: String,
+      tieCol: String,
+      nPhases: Int = 1,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(nPhases > 0, "nPhases must be positive")
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val reserved = Seq("global_rank", "phase", "__gchunk", "__gwithin",
+      "__gcarry", "__gtot", "__gn")
+    require(!reserved.exists(df.columns.contains),
+      s"globalRank reserves the column names ${reserved.mkString(", ")}")
+    val df1 = df.withColumn("__gchunk",
+      floor(col(orderCol).cast("long") / chunkSpan))
+    val w1 = Window.partitionBy(col("__gchunk"))
+      .orderBy(col(orderCol), col(tieCol))
+    val wc = Window.orderBy(col("__gchunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // chunk-count-sized frame: the unpartitioned window below sorts one
+    // row per chunk, not per row — deliberately tiny, like
+    // interleaveSchedule's manifest rank
+    val carry = df1.groupBy(col("__gchunk"))
+      .agg(count(lit(1)).as("__gtot"))
+      .withColumn("__gcarry", coalesce(sum(col("__gtot")).over(wc), lit(0L)))
+      .select(col("__gchunk"), col("__gcarry"))
+    val n = df.agg(count(lit(1)).as("__gn"))
+    df1
+      .withColumn("__gwithin", row_number().over(w1).cast("long"))
+      .join(carry, Seq("__gchunk"))
+      .crossJoin(broadcast(n))
+      .withColumn("global_rank", col("__gcarry") + col("__gwithin") - 1L)
+      // integral div: rank·nPhases stays exact where a double ratio of
+      // 10^12-row ranks would round phase boundaries
+      .withColumn("phase",
+        call_function("div", col("global_rank") * nPhases, col("__gn"))
+          .cast("long"))
+      .drop("__gchunk", "__gwithin", "__gcarry", "__gn")
+  }
+
   /** Single-window reference formulation of [[packShards]] — one task per
     * stratum, kept as the differential-test twin (CurationSpec asserts
     * byte-equality with the two-phase default on random inputs) and for

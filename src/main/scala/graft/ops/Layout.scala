@@ -139,6 +139,46 @@ object Layout {
       .drop("zbucket")
   }
 
+  /** Small-file COMPACTION plan over a file manifest — the layout-
+    * maintenance sibling of the z-order write: object-store corpora decay
+    * into many small files (streaming ingest, per-stratum shard tails),
+    * and a 100 TB table with 10^7 files pays for it at every planning and
+    * open. Input is one row per data file (partition column, a file
+    * sequence number in layout order, its byte size); the plan assigns
+    * each file to rewrite group `floor(exclusive_cumsum(bytes) / target)`
+    * within its partition — first-fit IN LAYOUT ORDER, so compaction
+    * coalesces ADJACENT files and never undoes the z-order/ingest
+    * clustering by re-sorting (exactly Iceberg's binpack strategy). A
+    * file at or above the target lands alone or starts its own group;
+    * files are never split.
+    *
+    * Output is the per-group plan: file count, total bytes, the
+    * [min, max] file-sequence range the rewrite reads, and `is_rewrite`
+    * (single-file groups are no-ops the executor skips).
+    *
+    * Scale shape: the manifest is file-count-sized, not row-count-sized,
+    * and the pack itself is [[graft.ops.Curation.packShards]] — the
+    * two-phase cumsum, so even a partition holding the whole table's
+    * manifest never serializes into one task. One partial-agg shuffle for
+    * the group summary.
+    */
+  def compactionPlan(
+      manifest: DataFrame,
+      partCol: String,
+      fileSeqCol: String,
+      bytesCol: String,
+      targetBytes: Long
+  ): DataFrame =
+    Curation.packShards(manifest, partCol, fileSeqCol, col(bytesCol),
+        budgetTokens = targetBytes)
+      .groupBy(col(partCol), col("shard_seq").as("group_seq"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("bytes_total"),
+        min(col(fileSeqCol)).cast("long").as("file_lo"),
+        max(col(fileSeqCol)).cast("long").as("file_hi"))
+      .withColumn("is_rewrite", col("n_files") > 1L)
+
   /** The layout write path: bucket rows by `zorderKey >> shift` and sort
     * within each bucket by the full key, so a `.write.partitionBy
     * ("zbucket")` (or a plain parquet write) emits one multi-dimension-

@@ -155,4 +155,27 @@ class AnalyticsSpec extends AnyFunSuite {
       (Some("fr"), None, 0, 1, 1L, 7L),
       (None, None, 1, 1, 4L, 42L)))
   }
+
+  test("volumeAnomaly: trailing baseline excludes the spike itself, " +
+    "no-history buckets never flag, cross-multiply exact") {
+    import org.apache.spark.sql.functions._
+    // key a: hours 0,1,2 hold 2,2,9 rows -> hour 2 baseline mean 2,
+    // 9 > 2*2 -> spike; hour 0 has no history -> never flags; hour 1
+    // baseline mean 2, 2 > 4 false.
+    val rows =
+      (Seq.fill(2)(0L) ++ Seq.fill(2)(3600L) ++ Seq.fill(9)(7200L))
+        .zipWithIndex
+        .map { case (sec, i) => ("a", sec + (i % 60)) } // jitter inside hour
+    val df = rows.toDF("k", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec")))
+    val got = Analytics.volumeAnomaly(df, "k", "ts",
+        bucketSeconds = 3600L, trailing = 2, factor = 2L)
+      .orderBy("bucket")
+      .select("bucket", "n", "trail_n", "trail_sum", "is_spike")
+      .as[(Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 0L, 0L, false),
+      (1L, 2L, 1L, 2L, false),
+      (2L, 9L, 2L, 4L, true)))
+  }
 }

@@ -82,4 +82,25 @@ class ClustersSpec extends AnyFunSuite {
       .select("doc_id").as[Long].collect().toSet
     assert(kept == Set(0L, 100L))
   }
+
+  test("dedupFlow: losers attributed to their cluster winner's source; " +
+    "totals reconcile with keepBestInClusters") {
+    // component {1,2,3}: scores 5,9,7 -> winner id 2 (src B); losers 1,3
+    //   (both src A) -> cell (A -> B, n=2, cost=5+7)
+    // component {10,11}: tie score 3 -> smaller id 10 wins (src B);
+    //   loser 11 (src B) -> diagonal cell (B -> B, n=1, cost=3)
+    val docs = Seq(
+      (1L, "A", 5L), (2L, "B", 9L), (3L, "A", 7L),
+      (10L, "B", 3L), (11L, "B", 3L), (99L, "C", 1L))
+      .toDF("doc_id", "source", "score")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val flow = Clusters.dedupFlow(docs, "doc_id", "source",
+        col("score"), pairs)
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(flow == Set(("A", "B", 2L, 12L), ("B", "B", 1L, 3L)))
+    // the matrix's drop total IS keepBest's drop count
+    val survivors = Clusters.keepBestInClusters(
+      docs, "doc_id", col("score"), pairs).count()
+    assert(flow.map(_._3).sum == docs.count() - survivors)
+  }
 }

@@ -326,6 +326,62 @@ class CurationSpec extends AnyFunSuite {
     assert(out == Seq(("a", 0L), ("a", 1L), ("a", 2L)))
   }
 
+  test("globalRank: byte-equal to the single global window; dense ranks; " +
+    "equal-size phases; mega-value chunks spread") {
+    // scores collide heavily (mod 97) so the tiebreak path is exercised
+    val df = (0L until 500L).map(i => (i, (i * 2654435761L) % 97))
+      .toDF("id", "score")
+    val got = Curation.globalRank(df, "score", "id",
+      nPhases = 4, chunkSpan = 16)
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("score"), col("id"))
+    val ref = df
+      .withColumn("global_rank", row_number().over(w).cast("long") - 1L)
+      .withColumn("phase",
+        call_function("div", col("global_rank") * 4, lit(500L)).cast("long"))
+    assert(got.select("id", "score", "global_rank", "phase")
+      .except(ref).isEmpty)
+    assert(ref.except(got.select("id", "score", "global_rank", "phase"))
+      .isEmpty)
+    // dense 0..n-1 and equal phase sizes
+    val ranks = got.select("global_rank").as[Long].collect().sorted
+    assert(ranks.toSeq == (0L until 500L))
+    val phases = got.groupBy("phase").count()
+      .as[(Long, Long)].collect().toMap
+    assert(phases == Map(0L -> 125L, 1L -> 125L, 2L -> 125L, 3L -> 125L))
+    // the windows phase 1 runs are chunk-partitioned (> 1 chunk here)
+    assert(got.select(floor(col("score") / 16)).distinct().count() > 1)
+  }
+
+  test("batchByLength: searchsorted buckets, short final batch pads to " +
+    "its own max, conservation") {
+    // edges (10, 100): lengths 5,7 -> bucket 0; 10,50,99 -> 1; 100 -> 2
+    val df = Seq((1L, 10L), (2L, 5L), (3L, 99L), (4L, 100L), (5L, 50L),
+      (6L, 7L)).toDF("id", "len")
+    val got = Curation.batchByLength(df, "id", col("len"),
+        batchSize = 2, bucketEdges = Seq(10L, 100L))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (0L, 0L, 2L, 5L, 7L, 12L, 2L),     // ids 2,6: pad 2*7-12
+      (1L, 0L, 2L, 10L, 99L, 109L, 89L), // ids 1,3 (id order), pad 2*99-109
+      (1L, 1L, 1L, 50L, 50L, 50L, 0L),   // id 5: short tail, pads to self
+      (2L, 0L, 1L, 100L, 100L, 100L, 0L)))
+    // every row lands in exactly one batch
+    assert(got.toSeq.map(_._3).sum == df.count())
+    assertThrows[IllegalArgumentException] {
+      Curation.batchByLength(df, "id", col("len"), 2, Seq(100L, 10L))
+    }
+  }
+
+  test("globalRank: negative and fractional order values keep rank order") {
+    val df = Seq((1L, -4096.5), (2L, -0.5), (3L, 0.5), (4L, 4096.2),
+      (5L, -0.5)).toDF("id", "score")
+    val got = Curation.globalRank(df, "score", "id", nPhases = 2,
+        chunkSpan = 4096L)
+      .select("id", "global_rank").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 5L -> 2L, 3L -> 3L, 4L -> 4L))
+  }
+
   test("interleaveSchedule fails loud on a negative shard number") {
     val ex = intercept[Exception] {
       Seq(("a", -1L)).toDF("stratum", "shard")

@@ -97,4 +97,27 @@ class LayoutSpec extends AnyFunSuite {
       .agg(max("n")).as[Long].head()
     assert(perPart == 1L)
   }
+
+  test("compactionPlan: adjacent files coalesce in layout order, an " +
+    "oversize file is never split, single-file groups are no-ops") {
+    // bytes 100,100,250,100,100,100 at target 200; exclusive cumsum
+    // 0,100,200,450,550,650 -> groups 0,0,1,2,2,3
+    val manifest = Seq(
+      ("p", 0L, 100L), ("p", 1L, 100L), ("p", 2L, 250L),
+      ("p", 3L, 100L), ("p", 4L, 100L), ("p", 5L, 100L))
+      .toDF("part", "file_seq", "bytes")
+    val plan = Layout.compactionPlan(manifest, "part", "file_seq",
+        "bytes", targetBytes = 200L)
+      .orderBy("group_seq")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect().toSeq
+    assert(plan == Seq(
+      ("p", 0L, 2L, 200L, 0L, 1L, true),   // two smalls coalesce
+      ("p", 1L, 1L, 250L, 2L, 2L, false),  // oversize file stays whole
+      ("p", 2L, 2L, 200L, 3L, 4L, true),
+      ("p", 3L, 1L, 100L, 5L, 5L, false))) // lone tail is a no-op
+    // conservation: every file lands in exactly one group
+    assert(plan.map(_._3).sum == manifest.count())
+    assert(plan.map(_._4).sum ==
+      manifest.agg(sum("bytes")).as[Long].head())
+  }
 }
