@@ -1107,6 +1107,62 @@ object SparkEntry {
       s.table(name).select("conv_id", "turn_idx", "role", "enc_cnt", "enc_sum")
     }),
 
+    // --- STREAMING ingest-volume anomaly gate ------------------------------------
+    // The LIVE twin of q_ingest_anomaly: per-role hour buckets accumulate
+    // OPEN across micro-batches and close (emit + join the trailing-24
+    // history) when a later bucket arrives on the key; one far-future
+    // sentinel row per role flushes the final real bucket (the sentinel's
+    // own bucket never closes, so it is never emitted). Replay files are
+    // cut in event-time order — the cross-batch open-bucket carry is
+    // what's under test.
+    "q_stream_anomaly" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.HourEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamanom").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).filter($"ts".isNotNull).select($"role", $"ts")
+      val maxTs = t.agg(max($"ts")).head().getTimestamp(0).getTime
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("role"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      // transcript roles are a fixed enum; one sentinel per role flushes
+      // every key's tail bucket
+      val sentinel = Seq("user", "assistant", "system", "tool")
+        .map(r => (r, new java.sql.Timestamp(maxTs + 86400000L)))
+        .toDF("role", "ts")
+      stageOrderedFile(sentinel, s"$tmp/sent", watched, "sentinel.parquet",
+        1700000000000L + (nChunks + 1) * 10000L)
+      val name = freshStreamView(s, "stream_anom_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(t.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[HourEvent]
+          StreamingFeatures.volumeAnomalyLive(src,
+              bucketSeconds = 3600L, trailing = 24, factor = 2L)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name)
+        .select("role", "bucket", "n", "trail_n", "trail_sum", "is_spike")
+    }),
+
     // --- STREAMING watermarked windowed counts (built-in stateful agg) ---------
     // The watermark-correctness proof for the built-in windowed
     // aggregation path: 5-minute tumbling role counts over a file-source
@@ -2656,6 +2712,23 @@ object SparkEntry {
     // hourly counts per role, trailing frame over observed buckets only,
     // cross-multiplied spike predicate — division-free
     "q_ingest_anomaly" ->
+      s"""$T,
+         |v AS (SELECT role, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM turns WHERE ts IS NOT NULL GROUP BY 1, 2),
+         |t AS (SELECT *,
+         |    count(n) OVER w AS trail_n,
+         |    COALESCE(sum(n) OVER w, 0) AS trail_sum
+         |  FROM v WINDOW w AS (PARTITION BY role ORDER BY bucket
+         |    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         |SELECT role, bucket, n, CAST(trail_n AS BIGINT) AS trail_n,
+         |  CAST(trail_sum AS BIGINT) AS trail_sum,
+         |  (trail_n > 0 AND n * trail_n > 2 * trail_sum) AS is_spike
+         |FROM t""".stripMargin,
+
+    // the live path replays the batch gauge exactly: same hourly counts,
+    // same trailing frame, same cross-multiplied spike predicate
+    "q_stream_anomaly" ->
       s"""$T,
          |v AS (SELECT role, CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS bucket,
          |    CAST(count(*) AS BIGINT) AS n

@@ -166,6 +166,97 @@ object StreamingFeatures {
       )
   }
 
+  /** A keyed event-time arrival for the live volume-anomaly gate. */
+  final case class HourEvent(role: String, ts: Timestamp)
+
+  final case class AnomOut(
+      role: String,
+      bucket: Long,
+      n: Long,
+      trail_n: Long,
+      trail_sum: Long,
+      is_spike: Boolean
+  )
+
+  /** Per-key state: the still-OPEN time bucket's (id, count) plus the
+    * last ≤ `trailing` CLOSED bucket counts, oldest first — O(trailing)
+    * longs per key, never row-bounded.
+    */
+  final case class AnomState(
+      openBucket: Option[Long],
+      openN: Long,
+      hist: Seq[Long]
+  )
+
+  /** Streaming ingest-volume anomaly gate — the LIVE twin of
+    * [[graft.ops.Analytics.volumeAnomaly]]: per-key time-bucket counts
+    * judged against the trailing `trailing` OBSERVED buckets, spike ⇔
+    * n·trail_n > factor·trail_sum (the same division-free
+    * cross-multiply). A bucket stays OPEN (accumulating across
+    * micro-batches) until a LATER bucket arrives on its key; closing
+    * emits its verdict and pushes its count into the bounded history.
+    * The final open bucket therefore needs a far-future sentinel arrival
+    * per key to flush — the sentinel's own bucket never closes, so it is
+    * never emitted and never pollutes the history (q_stream_anomaly's
+    * replay stages exactly that).
+    *
+    * Matches batch output exactly when each key's arrivals are
+    * event-time-ordered ACROSS micro-batches (within a batch this
+    * operator sorts); a bucket older than the open one FAILS LOUD
+    * instead of silently double-counting a closed bucket.
+    *
+    * Bucketing floors epoch seconds (`floorDiv(ms, 1000)` — identical to
+    * the batch side's `unix_timestamp`), then floor-divides by
+    * `bucketSeconds`.
+    */
+  def volumeAnomalyLive(
+      events: Dataset[HourEvent],
+      bucketSeconds: Long,
+      trailing: Int,
+      factor: Long
+  ): Dataset[AnomOut] = {
+    require(bucketSeconds > 0 && trailing > 0 && factor > 0,
+      "bucketSeconds, trailing and factor must be positive")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.role)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (role: String, rows: Iterator[HourEvent],
+         state: GroupState[AnomState]) => {
+          val counts = rows
+            .map(e => Math.floorDiv(
+              Math.floorDiv(e.ts.getTime, 1000L), bucketSeconds))
+            .toSeq.groupBy(identity).view.mapValues(_.size.toLong)
+            .toSeq.sortBy(_._1)
+          var st = state.getOption.getOrElse(AnomState(None, 0L, Nil))
+          val out = Seq.newBuilder[AnomOut]
+          counts.foreach { case (b, cnt) =>
+            st.openBucket match {
+              case Some(ob) if b == ob =>
+                st = st.copy(openN = st.openN + cnt)
+              case Some(ob) if b > ob =>
+                val trailN = st.hist.size.toLong
+                val trailSum = st.hist.sum
+                out += AnomOut(role, ob, st.openN, trailN, trailSum,
+                  trailN > 0L && st.openN * trailN > factor * trailSum)
+                st = AnomState(Some(b), cnt,
+                  (st.hist :+ st.openN).takeRight(trailing))
+              case Some(ob) =>
+                throw new IllegalStateException(
+                  s"volumeAnomalyLive: bucket $b for key $role arrived " +
+                    s"after bucket $ob closed — feed must be event-time-" +
+                    "ordered per key across micro-batches")
+              case None =>
+                st = AnomState(Some(b), cnt, st.hist)
+            }
+          }
+          state.update(st)
+          out.result().iterator
+        }
+      )
+  }
+
   /** A document arriving on the live path, already reduced to its content
     * fingerprint (hash the text BEFORE the stateful shuffle so only the
     * digest moves, never the payload).

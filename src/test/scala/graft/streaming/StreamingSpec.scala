@@ -367,4 +367,44 @@ class StreamingSpec extends AnyFunSuite {
         s"expected first A, B, and the re-admitted A; got $got")
     } finally q.stop()
   }
+
+  test("streaming volume anomaly: open bucket accumulates across " +
+    "micro-batches, closes on a later bucket, sentinel never emits") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.HourEvent
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[HourEvent]
+    val q = StreamingFeatures.volumeAnomalyLive(input.toDS(),
+        bucketSeconds = 3600L, trailing = 2, factor = 2L)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_anom_unit").start()
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    try {
+      // batch 1: bucket 0 gets 2 rows; bucket 1 opens with 1 row
+      input.addData(HourEvent("a", ts(0)), HourEvent("a", ts(10)),
+        HourEvent("a", ts(3600)))
+      q.processAllAvailable()
+      // batch 2: bucket 1 ACCUMULATES one more across the boundary, then
+      // bucket 2 spikes with 9 rows, then the sentinel flushes it
+      input.addData(HourEvent("a", ts(3700)))
+      q.processAllAvailable()
+      input.addData((1 to 9).map(i => HourEvent("a", ts(7200L + i))): _*)
+      q.processAllAvailable()
+      input.addData(HourEvent("a", ts(86400L * 30)))
+      q.processAllAvailable()
+      val got = spark.table("stream_anom_unit")
+        .collect()
+        .map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getBoolean(5)))
+        .toSet
+      // bucket 0: no history, never flags; bucket 1: n=2 (cross-batch
+      // carry!), mean 2 -> no; bucket 2: n=9 > 2*mean(2) -> spike; the
+      // sentinel bucket is absent
+      assert(got == Set(
+        (0L, 2L, 0L, 0L, false),
+        (1L, 2L, 1L, 2L, false),
+        (2L, 9L, 2L, 4L, true)), got.toSeq.sortBy(_._1).mkString(","))
+    } finally q.stop()
+  }
 }
