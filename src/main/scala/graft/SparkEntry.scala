@@ -554,6 +554,26 @@ object SparkEntry {
         turns(s, dir).filter(col("ts").isNotNull), "role", "ts",
         bucketSeconds = 3600L, trailing = 24, factor = 2L)),
 
+    // --- packed-pretraining attention-mask offsets ---------------------------------
+    // packShards plus each document's [tok_start, tok_end) within its
+    // shard — the boundary table a trainer needs to zero cross-document
+    // attention in concatenated sequences.
+    "q_pack_offsets" -> ((s, dir) =>
+      graft.ops.Curation.packOffsets(
+          docs(s, dir), strataCol = "lang", orderCol = "doc_id",
+          tokens = TextStats.regexTokenCount(col("text")),
+          budgetTokens = 2000L)
+        .select("doc_id", "lang", "n_tokens", "shard_seq",
+          "tok_start", "tok_end")),
+
+    // --- quality-cutoff threshold sweep ---------------------------------------------
+    // Exact confusion table of `score >= thr` at five thresholds in one
+    // Expand pass — the table behind "where do we set the quality bar".
+    "q_threshold_sweep" -> ((s, dir) =>
+      graft.ops.Analytics.thresholdSweep(
+        docs(s, dir), col("n_chars"), col("lang") === "en",
+        Seq(100L, 200L, 400L, 800L, 1600L))),
+
     // --- language id (marker heuristic) --------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val langs = Seq(
@@ -2725,6 +2745,35 @@ object SparkEntry {
          |  CAST(trail_sum AS BIGINT) AS trail_sum,
          |  (trail_n > 0 AND n * trail_n > 2 * trail_sum) AS is_spike
          |FROM t""".stripMargin,
+
+    // the pack replay plus the within-(lang, shard) exclusive cumsum
+    "q_pack_offsets" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |p AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) / 2000.0) AS BIGINT) AS shard_seq
+        |FROM t),
+        |o AS (SELECT *, CAST(COALESCE(SUM(n_tokens) OVER (
+        |    PARTITION BY lang, shard_seq ORDER BY doc_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |  AS tok_start FROM p)
+        |SELECT doc_id, lang, n_tokens, shard_seq, tok_start,
+        |  tok_start + n_tokens AS tok_end FROM o""".stripMargin,
+
+    // five thresholds as a VALUES relation, conditional-sum confusion
+    // cells, exact integers
+    "q_threshold_sweep" ->
+      """WITH th(thr) AS (VALUES (100),(200),(400),(800),(1600)),
+        |d AS (SELECT n_chars AS s, (lang = 'en') AS l FROM documents)
+        |SELECT CAST(thr AS BIGINT) AS thr,
+        |  CAST(sum(CASE WHEN s >= thr AND l THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+        |  CAST(sum(CASE WHEN s >= thr AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+        |  CAST(sum(CASE WHEN s < thr AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+        |  CAST(sum(CASE WHEN s < thr AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        |FROM d CROSS JOIN th GROUP BY 1""".stripMargin,
 
     // the live path replays the batch gauge exactly: same hourly counts,
     // same trailing frame, same cross-multiplied spike predicate

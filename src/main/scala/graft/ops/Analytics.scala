@@ -250,6 +250,42 @@ object Analytics {
           Seq(col("n"), col("total")): _*)
   }
 
+  /** Classifier THRESHOLD SWEEP: the exact confusion table (tp/fp/fn/tn)
+    * of the rule `score >= thr` against a boolean label, at every
+    * candidate threshold in one pass — the table a curator reads to pick
+    * the quality cutoff ("keep everything the scorer rates ≥ X") with
+    * full knowledge of what each X costs in false drops. Downstream
+    * precision/recall are one division away; the table itself stays in
+    * exact integers under the oracle.
+    *
+    * Scale shape: ONE scan with a |thresholds|-way inline explode
+    * (2-column payload: score + label) into a partial-agg groupBy —
+    * output is |thresholds| rows. No per-threshold rescan, no driver
+    * loop.
+    */
+  def thresholdSweep(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      thresholds: Seq[Long]
+  ): DataFrame = {
+    require(thresholds.nonEmpty &&
+      thresholds.distinct.size == thresholds.size,
+      "thresholds must be non-empty and distinct")
+    df.select(score.cast("long").as("__s"), label.as("__l"),
+        explode(array(thresholds.map(lit(_)): _*)).as("thr"))
+      .groupBy(col("thr"))
+      .agg(
+        sum(when(col("__s") >= col("thr") && col("__l"), 1L)
+          .otherwise(0L)).as("tp"),
+        sum(when(col("__s") >= col("thr") && !col("__l"), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("__s") < col("thr") && col("__l"), 1L)
+          .otherwise(0L)).as("fn"),
+        sum(when(col("__s") < col("thr") && !col("__l"), 1L)
+          .otherwise(0L)).as("tn"))
+  }
+
   /** Ingest-volume ANOMALY gate: per (key, time bucket) row counts with a
     * trailing-window baseline and an exact integer spike flag — the
     * monitor that catches "source X started sending 10× its usual volume

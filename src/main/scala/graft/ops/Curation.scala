@@ -579,6 +579,41 @@ object Curation {
           lit(budgetTokens)).cast("long"))
   }
 
+  /** [[packShards]] plus each document's [start, end) TOKEN OFFSETS
+    * within its shard — the attention-mask boundary table for packed
+    * pretraining: trainers that concatenate documents into one sequence
+    * per shard need exactly these offsets to zero cross-document
+    * attention and to index spans back to documents. `tok_start` is the
+    * exclusive within-shard cumsum of token counts in `orderCol` order;
+    * `tok_end = tok_start + n_tokens`; a shard's first document starts
+    * at 0 (the shard boundary resets the offset even though the
+    * stratum-level cumsum keeps running).
+    *
+    * Scale shape: the pack is the two-phase cumsum; the offset window is
+    * partitioned by (stratum, shard_seq) — each group holds one shard's
+    * documents, budget-bounded by construction, so no mega-key exists by
+    * definition.
+    */
+  def packOffsets(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      tokens: Column,
+      budgetTokens: Long
+  ): DataFrame = {
+    require(!df.columns.contains("tok_start") &&
+      !df.columns.contains("tok_end"),
+      "packOffsets reserves the column names tok_start and tok_end")
+    val packed = packShards(df, strataCol, orderCol, tokens, budgetTokens)
+    val w = Window.partitionBy(col(strataCol), col("shard_seq"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    packed
+      .withColumn("tok_start",
+        coalesce(sum(col("n_tokens")).over(w), lit(0L)))
+      .withColumn("tok_end", col("tok_start") + col("n_tokens"))
+  }
+
   /** Materialize packed training shards: [[packShards]] then write ONE
     * parquet file per (stratum, shard) directory —
     * `out/<strataCol>=…/shard_seq=…/part-….parquet` — which is the layout

@@ -156,6 +156,22 @@ class AnalyticsSpec extends AnyFunSuite {
       (None, None, 1, 1, 4L, 42L)))
   }
 
+  test("thresholdSweep: confusion cells hand-checked, rows conserve") {
+    import org.apache.spark.sql.functions._
+    val df = Seq((50L, true), (150L, true), (150L, false), (250L, false))
+      .toDF("s", "l")
+    val got = Analytics.thresholdSweep(df, col("s"), col("l"),
+        Seq(100L, 200L))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    // thr 100: tp {150T}, fp {150F, 250F}, fn {50T}, tn {}
+    // thr 200: tp {}, fp {250F}, fn {50T, 150T}, tn {150F}
+    assert(got == Set((100L, 1L, 2L, 1L, 0L), (200L, 0L, 1L, 2L, 1L)))
+    assert(got.forall { case (_, tp, fp, fn, tn) => tp + fp + fn + tn == 4L })
+    assertThrows[IllegalArgumentException] {
+      Analytics.thresholdSweep(df, col("s"), col("l"), Seq(1L, 1L))
+    }
+  }
+
   test("volumeAnomaly: trailing baseline excludes the spike itself, " +
     "no-history buckets never flag, cross-multiply exact") {
     import org.apache.spark.sql.functions._

@@ -373,6 +373,22 @@ class CurationSpec extends AnyFunSuite {
     }
   }
 
+  test("packOffsets: offsets reset at shard boundaries, end = start + n, " +
+    "straddling doc keeps its full span in its start shard") {
+    // budget 10: tokens 4,7,4 -> exclusive cumsums 0,4,11 -> shards
+    // 0,0,1 (third STARTS past the budget); within shard 0 offsets
+    // [0,4),[4,11) — doc 2 straddles but its whole span stays in shard
+    // 0; shard 1 resets to [0,4)
+    val df = Seq(("a", 1L, 4L), ("a", 2L, 7L), ("a", 3L, 4L),
+      ("b", 4L, 25L)).toDF("g", "id", "tok")
+    val got = Curation.packOffsets(df, "g", "id", col("tok"), 10L)
+      .select("g", "id", "shard_seq", "tok_start", "tok_end")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("a", 1L, 0L, 0L, 4L), ("a", 2L, 0L, 4L, 11L), ("a", 3L, 1L, 0L, 4L),
+      ("b", 4L, 0L, 0L, 25L))) // oversize doc: whole span in one shard
+  }
+
   test("globalRank: negative and fractional order values keep rank order") {
     val df = Seq((1L, -4096.5), (2L, -0.5), (3L, 0.5), (4L, 4096.2),
       (5L, -0.5)).toDF("id", "score")
