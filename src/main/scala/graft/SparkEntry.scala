@@ -220,6 +220,26 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "last_tool")
     }),
 
+    // --- MULTI-FEED backward as-of (feature-store read path) ----------------------
+    // Two feature feeds (last tool event, last user-turn byte length)
+    // merged onto assistant anchors point-in-time in ONE union + ONE
+    // shuffle + ONE sort — k feeds without k as-of joins; both LOCF
+    // carries share a single Window exec.
+    "q_asof_multi" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("role") === "assistant")
+        .select("conv_id", "turn_idx", "ts")
+      val toolFeed = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("name"))
+      val userFeed = t.filter(col("role") === "user")
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max(octet_length(col("text"))).cast("long").as("len"))
+      AsOf.joinBackwardMulti(anchors,
+          Seq("tool" -> toolFeed, "user" -> userFeed), Seq("conv_id"))
+        .select("conv_id", "turn_idx", "tool_name", "user_len")
+    }),
+
     // --- FORWARD as-of join (label generation: earliest obs at ts >= anchor) ---
     // DEFAULT = the native sort-merge exec (≈2x the union-merge on this
     // query; same pairing as the backward default in Pipeline). The
@@ -3412,6 +3432,23 @@ object SparkEntry {
          |  (SELECT o.last_tool FROM obs o
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
+         |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // each feed replayed as its own correlated backward lookup — the
+    // Spark side fuses them into one union-merge pass
+    "q_asof_multi" ->
+      s"""$T,
+         |tf AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS name
+         |       FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts),
+         |uf AS (SELECT conv_id, ts, CAST(max(strlen(text)) AS BIGINT) AS len
+         |       FROM turns WHERE role = 'user' GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT f.name FROM tf f
+         |   WHERE f.conv_id = a.conv_id AND f.ts <= a.ts
+         |   ORDER BY f.ts DESC LIMIT 1) AS tool_name,
+         |  (SELECT f.len FROM uf f
+         |   WHERE f.conv_id = a.conv_id AND f.ts <= a.ts
+         |   ORDER BY f.ts DESC LIMIT 1) AS user_len
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
 
     "q_asof_forward" ->

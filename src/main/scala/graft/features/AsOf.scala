@@ -201,6 +201,101 @@ object AsOf {
       )
   }
 
+  /** MULTI-FEED backward as-of: merge k feature feeds onto the anchors
+    * point-in-time in ONE union + ONE key shuffle + ONE sort — the
+    * feature-store read path ("assemble the feature vector at each
+    * (entity, ts) from every feed") without paying k as-of joins. Each
+    * feed's rows ride the same timeline union tagged with their own
+    * payload column; k `last(ignoreNulls)` carries share one window spec,
+    * so Catalyst evaluates ALL feeds in a single Window exec over a
+    * single sort (plan-asserted in AsOfSpec).
+    *
+    * Semantics per feed = [[joinBackward]] with exact matches allowed:
+    * latest feed row with feed.ts <= anchor.ts, per `keys`; unmatched →
+    * NULLs; a feed row with NULL ts is dropped (no timeline position);
+    * optional `toleranceMs` applies to every feed. Feed value columns
+    * surface as `<feedName>_<col>`.
+    *
+    * Like the two-feed union-merge: no interval explosion, AQE-skew-safe,
+    * and the leakage contract (nothing later than the anchor is readable)
+    * holds per feed by the same sort-order argument.
+    */
+  def joinBackwardMulti(
+      left: DataFrame,
+      feeds: Seq[(String, DataFrame)],
+      keys: Seq[String],
+      leftTs: String = "ts",
+      feedTs: String = "ts",
+      toleranceMs: Option[Long] = None
+  ): DataFrame = {
+    require(feeds.nonEmpty, "joinBackwardMulti needs at least one feed")
+    require(feeds.map(_._1).distinct.size == feeds.size,
+      "feed names must be distinct")
+    val leftVals = left.columns.filterNot(keys.contains).toSeq
+    val payloadCol: Map[String, String] =
+      feeds.map { case (n, _) => n -> s"__p_$n" }.toMap
+
+    def payloadType(feed: DataFrame) = {
+      val vals =
+        feed.columns.filterNot(c => keys.contains(c) || c == feedTs).toSeq
+      org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types
+          .StructField("__rts", feed.schema(feedTs).dataType) +:
+          vals.map(c => feed.schema(c)))
+    }
+
+    // anchors sort AFTER feed rows at equal ts (src 1 vs 0): exact match
+    val anchors = left.select(
+      keys.map(col) ++ Seq(col(leftTs).as("__ts"), lit(1).as("__src")) ++
+        feeds.map { case (n, f) =>
+          lit(null).cast(payloadType(f)).as(payloadCol(n))
+        } ++ leftVals.map(col): _*)
+    val tagged = feeds.map { case (n, f) =>
+      val vals =
+        f.columns.filterNot(c => keys.contains(c) || c == feedTs).toSeq
+      f.filter(col(feedTs).isNotNull).select(
+        keys.map(col) ++ Seq(col(feedTs).as("__ts"), lit(0).as("__src")) ++
+          feeds.map { case (m, g) =>
+            if (m == n)
+              struct(col(feedTs).as("__rts") +: vals.map(col): _*)
+                .cast(payloadType(g)).as(payloadCol(m))
+            else lit(null).cast(payloadType(g)).as(payloadCol(m))
+          } ++
+          leftVals.map(c =>
+            lit(null).cast(left.schema(c).dataType).as(c)): _*)
+    }
+
+    val u = tagged.foldLeft(anchors)((acc, t) => acc.unionByName(t))
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__src").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = feeds.foldLeft(u) { case (acc, (n, _)) =>
+      acc.withColumn(s"__m_$n",
+        last(col(payloadCol(n)), ignoreNulls = true).over(w))
+    }
+
+    def inTolerance(n: String): Column = toleranceMs match {
+      case Some(t) =>
+        col(s"__m_$n").isNotNull &&
+          (col("__ts").cast("long") -
+            col(s"__m_$n.__rts").cast("long")) * 1000L <= t
+      case None => col(s"__m_$n").isNotNull
+    }
+
+    matched
+      .filter(col("__src") === 1)
+      .select(
+        keys.map(col) ++
+          Seq(col("__ts").as(leftTs)) ++
+          leftVals.filterNot(_ == leftTs).map(col) ++
+          feeds.flatMap { case (n, f) =>
+            f.columns.filterNot(c => keys.contains(c) || c == feedTs)
+              .toSeq.map(c =>
+                when(inTolerance(n), col(s"__m_$n.$c")).as(s"${n}_$c"))
+          }: _*)
+  }
+
   /** Nearest as-of join: for each left row, the right row whose ts is
     * CLOSEST in either direction, backward winning distance ties (and
     * exact-ts matches trivially, at distance 0). The completion of the

@@ -257,5 +257,46 @@ class FeatureSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0, 3.0, 6.0))
   }
 
+  test("joinBackwardMulti: each feed equals its own joinBackward; all " +
+    "feeds share ONE Window exec over one sort") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val anchors = Seq(("A", 0, 10L), ("A", 1, 25L), ("B", 0, 5L))
+      .toDF("conv_id", "turn_idx", "sec")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val f1 = Seq(("A", 10L, "t1"), ("A", 20L, "t2"), ("B", 9L, "t3"))
+      .toDF("conv_id", "sec", "name")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val f2 = Seq(("A", 5L, 100L), ("A", 25L, 200L))
+      .toDF("conv_id", "sec", "len")
+      .withColumn("ts", timestamp_seconds(col("sec"))).drop("sec")
+    val multi = AsOf.joinBackwardMulti(anchors,
+      Seq("tool" -> f1, "user" -> f2), Seq("conv_id"))
+    val got = multi
+      .select("conv_id", "turn_idx", "tool_name", "user_len")
+      .as[(String, Int, Option[String], Option[Long])].collect().toSet
+    // exact match at A/t10 -> t1; A/t25 -> t2 (20<=25) and len 200
+    // (exact); B/t5: feed1 row is at t9 (future) -> null; feed2 empty
+    assert(got == Set(
+      ("A", 0, Some("t1"), Some(100L)),
+      ("A", 1, Some("t2"), Some(200L)),
+      ("B", 0, None, None)))
+    // differential: each feed column equals the single-feed joinBackward
+    val single1 = AsOf.joinBackward(anchors, f1, Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("name").as("tool_name"))
+    assert(multi.select("conv_id", "turn_idx", "tool_name")
+      .except(single1).isEmpty)
+    val single2 = AsOf.joinBackward(anchors, f2, Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("len").as("user_len"))
+    assert(multi.select("conv_id", "turn_idx", "user_len")
+      .except(single2).isEmpty)
+    // plan shape: ONE Window exec evaluates both LOCF carries, one sort
+    val plan = multi.queryExecution.executedPlan.toString
+    val windowLines = plan.split("\n").filter(_.contains("Window ["))
+    assert(windowLines.length == 1,
+      s"expected one Window exec, got:\n${windowLines.mkString("\n")}")
+  }
+
   private def ts(ms: Long) = new Timestamp(ms)
 }
