@@ -220,6 +220,20 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "last_tool")
     }),
 
+    // --- observation staleness (time-since-last-event feature) --------------------
+    // Seconds since the conversation's last tool observation at each
+    // turn — the freshness feature every point-in-time feature vector
+    // carries next to the LOCF'd value itself. Composes Windows.locf on
+    // the observation's own ts; exact integer seconds.
+    "q_staleness" -> ((s, dir) => {
+      val t = turns(s, dir)
+        .withColumn("obs_ts", when(col("tool").isNotNull, col("ts")))
+      Windows.locf(t, Windows.turnWindow, "obs_ts", "last_obs_ts")
+        .select(col("conv_id"), col("turn_idx"),
+          (unix_timestamp(col("ts")) - unix_timestamp(col("last_obs_ts")))
+            .as("staleness_sec"))
+    }),
+
     // --- MULTI-FEED backward as-of (feature-store read path) ----------------------
     // Two feature feeds (last tool event, last user-turn byte length)
     // merged onto assistant anchors point-in-time in ONE union + ONE
@@ -3433,6 +3447,19 @@ object SparkEntry {
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // LOCF of the observation timestamp, then exact epoch-second delta
+    "q_staleness" ->
+      s"""$T,
+         |o AS (SELECT conv_id, turn_idx, ts,
+         |  last_value(CASE WHEN tool IS NOT NULL THEN ts END IGNORE NULLS)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_obs
+         |  FROM turns)
+         |SELECT conv_id, turn_idx,
+         |  CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |    - CAST(FLOOR(epoch(last_obs)) AS BIGINT) AS staleness_sec
+         |FROM o""".stripMargin,
 
     // each feed replayed as its own correlated backward lookup — the
     // Spark side fuses them into one union-merge pass

@@ -114,4 +114,28 @@ class CurationPropertySpec extends AnyFunSuite {
         s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
     }
   }
+
+  test("globalRank equals the in-memory sort on random data at random " +
+    "chunk spans (including spans that collapse to one chunk)") {
+    val rnd = new Random(440077L)
+    for (round <- 0 until 5) {
+      val n = 50 + rnd.nextInt(300)
+      // heavy ties (scores mod small range) exercise the tiebreak; ids
+      // are a shuffled dense range so ties span chunk boundaries
+      val rows = rnd.shuffle((0L until n.toLong).toVector)
+        .map(id => (id, rnd.nextInt(40).toLong - 20L))
+      val span = Seq(1L, 7L, 64L, 100000L)(rnd.nextInt(4))
+      val phases = 1 + rnd.nextInt(5)
+      val got = Curation.globalRank(rows.toDF("id", "score"),
+          "score", "id", nPhases = phases, chunkSpan = span)
+        .select("id", "global_rank", "phase")
+        .as[(Long, Long, Long)].collect().toSet
+      val want = rows.sortBy(t => (t._2, t._1)).zipWithIndex.map {
+        case ((id, _), rank) =>
+          (id, rank.toLong, rank.toLong * phases / n)
+      }.toSet
+      assert(got == want, s"round $round span=$span phases=$phases: " +
+        s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+    }
+  }
 }
