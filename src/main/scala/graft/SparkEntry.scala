@@ -220,6 +220,17 @@ object SparkEntry {
         .select("conv_id", "turn_idx", "last_tool")
     }),
 
+    // --- trailing rolling MEDIAN (robust window feature) --------------------------
+    // Exact discrete median of the previous 8 turns' byte lengths, per
+    // conversation, strictly preceding — the robust trailing statistic
+    // an average can't give next to q_rolling_1h's sums.
+    "q_rolling_median" -> ((s, dir) =>
+      Windows.rollingQuantileDisc(
+          turns(s, dir), Windows.turnWindow,
+          coalesce(octet_length(col("text")).cast("long"), lit(0L)),
+          k = 8, qBp = 5000, as = "med_len")
+        .select("conv_id", "turn_idx", "med_len")),
+
     // --- observation staleness (time-since-last-event feature) --------------------
     // Seconds since the conversation's last tool observation at each
     // turn — the freshness feature every point-in-time feature vector
@@ -3447,6 +3458,21 @@ object SparkEntry {
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // trailing frame array, list_sort, discrete rank ceil(q*n/1e4) —
+    // 1-based indexing on both engines
+    "q_rolling_median" ->
+      s"""$T,
+         |o AS (SELECT conv_id, turn_idx,
+         |  list_sort(array_agg(CAST(COALESCE(strlen(text), 0) AS BIGINT))
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING)) AS l
+         |  FROM turns)
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN len(l) > 0
+         |    THEN l[CAST((5000 * len(l) + 9999) // 10000 AS BIGINT)] END
+         |    AS med_len
+         |FROM o""".stripMargin,
 
     // LOCF of the observation timestamp, then exact epoch-second delta
     "q_staleness" ->

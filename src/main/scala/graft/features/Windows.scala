@@ -153,4 +153,36 @@ object Windows {
       acc.withColumn(s"${prefix}_${h}s", agg.over(w))
     }
   }
+
+  /** Trailing EXACT discrete quantile over the `k` STRICTLY-PRECEDING
+    * rows — the robust sibling of a trailing mean (a median shrugs off
+    * the one million-byte turn that wrecks an average), leakage-safe by
+    * frame construction (`rowsBetween(-k, -1)`: the current row never
+    * sees itself or anything later). Quantile rule is the module
+    * standard discrete rank ceil(qBp·n/10⁴) (no interpolation, stays in
+    * the value domain, exact under the oracle); rows with fewer than one
+    * preceding value yield NULL. `expr` must be non-null (wrap in
+    * coalesce) — collect_list silently drops nulls, which would
+    * otherwise skew n.
+    *
+    * Scale shape: the frame is k-BOUNDED, so the per-row sort buffer is
+    * O(k) regardless of key size — safe even for a never-idle mega
+    * conversation (contrast with unbounded-frame collect patterns).
+    */
+  def rollingQuantileDisc(
+      df: DataFrame,
+      w: WindowSpec,
+      expr: Column,
+      k: Int,
+      qBp: Int,
+      as: String
+  ): DataFrame = {
+    require(k > 0, "k (trailing row count) must be positive")
+    require(qBp >= 1 && qBp <= 10000, "qBp is basis points in 1..10000")
+    val arr = sort_array(collect_list(expr).over(w.rowsBetween(-k, -1)))
+    val n = size(arr)
+    val rank = call_function("div",
+      lit(qBp.toLong) * n.cast("long") + 9999L, lit(10000L)).cast("int")
+    df.withColumn(as, when(n > 0, element_at(arr, rank)))
+  }
 }

@@ -257,6 +257,26 @@ class FeatureSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(1.0, 3.0, 6.0))
   }
 
+  test("rollingQuantileDisc: strictly-preceding frame, discrete rank, " +
+    "null until history exists") {
+    import org.apache.spark.sql.functions._
+    val spark2 = spark
+    import spark2.implicits._
+    val df = Seq(("A", 0, 10L), ("A", 1, 30L), ("A", 2, 20L),
+      ("A", 3, 100L), ("A", 4, 5L))
+      .toDF("conv_id", "turn_idx", "v")
+      .withColumn("ts", timestamp_seconds(col("turn_idx") * 60))
+    val got = Windows.rollingQuantileDisc(df, Windows.turnWindow,
+        col("v"), k = 3, qBp = 5000, as = "med")
+      .select("turn_idx", "med")
+      .as[(Int, Option[Long])].collect().toMap
+    // idx0: no history -> null; idx1: [10] -> 10; idx2: [10,30] ->
+    // rank ceil(1.0)=1 -> 10; idx3: [10,20,30] -> rank 2 -> 20;
+    // idx4: last 3 = [30,20,100] sorted [20,30,100] -> rank 2 -> 30
+    assert(got == Map(0 -> None, 1 -> Some(10L), 2 -> Some(10L),
+      3 -> Some(20L), 4 -> Some(30L)))
+  }
+
   test("joinBackwardMulti: each feed equals its own joinBackward; all " +
     "feeds share ONE Window exec over one sort") {
     import org.apache.spark.sql.functions._
