@@ -232,6 +232,17 @@ object AsOf {
     require(feeds.map(_._1).distinct.size == feeds.size,
       "feed names must be distinct")
     val leftVals = left.columns.filterNot(keys.contains).toSeq
+    // every output name must be unique: <feed>_<col> may collide with a
+    // left column, or with another feed's prefixed name (feed "a" col
+    // "b_c" vs feed "a_b" col "c") — fail loud, not duplicate columns
+    val outNames = feeds.flatMap { case (n, f) =>
+      f.columns.filterNot(c => keys.contains(c) || c == feedTs)
+        .map(c => s"${n}_$c")
+    }
+    val clash = (outNames ++ left.columns).groupBy(identity)
+      .collect { case (name, hits) if hits.size > 1 => name }
+    require(clash.isEmpty,
+      s"joinBackwardMulti: output column name collision: ${clash.mkString(", ")}")
     val payloadCol: Map[String, String] =
       feeds.map { case (n, _) => n -> s"__p_$n" }.toMap
 

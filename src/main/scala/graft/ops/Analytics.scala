@@ -262,6 +262,9 @@ object Analytics {
     * (2-column payload: score + label) into a partial-agg groupBy —
     * output is |thresholds| rows. No per-threshold rescan, no driver
     * loop.
+    *
+    * Rows with a NULL score or label land in NO cell (every comparison
+    * is null) — coalesce or filter upstream if they should count.
     */
   def thresholdSweep(
       df: DataFrame,
@@ -306,6 +309,13 @@ object Analytics {
     * bounded-frame window over those counts: the biggest per-key task
     * sorts one key's bucket HISTORY (8,760 rows per key-year at hourly
     * buckets), never its rows.
+    *
+    * NULL-ts rows form a NULL bucket whose position in the trailing
+    * frame is engine-specific (Spark sorts nulls first, DuckDB last) —
+    * filter them upstream when replaying across engines. The epoch ÷
+    * bucketSeconds quotient evaluates in double; it is exact while
+    * |epoch seconds| < 2^53 (year ±285M), and floor(double) keeps the
+    * bucket map monotone regardless.
     */
   def volumeAnomaly(
       df: DataFrame,

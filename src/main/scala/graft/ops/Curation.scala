@@ -453,6 +453,10 @@ object Curation {
     * the within-bucket rank is [[packShards]] with every row weighing 1
     * (two-phase — a dominant bucket never serializes); the batch summary
     * is one partial-agg shuffle, output batch-count-sized.
+    *
+    * A NULL length fails every edge comparison and lands in bucket 0
+    * with null min/max/sum stats — treat lengths as non-null (coalesce
+    * upstream) for meaningful padding numbers.
     */
   def batchByLength(
       df: DataFrame,

@@ -316,6 +316,11 @@ class FeatureSpec extends AnyFunSuite {
     val windowLines = plan.split("\n").filter(_.contains("Window ["))
     assert(windowLines.length == 1,
       s"expected one Window exec, got:\n${windowLines.mkString("\n")}")
+    // output-name collision (left already has tool_name) fails loud
+    assertThrows[IllegalArgumentException] {
+      AsOf.joinBackwardMulti(anchors.withColumn("tool_name", lit(1)),
+        Seq("tool" -> f1), Seq("conv_id"))
+    }
   }
 
   private def ts(ms: Long) = new Timestamp(ms)
