@@ -619,6 +619,53 @@ object SparkEntry {
         docs(s, dir), col("n_chars"), col("lang") === "en",
         Seq(100L, 200L, 400L, 800L, 1600L))),
 
+    // --- exact per-segment ROC-AUC --------------------------------------------------
+    // Scorer evaluation without sampling or a global sort: average-rank
+    // AUC as the exact integer pair (auc_num, auc_den); the distinct-
+    // score prefix sum runs two-phase so a dominant segment never
+    // serializes.
+    "q_auc" -> ((s, dir) =>
+      graft.ops.Analytics.aucExact(
+        Tables.read(s, dir, "events"),
+        col("user_id") % 8, col("value"),
+        col("event_type").isin("click", "purchase"),
+        chunkSpan = 16.0)),
+
+    // --- calibration (reliability-diagram) bins --------------------------------------
+    // Per-bin count / positives / exact bp score mass; out-of-range
+    // scores clamp into the edge bins.
+    "q_calibration" -> ((s, dir) =>
+      graft.ops.Analytics.calibrationBins(
+        Tables.read(s, dir, "events"),
+        col("value"), col("event_type").isin("click", "purchase"),
+        nBins = 10, lo = 0.0, hi = 100.0)),
+
+    // --- DPO preference pairs --------------------------------------------------------
+    // Best-vs-worst assistant turn per conversation by a deterministic
+    // integer score (char length as the stand-in scorer); equal-score
+    // conversations emit nothing. One struct-min/max partial agg.
+    "q_pref_pairs" -> ((s, dir) =>
+      graft.features.ExampleFactory.preferencePairs(
+        turns(s, dir), length(col("text")))),
+
+    // --- strictly-ordered funnel ------------------------------------------------------
+    // view → click → purchase where each stage only counts events after
+    // the user's earliest valid previous-stage event.
+    "q_funnel" -> ((s, dir) =>
+      graft.ops.Analytics.funnel(
+        Tables.read(s, dir, "events"), "user_id", "ts",
+        Seq(
+          "view" -> (col("event_type") === "view"),
+          "click" -> (col("event_type") === "click"),
+          "purchase" -> (col("event_type") === "purchase")))),
+
+    // --- cohort retention matrix ------------------------------------------------------
+    // Users bucketed by first-seen week; per (cohort, offset) active
+    // counts in engine-stable integer buckets.
+    "q_cohort" -> ((s, dir) =>
+      graft.ops.Analytics.cohortRetention(
+        Tables.read(s, dir, "events"), "user_id", "ts", 604800L)),
+
     // --- language id (marker heuristic) --------------------------------------
     "q_lang_id" -> ((s, dir) => {
       val langs = Seq(
@@ -1140,7 +1187,7 @@ object SparkEntry {
       val t = turns(s, dir).select($"conv_id", $"turn_idx", $"role",
         octet_length($"text").cast("long").as("label"), $"ts")
       val nChunks = 4
-      val epochs = t.select($"ts").distinct
+      val epochs = t.select($"ts").distinct()
         .withColumn("__chunk",
           ntile(nChunks).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"))))
@@ -2819,6 +2866,76 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN s < thr AND l THEN 1 ELSE 0 END) AS BIGINT) AS fn,
         |  CAST(sum(CASE WHEN s < thr AND NOT l THEN 1 ELSE 0 END) AS BIGINT) AS tn
         |FROM d CROSS JOIN th GROUP BY 1""".stripMargin,
+
+    // single-window replay of the two-phase chunked prefix sum; HUGEINT
+    // mirrors the engine's decimal(38,0) exact integers
+    "q_auc" ->
+      """WITH h AS (SELECT user_id % 8 AS seg, value AS s,
+        |    CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS HUGEINT) AS np,
+        |    CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN 0 ELSE 1 END) AS HUGEINT) AS nn
+        |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |  GROUP BY 1, 2),
+        |p AS (SELECT seg, np, nn,
+        |    COALESCE(sum(nn) OVER (PARTITION BY seg ORDER BY s
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+        |  FROM h)
+        |SELECT seg, sum(np) AS n_pos, sum(nn) AS n_neg,
+        |  sum(np * (2 * nb + nn)) AS auc_num,
+        |  sum(np) * sum(nn) * 2 AS auc_den
+        |FROM p GROUP BY 1""".stripMargin,
+
+    "q_calibration" ->
+      """SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS BIGINT))) AS bin,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CASE WHEN event_type IN ('click','purchase') THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+        |  CAST(sum(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_score_bp
+        |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
+        |GROUP BY 1""".stripMargin,
+
+    // window-rank replay of the struct-min/max pair pick: best = (score
+    // DESC, turn_idx DESC), worst = (score ASC, turn_idx ASC)
+    "q_pref_pairs" ->
+      s"""$T,
+         |a AS (SELECT conv_id, CAST(length(text) AS BIGINT) AS s, turn_idx, text
+         |  FROM turns WHERE role = 'assistant' AND text IS NOT NULL),
+         |r AS (SELECT conv_id, s, turn_idx, text,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY s DESC, turn_idx DESC) AS rb,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY s ASC, turn_idx ASC) AS rw
+         |  FROM a),
+         |b AS (SELECT conv_id,
+         |    max(CASE WHEN rb = 1 THEN turn_idx END) AS chosen_idx,
+         |    max(CASE WHEN rb = 1 THEN text END) AS chosen_text,
+         |    max(CASE WHEN rb = 1 THEN s END) AS chosen_score,
+         |    max(CASE WHEN rw = 1 THEN turn_idx END) AS rejected_idx,
+         |    max(CASE WHEN rw = 1 THEN text END) AS rejected_text,
+         |    max(CASE WHEN rw = 1 THEN s END) AS rejected_score
+         |  FROM r GROUP BY 1)
+         |SELECT conv_id, chosen_idx, chosen_text, chosen_score,
+         |  rejected_idx, rejected_text, rejected_score
+         |FROM b WHERE chosen_score > rejected_score""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s0 ON e.user_id = s0.user_id
+        |  WHERE e.event_type = 'click' AND e.ts > s0.t GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id
+        |  WHERE e.event_type = 'purchase' AND e.ts > s1.t GROUP BY 1)
+        |SELECT CAST(0 AS BIGINT) AS stage_idx, 'view' AS stage,
+        |  CAST((SELECT count(*) FROM s0) AS BIGINT) AS n_users
+        |UNION ALL SELECT 1, 'click', (SELECT count(*) FROM s1)
+        |UNION ALL SELECT 2, 'purchase', (SELECT count(*) FROM s2)""".stripMargin,
+
+    "q_cohort" ->
+      """WITH act AS (SELECT DISTINCT user_id AS u,
+        |    CAST(FLOOR(epoch(ts) / 604800) AS BIGINT) AS b
+        |  FROM events WHERE ts IS NOT NULL),
+        |f AS (SELECT u, min(b) AS cohort FROM act GROUP BY 1)
+        |SELECT f.cohort AS cohort_bucket, act.b - f.cohort AS bucket_offset,
+        |  CAST(count(*) AS BIGINT) AS n_users
+        |FROM act JOIN f ON act.u = f.u GROUP BY 1, 2""".stripMargin,
 
     // the live path replays the batch gauge exactly: same hourly counts,
     // same trailing frame, same cross-multiplied spike predicate

@@ -343,4 +343,176 @@ object Analytics {
         col("trail_n") > 0L &&
           col("n") * col("trail_n") > lit(factor) * col("trail_sum"))
   }
+
+  /** Exact ROC-AUC per segment — the scorer-evaluation number a quality
+    * model is judged by, computed without sampling and without a global
+    * sort. Ties get the standard average-rank treatment:
+    *
+    *   AUC = [Σ_s np(s)·nb(s) + ½·Σ_s np(s)·nn(s)] / (n_pos·n_neg)
+    *
+    * over distinct score values s, where np/nn are positive/negative
+    * counts at s and nb is the negative count strictly below s. Output
+    * is the EXACT integer pair (auc_num, auc_den) with auc_num =
+    * Σ np·(2·nb + nn) and auc_den = 2·n_pos·n_neg (AUC = num/den) in
+    * decimal(38,0) — at 10^12 rows the cross-products overflow int64,
+    * and a float AUC would not sit under a byte-exact oracle.
+    *
+    * Scale shape: one partial-agg shuffle to the (segment, score)
+    * histogram, then the prefix-sum over distinct scores runs TWO-PHASE
+    * (the [[graft.features.LocfScalable]] / globalRank pattern): an
+    * in-chunk window partitioned by (segment, floor(score/chunkSpan))
+    * plus a chunk-count-sized carry window per segment — a dominant
+    * segment with billions of distinct float scores never serializes
+    * into one task. Rows with a NULL score or label are excluded
+    * (stated, not hidden); a segment with no positives or no negatives
+    * reports auc_den = 0 — AUC is undefined there, the caller decides.
+    */
+  def aucExact(
+      df: DataFrame,
+      seg: Column,
+      score: Column,
+      label: Column,
+      chunkSpan: Double = 64.0
+  ): DataFrame = {
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val dec = "decimal(38,0)"
+    val h = df
+      .filter(score.isNotNull && label.isNotNull)
+      .groupBy(seg.as("seg"), score.as("__s"))
+      .agg(
+        sum(when(label, 1L).otherwise(0L)).cast(dec).as("__np"),
+        sum(when(label, 0L).otherwise(1L)).cast(dec).as("__nn"))
+      .withColumn("__chunk", floor(col("__s") / chunkSpan))
+    val wIn = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg"), col("__chunk")).orderBy(col("__s"))
+      .rowsBetween(Long.MinValue, -1)
+    val wCarry = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("__chunk"))
+      .rowsBetween(Long.MinValue, -1)
+    val carry = h.groupBy(col("seg"), col("__chunk"))
+      .agg(sum(col("__nn")).as("__ctot"))
+      .withColumn("__carry",
+        coalesce(sum(col("__ctot")).over(wCarry), lit(0L).cast(dec)))
+      .select(col("seg"), col("__chunk"), col("__carry"))
+    h.withColumn("__win",
+        coalesce(sum(col("__nn")).over(wIn), lit(0L).cast(dec)))
+      .join(carry, Seq("seg", "__chunk"))
+      .withColumn("__nb", (col("__carry") + col("__win")).cast(dec))
+      .groupBy(col("seg"))
+      .agg(
+        sum(col("__np")).cast(dec).as("n_pos"),
+        sum(col("__nn")).cast(dec).as("n_neg"),
+        sum(col("__np") * (col("__nb") * 2 + col("__nn"))).cast(dec)
+          .as("auc_num"))
+      .withColumn("auc_den", (col("n_pos") * col("n_neg") * 2).cast(dec))
+  }
+
+  /** Reliability-diagram bins for a probabilistic scorer: equal-width
+    * buckets over [lo, hi) with per-bin count, positive count, and the
+    * score mass in exact basis points (sum of floor(score·10⁴) — a
+    * float sum would drift across engines and partition orders; the
+    * bp sum is associative int64 math). Mean confidence vs empirical
+    * accuracy per bin is then n_pos/n vs sum_score_bp/(n·10⁴).
+    *
+    * Out-of-range scores clamp into the edge bins (a calibration plot
+    * must account for every scored row, not quietly drop the tails).
+    * NULL score/label rows are excluded. Scale shape: one partial-agg
+    * shuffle, output is nBins rows.
+    */
+  def calibrationBins(
+      df: DataFrame,
+      score: Column,
+      label: Column,
+      nBins: Int,
+      lo: Double,
+      hi: Double
+  ): DataFrame = {
+    require(nBins > 0, "nBins must be positive")
+    require(lo < hi, "lo must be < hi")
+    val bin = least(lit(nBins - 1L),
+      greatest(lit(0L),
+        floor((score - lo) / ((hi - lo) / nBins)).cast("long")))
+    df.filter(score.isNotNull && label.isNotNull)
+      .groupBy(bin.as("bin"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(label, 1L).otherwise(0L)).as("n_pos"),
+        sum(floor(score * 10000d).cast("long")).as("sum_score_bp"))
+  }
+
+  /** Strictly-ordered funnel: how many users reached stage k only
+    * counting stage-k events AFTER their first qualifying stage-(k-1)
+    * event — the sequence-sensitive variant (view → click → purchase
+    * in that order), not mere set membership. Per user the anchor is
+    * the EARLIEST valid completion of the previous stage, which is the
+    * standard greedy funnel semantics (earliest anchor maximizes each
+    * user's reachable depth).
+    *
+    * Scale shape: one filtered min-aggregation plus one key-equi-join
+    * per stage — k tiny and fixed — with every shuffle keyed on the
+    * user column; the per-user state is ONE timestamp per stage, never
+    * an event list, so a mega-user costs nothing beyond its scan.
+    * Output is |stages| rows. NULL-ts events never anchor (min skips
+    * nulls; the strict `>` drops null comparisons).
+    */
+  def funnel(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      stages: Seq[(String, Column)]
+  ): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    require(stages.map(_._1).distinct.size == stages.size,
+      "stage names must be distinct")
+    require(!df.columns.contains("__t"),
+      "funnel reserves the column name __t")
+    var reached = df.filter(stages.head._2)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+    var out = reached.groupBy()
+      .agg(count(lit(1)).as("n_users"))
+      .select(lit(0L).as("stage_idx"), lit(stages.head._1).as("stage"),
+        col("n_users"))
+    for (((name, pred), i) <- stages.zipWithIndex.drop(1)) {
+      reached = df.filter(pred)
+        .join(reached.withColumnRenamed("__t", "__prev"), Seq(userCol))
+        .filter(col(tsCol) > col("__prev"))
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      out = out.unionByName(reached.groupBy()
+        .agg(count(lit(1)).as("n_users"))
+        .select(lit(i.toLong).as("stage_idx"), lit(name).as("stage"),
+          col("n_users")))
+    }
+    out
+  }
+
+  /** Cohort-retention matrix: users bucketed by their FIRST-seen time
+    * bucket (the cohort), then counted per (cohort, offset) for every
+    * later bucket they were active in — the classic retention triangle,
+    * in engine-stable integer buckets (floor(epoch/bucketSeconds),
+    * same convention as [[volumeAnomaly]]) rather than calendar weeks
+    * whose start-of-week differs across engines.
+    *
+    * Scale shape: distinct (user, bucket) is one partial-agg shuffle;
+    * first-seen is a min-agg over it (same key — no extra exchange
+    *  pattern needed); the user-keyed self-join then reduces to the
+    * cohort-offset matrix (output ≤ buckets², metadata-sized). NULL
+    * ts rows are excluded.
+    */
+  def cohortRetention(
+      df: DataFrame,
+      userCol: String,
+      tsCol: String,
+      bucketSeconds: Long
+  ): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val act = df.filter(col(tsCol).isNotNull)
+      .select(col(userCol).as("__u"),
+        floor(unix_timestamp(col(tsCol)) / bucketSeconds).as("__b"))
+      .distinct()
+    val first = act.groupBy(col("__u")).agg(min(col("__b")).as("__cohort"))
+    act.join(first, Seq("__u"))
+      .groupBy(col("__cohort").as("cohort_bucket"),
+        (col("__b") - col("__cohort")).as("bucket_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
 }

@@ -97,4 +97,34 @@ class ExampleFactorySpec extends AnyFunSuite {
       ("tool", "assistant") -> 1L,
       ("user", "user") -> 1L))
   }
+
+  test("preferencePairs: best vs worst by score, turn_idx tiebreak, " +
+      "equal-score and singleton conversations emit nothing") {
+    val df = Seq(
+      // c1: clear gap -> one pair
+      ("c1", 0, "assistant", "short", null, ts(10)),
+      ("c1", 1, "assistant", "the long answer", null, ts(20)),
+      ("c1", 2, "user", "ignored role", null, ts(30)),
+      // c2: two same-score answers -> tie, no signal, dropped
+      ("c2", 0, "assistant", "aaaa", null, ts(10)),
+      ("c2", 1, "assistant", "bbbb", null, ts(20)),
+      // c3: singleton assistant -> dropped
+      ("c3", 0, "assistant", "only", null, ts(10)),
+      // c4: three answers; ties at max score break on LATER turn_idx
+      ("c4", 0, "assistant", "xx", null, ts(10)),
+      ("c4", 1, "assistant", "zzzz", null, ts(20)),
+      ("c4", 2, "assistant", "yyyy", null, ts(30)),
+      // null text never pairs
+      ("c5", 0, "assistant", null, null, ts(10)),
+      ("c5", 1, "assistant", "hi", null, ts(20))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ExampleFactory.preferencePairs(df, length(col("text")))
+      .as[(String, Int, String, Long, Int, String, Long)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("c1", "c4"))
+    assert(got("c1") == (("c1", 1, "the long answer", 15L, 0, "short", 5L)))
+    // c4: max score 4 shared by turns 1 and 2 -> chosen = turn 2 (later);
+    // min score 2 unique -> rejected = turn 0
+    assert(got("c4") == (("c4", 2, "yyyy", 4L, 0, "xx", 2L)))
+  }
 }

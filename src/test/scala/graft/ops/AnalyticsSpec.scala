@@ -194,4 +194,108 @@ class AnalyticsSpec extends AnyFunSuite {
       (1L, 2L, 1L, 2L, false),
       (2L, 9L, 2L, 4L, true)))
   }
+
+  private def naiveAuc(rows: Seq[(Double, Boolean)]): (BigInt, BigInt) = {
+    val pos = rows.filter(_._2).map(_._1)
+    val neg = rows.filterNot(_._2).map(_._1)
+    var num = BigInt(0)
+    for (p <- pos; n <- neg)
+      num += (if (p > n) 2 else if (p == n) 1 else 0)
+    (num, BigInt(2) * pos.size * neg.size)
+  }
+
+  test("aucExact: hand case with ties, average-rank semantics") {
+    // scores: pos {3, 2}, neg {2, 1} -> pairs: (3>2)+(3>1)+(2==2 half)+(2>1)
+    // = 3.5 of 4 -> AUC 7/8
+    val df = Seq((3.0, true), (2.0, true), (2.0, false), (1.0, false))
+      .toDF("s", "l").withColumn("g", lit(0L))
+    val got = Analytics.aucExact(df, $"g", $"s", $"l")
+      .select($"auc_num".cast("long"), $"auc_den".cast("long"))
+      .as[(Long, Long)].collect().head
+    assert(got == ((7L, 8L)))
+  }
+
+  test("aucExact: randomized differential vs naive pair counting; " +
+      "chunked two-phase == single-chunk; degenerate segment den=0") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 400).map { _ =>
+      val seg = rnd.nextInt(3).toLong
+      // coarse scores force ties; one segment all-positive (den = 0)
+      val score = rnd.nextInt(40).toDouble / 4.0
+      val label = if (seg == 2L) true else rnd.nextBoolean()
+      (seg, score, label)
+    }
+    val df = rows.toDF("g", "s", "l")
+    // tiny chunkSpan exercises the carry join across many chunks
+    val chunked = Analytics.aucExact(df, $"g", $"s", $"l", chunkSpan = 0.5)
+      .select($"seg", $"n_pos".cast("long"), $"n_neg".cast("long"),
+        $"auc_num".cast("long"), $"auc_den".cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    val single = Analytics.aucExact(df, $"g", $"s", $"l", chunkSpan = 1e9)
+      .select($"seg", $"n_pos".cast("long"), $"n_neg".cast("long"),
+        $"auc_num".cast("long"), $"auc_den".cast("long"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSet
+    assert(chunked == single)
+    for (seg <- Seq(0L, 1L, 2L)) {
+      val segRows = rows.filter(_._1 == seg).map(r => (r._2, r._3))
+      val (num, den) = naiveAuc(segRows)
+      val got = chunked.find(_._1 == seg).get
+      assert((BigInt(got._4), BigInt(got._5)) == ((num, den)),
+        s"seg $seg")
+    }
+    assert(chunked.find(_._1 == 2L).get._5 == 0L) // no negatives
+  }
+
+  test("calibrationBins: clamped edges, exact bp score mass, null excluded") {
+    val df = Seq(
+      (Some(-5.0), Some(true)), // clamps to bin 0
+      (Some(0.5), Some(false)),
+      (Some(9.99), Some(true)), // still bin 0 at width 10.0
+      (Some(95.0), Some(true)),
+      (Some(150.0), Some(false)), // clamps to bin 9
+      (None, Some(true)), (Some(1.0), None) // excluded
+    ).toDF("s", "l")
+    val got = Analytics.calibrationBins(df, $"s", $"l",
+        nBins = 10, lo = 0.0, hi = 100.0)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      0L -> ((3L, 2L, -50000L + 5000L + 99900L)),
+      9L -> ((2L, 1L, 950000L + 1500000L))))
+  }
+
+  test("funnel: order-sensitive — stage events before the anchor don't count") {
+    val df = Seq(
+      // u1 completes in order
+      (1L, "a", 10L), (1L, "b", 20L), (1L, "c", 30L),
+      // u2 has b BEFORE its first a: reaches a only
+      (2L, "b", 5L), (2L, "a", 10L),
+      // u3 reaches b; its c is BEFORE b's anchor
+      (3L, "a", 10L), (3L, "c", 15L), (3L, "b", 20L),
+      // u4 never does a
+      (4L, "b", 1L), (4L, "c", 2L)
+    ).map { case (u, t, sec) => (u, t, new java.sql.Timestamp(sec * 1000L)) }
+      .toDF("u", "et", "ts")
+    val got = Analytics.funnel(df, "u", "ts", Seq(
+        "a" -> ($"et" === "a"), "b" -> ($"et" === "b"),
+        "c" -> ($"et" === "c")))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, "a", 3L), (1L, "b", 2L), (2L, "c", 1L)))
+  }
+
+  test("cohortRetention: first-seen bucket cohorts, offsets, distinct users") {
+    val df = Seq(
+      (1L, 0L), (1L, 5L), // u1 cohort 0, active offsets {0}
+      (1L, 86400L), // ... and offset 1
+      (2L, 86400L), (2L, 86400L * 2), // u2 cohort 1, offsets {0, 1}
+      (3L, 100L) // u3 cohort 0, offset 0
+    ).map { case (u, sec) => (u, new java.sql.Timestamp(sec * 1000L)) }
+      .toDF("u", "ts")
+    val got = Analytics.cohortRetention(df, "u", "ts", 86400L)
+      .as[(Long, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got == Map(
+      (0L, 0L) -> 2L, (0L, 1L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L))
+  }
 }
