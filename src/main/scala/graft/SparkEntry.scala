@@ -2191,6 +2191,25 @@ object SparkEntry {
       graft.ops.Sketches.kmvDistinct(
         Tables.read(s, dir, "events"), Seq("event_type"), "user_id", 128)),
 
+    // --- HyperLogLog registers as data -----------------------------------------------
+    // The mergeable cardinality sketch with every register byte under
+    // the oracle: 60-bit md5 key, bucket = k mod 256, rho via bin()
+    // bitlen — no float log2, no RNG, merge = groupBy-max.
+    "q_hll" -> ((s, dir) =>
+      graft.ops.Sketches.hllRegisters(
+        docs(s, dir), col("text"), p = 8)),
+
+    // --- exact Spearman rank correlation ----------------------------------------------
+    // Do two quality signals agree? Average-rank Spearman over
+    // (n_chars, space count) as exact decimal(38) sufficient statistics;
+    // both rank maps run the two-phase chunk-carry prefix.
+    "q_spearman" -> ((s, dir) =>
+      graft.ops.Stats.spearmanExact(
+        docs(s, dir).filter(col("text").isNotNull),
+        col("n_chars"),
+        length(col("text")) - length(replace(col("text"), lit(" "), lit(""))),
+        chunkSpan = 64.0)),
+
     // --- deterministic Bloom membership pre-filter --------------------------------
     // Standing-corpus text digests packed into a 256-word filter; the
     // delta batch probes it as a zero-shuffle codegen'd projection
@@ -5300,6 +5319,39 @@ object SparkEntry {
     // the merged sketch must equal the from-scratch one (lossless KMV
     // merge) — so the oracle is LITERALLY the same SQL
     "q_kmv_merge" -> kmvDistinctSql,
+
+    // HLL registers bit-for-bit: same 60-bit md5 key (hex-digit sum),
+    // k mod 256 buckets, rho = 53 - bitlen(remainder) via bin()
+    "q_hll" ->
+      s"""WITH v AS (SELECT md5(text) AS hx
+         |    FROM documents WHERE text IS NOT NULL),
+         |k AS (SELECT ${hexToLongSql("hx", 15)} AS k FROM v),
+         |b AS (SELECT k % 256 AS bucket, k // 256 AS r FROM k)
+         |SELECT bucket,
+         |  CAST(max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END)
+         |    AS INTEGER) AS max_rho
+         |FROM b GROUP BY 1""".stripMargin,
+
+    // single-window replay of the two-phase rank maps; r2 = doubled
+    // average rank keeps ties integral, HUGEINT mirrors decimal(38,0)
+    "q_spearman" ->
+      """WITH d AS (SELECT n_chars AS x,
+        |    CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT) AS y
+        |  FROM documents WHERE text IS NOT NULL AND n_chars IS NOT NULL),
+        |hx AS (SELECT x, CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY 1),
+        |rx AS (SELECT x, 2 * COALESCE(sum(c) OVER (ORDER BY x
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        |  FROM hx),
+        |hy AS (SELECT y, CAST(count(*) AS HUGEINT) AS c FROM d GROUP BY 1),
+        |ry AS (SELECT y, 2 * COALESCE(sum(c) OVER (ORDER BY y
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2
+        |  FROM hy)
+        |SELECT CAST(count(*) AS BIGINT) AS n,
+        |  sum(rx.r2) AS s_x, sum(ry.r2) AS s_y,
+        |  sum(rx.r2 * ry.r2) AS s_xy,
+        |  sum(rx.r2 * rx.r2) AS s_xx,
+        |  sum(ry.r2 * ry.r2) AS s_yy
+        |FROM d JOIN rx USING (x) JOIN ry USING (y)""".stripMargin,
 
     // Bloom build + probe replayed bit-for-bit: 63 bits/word, probe j
     // mixes key ⊕ salt_j, position (u >> 1) mod 256·63; membership is

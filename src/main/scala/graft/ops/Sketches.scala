@@ -308,4 +308,69 @@ object Sketches {
         coalesce(col("__m"), lit(false)).as("is_member")): _*)
     misses.unionByName(confirmed)
   }
+
+  /** HyperLogLog registers AS DATA — the industry-standard mergeable
+    * cardinality sketch, built so every register byte sits under the
+    * hard SQL oracle: the hash is the first 60 bits of md5 (the
+    * engine-portable digest [[Dedup]] already replays via hex-digit
+    * sums), bucket = k mod 2^p, and ρ = leading-zero count of the
+    * remaining w = 60−p bits plus one, computed as w+1−bitlen via
+    * `bin()` string length (identical unpadded semantics in Spark and
+    * DuckDB — no float log2). Output: (bucket, max_rho), ≤ 2^p rows.
+    * EMPTY buckets are absent — [[hllEstimate]] counts them as zeros;
+    * a merge ([[hllMerge]]) is a groupBy-max, associative and
+    * commutative, so per-partition / per-day register sets roll up
+    * without touching raw keys. NULL values are excluded.
+    *
+    * Scale shape: one scan-fused projection + one partial-agg shuffle
+    * whose payload is (bucket, rho) — max combines map-side, so the
+    * exchange carries at most 2^p rows per task regardless of input
+    * size. Estimation error is the standard 1.04/√m.
+    */
+  def hllRegisters(df: DataFrame, value: Column, p: Int = 8): DataFrame = {
+    require(p >= 4 && p <= 14, "p must be in 4..14 (m = 2^p registers)")
+    val m = 1L << p
+    val w = 60 - p
+    val k = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.filter(value.isNotNull)
+      .select(k.as("__k"))
+      .select((col("__k") % m).as("bucket"),
+        call_function("div", col("__k"), lit(m)).as("__r"))
+      .select(col("bucket"),
+        when(col("__r") === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("__r"))))
+          .cast("int").as("__rho"))
+      .groupBy(col("bucket"))
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
+  /** Merge two register sets (same p): bucket-wise max. */
+  def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("bucket"))
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** Standard HLL estimate with the small-range (linear counting)
+    * correction. Driver-side on the ≤ 2^p register rows — the sketch
+    * IS driver-sized by construction. Float by nature (the estimate is
+    * approximate); the registers, not this number, sit under the
+    * oracle.
+    */
+  def hllEstimate(registers: DataFrame, p: Int): Double = {
+    val m = 1L << p
+    val regs = registers.select(col("bucket").cast("long"),
+        col("max_rho").cast("int"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    require(regs.keys.forall(b => b >= 0 && b < m), "bucket out of range")
+    val zeros = m - regs.size
+    val denom = regs.values.map(v => math.pow(2.0, -v)).sum + zeros.toDouble
+    val alpha = p match {
+      case 4 => 0.673
+      case 5 => 0.697
+      case 6 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val e = alpha * m * m / denom
+    if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
+  }
 }

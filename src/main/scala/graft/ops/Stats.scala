@@ -129,4 +129,84 @@ object Stats {
     ranked.groupBy(col(groupCol))
       .agg(max(col("__n")).as("n"), picks: _*)
   }
+
+  /** Average-rank map for one column, TWO-PHASE: each distinct value →
+    * 2× its average rank (the ×2 keeps tied average ranks integral —
+    * avg rank of a run of c equal values after p smaller ones is
+    * p + (c+1)/2, so r2 = 2p + c + 1). The prefix over distinct values
+    * runs chunked (in-chunk window + chunk-count-sized carry) so a
+    * column with billions of distinct values never single-task sorts —
+    * the [[exactGroupedQuantiles]] / globalRank geometry, unsegmented.
+    */
+  private def rank2Map(
+      rows: DataFrame,
+      vcol: String,
+      chunkSpan: Double
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val h = rows.groupBy(col(vcol))
+      .agg(count(lit(1)).cast(dec).as("__c"))
+      .withColumn("__chunk", floor(col(vcol) / chunkSpan))
+    val wIn = Window.partitionBy(col("__chunk")).orderBy(col(vcol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCarry = Window.orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    // one row per chunk — the only unpartitioned window is metadata-sized
+    val carry = h.groupBy(col("__chunk")).agg(sum(col("__c")).as("__t"))
+      .withColumn("__carry",
+        coalesce(sum(col("__t")).over(wCarry), lit(0L).cast(dec)))
+      .select(col("__chunk"), col("__carry"))
+    h.withColumn("__win",
+        coalesce(sum(col("__c")).over(wIn), lit(0L).cast(dec)))
+      .join(carry, Seq("__chunk"))
+      .select(col(vcol),
+        ((col("__carry") + col("__win")) * 2 + col("__c") + 1)
+          .cast(dec).as("__r2"))
+  }
+
+  /** Exact Spearman rank correlation between two numeric columns, with
+    * the standard average-rank tie treatment, as EXACT integer
+    * sufficient statistics: one row (n, s_x, s_y, s_xy, s_xx, s_yy)
+    * over the doubled average ranks r2 ∈ {2·avgrank}. The caller gets
+    *
+    *   ρ = (n·s_xy − s_x·s_y) / (√(n·s_xx − s_x²) · √(n·s_yy − s_y²))
+    *
+    * — Pearson on ranks; s_x = s_y = n(n+1) is also an output so the
+    * oracle cross-checks the rank maps. Floats appear nowhere: at
+    * 10^12 rows the rank cross-products need ~10^37, hence
+    * decimal(38,0) end-to-end (the oracle replays in HUGEINT).
+    *
+    * Scale shape: two distinct-value histograms (partial-agg shuffles),
+    * each ranked by the two-phase chunk-carry prefix (no global sort),
+    * then two value-keyed equi-joins hang the rank maps back on the
+    * rows — rank maps are distinct-value-sized, so AQE broadcasts them
+    * when small — and ONE global partial agg emits the single row.
+    * NULL x or y rows are excluded (rank semantics for null are
+    * undefined); ±Infinity and NaN order by Spark/DuckDB double
+    * collation and are caller's risk — filter them upstream.
+    */
+  def spearmanExact(
+      df: DataFrame,
+      x: Column,
+      y: Column,
+      chunkSpan: Double = 4096.0
+  ): DataFrame = {
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val dec = "decimal(38,0)"
+    val rows = df.filter(x.isNotNull && y.isNotNull)
+      .select(x.as("__x"), y.as("__y"))
+    val rx = rank2Map(rows.select(col("__x")), "__x", chunkSpan)
+      .withColumnRenamed("__r2", "__rx2")
+    val ry = rank2Map(rows.select(col("__y").as("__yv")), "__yv", chunkSpan)
+      .withColumnRenamed("__r2", "__ry2")
+    rows.join(rx, Seq("__x"))
+      .join(ry, col("__y") === col("__yv"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__rx2")).cast(dec).as("s_x"),
+        sum(col("__ry2")).cast(dec).as("s_y"),
+        sum(col("__rx2") * col("__ry2")).cast(dec).as("s_xy"),
+        sum(col("__rx2") * col("__rx2")).cast(dec).as("s_xx"),
+        sum(col("__ry2") * col("__ry2")).cast(dec).as("s_yy"))
+  }
 }

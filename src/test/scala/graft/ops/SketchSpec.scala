@@ -256,4 +256,42 @@ class SketchSpec extends AnyFunSuite {
     assert(kth.compareTo(new java.math.BigDecimal("9223372036854775807")) < 0,
       "with 2000 uniform keys the 100th unsigned minimum must be far below 2^63")
   }
+
+  test("hllRegisters: rho matches a BigInt reference bit count per value") {
+    val vals = (1 to 200).map(i => s"doc-$i")
+    val got = Sketches.hllRegisters(vals.toDF("v"), $"v", p = 8)
+      .as[(Long, Int)].collect().toMap
+    // reference: same md5-first-15-hex-digits key, p=8, w=52
+    val exp = scala.collection.mutable.Map.empty[Long, Int]
+    val md = java.security.MessageDigest.getInstance("MD5")
+    for (v <- vals) {
+      val hex = md.digest(v.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      val k = java.lang.Long.parseLong(hex, 16)
+      val bucket = k % 256
+      val r = k / 256
+      val rho = if (r == 0L) 53 else 53 - (64 - java.lang.Long.numberOfLeadingZeros(r))
+      exp(bucket) = math.max(exp.getOrElse(bucket, 0), rho)
+    }
+    assert(got == exp.toMap)
+  }
+
+  test("hllMerge: union of halves == whole; estimate within HLL error") {
+    val n = 20000
+    val vals = (1 to n).map(i => s"item-$i")
+    val whole = Sketches.hllRegisters(vals.toDF("v"), $"v", p = 8)
+    val a = Sketches.hllRegisters(vals.take(n / 2).toDF("v"), $"v", p = 8)
+    // overlapping second half: merge must behave as set union
+    val b = Sketches.hllRegisters(vals.drop(n / 3).toDF("v"), $"v", p = 8)
+    val merged = Sketches.hllMerge(a, b)
+    assert(merged.as[(Long, Int)].collect().toMap ==
+      whole.as[(Long, Int)].collect().toMap)
+    val est = Sketches.hllEstimate(whole, p = 8)
+    // 1.04/sqrt(256) = 6.5% standard error; allow 4 sigma
+    assert(math.abs(est - n) < n * 0.26, s"estimate $est vs true $n")
+    // small-range: 5 distinct values must use linear counting, close-exact
+    val tiny = Sketches.hllRegisters((1 to 5).map(i => s"t$i").toDF("v"), $"v", 8)
+    val tinyEst = Sketches.hllEstimate(tiny, p = 8)
+    assert(math.abs(tinyEst - 5.0) < 1.0, s"tiny estimate $tinyEst")
+  }
 }

@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.TestSpark
+
+class StatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference doubled-average-rank per row: r2(v) = 2·|{u < v}| + c(v) + 1. */
+  private def r2Map(vs: Seq[Double]): Map[Double, BigInt] = {
+    val counts = vs.groupBy(identity).view.mapValues(_.size).toMap
+    counts.map { case (v, c) =>
+      val before = vs.count(_ < v)
+      v -> (BigInt(2) * before + c + 1)
+    }
+  }
+
+  private def naiveStats(rows: Seq[(Double, Double)])
+      : (Long, BigInt, BigInt, BigInt, BigInt, BigInt) = {
+    val rx = r2Map(rows.map(_._1))
+    val ry = r2Map(rows.map(_._2))
+    val xs = rows.map(r => rx(r._1))
+    val ys = rows.map(r => ry(r._2))
+    (rows.size.toLong, xs.sum, ys.sum,
+      xs.zip(ys).map { case (a, b) => a * b }.sum,
+      xs.map(a => a * a).sum, ys.map(a => a * a).sum)
+  }
+
+  test("spearmanExact: hand case — perfect monotone pair gives rho = 1") {
+    val df = Seq((1.0, 10.0), (2.0, 20.0), (5.0, 21.0)).toDF("x", "y")
+    val g = Stats.spearmanExact(df, $"x", $"y")
+      .select($"n", $"s_x".cast("long"), $"s_y".cast("long"),
+        $"s_xy".cast("long"), $"s_xx".cast("long"), $"s_yy".cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    // identical rank sequences: s_xy == s_xx == s_yy -> rho = 1 exactly
+    assert(g._1 == 3L && g._2 == 12L && g._3 == 12L)
+    assert(g._4 == g._5 && g._5 == g._6)
+    // rho numerator == denominator-squared pieces: n*s_xy - s_x*s_y
+    assert(g._1 * g._4 - g._2 * g._3 == g._1 * g._5 - g._2 * g._2)
+  }
+
+  test("spearmanExact: randomized differential vs naive ranks with ties; " +
+      "chunked two-phase == single-chunk; nulls excluded") {
+    val rnd = new scala.util.Random(11)
+    val rows = (1 to 300).map { _ =>
+      // coarse grids force heavy ties in both columns
+      (rnd.nextInt(20).toDouble, rnd.nextInt(15).toDouble)
+    }
+    val withNulls = rows.map { case (a, b) => (Option(a), Option(b)) } ++
+      Seq((None, Some(1.0)), (Some(2.0), None))
+    val df = withNulls.toDF("x", "y")
+    val got = Stats.spearmanExact(df, $"x", $"y", chunkSpan = 3.0)
+      .select($"n", $"s_x".cast("long"), $"s_y".cast("long"),
+        $"s_xy".cast("long"), $"s_xx".cast("long"), $"s_yy".cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    val single = Stats.spearmanExact(df, $"x", $"y", chunkSpan = 1e9)
+      .select($"n", $"s_x".cast("long"), $"s_y".cast("long"),
+        $"s_xy".cast("long"), $"s_xx".cast("long"), $"s_yy".cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long)].collect().head
+    assert(got == single)
+    val (n, sx, sy, sxy, sxx, syy) = naiveStats(rows)
+    assert(got == ((n, sx.toLong, sy.toLong, sxy.toLong, sxx.toLong,
+      syy.toLong)))
+    // rank-sum invariant: s_x = s_y = n(n+1)
+    assert(got._2 == n * (n + 1) && got._3 == n * (n + 1))
+  }
+}
