@@ -2199,6 +2199,25 @@ object SparkEntry {
       graft.ops.Sketches.hllRegisters(
         docs(s, dir), col("text"), p = 8)),
 
+    // distinct texts per source as per-group registers — one
+    // (group, bucket)-keyed exchange, map-side max
+    "q_hll_by" -> ((s, dir) =>
+      graft.ops.Sketches.hllRegistersBy(
+        docs(s, dir), Seq("source"), col("text"), p = 8)),
+
+    // --- Cohen's kappa (labeler agreement) ---------------------------------------------
+    // Do two deterministic labelers agree beyond chance? Exact n /
+    // n_agree / marginal-product pe_num in decimal(38).
+    "q_kappa" -> ((s, dir) =>
+      graft.ops.Analytics.kappaExact(
+        Tables.read(s, dir, "events"),
+        col("event_type"),
+        when(col("value") < 20.0, "view")
+          .when(col("value") < 40.0, "click")
+          .when(col("value") < 60.0, "signup")
+          .when(col("value") < 80.0, "purchase")
+          .otherwise("error"))),
+
     // --- exact Spearman rank correlation ----------------------------------------------
     // Do two quality signals agree? Average-rank Spearman over
     // (n_chars, space count) as exact decimal(38) sufficient statistics;
@@ -2303,6 +2322,28 @@ object SparkEntry {
           t.select("conv_id", "turn_idx", "ts"), "ts",
           iv, "start_ts", "end_ts", binWidthSec = 3600L)
         .select(col("conv_id"), col("turn_idx"), col("iv_conv"))
+    }),
+
+    // --- interval × interval OVERLAP join ---------------------------------------------
+    // Which conversation sessions were live during an error-incident
+    // window (±60 s of each error event)? Binned equi key, each
+    // overlapping pair kept exactly once in its overlap's left-edge
+    // bin — no nested-loop join, no dedup pass.
+    "q_interval_join" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val sess = graft.features.Sessionize(
+          t, Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
+        .groupBy(col("conv_id"), col("session_seq"))
+        .agg(min(col("ts")).as("s_start"), max(col("ts")).as("s_end"))
+      val win = Tables.read(s, dir, "events")
+        .filter(col("event_type") === "error")
+        .select(col("event_id"),
+          (col("ts").cast("long") - 60L).as("w_start"),
+          (col("ts").cast("long") + 60L).as("w_end"))
+      graft.features.RangeJoin.intervalOverlap(
+          sess, "s_start", "s_end", win, "w_start", "w_end",
+          binWidthSec = 3600L, maxBinsPerInterval = 1024)
+        .select(col("conv_id"), col("session_seq"), col("event_id"))
     }),
 
     // --- Count-Min frequency sketch -------------------------------------------------
@@ -5227,6 +5268,30 @@ object SparkEntry {
          |  ON CAST(FLOOR(epoch(t.ts)) AS BIGINT) >= iv.s0
          | AND CAST(FLOOR(epoch(t.ts)) AS BIGINT) <= iv.s0 + 3600""".stripMargin,
 
+    // plain theta join replay of the binned exactly-once overlap join;
+    // session intervals rebuilt from the q_sessionize CTE
+    "q_interval_join" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1),
+         |sess AS (SELECT conv_id, session_seq,
+         |    CAST(FLOOR(epoch(min(ts))) AS BIGINT) AS ss,
+         |    CAST(FLOOR(epoch(max(ts))) AS BIGINT) AS se
+         |  FROM s2 GROUP BY 1, 2),
+         |w AS (SELECT event_id,
+         |    CAST(FLOOR(epoch(ts)) AS BIGINT) - 60 AS ws,
+         |    CAST(FLOOR(epoch(ts)) AS BIGINT) + 60 AS we
+         |  FROM events WHERE event_type = 'error')
+         |SELECT sess.conv_id, sess.session_seq, w.event_id
+         |FROM sess JOIN w ON sess.ss <= w.we AND w.ws <= sess.se""".stripMargin,
+
     // CMS replayed counter-for-counter: same probe geometry as the
     // Bloom oracle ((u >> 1) mod width per salt row), estimate = min
     // over rows, overestimate = est − true (≥ 0 always)
@@ -5331,6 +5396,35 @@ object SparkEntry {
          |  CAST(max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END)
          |    AS INTEGER) AS max_rho
          |FROM b GROUP BY 1""".stripMargin,
+
+    "q_hll_by" ->
+      s"""WITH v AS (SELECT source, md5(text) AS hx
+         |    FROM documents WHERE text IS NOT NULL),
+         |k AS (SELECT source, ${hexToLongSql("hx", 15)} AS k FROM v),
+         |b AS (SELECT source, k % 256 AS bucket, k // 256 AS r FROM k)
+         |SELECT source, bucket,
+         |  CAST(max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END)
+         |    AS INTEGER) AS max_rho
+         |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // kappa sufficient stats: joint-alphabet inner join of the two
+    // marginal tables; HUGEINT mirrors decimal(38,0)
+    "q_kappa" ->
+      """WITH d AS (SELECT event_type AS a,
+        |    CASE WHEN value < 20 THEN 'view'
+        |         WHEN value < 40 THEN 'click'
+        |         WHEN value < 60 THEN 'signup'
+        |         WHEN value < 80 THEN 'purchase'
+        |         ELSE 'error' END AS b
+        |  FROM events WHERE event_type IS NOT NULL),
+        |ma AS (SELECT a AS cls, CAST(count(*) AS HUGEINT) AS ca FROM d GROUP BY 1),
+        |mb AS (SELECT b AS cls, CAST(count(*) AS HUGEINT) AS cb FROM d GROUP BY 1),
+        |pe AS (SELECT COALESCE(sum(ca * cb), 0) AS pe_num
+        |  FROM ma JOIN mb USING (cls))
+        |SELECT CAST(count(*) AS HUGEINT) AS n,
+        |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS n_agree,
+        |  (SELECT pe_num FROM pe) AS pe_num
+        |FROM d""".stripMargin,
 
     // single-window replay of the two-phase rank maps; r2 = doubled
     // average rank keeps ties integral, HUGEINT mirrors decimal(38,0)

@@ -78,4 +78,70 @@ object RangeJoin {
       .filter(col(tsCol).cast("long") >= s && col(tsCol).cast("long") <= e)
       .drop("__bin")
   }
+
+  /** Interval × interval OVERLAP join (inclusive ends, epoch-second
+    * semantics) — sessions × incident windows, spans × embargo ranges —
+    * with the same binned equi key as [[pointInInterval]], no
+    * BroadcastNestedLoopJoin, no driver-sized side.
+    *
+    * Exactly-once without a dedup pass: a candidate pair meets in every
+    * bin both intervals cover, so it is KEPT only in the bin of the
+    * overlap's left edge, `bin(greatest(lStart, rStart))` — one bin per
+    * pair, chosen by arithmetic both copies agree on. Fan-out guards
+    * and end-before-start checks are [[pointInInterval]]'s, applied to
+    * BOTH sides (each interval replicates to the bins it covers, capped
+    * by `maxBinsPerInterval`, overflow fails loud).
+    */
+  def intervalOverlap(
+      left: DataFrame,
+      lStartCol: String,
+      lEndCol: String,
+      right: DataFrame,
+      rStartCol: String,
+      rEndCol: String,
+      binWidthSec: Long,
+      maxBinsPerInterval: Int = 4096
+  ): DataFrame = {
+    require(binWidthSec > 0, "binWidthSec must be positive")
+    require(maxBinsPerInterval > 0, "maxBinsPerInterval must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"left/right column names must be disjoint, both have: $overlap")
+    require(!(left.columns ++ right.columns).contains("__bin"),
+      "intervalOverlap reserves the column name __bin")
+
+    def bin(c: Column): Column =
+      call_function("div", c.cast("long"), lit(binWidthSec))
+
+    def binned(df: DataFrame, startCol: String, endCol: String): DataFrame = {
+      val s = col(startCol).cast("long")
+      val e = col(endCol).cast("long")
+      df.withColumn("__b0",
+          when(e >= s, bin(col(startCol))).otherwise(raise_error(concat(
+            lit("intervalOverlap: interval end before start at "),
+            col(startCol).cast("string")))))
+        .withColumn("__b1", bin(col(endCol)))
+        .withColumn("__span", col("__b1") - col("__b0") + 1L)
+        .withColumn("__b1",
+          when(col("__span") <= maxBinsPerInterval.toLong, col("__b1"))
+            .otherwise(raise_error(concat(
+              lit(s"intervalOverlap: interval spans more than " +
+                s"$maxBinsPerInterval bins of $binWidthSec s — widen " +
+                "binWidthSec or split the interval at "),
+              col(startCol).cast("string")))))
+        .withColumn("__bin", explode(sequence(col("__b0"), col("__b1"))))
+        .drop("__b0", "__b1", "__span")
+    }
+
+    val lS = col(lStartCol).cast("long")
+    val lE = col(lEndCol).cast("long")
+    val rS = col(rStartCol).cast("long")
+    val rE = col(rEndCol).cast("long")
+    binned(left, lStartCol, lEndCol)
+      .join(binned(right, rStartCol, rEndCol), Seq("__bin"))
+      .filter(lS <= rE && rS <= lE &&
+        col("__bin") === bin(greatest(col(lStartCol).cast("long"),
+          col(rStartCol).cast("long"))))
+      .drop("__bin")
+  }
 }

@@ -515,4 +515,39 @@ object Analytics {
         (col("__b") - col("__cohort")).as("bucket_offset"))
       .agg(count(lit(1)).as("n_users"))
   }
+
+  /** Cohen's kappa between two categorical labelers as EXACT integer
+    * sufficient statistics — the labeler-QC number ("do rater A and
+    * rater B agree beyond chance") for annotation pipelines. One row:
+    * n, n_agree, pe_num = Σ_c rowMarginal(c)·colMarginal(c), all in
+    * decimal(38,0) (marginal products at 10^12 rows overflow int64).
+    * The caller computes
+    *
+    *   κ = (n·n_agree − pe_num) / (n² − pe_num)
+    *
+    * NULL labels on either side are excluded. Classes present in only
+    * one labeler's output contribute 0 to pe_num (inner-join marginal
+    * match — exactly the κ definition's Σ over the joint alphabet).
+    *
+    * Scale shape: one partial agg for (n, n_agree); two class-keyed
+    * marginal aggs (output = |classes| rows, metadata) joined and
+    * summed; the single-row cross joins are broadcast by size.
+    */
+  def kappaExact(df: DataFrame, a: Column, b: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    val d = df.filter(a.isNotNull && b.isNotNull)
+      .select(a.as("__a"), b.as("__b"))
+    val base = d.agg(
+      count(lit(1)).cast(dec).as("n"),
+      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).cast(dec)
+        .as("n_agree"))
+    val ma = d.groupBy(col("__a").as("__cls"))
+      .agg(count(lit(1)).cast(dec).as("__ca"))
+    val mb = d.groupBy(col("__b").as("__cls"))
+      .agg(count(lit(1)).cast(dec).as("__cb"))
+    val pe = ma.join(mb, Seq("__cls"))
+      .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L).cast(dec))
+        .as("pe_num"))
+    base.crossJoin(broadcast(pe))
+  }
 }

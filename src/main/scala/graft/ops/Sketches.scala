@@ -345,6 +345,36 @@ object Sketches {
       .agg(max(col("__rho")).as("max_rho"))
   }
 
+  /** Per-group HLL registers — "distinct users per source at 100 TB"
+    * as (group…, bucket, max_rho), ≤ 2^p rows per group. Same hash /
+    * rho arithmetic as [[hllRegisters]]; the one exchange is keyed
+    * (group, bucket) and max combines map-side. A group's registers
+    * merge with another run's via [[hllMerge]] grouped the same way.
+    */
+  def hllRegistersBy(
+      df: DataFrame,
+      groupCols: Seq[String],
+      value: Column,
+      p: Int = 8
+  ): DataFrame = {
+    require(p >= 4 && p <= 14, "p must be in 4..14 (m = 2^p registers)")
+    require(groupCols.nonEmpty, "groupCols must be non-empty; " +
+      "use hllRegisters for the ungrouped sketch")
+    val m = 1L << p
+    val w = 60 - p
+    val k = conv(substring(md5(value.cast("binary")), 1, 15), 16, 10)
+      .cast("long")
+    df.filter(value.isNotNull)
+      .select(groupCols.map(col) :+ k.as("__k"): _*)
+      .withColumn("bucket", col("__k") % m)
+      .withColumn("__r", call_function("div", col("__k"), lit(m)))
+      .withColumn("__rho",
+        when(col("__r") === 0L, lit(w + 1))
+          .otherwise(lit(w + 1) - length(bin(col("__r")))).cast("int"))
+      .groupBy(groupCols.map(col) :+ col("bucket"): _*)
+      .agg(max(col("__rho")).as("max_rho"))
+  }
+
   /** Merge two register sets (same p): bucket-wise max. */
   def hllMerge(a: DataFrame, b: DataFrame): DataFrame =
     a.unionByName(b).groupBy(col("bucket"))

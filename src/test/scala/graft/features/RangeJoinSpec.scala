@@ -67,4 +67,44 @@ class RangeJoinSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("disjoint"))
   }
+
+  test("intervalOverlap equals the plain theta join, pairs exactly once " +
+      "(randomized, bin-edge-crossing)") {
+    val rnd = new scala.util.Random(13)
+    val as = (1 to 120).map { i =>
+      val s = rnd.nextInt(9000).toLong
+      (i.toLong, ts(s), ts(s + rnd.nextInt(700).toLong))
+    }.toDF("aid", "as_", "ae")
+    val bs = (1 to 80).map { i =>
+      val s = rnd.nextInt(9000).toLong
+      (i.toLong, ts(s), ts(s + rnd.nextInt(700).toLong))
+    }.toDF("bid", "bs", "be")
+    val plain = as.join(bs,
+        col("as_").cast("long") <= col("be").cast("long") &&
+          col("bs").cast("long") <= col("ae").cast("long"))
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val binned = RangeJoin.intervalOverlap(as, "as_", "ae", bs, "bs", "be",
+        binWidthSec = 256L)
+      .select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(binned == plain)
+    // exactly once: no duplicate pairs even for multi-bin overlaps
+    assert(binned.distinct == binned)
+  }
+
+  test("intervalOverlap: inclusive touch counts; disjoint misses; guards") {
+    val a = Seq((1L, ts(0), ts(100))).toDF("aid", "as_", "ae")
+    val touch = Seq((9L, ts(100), ts(200)), (10L, ts(101), ts(200)))
+      .toDF("bid", "bs", "be")
+    val got = RangeJoin.intervalOverlap(a, "as_", "ae", touch, "bs", "be", 64L)
+      .select("bid").as[Long].collect().toSeq
+    assert(got == Seq(9L)) // shared endpoint overlaps; 101 does not
+    val bad = Seq((1L, ts(50), ts(10))).toDF("bid", "bs", "be")
+    val e = intercept[Exception] {
+      RangeJoin.intervalOverlap(a, "as_", "ae", bad, "bs", "be", 64L).collect()
+    }
+    assert(e.getMessage.contains("end before start") ||
+      Option(e.getCause).exists(_.getMessage.contains("end before start")))
+  }
 }

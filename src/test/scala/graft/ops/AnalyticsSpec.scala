@@ -298,4 +298,24 @@ class AnalyticsSpec extends AnyFunSuite {
       (0L, 0L) -> 2L, (0L, 1L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L))
   }
+
+  test("kappaExact: hand case vs the textbook formula; one-sided class " +
+      "contributes nothing; nulls excluded") {
+    // a: x x x y y z ; b: x x y y y z — agree = 5 of 6 (only row 3 differs)
+    // marginals a: x3 y2 z1; b: x2 y3 z1 -> pe_num = 6+6+1 = 13
+    val df = Seq(
+      ("x", "x"), ("x", "x"), ("x", "y"), ("y", "y"), ("y", "y"),
+      ("z", "z")
+    ).map { case (a, b) => (Option(a), Option(b)) }
+      .toDF("a", "b")
+      .union(Seq((Option("w"), Option.empty[String])).toDF("a", "b"))
+    val got = Analytics.kappaExact(df, $"a", $"b")
+      .select($"n".cast("long"), $"n_agree".cast("long"),
+        $"pe_num".cast("long"))
+      .as[(Long, Long, Long)].collect().head
+    assert(got == ((6L, 5L, 13L)))
+    // kappa = (n*agree - pe) / (n^2 - pe) = (30-13)/(36-13) = 17/23
+    assert(got._1 * got._2 - got._3 == 17L &&
+      got._1 * got._1 - got._3 == 23L)
+  }
 }

@@ -294,4 +294,20 @@ class SketchSpec extends AnyFunSuite {
     val tinyEst = Sketches.hllEstimate(tiny, p = 8)
     assert(math.abs(tinyEst - 5.0) < 1.0, s"tiny estimate $tinyEst")
   }
+
+  test("hllRegistersBy: each group's registers equal the ungrouped sketch " +
+      "of that group's values") {
+    val rows = (1 to 3000).map(i => (s"g${i % 3}", s"val-${i % 700}"))
+    val df = rows.toDF("g", "v")
+    val grouped = Sketches.hllRegistersBy(df, Seq("g"), $"v", p = 6)
+      .as[(String, Long, Int)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.map(r => r._2 -> r._3).toMap).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val solo = Sketches.hllRegisters(
+          rows.filter(_._1 == g).map(_._2).toDF("v"), $"v", p = 6)
+        .as[(Long, Int)].collect().toMap
+      assert(grouped(g) == solo, s"group $g")
+    }
+  }
 }
