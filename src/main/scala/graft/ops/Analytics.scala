@@ -529,22 +529,25 @@ object Analytics {
     * one labeler's output contribute 0 to pe_num (inner-join marginal
     * match — exactly the κ definition's Σ over the joint alphabet).
     *
-    * Scale shape: one partial agg for (n, n_agree); two class-keyed
-    * marginal aggs (output = |classes| rows, metadata) joined and
-    * summed; the single-row cross joins are broadcast by size.
+    * Scale shape: the raw rows cross the shuffle ONCE, collapsed to the
+    * joint (a, b) contingency table (|A|·|B| cells — metadata); n,
+    * n_agree, both marginals, and pe_num all derive from the cells, so
+    * the downstream aggs and the single-row broadcast cross join never
+    * see row volume.
     */
   def kappaExact(df: DataFrame, a: Column, b: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    val d = df.filter(a.isNotNull && b.isNotNull)
-      .select(a.as("__a"), b.as("__b"))
-    val base = d.agg(
-      count(lit(1)).cast(dec).as("n"),
-      sum(when(col("__a") === col("__b"), 1L).otherwise(0L)).cast(dec)
-        .as("n_agree"))
-    val ma = d.groupBy(col("__a").as("__cls"))
-      .agg(count(lit(1)).cast(dec).as("__ca"))
-    val mb = d.groupBy(col("__b").as("__cls"))
-      .agg(count(lit(1)).cast(dec).as("__cb"))
+    val joint = df.filter(a.isNotNull && b.isNotNull)
+      .groupBy(a.as("__a"), b.as("__b"))
+      .agg(count(lit(1)).cast(dec).as("__c"))
+    val base = joint.agg(
+      sum(col("__c")).cast(dec).as("n"),
+      coalesce(sum(when(col("__a") === col("__b"), col("__c"))), lit(0L))
+        .cast(dec).as("n_agree"))
+    val ma = joint.groupBy(col("__a").as("__cls"))
+      .agg(sum(col("__c")).as("__ca"))
+    val mb = joint.groupBy(col("__b").as("__cls"))
+      .agg(sum(col("__c")).as("__cb"))
     val pe = ma.join(mb, Seq("__cls"))
       .agg(coalesce(sum(col("__ca") * col("__cb")), lit(0L).cast(dec))
         .as("pe_num"))
