@@ -135,6 +135,27 @@ object PlanDump {
       "q_interleave (stride schedule over the file-count-sized shard " +
         "manifest; the corpus is touched only by the pack)" ->
         SparkEntry.queries("q_interleave")(spark, dir),
+      "q_auc (exact per-segment ROC-AUC: (seg, score) histogram, " +
+        "two-phase chunk-carry prefix — no global sort)" ->
+        SparkEntry.queries("q_auc")(spark, dir),
+      "q_spearman (exact rank correlation: two two-phase rank maps " +
+        "joined back, one global partial agg)" ->
+        SparkEntry.queries("q_spearman")(spark, dir),
+      "q_hll (HyperLogLog registers: scan-fused rho projection, one " +
+        "map-side-max exchange capped at 2^p rows per task)" ->
+        SparkEntry.queries("q_hll")(spark, dir),
+      "q_kappa (joint contingency cells once over the wire; marginals " +
+        "and pe_num from cells, AQE reuses the joint exchange)" ->
+        SparkEntry.queries("q_kappa")(spark, dir),
+      "q_pref_pairs (DPO pairs: ONE struct-min/max partial agg, no " +
+        "window — a mega-conversation costs its scan)" ->
+        SparkEntry.queries("q_pref_pairs")(spark, dir),
+      "q_funnel (ordered funnel: min-agg + user-keyed join per stage; " +
+        "per-user state is one timestamp)" ->
+        SparkEntry.queries("q_funnel")(spark, dir),
+      "q_interval_join (interval×interval overlap: binned equi join, " +
+        "exactly-once left-edge-bin pick, no BroadcastNestedLoop)" ->
+        SparkEntry.queries("q_interval_join")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting
