@@ -532,6 +532,16 @@ object SparkEntry {
         docs(s, dir), "lang", col("n_chars"), "doc_id",
         Seq(5000, 9000, 9900))),
 
+    // --- TOKEN-MASS-weighted quantiles -------------------------------------------------
+    // Where does the training mass sit? p50/p90/p99 doc length per
+    // language weighted by per-doc char mass — same two-phase geometry,
+    // cumulative weights in decimal(38).
+    "q_wquantile" -> ((s, dir) =>
+      graft.ops.Stats.weightedGroupedQuantiles(
+        docs(s, dir).filter(col("text").isNotNull),
+        "lang", col("n_chars"), length(col("text")).cast("long"),
+        Seq(5000, 9000, 9900))),
+
     // --- stratified mixture sampling (deterministic, no RNG state) -------------
     // Training-mix curation: keep 80% of en, 50% of zh, 25% of es, 10% of
     // de, 5% of everything else — decided per row by a codegen'd fmix64
@@ -3976,6 +3986,23 @@ object SparkEntry {
         |  max(CASE WHEN rn*10000 >= 9000*n AND (rn-1)*10000 < 9000*n THEN v END) AS q9000,
         |  max(CASE WHEN rn*10000 >= 9900*n AND (rn-1)*10000 < 9900*n THEN v END) AS q9900
         |FROM r GROUP BY lang""".stripMargin,
+
+    // weighted rank selection replayed with a single cumulative-weight
+    // window; HUGEINT mirrors the engine's decimal(38,0) cums
+    "q_wquantile" ->
+      """WITH d AS (SELECT lang, n_chars AS v, CAST(length(text) AS HUGEINT) AS w
+        |  FROM documents WHERE text IS NOT NULL),
+        |h AS (SELECT lang, v, sum(w) AS wv FROM d GROUP BY 1, 2),
+        |c AS (SELECT lang, v, wv,
+        |    sum(wv) OVER (PARTITION BY lang ORDER BY v
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(wv) OVER (PARTITION BY lang) AS tot
+        |  FROM h)
+        |SELECT lang, max(tot) AS w_total,
+        |  max(CASE WHEN cum*10000 >= 5000*tot AND (cum-wv)*10000 < 5000*tot THEN v END) AS q5000,
+        |  max(CASE WHEN cum*10000 >= 9000*tot AND (cum-wv)*10000 < 9000*tot THEN v END) AS q9000,
+        |  max(CASE WHEN cum*10000 >= 9900*tot AND (cum-wv)*10000 < 9900*tot THEN v END) AS q9900
+        |FROM c GROUP BY 1""".stripMargin,
 
     // fmix64 sampling gate replayed bit-exactly, then the per-stratum
     // rate CASE — same mod-2^64 multiply recipe as the LSH oracles

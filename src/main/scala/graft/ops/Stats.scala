@@ -95,6 +95,80 @@ object Stats {
       .agg(max(col("__n")).as("n"), picks: _*)
   }
 
+  /** WEIGHTED exact grouped quantiles — "the token-weighted p50/p99 doc
+    * length per language", the curation stat that answers how the
+    * TRAINING MASS is distributed rather than the document count (one
+    * 100k-token doc should move the median more than a tweet). The
+    * q-quantile is the smallest value v with cumWeight(≤v)·10⁴ ≥ q·W —
+    * integer-exact, division-free, an element of the data:
+    *
+    *   pick(v) ⇔ cum(≤v)·10⁴ ≥ q·W  ∧  cum(<v)·10⁴ < q·W
+    *
+    * Zero-weight rows can never be picked (they don't move cum — the
+    * two inequalities contradict), matching the standard definition;
+    * NEGATIVE weights fail loud; `weight ≡ 1` reproduces
+    * [[exactGroupedQuantiles]] exactly (differential-tested). Cumulative
+    * weights ride decimal(38,0): q·W at 10^12 rows of 10^5-token docs is
+    * ~10^21 — past int64.
+    *
+    * Scale shape: identical two-phase geometry to
+    * [[exactGroupedQuantiles]] — one full-volume partial-agg shuffle to
+    * (group, value) weight sums, chunked in-chunk windows plus a
+    * chunk-count-sized carry, so a dominant group never single-task
+    * sorts. Output: (group, w_total, q<bp>…).
+    */
+  def weightedGroupedQuantiles(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      weight: Column,
+      qsBp: Seq[Int],
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
+      "quantiles are basis points in 1..10000")
+    require(qsBp.distinct.size == qsBp.size,
+      s"duplicate quantile levels would produce duplicate output columns: " +
+        qsBp.mkString(", "))
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val reserved = Seq("__v", "__wc", "__chunk", "__tot", "__before",
+      "__wt", "__wcum", "__cum")
+    require(!reserved.exists(df.columns.contains),
+      s"weightedGroupedQuantiles reserves the column names " +
+        reserved.mkString(", "))
+    val dec = "decimal(38,0)"
+    val guarded = when(weight >= 0L, weight).otherwise(raise_error(concat(
+      lit("weightedGroupedQuantiles: negative weight "),
+      weight.cast("string"), lit(" — weights must be >= 0"))))
+    val vc = df.groupBy(col(groupCol), value.as("__v"))
+      .agg(sum(guarded.cast(dec)).as("__wc"))
+      .withColumn("__chunk", floor(col("__v").cast("long") / chunkSpan))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    val carry = vc.groupBy(col(groupCol), col("__chunk"))
+      .agg(sum(col("__wc")).as("__tot"))
+      .withColumn("__before",
+        coalesce(sum(col("__tot")).over(wc), lit(0L).cast(dec)))
+      .withColumn("__wt", sum(col("__tot")).over(wAll))
+      .select(col(groupCol), col("__chunk"), col("__before"), col("__wt"))
+    val w1 = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col("__v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = vc
+      .withColumn("__wcum", sum(col("__wc")).over(w1))
+      .join(carry, Seq(groupCol, "__chunk"))
+      .withColumn("__cum", col("__before") + col("__wcum"))
+    val picks = qsBp.map { q =>
+      val qw = lit(q.toLong).cast(dec) * col("__wt")
+      val isPick = col("__cum") * 10000L >= qw &&
+        (col("__cum") - col("__wc")) * 10000L < qw
+      max(when(isPick, col("__v"))).as(s"q$q")
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__wt")).cast(dec).as("w_total"), picks: _*)
+  }
+
   /** Single-window reference formulation (`row_number` per group — one
     * task per group): the differential-test twin of
     * [[exactGroupedQuantiles]] and the documented rank contract, value at

@@ -67,4 +67,54 @@ class StatsSpec extends AnyFunSuite {
     // rank-sum invariant: s_x = s_y = n(n+1)
     assert(got._2 == n * (n + 1) && got._3 == n * (n + 1))
   }
+
+  /** Naive weighted quantile: smallest v with cum(≤v)·10⁴ ≥ q·W. */
+  private def naiveWq(rows: Seq[(Long, Long)], q: Int): Option[Long] = {
+    val byV = rows.groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .toSeq.sortBy(_._1)
+    val w = byV.map(_._2).sum
+    var cum = 0L
+    byV.collectFirst {
+      case (v, wv) if { cum += wv; wv > 0 && cum * 10000L >= q * w } => v
+    }
+  }
+
+  test("weightedGroupedQuantiles: weight 1 == exactGroupedQuantiles; " +
+      "randomized differential; zero weight never picked; negative raises") {
+    val rnd = new scala.util.Random(3)
+    val rows = (1 to 500).map { i =>
+      ("g" + (i % 2), rnd.nextInt(300).toLong, rnd.nextInt(5).toLong)
+    } :+ (("g2", 7L, 0L)) :+ (("g2", 9L, 3L)) // g2: zero-weight 7 skipped
+    val df = rows.toDF("g", "v", "w")
+    val qs = Seq(2500, 5000, 9900)
+    val got = Stats.weightedGroupedQuantiles(df, "g", $"v", $"w", qs,
+        chunkSpan = 32L)
+      .select($"g", $"q2500", $"q5000", $"q9900")
+      .as[(String, Option[Long], Option[Long], Option[Long])]
+      .collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    for (g <- Seq("g0", "g1", "g2")) {
+      val grows = rows.filter(_._1 == g).map(r => (r._2, r._3))
+      assert(got(g) == ((naiveWq(grows, 2500), naiveWq(grows, 5000),
+        naiveWq(grows, 9900))), s"group $g")
+    }
+    assert(got("g2") == ((Some(9L), Some(9L), Some(9L)))) // 7 never picked
+    // weight ≡ 1 reproduces the unweighted operator
+    val ones = df.withColumn("w1", lit(1L))
+    val wq = Stats.weightedGroupedQuantiles(ones, "g", $"v", $"w1", qs,
+        chunkSpan = 32L)
+      .select($"g", $"q2500", $"q5000", $"q9900")
+      .as[(String, Long, Long, Long)].collect().toSet
+    val uq = Stats.exactGroupedQuantiles(ones.withColumn("tie", $"v"),
+        "g", $"v", "tie", qs, chunkSpan = 32L)
+      .select($"g", $"q2500", $"q5000", $"q9900")
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(wq == uq)
+    val neg = Seq(("g", 1L, -2L)).toDF("g", "v", "w")
+    val e = intercept[Exception] {
+      Stats.weightedGroupedQuantiles(neg, "g", $"v", $"w", Seq(5000))
+        .collect()
+    }
+    assert(e.getMessage.contains("negative weight") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative weight")))
+  }
 }
