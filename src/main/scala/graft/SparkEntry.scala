@@ -1394,6 +1394,46 @@ object SparkEntry {
         col("doc_id"), col("hash"), col("kept").cast("long").as("kept"))
     }),
 
+    // --- streaming HLL distinct gauge ---------------------------------------------
+    // The SAME Sketches.hllRegisters code runs on the live path: a
+    // streaming groupBy(bucket).max is legal with O(2^p) state in
+    // complete mode, so the running distinct-count gauge needs no
+    // bespoke operator. File-source replay across 4 micro-batches must
+    // land register-for-register on the batch oracle.
+    "q_stream_hll" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamhll").toString
+      val watched = s"$tmp/watched"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val nChunks = 4
+      val ordered = d.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_hll_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+          graft.ops.Sketches.hllRegisters(src, col("text"), p = 8)
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("bucket"), col("max_rho"))
+    }),
+
     // --- multimodal container decode (REAL pure-JVM PNG/WAV header parse) ------
     // Media payloads are synthesized deterministically from doc_id (real
     // PNG signature+IHDR with CRC32, real RIFF/WAVE fmt chunk, or corrupt
@@ -3576,6 +3616,18 @@ object SparkEntry {
         |      PARTITION BY hash ORDER BY doc_id) = 1
         |    THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM h""".stripMargin,
+
+    // the live HLL gauge must land register-for-register on the batch
+    // sketch — LITERALLY the q_hll oracle
+    "q_stream_hll" ->
+      s"""WITH v AS (SELECT md5(text) AS hx
+         |    FROM documents WHERE text IS NOT NULL),
+         |k AS (SELECT ${hexToLongSql("hx", 15)} AS k FROM v),
+         |b AS (SELECT k % 256 AS bucket, k // 256 AS r FROM k)
+         |SELECT bucket,
+         |  CAST(max(CASE WHEN r = 0 THEN 53 ELSE 53 - length(bin(r)) END)
+         |    AS INTEGER) AS max_rho
+         |FROM b GROUP BY 1""".stripMargin,
 
     "q_sessionize" ->
       s"""$T,
