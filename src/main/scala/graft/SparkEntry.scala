@@ -852,6 +852,42 @@ object SparkEntry {
       graft.ops.Snapshot.diffSnapshots(v1, v2, "doc_id", md5(col("text")))
     }),
 
+    // --- SCD-2 dimension history (two-phase lead) -------------------------------
+    // The feature store's dimension-history build: each conversation's
+    // tool-change feed becomes validity intervals [ts, next change's ts)
+    // — the table the as-of join conceptually reads. The lead is
+    // two-phase (hour chunks + chunk-head carry), so a mega-conversation
+    // never single-task sorts.
+    "q_scd2" -> ((s, dir) =>
+      graft.features.Scd2.validIntervals(
+          turns(s, dir).filter(col("tool").isNotNull)
+            .select(col("conv_id"), col("turn_idx"), col("ts"), col("tool")),
+          keyCol = "conv_id", tsCol = "ts", tieCol = "turn_idx",
+          chunkSpanSec = 3600L)
+        .select(col("conv_id"), col("turn_idx"), col("tool"),
+          col("ts").as("valid_from"), col("valid_to"), col("is_current"))),
+
+    // --- CDC latest-wins merge (Iceberg MERGE INTO semantics) --------------------
+    // Apply a delta of upserts/deletes to a standing table: standing =
+    // merge(∅, first-half feed), then merge(standing, second-half delta
+    // with error events as deletes) — the oracle computes latest over the
+    // FULL feed in one pass, asserting the merge's associativity.
+    "q_cdc_merge" -> ((s, dir) => {
+      val feed = Tables.read(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          when(col("event_type") === "error" &&
+              col("ts") >= lit("2024-01-16").cast("timestamp"), "d")
+            .otherwise("u").as("op"))
+      val cutoff = col("ts") < lit("2024-01-16").cast("timestamp")
+      val standing = graft.ops.Snapshot.cdcMergeLatest(
+        feed.limit(0), feed.filter(cutoff),
+        keyCol = "user_id", versionCols = Seq("ts", "event_id"))
+      graft.ops.Snapshot.cdcMergeLatest(
+        standing, feed.filter(!cutoff),
+        keyCol = "user_id", versionCols = Seq("ts", "event_id"))
+    }),
+
     // --- SimHash fingerprint (custom expression; Scala-oracled) ---------------
     "q_simhash" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"), SimHash64(col("text")).as("sh"))),
@@ -3459,6 +3495,27 @@ object SparkEntry {
         |       WHEN old_digest <> new_digest THEN 'changed'
         |       ELSE 'unchanged' END AS status
         |FROM o FULL JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // single-window lead replays the two-phase chunk-carry lead
+    "q_scd2" ->
+      s"""$T
+         |SELECT conv_id, turn_idx, tool, ts AS valid_from,
+         |  lead(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS valid_to,
+         |  (lead(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL)
+         |    AS is_current
+         |FROM turns WHERE tool IS NOT NULL""".stripMargin,
+
+    // latest row per key over the FULL feed in one pass — the two-step
+    // standing+delta merge must land on exactly this (associativity)
+    "q_cdc_merge" ->
+      """WITH feed AS (SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type = 'error' AND ts >= TIMESTAMP '2024-01-16'
+        |         THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM feed)
+        |SELECT user_id, ts, event_id, event_type, value, op
+        |FROM r WHERE rn = 1 AND op = 'u'""".stripMargin,
 
     // serving-path report bytes, replicated with SQL string construction
     // (exact serde shape: numeric-free key paths, detail objects/null)

@@ -49,4 +49,53 @@ object Snapshot {
     */
   def diffSummary(diff: DataFrame): DataFrame =
     diff.groupBy(col("status")).agg(count(lit(1)).as("n"))
+
+  /** CDC latest-wins merge (Iceberg MERGE INTO semantics, SCD-1): apply a
+    * delta of upserts/deletes to a standing table and return the new
+    * standing table. Both frames share one schema:
+    * `(keyCol, versionCols…, opCol, payload…)`, `opCol ∈ {'u','d'}`
+    * (anything else FAILS LOUD — a corrupt op silently treated as upsert
+    * would resurrect deleted rows). Per key the row with the highest
+    * `(versionCols…)` tuple wins; if that row is a delete, the key
+    * disappears. `versionCols` must totally order each key's rows (e.g.
+    * `(ts, event_id)`) — a version tie is caller error and picks an
+    * unspecified winner.
+    *
+    * The merge is ASSOCIATIVE: `merge(merge(∅, A), B) = latest(A ∪ B)`
+    * with deletes dropped — so deltas can land one at a time or batched,
+    * same result (differential-tested in Scd2CdcSpec). Note the standing
+    * table keeps only 'u' survivors, which is lossy in exactly the right
+    * way: a standing delete can never outrank a strictly-newer delta row.
+    *
+    * Scale shape: one union (no shuffle) + ONE key-grouped `max_by` over
+    * a struct of the full row — partial-agg (map-side combine), so even
+    * a key carrying a billion delta rows reduces before the exchange;
+    * output is live-key-sized.
+    */
+  def cdcMergeLatest(
+      standing: DataFrame,
+      delta: DataFrame,
+      keyCol: String,
+      versionCols: Seq[String],
+      opCol: String = "op"
+  ): DataFrame = {
+    require(versionCols.nonEmpty, "versionCols must order each key's rows")
+    require(standing.columns.sorted.sameElements(delta.columns.sorted),
+      "standing and delta must share one schema")
+    val cols = standing.columns.toSeq
+    val feed = standing.unionByName(delta)
+      .withColumn(opCol,
+        when(col(opCol).isin("u", "d"), col(opCol))
+          .otherwise(raise_error(concat(
+            lit(s"cdcMergeLatest: bad $opCol value "), col(opCol),
+            lit(" — must be 'u' (upsert) or 'd' (delete)")))))
+    feed
+      .groupBy(col(keyCol))
+      .agg(max_by(
+        struct(cols.filterNot(_ == keyCol).map(col): _*),
+        struct(versionCols.map(col): _*)).as("__r"))
+      .filter(col(s"__r.$opCol") === "u")
+      .select(col(keyCol) +: cols.filterNot(_ == keyCol)
+        .map(c => col(s"__r.$c").as(c)): _*)
+  }
 }
