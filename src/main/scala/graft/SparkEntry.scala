@@ -1852,6 +1852,20 @@ object SparkEntry {
     "q_reply_latency" -> ((s, dir) =>
       graft.features.ConvFeatures.replyLatency(turns(s, dir))),
 
+    // --- grounding score (hallucination gauge) ------------------------------------
+    // Per assistant turn: how many of its distinct words appeared in a
+    // STRICTLY earlier tool turn of the same conversation — exact
+    // integer numerator/denominator; the tool side collapses to first
+    // occurrence per (conv, word) before the join.
+    "q_grounding" -> ((s, dir) =>
+      graft.features.ConvFeatures.groundingScore(turns(s, dir))),
+
+    // --- tool-call sequence mining (trigram support counts) -----------------------
+    // Corpus-wide counts of consecutive tool-call trigrams per
+    // conversation — the agent-behavior profile / loop detector.
+    "q_tool_ngrams" -> ((s, dir) =>
+      graft.features.ConvFeatures.toolTrigrams(turns(s, dir), minSupport = 2L)),
+
     // --- incremental (delta) dedup against the standing corpus -------------------
     // New batch = doc_id % 3 == 0, standing corpus = the rest. Exact
     // drops by hash membership, near drops by sharing a MinHash band
@@ -4871,6 +4885,45 @@ object SparkEntry {
          |  CAST(FLOOR(epoch(nxt)) AS BIGINT) -
          |    CAST(FLOOR(epoch(ts)) AS BIGINT) AS latency_sec
          |FROM x WHERE role = 'user'""".stripMargin,
+
+    // distinct assistant words vs first tool occurrence per (conv, word);
+    // grounded ⇔ first tool idx strictly precedes the assistant turn
+    "q_grounding" ->
+      s"""$T,
+         |aw AS (SELECT DISTINCT conv_id, turn_idx, w AS word
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'assistant' AND text IS NOT NULL)
+         |  WHERE w <> ''),
+         |tw AS (SELECT conv_id, w AS word, min(turn_idx) AS first_tool
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'tool' AND text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |sc AS (SELECT aw.conv_id, aw.turn_idx,
+         |    CAST(count(*) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN tw.first_tool < aw.turn_idx THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS grounded
+         |  FROM aw LEFT JOIN tw
+         |    ON aw.conv_id = tw.conv_id AND aw.word = tw.word
+         |  GROUP BY 1, 2)
+         |SELECT t.conv_id, t.turn_idx,
+         |  COALESCE(sc.grounded, 0) AS grounded_words,
+         |  COALESCE(sc.total, 0) AS total_words
+         |FROM turns t LEFT JOIN sc
+         |  ON t.conv_id = sc.conv_id AND t.turn_idx = sc.turn_idx
+         |WHERE t.role = 'assistant'""".stripMargin,
+
+    // adjacent-among-tool-calls trigrams via lead over turn order
+    "q_tool_ngrams" ->
+      s"""$T,
+         |tc AS (SELECT conv_id, turn_idx, tool,
+         |    lead(tool, 1) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t2,
+         |    lead(tool, 2) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS t3
+         |  FROM turns WHERE tool IS NOT NULL)
+         |SELECT tool AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
+         |FROM tc WHERE t3 IS NOT NULL
+         |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
 
     // delta batch (doc_id % 3 = 0) vs standing corpus: exact by hash
     // membership, near by sharing any MinHash band with an old doc

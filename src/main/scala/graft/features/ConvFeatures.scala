@@ -234,4 +234,75 @@ object ConvFeatures {
           .as("latency_sec")
       )
   }
+
+  /** GROUNDING score per assistant turn — the hallucination gauge for
+    * agent transcripts: of the turn's distinct words, how many appeared
+    * in a STRICTLY EARLIER tool-output turn of the same conversation?
+    * `grounded_words / total_words` (emitted as the exact integer
+    * numerator/denominator) is the "did the answer come from the tool
+    * result?" signal an RLHF/SFT curation pass filters or stratifies on.
+    * Words are whitespace tokens of non-null `text`, deduped within the
+    * turn; an assistant turn with no words emits (0, 0) — stated, not
+    * dropped, so the output is one row per assistant turn.
+    *
+    * Scale shape: the tool side collapses to its FIRST occurrence per
+    * (conv_id, word) — a partial-agg min, so a tool word repeated 10⁶
+    * times in one conversation crosses the exchange once — then ONE
+    * (conv_id, word)-keyed join against the assistant turns' distinct
+    * words decides groundedness (`first tool idx < turn idx`: the
+    * strictly-earlier check needs only the minimum, never the full
+    * posting list). Both shuffles are fine-grained in (conv, word); the
+    * final rollup and anchor join key on (conv_id, turn_idx).
+    */
+  def groundingScore(turns: DataFrame): DataFrame = {
+    def words(side: DataFrame) = side
+      .filter(col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val toolFirst = words(turns.filter(col("role") === "tool"))
+      .groupBy(col("conv_id"), col("word"))
+      .agg(min(col("turn_idx")).as("__first_tool"))
+    val asstWords = words(turns.filter(col("role") === "assistant"))
+      .distinct()
+    val scored = asstWords
+      .join(toolFirst, Seq("conv_id", "word"), "left")
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(
+        count(lit(1)).as("__total"),
+        sum(when(col("__first_tool") < col("turn_idx"), 1L).otherwise(0L))
+          .as("__grounded"))
+    turns.filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"))
+      .join(scored, Seq("conv_id", "turn_idx"), "left")
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("__grounded"), lit(0L)).as("grounded_words"),
+        coalesce(col("__total"), lit(0L)).as("total_words"))
+  }
+
+  /** Tool-call SEQUENCE mining: corpus-wide counts of consecutive
+    * tool-call k-grams (k = 3) per conversation — the agent-behavior
+    * profile ("retrieve → retrieve → summarize") that drives curriculum
+    * stratification and loop/abuse detection (a conversation stuck in
+    * `(t, t, t)` shows up as one dominant trigram). Consecutive means
+    * adjacent among the conversation's TOOL CALLS in turn order — the
+    * prose turns between calls don't break a pattern.
+    *
+    * Scale shape: tool turns are a small slice of the transcript
+    * (filter before the shuffle); the trigram assembly is one per-conv
+    * lead window; the count is partial-agg over an alphabet³ key space.
+    * `minSupport` cuts the long tail at the agg, not the driver.
+    */
+  def toolTrigrams(turns: DataFrame, minSupport: Long = 1L): DataFrame = {
+    require(minSupport >= 1, "minSupport must be >= 1")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+    turns.filter(col("tool").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .withColumn("t2", lead(col("tool"), 1).over(w))
+      .withColumn("t3", lead(col("tool"), 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("tool").as("t1"), col("t2"), col("t3"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minSupport)
+  }
 }

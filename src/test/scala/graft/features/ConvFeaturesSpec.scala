@@ -162,4 +162,59 @@ class ConvFeaturesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("groundingScore: strictly-earlier tool words only; dedup; empty turn emits (0,0)") {
+    // g1/1 assistant "alpha beta alpha": alpha grounded by tool@0,
+    //   beta is only in a LATER tool turn (idx 2) -> not grounded.
+    // g1/3 assistant "beta gamma": beta now grounded (tool@2 < 3),
+    //   gamma appears nowhere on the tool side.
+    // g1/5 assistant "" -> zero words, must still emit a (0, 0) row.
+    // g2 has a tool turn with the same words but MUST not ground g1
+    //   (per-conversation scoping).
+    val t = Seq(
+      ("g1", 0, "tool", "alpha alpha", "t", ts(1)),
+      ("g1", 1, "assistant", "alpha beta alpha", null, ts(2)),
+      ("g1", 2, "tool", "beta", "t", ts(3)),
+      ("g1", 3, "assistant", "beta gamma", null, ts(4)),
+      ("g1", 5, "assistant", "", null, ts(5)),
+      ("g2", 0, "tool", "gamma", "t", ts(1)),
+      ("g2", 1, "assistant", "gamma", null, ts(2))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.groundingScore(t)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 4) // one row per assistant turn, empty one included
+    assert(got(("g1", 1)) == ((1L, 2L))) // alpha yes, beta not-yet; deduped
+    assert(got(("g1", 3)) == ((1L, 2L))) // beta yes (idx 2 < 3), gamma no
+    assert(got(("g1", 5)) == ((0L, 0L)))
+    assert(got(("g2", 1)) == ((1L, 1L)))
+  }
+
+  test("toolTrigrams: adjacency among tool calls; prose turns don't break a pattern") {
+    // s1 calls a,b,a,b across turn idxs 0,2,4,6 (prose between) -> trigrams
+    // (a,b,a) and (b,a,b). s2 calls a,b,a -> (a,b,a) again. At minSupport 2
+    // only (a,b,a) survives with n=2.
+    val t = Seq(
+      ("s1", 0, "assistant", "x", "a", ts(1)),
+      ("s1", 1, "user", "prose", null, ts(2)),
+      ("s1", 2, "assistant", "x", "b", ts(3)),
+      ("s1", 4, "assistant", "x", "a", ts(4)),
+      ("s1", 5, "user", "prose", null, ts(5)),
+      ("s1", 6, "assistant", "x", "b", ts(6)),
+      ("s2", 0, "assistant", "x", "a", ts(1)),
+      ("s2", 1, "assistant", "x", "b", ts(2)),
+      ("s2", 2, "assistant", "x", "a", ts(3))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val all = ConvFeatures.toolTrigrams(t)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2)) -> r.getLong(3))
+      .toMap
+    assert(all == Map(("a", "b", "a") -> 2L, ("b", "a", "b") -> 1L))
+    val supported = ConvFeatures.toolTrigrams(t, minSupport = 2L).collect()
+    assert(supported.length == 1)
+    val r = supported.head
+    assert((r.getString(0), r.getString(1), r.getString(2), r.getLong(3)) ==
+      (("a", "b", "a", 2L)))
+  }
 }
