@@ -1866,6 +1866,26 @@ object SparkEntry {
     "q_tool_ngrams" -> ((s, dir) =>
       graft.features.ConvFeatures.toolTrigrams(turns(s, dir), minSupport = 2L)),
 
+    // --- echo (parroting) score -----------------------------------------------
+    // Per assistant turn: distinct words shared with the NEAREST
+    // preceding user turn — the restate-the-prompt signal, exact
+    // integer numerator/denominator.
+    "q_echo" -> ((s, dir) =>
+      graft.features.ConvFeatures.echoScore(turns(s, dir))),
+
+    // --- stuck-loop self-repeat detector ---------------------------------------
+    // First byte-identical assistant turn per (conv, text) and a
+    // repeat flag — an agent looping shows as a run pointing at one
+    // first_idx.
+    "q_self_repeat" -> ((s, dir) =>
+      graft.features.ConvFeatures.selfRepeat(turns(s, dir))),
+
+    // --- exact type-token ratio (lexical diversity) -----------------------------
+    // Per conversation over assistant turns: (distinct words, total
+    // words) as integers; (0,0) when the role contributes nothing.
+    "q_lexical" -> ((s, dir) =>
+      graft.features.ConvFeatures.lexicalDiversity(turns(s, dir))),
+
     // --- incremental (delta) dedup against the standing corpus -------------------
     // New batch = doc_id % 3 == 0, standing corpus = the rest. Exact
     // drops by hash membership, near drops by sharing a MinHash band
@@ -4924,6 +4944,70 @@ object SparkEntry {
          |SELECT tool AS t1, t2, t3, CAST(count(*) AS BIGINT) AS n
          |FROM tc WHERE t3 IS NOT NULL
          |GROUP BY 1, 2, 3 HAVING count(*) >= 2""".stripMargin,
+
+    // nearest preceding user turn via a strictly-preceding running max,
+    // then distinct-word intersection with exactly that user turn
+    "q_echo" ->
+      s"""$T,
+         |pu AS (SELECT conv_id, turn_idx, role, text,
+         |    max(CASE WHEN role = 'user' THEN turn_idx END) OVER
+         |      (PARTITION BY conv_id ORDER BY turn_idx
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
+         |  FROM turns),
+         |aw AS (SELECT DISTINCT conv_id, turn_idx, prev_user, w AS word
+         |  FROM (SELECT conv_id, turn_idx, prev_user,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM pu WHERE role = 'assistant' AND text IS NOT NULL)
+         |  WHERE w <> ''),
+         |uw AS (SELECT DISTINCT conv_id, turn_idx AS prev_user, w AS word
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'user' AND text IS NOT NULL)
+         |  WHERE w <> ''),
+         |sc AS (SELECT aw.conv_id, aw.turn_idx,
+         |    CAST(count(*) AS BIGINT) AS total,
+         |    CAST(sum(CASE WHEN uw.word IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS echoed
+         |  FROM aw LEFT JOIN uw
+         |    ON aw.conv_id = uw.conv_id AND aw.prev_user = uw.prev_user
+         |   AND aw.word = uw.word
+         |  GROUP BY 1, 2)
+         |SELECT p.conv_id, p.turn_idx,
+         |  COALESCE(sc.echoed, 0) AS echoed_words,
+         |  COALESCE(sc.total, 0) AS total_words
+         |FROM pu p LEFT JOIN sc
+         |  ON p.conv_id = sc.conv_id AND p.turn_idx = sc.turn_idx
+         |WHERE p.role = 'assistant'""".stripMargin,
+
+    // first identical assistant text per conversation; repeat = later idx
+    // (oracle groups by the text itself — the Spark side's md5 digest is
+    // an equivalent key up to collision)
+    "q_self_repeat" ->
+      s"""$T,
+         |a AS (SELECT conv_id, turn_idx, text FROM turns
+         |  WHERE role = 'assistant' AND text IS NOT NULL),
+         |f AS (SELECT conv_id, text, min(turn_idx) AS first_idx
+         |  FROM a GROUP BY 1, 2)
+         |SELECT a.conv_id, a.turn_idx, f.first_idx,
+         |  a.turn_idx > f.first_idx AS is_repeat
+         |FROM a JOIN f ON a.conv_id = f.conv_id AND a.text = f.text""".stripMargin,
+
+    // exact TTR: per-(conv, word) counts first, then count/sum rollup;
+    // every conversation emits a row
+    "q_lexical" ->
+      s"""$T,
+         |pw AS (SELECT conv_id, w AS word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'assistant' AND text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |r AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS d,
+         |         CAST(sum(n) AS BIGINT) AS t
+         |  FROM pw GROUP BY 1)
+         |SELECT c.conv_id,
+         |  COALESCE(r.d, 0) AS distinct_words,
+         |  COALESCE(r.t, 0) AS total_words
+         |FROM (SELECT DISTINCT conv_id FROM turns) c
+         |LEFT JOIN r ON c.conv_id = r.conv_id""".stripMargin,
 
     // delta batch (doc_id % 3 = 0) vs standing corpus: exact by hash
     // membership, near by sharing any MinHash band with an old doc

@@ -305,4 +305,105 @@ object ConvFeatures {
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= minSupport)
   }
+
+  /** ECHO (parroting) score per assistant turn — the complement of
+    * [[groundingScore]]: of the turn's distinct words, how many appear
+    * in the NEAREST PRECEDING USER turn of the same conversation?
+    * High echo = the assistant restates the prompt instead of adding
+    * content — the instruction-parroting signal an SFT curation pass
+    * downweights. Exact integer numerator/denominator; an assistant
+    * turn with no words, or with no preceding user turn, emits
+    * (0, total) honestly rather than being dropped.
+    *
+    * Scale shape: the anchor pairing is a running `max(user idx)` over
+    * a strictly-preceding frame — the same single conv_id window
+    * geometry as lag/LOCF. Word matching is one (conv, user_idx, word)
+    * fine-grained left join between the two deduped word sets, then a
+    * (conv, turn)-keyed rollup; no step holds a conversation in memory.
+    */
+  def echoScore(turns: DataFrame): DataFrame = {
+    val wPrev = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val asst = turns
+      .withColumn("__prev_user",
+        max(when(col("role") === "user", col("turn_idx"))).over(wPrev))
+      .filter(col("role") === "assistant")
+      .select(col("conv_id"), col("turn_idx"), col("__prev_user"), col("text"))
+    val asstWords = asst.filter(col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("__prev_user"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+    val userWords = turns
+      .filter(col("role") === "user" && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx").as("__prev_user"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .distinct()
+      .withColumn("__hit", lit(1L))
+    val scored = asstWords
+      .join(userWords, Seq("conv_id", "__prev_user", "word"), "left")
+      .groupBy(col("conv_id"), col("turn_idx"))
+      .agg(
+        count(lit(1)).as("__total"),
+        sum(coalesce(col("__hit"), lit(0L))).as("__echoed"))
+    asst.select(col("conv_id"), col("turn_idx"))
+      .join(scored, Seq("conv_id", "turn_idx"), "left")
+      .select(col("conv_id"), col("turn_idx"),
+        coalesce(col("__echoed"), lit(0L)).as("echoed_words"),
+        coalesce(col("__total"), lit(0L)).as("total_words"))
+  }
+
+  /** STUCK-LOOP detector: for every assistant turn with non-null text,
+    * the turn_idx of the FIRST assistant turn in the same conversation
+    * with byte-identical text, and whether this turn is a repeat of it.
+    * An agent looping ("I'll try again" × 40) lights up as a run of
+    * `is_repeat` rows all pointing at one `first_idx` — the drop/
+    * truncate signal transcript curation applies before packing.
+    *
+    * Scale shape: turns shuffle as 16-byte md5 digests, never as text
+    * (same digest-not-payload trade as the conversation dedup family;
+    * cross-text md5 collision is accepted and documented there). One
+    * (conv, digest) partial-agg min + one fine-grained join back — no
+    * window, so a mega-conversation costs its scan, not a sort.
+    */
+  def selfRepeat(turns: DataFrame): DataFrame = {
+    val asst = turns
+      .filter(col("role") === "assistant" && col("text").isNotNull)
+      .select(col("conv_id"), col("turn_idx"),
+        md5(col("text").cast("binary")).as("__digest"))
+    val first = asst.groupBy(col("conv_id"), col("__digest"))
+      .agg(min(col("turn_idx")).as("first_idx"))
+    asst.join(first, Seq("conv_id", "__digest"))
+      .select(col("conv_id"), col("turn_idx"), col("first_idx"),
+        (col("turn_idx") > col("first_idx")).as("is_repeat"))
+  }
+
+  /** Exact type-token ratio per conversation over one role's turns:
+    * (distinct words, total words) as integers — the lexical-diversity
+    * gauge (low TTR = repetitive/templated output) used beside the
+    * repetition fractions when stratifying generation quality. One row
+    * per conversation in the input, (0, 0) when the role contributes
+    * no words — stated, not dropped.
+    *
+    * Scale shape: exact distinct via the two-level aggregate — per
+    * (conv, word) counts partial-agg first, so a word repeated 10⁶
+    * times crosses the exchange once; the conv rollup then counts rows
+    * and sums. No distinct-on-strings shuffle of raw text volume.
+    */
+  def lexicalDiversity(turns: DataFrame, role: String = "assistant"): DataFrame = {
+    val perWord = turns
+      .filter(col("role") === role && col("text").isNotNull)
+      .select(col("conv_id"), explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("conv_id"), col("word"))
+      .agg(count(lit(1)).as("__n"))
+    val rolled = perWord.groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("__distinct"), sum(col("__n")).as("__total"))
+    turns.select(col("conv_id")).distinct()
+      .join(rolled, Seq("conv_id"), "left")
+      .select(col("conv_id"),
+        coalesce(col("__distinct"), lit(0L)).as("distinct_words"),
+        coalesce(col("__total"), lit(0L)).as("total_words"))
+  }
 }

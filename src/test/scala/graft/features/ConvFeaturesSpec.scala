@@ -217,4 +217,70 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert((r.getString(0), r.getString(1), r.getString(2), r.getLong(3)) ==
       (("a", "b", "a", 2L)))
   }
+
+  test("echoScore: nearest preceding user turn only; no-anchor turn emits (0, n)") {
+    // e1/1 echoes from user@0 ("alpha beta"): alpha yes, zeta no -> (1, 2).
+    // e1/3's nearest user is @2 ("gamma"): the OLDER user@0's alpha must
+    //   not count -> only gamma echoes -> (1, 2).
+    // e1/5 assistant with NO preceding user in-range? user@2 still
+    //   precedes it; "delta" matches nothing -> (0, 1).
+    // e2/0 assistant BEFORE any user turn -> (0, 1), not dropped.
+    val t = Seq(
+      ("e1", 0, "user", "alpha beta", null, ts(1)),
+      ("e1", 1, "assistant", "alpha zeta", null, ts(2)),
+      ("e1", 2, "user", "gamma", null, ts(3)),
+      ("e1", 3, "assistant", "gamma alpha", null, ts(4)),
+      ("e1", 5, "assistant", "delta", null, ts(5)),
+      ("e2", 0, "assistant", "solo", null, ts(1)),
+      ("e2", 1, "user", "late", null, ts(2))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.echoScore(t)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got.size == 4)
+    assert(got(("e1", 1)) == ((1L, 2L)))
+    assert(got(("e1", 3)) == ((1L, 2L))) // alpha from user@0 must NOT echo
+    assert(got(("e1", 5)) == ((0L, 1L)))
+    assert(got(("e2", 0)) == ((0L, 1L))) // no preceding user at all
+  }
+
+  test("selfRepeat: repeats point at the first identical turn, per conversation") {
+    val t = Seq(
+      ("r1", 0, "assistant", "loop", null, ts(1)),
+      ("r1", 1, "user", "go on", null, ts(2)),
+      ("r1", 2, "assistant", "loop", null, ts(3)),
+      ("r1", 3, "assistant", "fresh", null, ts(4)),
+      ("r1", 4, "assistant", "loop", null, ts(5)),
+      ("r2", 0, "assistant", "loop", null, ts(1)) // other conv: not a repeat
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.selfRepeat(t)
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> ((r.getInt(2), r.getBoolean(3))))
+      .toMap
+    assert(got.size == 5) // user turn excluded
+    assert(got(("r1", 0)) == ((0, false)))
+    assert(got(("r1", 2)) == ((0, true)))
+    assert(got(("r1", 3)) == ((3, false)))
+    assert(got(("r1", 4)) == ((0, true)))
+    assert(got(("r2", 0)) == ((0, false)))
+  }
+
+  test("lexicalDiversity: exact distinct/total; conv with no role words emits (0,0)") {
+    val t = Seq(
+      ("l1", 0, "assistant", "a b a", null, ts(1)),
+      ("l1", 1, "assistant", "b c", null, ts(2)),
+      ("l1", 2, "user", "ignored words", null, ts(3)),
+      ("l2", 0, "user", "only user", null, ts(1)),
+      ("l3", 0, "assistant", null, null, ts(1))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.lexicalDiversity(t)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == Map(
+      "l1" -> ((3L, 5L)), // {a,b,c} of a b a b c
+      "l2" -> ((0L, 0L)),
+      "l3" -> ((0L, 0L))))
+  }
 }
