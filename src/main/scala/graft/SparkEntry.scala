@@ -1886,6 +1886,13 @@ object SparkEntry {
     "q_lexical" -> ((s, dir) =>
       graft.features.ConvFeatures.lexicalDiversity(turns(s, dir))),
 
+    // --- turn-order integrity audit ----------------------------------------------
+    // Per conversation: duplicate turn indexes, index gaps, strict ts
+    // inversions, null timestamps, first index — the ingest QC gate the
+    // ordered-operator family assumes has run.
+    "q_order_audit" -> ((s, dir) =>
+      graft.features.ConvFeatures.orderAudit(turns(s, dir))),
+
     // --- incremental (delta) dedup against the standing corpus -------------------
     // New batch = doc_id % 3 == 0, standing corpus = the rest. Exact
     // drops by hash membership, near drops by sharing a MinHash band
@@ -5008,6 +5015,36 @@ object SparkEntry {
          |  COALESCE(r.t, 0) AS total_words
          |FROM (SELECT DISTINCT conv_id FROM turns) c
          |LEFT JOIN r ON c.conv_id = r.conv_id""".stripMargin,
+
+    // lag over (turn_idx, ts) within non-null-ts rows; null-ts rows
+    // counted separately (engines disagree on null ordering)
+    "q_order_audit" ->
+      s"""$T,
+         |s AS (SELECT conv_id, turn_idx, ts,
+         |    lag(turn_idx) OVER
+         |      (PARTITION BY conv_id ORDER BY turn_idx, ts) AS pidx,
+         |    lag(ts) OVER
+         |      (PARTITION BY conv_id ORDER BY turn_idx, ts) AS pts
+         |  FROM turns WHERE ts IS NOT NULL),
+         |g AS (SELECT conv_id,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT turn_idx) AS BIGINT) AS nidx,
+         |    min(turn_idx) AS first_idx,
+         |    CAST(sum(CASE WHEN turn_idx - pidx > 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_idx_gaps,
+         |    CAST(sum(CASE WHEN ts < pts THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ts_inversions
+         |  FROM s GROUP BY 1),
+         |nn AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_null
+         |  FROM turns WHERE ts IS NULL GROUP BY 1)
+         |SELECT COALESCE(g.conv_id, nn.conv_id) AS conv_id,
+         |  COALESCE(g.n, 0) + COALESCE(nn.n_null, 0) AS n_turns,
+         |  COALESCE(g.n, 0) - COALESCE(g.nidx, 0) AS n_dup_idx,
+         |  g.first_idx,
+         |  COALESCE(g.n_idx_gaps, 0) AS n_idx_gaps,
+         |  COALESCE(g.n_ts_inversions, 0) AS n_ts_inversions,
+         |  COALESCE(nn.n_null, 0) AS n_null_ts
+         |FROM g FULL JOIN nn ON g.conv_id = nn.conv_id""".stripMargin,
 
     // delta batch (doc_id % 3 = 0) vs standing corpus: exact by hash
     // membership, near by sharing any MinHash band with an old doc

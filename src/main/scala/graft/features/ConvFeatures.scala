@@ -391,6 +391,55 @@ object ConvFeatures {
     * times crosses the exchange once; the conv rollup then counts rows
     * and sums. No distinct-on-strings shuffle of raw text volume.
     */
+  /** Turn-ORDER integrity audit per conversation — the ingest QC gate
+    * the as-of/window family assumes has already run: exact counts of
+    * duplicate turn indexes (rows minus distinct indexes), index gaps
+    * (consecutive distinct-index jumps > 1), strict timestamp
+    * inversions in turn order, null timestamps, plus the first index
+    * (≠ 0 flags a truncated head). A conversation scoring all zeros
+    * with first_idx 0 is safe for every ordered operator downstream.
+    *
+    * Null-ts rows are COUNTED but excluded from the inversion window:
+    * engines disagree on null ordering (Spark sorts nulls first,
+    * others last), so including them would make "inversion" an
+    * engine-dependent fact rather than a property of the data.
+    *
+    * Scale shape: one conv_id exchange shared by the lag window and
+    * the rollup (the [[summarize]] geometry); every counter is a
+    * partial-agg sum over window outputs.
+    */
+  def orderAudit(turns: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("turn_idx"), col("ts"))
+    val stepped = turns.filter(col("ts").isNotNull)
+      .select(col("conv_id"), col("turn_idx"), col("ts"))
+      .withColumn("__prev_idx", lag(col("turn_idx"), 1).over(w))
+      .withColumn("__prev_ts", lag(col("ts"), 1).over(w))
+      .groupBy(col("conv_id"))
+      .agg(
+        count(lit(1)).as("__n"),
+        countDistinct(col("turn_idx")).as("__n_idx"),
+        min(col("turn_idx")).as("first_idx"),
+        sum(when(col("turn_idx") - col("__prev_idx") > 1, 1L).otherwise(0L))
+          .as("n_idx_gaps"),
+        sum(when(col("ts") < col("__prev_ts"), 1L).otherwise(0L))
+          .as("n_ts_inversions"))
+    val nullTs = turns.filter(col("ts").isNull)
+      .groupBy(col("conv_id"))
+      .agg(count(lit(1)).as("__n_null"))
+    // full outer: an all-null-ts conversation still audits (first_idx
+    // is null there — unknowable without a usable order, stated as such)
+    stepped.join(nullTs, Seq("conv_id"), "full")
+      .select(col("conv_id"),
+        (coalesce(col("__n"), lit(0L)) + coalesce(col("__n_null"), lit(0L)))
+          .as("n_turns"),
+        (coalesce(col("__n"), lit(0L)) - coalesce(col("__n_idx"), lit(0L)))
+          .as("n_dup_idx"),
+        col("first_idx"),
+        coalesce(col("n_idx_gaps"), lit(0L)).as("n_idx_gaps"),
+        coalesce(col("n_ts_inversions"), lit(0L)).as("n_ts_inversions"),
+        coalesce(col("__n_null"), lit(0L)).as("n_null_ts"))
+  }
+
   def lexicalDiversity(turns: DataFrame, role: String = "assistant"): DataFrame = {
     val perWord = turns
       .filter(col("role") === role && col("text").isNotNull)

@@ -283,4 +283,31 @@ class ConvFeaturesSpec extends AnyFunSuite {
       "l2" -> ((0L, 0L)),
       "l3" -> ((0L, 0L))))
   }
+
+  test("orderAudit: dup idx, idx gap, ts inversion, null ts, all-null-ts conv") {
+    // o1: idx 0,1,1,4 -> 1 dup, 1 gap (1->4); ts at idx 4 goes BACK ->
+    //     1 inversion; one extra null-ts row counts but can't invert.
+    // o2: clean 0,1.
+    // o3: ONLY null-ts rows -> still audited, first_idx null.
+    val t = Seq(
+      ("o1", 0, "user", "x", null, Some(ts(10))),
+      ("o1", 1, "assistant", "x", null, Some(ts(20))),
+      ("o1", 1, "assistant", "x", null, Some(ts(21))), // dup idx
+      ("o1", 4, "assistant", "x", null, Some(ts(15))), // gap + inversion
+      ("o1", 5, "tool", "x", null, None), // null ts
+      ("o2", 0, "user", "x", null, Some(ts(1))),
+      ("o2", 1, "assistant", "x", null, Some(ts(2))),
+      ("o3", 3, "user", "x", null, None),
+      ("o3", 4, "assistant", "x", null, None)
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.orderAudit(t)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) None else Some(r.getInt(3)),
+        r.getLong(4), r.getLong(5), r.getLong(6))))
+      .toMap
+    assert(got("o1") == ((5L, 1L, Some(0), 1L, 1L, 1L)))
+    assert(got("o2") == ((2L, 0L, Some(0), 0L, 0L, 0L)))
+    assert(got("o3") == ((2L, 0L, None, 0L, 0L, 2L)))
+  }
 }
