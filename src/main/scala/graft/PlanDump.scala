@@ -156,6 +156,15 @@ object PlanDump {
       "q_interval_join (interval×interval overlap: binned equi join, " +
         "exactly-once left-edge-bin pick, no BroadcastNestedLoop)" ->
         SparkEntry.queries("q_interval_join")(spark, dir),
+      "q_grounding (tool side collapsed to first occurrence per (conv, " +
+        "word) — partial-agg min — before ONE fine-grained word join)" ->
+        SparkEntry.queries("q_grounding")(spark, dir),
+      "q_self_repeat (stuck-loop detector: md5 digests shuffle, text " +
+        "never does; no window — a mega-conversation costs its scan)" ->
+        SparkEntry.queries("q_self_repeat")(spark, dir),
+      "q_order_audit (ingest QC: lag window and distinct rollup share " +
+        "ONE conv_id exchange)" ->
+        SparkEntry.queries("q_order_audit")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

@@ -1893,6 +1893,14 @@ object SparkEntry {
     "q_order_audit" -> ((s, dir) =>
       graft.features.ConvFeatures.orderAudit(turns(s, dir))),
 
+    // --- composed conversation quality gate ---------------------------------------
+    // Order audit + grounding + echo + loop rate + TTR in ONE job;
+    // integer basis-point thresholds by cross-multiplication,
+    // first-error-only drop_reason (the wary gate's reporting contract
+    // at conversation granularity).
+    "q_conv_gate" -> ((s, dir) =>
+      graft.features.ConvFeatures.qualityGate(turns(s, dir))),
+
     // --- incremental (delta) dedup against the standing corpus -------------------
     // New batch = doc_id % 3 == 0, standing corpus = the rest. Exact
     // drops by hash membership, near drops by sharing a MinHash band
@@ -5045,6 +5053,127 @@ object SparkEntry {
          |  COALESCE(g.n_ts_inversions, 0) AS n_ts_inversions,
          |  COALESCE(nn.n_null, 0) AS n_null_ts
          |FROM g FULL JOIN nn ON g.conv_id = nn.conv_id""".stripMargin,
+
+    // the five conversation-quality signals composed; thresholds are the
+    // Scala defaults (10%/80%/25%/20% in basis points), cross-multiplied
+    "q_conv_gate" ->
+      s"""$T,
+         |os AS (SELECT conv_id, turn_idx, ts,
+         |    lag(turn_idx) OVER
+         |      (PARTITION BY conv_id ORDER BY turn_idx, ts) AS pidx,
+         |    lag(ts) OVER
+         |      (PARTITION BY conv_id ORDER BY turn_idx, ts) AS pts
+         |  FROM turns WHERE ts IS NOT NULL),
+         |og AS (SELECT conv_id,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(count(DISTINCT turn_idx) AS BIGINT) AS nidx,
+         |    min(turn_idx) AS first_idx,
+         |    CAST(sum(CASE WHEN turn_idx - pidx > 1 THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_idx_gaps,
+         |    CAST(sum(CASE WHEN ts < pts THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS n_ts_inversions
+         |  FROM os GROUP BY 1),
+         |onn AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_null
+         |  FROM turns WHERE ts IS NULL GROUP BY 1),
+         |aud AS (SELECT COALESCE(og.conv_id, onn.conv_id) AS conv_id,
+         |    COALESCE(og.n, 0) + COALESCE(onn.n_null, 0) AS n_turns,
+         |    COALESCE(og.n, 0) - COALESCE(og.nidx, 0) AS n_dup_idx,
+         |    og.first_idx,
+         |    COALESCE(og.n_idx_gaps, 0) AS n_idx_gaps,
+         |    COALESCE(og.n_ts_inversions, 0) AS n_ts_inversions,
+         |    COALESCE(onn.n_null, 0) AS n_null_ts
+         |  FROM og FULL JOIN onn ON og.conv_id = onn.conv_id),
+         |gaw AS (SELECT DISTINCT conv_id, turn_idx, w AS word
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'assistant' AND text IS NOT NULL)
+         |  WHERE w <> ''),
+         |gtw AS (SELECT conv_id, w AS word, min(turn_idx) AS first_tool
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'tool' AND text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |grd AS (SELECT gaw.conv_id,
+         |    CAST(sum(CASE WHEN gtw.first_tool < gaw.turn_idx
+         |      THEN 1 ELSE 0 END) AS BIGINT) AS gw,
+         |    CAST(count(*) AS BIGINT) AS gt
+         |  FROM gaw LEFT JOIN gtw
+         |    ON gaw.conv_id = gtw.conv_id AND gaw.word = gtw.word
+         |  GROUP BY 1),
+         |epu AS (SELECT conv_id, turn_idx, role, text,
+         |    max(CASE WHEN role = 'user' THEN turn_idx END) OVER
+         |      (PARTITION BY conv_id ORDER BY turn_idx
+         |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_user
+         |  FROM turns),
+         |eaw AS (SELECT DISTINCT conv_id, turn_idx, prev_user, w AS word
+         |  FROM (SELECT conv_id, turn_idx, prev_user,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM epu WHERE role = 'assistant' AND text IS NOT NULL)
+         |  WHERE w <> ''),
+         |euw AS (SELECT DISTINCT conv_id, turn_idx AS prev_user, w AS word
+         |  FROM (SELECT conv_id, turn_idx,
+         |          unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'user' AND text IS NOT NULL)
+         |  WHERE w <> ''),
+         |ech AS (SELECT eaw.conv_id,
+         |    CAST(sum(CASE WHEN euw.word IS NOT NULL THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS ew,
+         |    CAST(count(*) AS BIGINT) AS et
+         |  FROM eaw LEFT JOIN euw
+         |    ON eaw.conv_id = euw.conv_id AND eaw.prev_user = euw.prev_user
+         |   AND eaw.word = euw.word
+         |  GROUP BY 1),
+         |ra AS (SELECT conv_id, turn_idx, text FROM turns
+         |  WHERE role = 'assistant' AND text IS NOT NULL),
+         |rf AS (SELECT conv_id, text, min(turn_idx) AS first_idx
+         |  FROM ra GROUP BY 1, 2),
+         |rep AS (SELECT ra.conv_id,
+         |    CAST(sum(CASE WHEN ra.turn_idx > rf.first_idx THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS nr,
+         |    CAST(count(*) AS BIGINT) AS nh
+         |  FROM ra JOIN rf ON ra.conv_id = rf.conv_id AND ra.text = rf.text
+         |  GROUP BY 1),
+         |lpw AS (SELECT conv_id, w AS word, CAST(count(*) AS BIGINT) AS n
+         |  FROM (SELECT conv_id, unnest(string_split(text, ' ')) AS w
+         |        FROM turns WHERE role = 'assistant' AND text IS NOT NULL)
+         |  WHERE w <> '' GROUP BY 1, 2),
+         |lex AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS d,
+         |    CAST(sum(n) AS BIGINT) AS t
+         |  FROM lpw GROUP BY 1),
+         |pre AS (SELECT aud.conv_id, aud.n_turns, aud.n_dup_idx,
+         |    aud.n_idx_gaps, aud.n_ts_inversions, aud.n_null_ts,
+         |    COALESCE(grd.gw, 0) AS grounded_words,
+         |    COALESCE(grd.gt, 0) AS grounding_total,
+         |    COALESCE(ech.ew, 0) AS echoed_words,
+         |    COALESCE(ech.et, 0) AS echo_total,
+         |    COALESCE(rep.nr, 0) AS n_repeats,
+         |    COALESCE(rep.nh, 0) AS n_hashed_turns,
+         |    COALESCE(lex.d, 0) AS distinct_words,
+         |    COALESCE(lex.t, 0) AS total_words,
+         |    CASE
+         |      WHEN aud.n_dup_idx > 0 OR aud.n_idx_gaps > 0
+         |        OR aud.n_ts_inversions > 0 OR aud.n_null_ts > 0
+         |        OR aud.first_idx IS NULL OR aud.first_idx <> 0 THEN 'order'
+         |      WHEN COALESCE(grd.gt, 0) = 0 THEN 'empty'
+         |      WHEN COALESCE(grd.gw, 0) * 10000
+         |        < 1000 * COALESCE(grd.gt, 0) THEN 'ungrounded'
+         |      WHEN COALESCE(ech.ew, 0) * 10000
+         |        > 8000 * COALESCE(ech.et, 0) THEN 'echo'
+         |      WHEN COALESCE(rep.nr, 0) * 10000
+         |        > 2500 * COALESCE(rep.nh, 0) THEN 'loop'
+         |      WHEN COALESCE(lex.d, 0) * 10000
+         |        < 2000 * COALESCE(lex.t, 0) THEN 'low_ttr'
+         |    END AS drop_reason
+         |  FROM aud
+         |  LEFT JOIN grd ON aud.conv_id = grd.conv_id
+         |  LEFT JOIN ech ON aud.conv_id = ech.conv_id
+         |  LEFT JOIN rep ON aud.conv_id = rep.conv_id
+         |  LEFT JOIN lex ON aud.conv_id = lex.conv_id)
+         |SELECT conv_id, n_turns, n_dup_idx, n_idx_gaps, n_ts_inversions,
+         |  n_null_ts, grounded_words, grounding_total, echoed_words,
+         |  echo_total, n_repeats, n_hashed_turns, distinct_words,
+         |  total_words, drop_reason IS NULL AS keep, drop_reason
+         |FROM pre""".stripMargin,
 
     // delta batch (doc_id % 3 = 0) vs standing corpus: exact by hash
     // membership, near by sharing any MinHash band with an old doc

@@ -455,4 +455,83 @@ object ConvFeatures {
         coalesce(col("__distinct"), lit(0L)).as("distinct_words"),
         coalesce(col("__total"), lit(0L)).as("total_words"))
   }
+
+  /** Composed per-conversation QUALITY GATE — the keep/drop decision a
+    * transcript-curation run actually applies, assembled from this
+    * family's signals in ONE Catalyst job: order integrity
+    * ([[orderAudit]]), grounding ([[groundingScore]] rolled up), echo
+    * ([[echoScore]] rolled up), loop rate ([[selfRepeat]] rolled up),
+    * and lexical diversity ([[lexicalDiversity]]). All thresholds are
+    * integer BASIS POINTS checked by cross-multiplication — no float
+    * division anywhere, so the gate is bit-stable across engines.
+    *
+    * `drop_reason` is FIRST-ERROR-ONLY in a fixed severity order
+    * (order → empty → ungrounded → echo → loop → low_ttr) — the same
+    * reporting contract as the wary rule gate (one actionable reason,
+    * not a bitmap). `keep` conversations carry a null reason. Every
+    * conversation emits exactly one row with its full feature vector,
+    * so the gate doubles as the per-conversation quality table.
+    *
+    * Denominators are stated, not conflated: grounding/echo totals are
+    * sums of per-turn DISTINCT word counts (the per-turn contract),
+    * TTR's total is raw word occurrences.
+    *
+    * Scale shape: five conv-keyed aggregates — each with the scale
+    * geometry of its operator (word-grained partial aggs, digest-only
+    * shuffles, one audit window) — meet in conv_id-keyed left joins;
+    * nothing driver-side, no step holds a conversation in memory.
+    */
+  def qualityGate(
+      turns: DataFrame,
+      minGroundedBp: Int = 1000,
+      maxEchoBp: Int = 8000,
+      maxRepeatBp: Int = 2500,
+      minTtrBp: Int = 2000): DataFrame = {
+    Seq(minGroundedBp, maxEchoBp, maxRepeatBp, minTtrBp).foreach { bp =>
+      require(bp >= 0 && bp <= 10000, s"threshold must be 0..10000 bp, got $bp")
+    }
+    val g = groundingScore(turns).groupBy(col("conv_id")).agg(
+      sum(col("grounded_words")).as("grounded_words"),
+      sum(col("total_words")).as("grounding_total"))
+    val e = echoScore(turns).groupBy(col("conv_id")).agg(
+      sum(col("echoed_words")).as("echoed_words"),
+      sum(col("total_words")).as("echo_total"))
+    val r = selfRepeat(turns).groupBy(col("conv_id")).agg(
+      sum(when(col("is_repeat"), 1L).otherwise(0L)).as("n_repeats"),
+      count(lit(1)).as("n_hashed_turns"))
+    val l = lexicalDiversity(turns)
+    val a = orderAudit(turns)
+    val joined = a
+      .join(g, Seq("conv_id"), "left")
+      .join(e, Seq("conv_id"), "left")
+      .join(r, Seq("conv_id"), "left")
+      .join(l, Seq("conv_id"), "left")
+      .na.fill(0L, Seq("grounded_words", "grounding_total", "echoed_words",
+        "echo_total", "n_repeats", "n_hashed_turns"))
+    val orderBad = col("n_dup_idx") > 0 || col("n_idx_gaps") > 0 ||
+      col("n_ts_inversions") > 0 || col("n_null_ts") > 0 ||
+      col("first_idx").isNull || col("first_idx") =!= 0
+    val empty = col("grounding_total") === 0L
+    val ungrounded =
+      col("grounded_words") * 10000L < lit(minGroundedBp.toLong) * col("grounding_total")
+    val echoey =
+      col("echoed_words") * 10000L > lit(maxEchoBp.toLong) * col("echo_total")
+    val loopy =
+      col("n_repeats") * 10000L > lit(maxRepeatBp.toLong) * col("n_hashed_turns")
+    val lowTtr =
+      col("distinct_words") * 10000L < lit(minTtrBp.toLong) * col("total_words")
+    val reason = when(orderBad, "order")
+      .when(empty, "empty")
+      .when(ungrounded, "ungrounded")
+      .when(echoey, "echo")
+      .when(loopy, "loop")
+      .when(lowTtr, "low_ttr")
+    joined.select(col("conv_id"), col("n_turns"), col("n_dup_idx"),
+      col("n_idx_gaps"), col("n_ts_inversions"), col("n_null_ts"),
+      col("grounded_words"), col("grounding_total"),
+      col("echoed_words"), col("echo_total"),
+      col("n_repeats"), col("n_hashed_turns"),
+      col("distinct_words"), col("total_words"),
+      reason.isNull.as("keep"), reason.as("drop_reason"))
+  }
 }

@@ -310,4 +310,60 @@ class ConvFeaturesSpec extends AnyFunSuite {
     assert(got("o2") == ((2L, 0L, Some(0), 0L, 0L, 0L)))
     assert(got("o3") == ((2L, 0L, None, 0L, 0L, 2L)))
   }
+
+  test("qualityGate: every drop reason fires, first-error-only, keeper keeps") {
+    val t = Seq(
+      // k: keeper — grounded 1/2, echo 0/2, no repeats, TTR 2/2
+      ("k", 0, "tool", "alpha beta gamma", "t", Some(ts(1))),
+      ("k", 1, "user", "question here", null, Some(ts(2))),
+      ("k", 2, "assistant", "alpha delta", null, Some(ts(3))),
+      // o: dup turn_idx AND ungrounded -> 'order' wins (first error only)
+      ("o", 0, "user", "x", null, Some(ts(1))),
+      ("o", 1, "assistant", "y", null, Some(ts(2))),
+      ("o", 1, "assistant", "z", null, Some(ts(3))),
+      // e: assistant contributes zero words -> 'empty'
+      ("e", 0, "user", "hi", null, Some(ts(1))),
+      ("e", 1, "assistant", null, null, Some(ts(2))),
+      // u: words but no tool turn anywhere -> grounded 0 -> 'ungrounded'
+      ("u", 0, "user", "q zz", null, Some(ts(1))),
+      ("u", 1, "assistant", "fresh words here", null, Some(ts(2))),
+      // c: grounded 1/2 but echoes 2/2 of the preceding user -> 'echo'
+      ("c", 0, "tool", "alpha", "t", Some(ts(1))),
+      ("c", 1, "user", "alpha beta", null, Some(ts(2))),
+      ("c", 2, "assistant", "alpha beta", null, Some(ts(3))),
+      // p: 3 of 4 assistant turns byte-identical -> 'loop'
+      ("p", 0, "tool", "alpha", "t", Some(ts(1))),
+      ("p", 1, "assistant", "alpha", null, Some(ts(2))),
+      ("p", 2, "assistant", "alpha", null, Some(ts(3))),
+      ("p", 3, "assistant", "alpha", null, Some(ts(4))),
+      ("p", 4, "assistant", "alpha", null, Some(ts(5))),
+      // t: all checks pass except TTR 4/24 < 20% -> 'low_ttr'
+      ("t", 0, "tool", "a b c d e f", "t", Some(ts(1))),
+      ("t", 1, "assistant", "a a a a a b", null, Some(ts(2))),
+      ("t", 2, "assistant", "b b b b b c", null, Some(ts(3))),
+      ("t", 3, "assistant", "c c c c c d", null, Some(ts(4))),
+      ("t", 4, "assistant", "d d d d d a", null, Some(ts(5)))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.qualityGate(t)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getBoolean(14), Option(r.getString(15)))))
+      .toMap
+    assert(got == Map(
+      "k" -> ((true, None)),
+      "o" -> ((false, Some("order"))),
+      "e" -> ((false, Some("empty"))),
+      "u" -> ((false, Some("ungrounded"))),
+      "c" -> ((false, Some("echo"))),
+      "p" -> ((false, Some("loop"))),
+      "t" -> ((false, Some("low_ttr")))))
+    // loosening every threshold to the permissive extreme keeps all
+    // gate-able convs (order/empty are structural, not thresholds)
+    val loose = ConvFeatures.qualityGate(t, minGroundedBp = 0,
+        maxEchoBp = 10000, maxRepeatBp = 10000, minTtrBp = 0)
+      .collect().map(r => r.getString(0) -> Option(r.getString(15))).toMap
+    assert(loose("u") == None && loose("c") == None &&
+      loose("p") == None && loose("t") == None)
+    assert(loose("o") == Some("order") && loose("e") == Some("empty"))
+  }
 }
