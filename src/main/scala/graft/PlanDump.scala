@@ -165,6 +165,36 @@ object PlanDump {
       "q_order_audit (ingest QC: lag window and distinct rollup share " +
         "ONE conv_id exchange)" ->
         SparkEntry.queries("q_order_audit")(spark, dir),
+      "q_ssjoin LAZY plan (exact PPJoin: rarest-first prefix postings " +
+        "self-join + posting-list verify; df order broadcast back; the " +
+        "per-doc rank window partitions by doc, never corpus)" -> {
+        val d = io.Tables.read(spark, dir, "documents")
+        graft.ops.SSJoin.jaccardJoinExact(d, "doc_id", "text",
+          k = 3, tauBp = 8000, materialize = false)
+      },
+      "q_bm25 (posting tf partial agg filtered to query terms at the " +
+        "scan; df + corpus constants ride broadcasts)" ->
+        SparkEntry.queries("q_bm25")(spark, dir),
+      "pageRank ONE power-iteration round (ranks ⋈ out-degreed edges on " +
+        "src → dst-keyed partial agg + teleport; the loop localCheckpoints " +
+        "so the plan stays O(1) in rounds)" -> {
+        val d = io.Tables.read(spark, dir, "documents")
+        val e = graft.ops.Graph.wordAdjacencyEdges(d, "text")
+        val eo = e.join(
+          e.groupBy(org.apache.spark.sql.functions.col("src"))
+            .agg(org.apache.spark.sql.functions.sum("w").as("wout")), Seq("src"))
+        val nodes = e.select(org.apache.spark.sql.functions.col("src").as("node"))
+          .union(e.select(org.apache.spark.sql.functions.col("dst").as("node")))
+          .distinct()
+        val r0 = nodes.withColumn("r", org.apache.spark.sql.functions.lit(1000000000L))
+        val contrib = eo.join(r0.withColumnRenamed("node", "src"), Seq("src"))
+          .select(org.apache.spark.sql.functions.col("dst"),
+            org.apache.spark.sql.functions
+              .expr("CAST((CAST((8500 * r) DIV 10000 AS DECIMAL(38,0)) * w) DIV wout AS BIGINT)").as("c"))
+          .groupBy("dst")
+          .agg(org.apache.spark.sql.functions.sum("c").as("cin"))
+        nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
+      },
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

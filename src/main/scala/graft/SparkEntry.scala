@@ -2167,6 +2167,52 @@ object SparkEntry {
           col("rnk"))
     }),
 
+    // --- BM25 sufficient statistics (ranked retrieval, floats downstream) ---------
+    // One row per (query term, doc) posting carrying every INTEGER the
+    // BM25 formula consumes (tf, dl, df, N, total_dl) — the saturation
+    // curve and idf log are per-row scalars the serving layer applies to
+    // a result 10^6× smaller than the corpus, same contract as
+    // q_lm_surprisal.
+    "q_bm25" -> ((s, dir) =>
+      graft.ops.Retrieval.bm25Stats(docs(s, dir), "doc_id", "text",
+        Seq("spark", "hash", "window", "merge"))),
+
+    // --- EXACT set-similarity join via prefix filtering (PPJoin family) -----------
+    // Every doc pair with shingle-set Jaccard ≥ 0.8, recall = 1 — the
+    // exact ground truth q_minhash_pairs approximates. Candidates come
+    // from a rarest-first prefix-token join (df-ascending order), exact
+    // cross-multiplied verify; the oracle is the BRUTE-FORCE Jaccard
+    // join, so any prefix-pruning mistake shows as a missing row.
+    "q_ssjoin" -> ((s, dir) =>
+      graft.ops.SSJoin.jaccardJoinExact(docs(s, dir), "doc_id", "text",
+        k = 3, tauBp = 8000, maxPrefixDf = 1000L)),
+
+    // --- cluster-consistent flag propagation (takedown spread) --------------------
+    // Rows on the takedown list (doc_id % 53 = 0) taint EVERY member of
+    // their near-dup component — removing the flagged copy is not
+    // enough; its mirrors go too. Same MinHash pairs + components as
+    // q_dup_clusters; unpaired rows keep their own flag.
+    "q_label_spread" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.minhashPairs(d, "doc_id", "text")
+      graft.ops.Clusters
+        .spreadFlag(d, "doc_id", col("doc_id") % 53 === 0, pairs)
+        .select(col("id").as("doc_id"), col("flag_self"),
+          col("flag_cluster"), col("cluster_id"))
+    }),
+
+    // --- integer-exact PageRank (TextRank keyword centrality) ---------------------
+    // Power iteration as Pregel-shaped DataFrame joins over the
+    // word-adjacency bigram graph: 3 rounds, all mass in floor-division
+    // int64 (one decimal(38) multiply), so the oracle replays every
+    // round bit-for-bit as chained CTEs. Each round = one src-keyed join
+    // + one dst-keyed partial agg; plan kept O(1) by per-round
+    // localCheckpoint.
+    "q_pagerank" -> ((s, dir) =>
+      graft.ops.Graph.pageRank(
+        graft.ops.Graph.wordAdjacencyEdges(docs(s, dir), "text"),
+        iters = 3)),
+
     // --- CSV ingest with malformed-row quarantine ---------------------------------
     // Lines staged from the transcript with every (turn_idx % 11 == 3)
     // row's turn_idx corrupted to 'x': PERMISSIVE parse keeps the good
@@ -5532,6 +5578,94 @@ object SparkEntry {
         |    ORDER BY tf DESC, doc_id ASC) AS BIGINT) AS rnk FROM tf)
         |SELECT r.term, r.doc_id, r.tf, dfq.df_docs, r.rnk
         |FROM r JOIN dfq USING (term) WHERE r.rnk <= 3""".stripMargin,
+
+    // integer BM25 inputs per (query term, doc): tf, dl, df, and the two
+    // corpus constants repeated per row
+    "q_bm25" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |dl AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl FROM w),
+        |tf AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+        |  FROM (SELECT doc_id, unnest(ws) AS term FROM w)
+        |  WHERE term IN ('spark', 'hash', 'window', 'merge')
+        |  GROUP BY term, doc_id),
+        |dfq AS (SELECT term, CAST(count(*) AS BIGINT) AS df_docs FROM tf GROUP BY term),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl)
+        |SELECT tf.term, tf.doc_id, tf.tf, dl.dl, dfq.df_docs, c.n_docs, c.total_dl
+        |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN c""".stripMargin,
+
+    // the oracle is the BRUTE-FORCE exact Jaccard join over distinct
+    // 3-word shingle sets — the prefix-filtered path must reproduce it
+    // row-for-row (recall = 1, no LSH misses)
+    "q_ssjoin" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |e AS (SELECT doc_id, unnest(s) AS tok FROM sh),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM e a JOIN e b USING (tok) WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id)
+        |SELECT i.a, i.b, i.inter, sa.n + sb.n - i.inter AS uni
+        |FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+        |WHERE i.inter * 10000 >= 8000 * (sa.n + sb.n - i.inter)""".stripMargin,
+
+    // same MinHash pairs + hash-min component walk as q_dup_clusters;
+    // the flag is OR-spread over each component, unpaired docs keep their
+    // own flag and their own id as cluster_id
+    "q_label_spread" ->
+      s"""$minhashWalkCte,
+         |comp AS (SELECT id, min(lbl) AS cluster_id FROM walk GROUP BY id),
+         |base AS (SELECT d.doc_id, (d.doc_id % 53 = 0) AS flag_self,
+         |    COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+         |  FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+         |cf AS (SELECT cluster_id, max(flag_self) AS flag_cluster
+         |  FROM base GROUP BY cluster_id)
+         |SELECT b.doc_id, b.flag_self, cf.flag_cluster, b.cluster_id
+         |FROM base b JOIN cf USING (cluster_id)""".stripMargin,
+
+    // 3 chained power-iteration CTEs replaying the Spark rounds exactly:
+    // same floor divisions in the same order, the one wide multiply in
+    // HUGEINT (decimal(38,0) on the Spark side)
+    "q_pagerank" ->
+      """WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |bg AS (SELECT unnest(ws[1:len(ws)-1]) AS src, unnest(ws[2:len(ws)]) AS dst
+        |  FROM w WHERE len(ws) >= 2),
+        |e AS (SELECT src, dst, CAST(count(*) AS BIGINT) AS w FROM bg GROUP BY src, dst),
+        |nodes AS (SELECT DISTINCT src AS node FROM e UNION SELECT DISTINCT dst FROM e),
+        |nn AS (SELECT count(*) AS n FROM nodes),
+        |outd AS (SELECT src, CAST(sum(w) AS BIGINT) AS wout FROM e GROUP BY src),
+        |r0 AS (SELECT node, 1000000000000 // (SELECT n FROM nn) AS r FROM nodes),
+        |s1 AS (SELECT n.node,
+        |    ((10000-8500)*1000000000000 // 10000) // (SELECT n FROM nn)
+        |      + COALESCE(c.cin, 0) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(CAST(
+        |        (((8500 * r.r) // 10000)::HUGEINT * e.w) // o.wout::HUGEINT
+        |      AS BIGINT)) AS BIGINT) AS cin
+        |    FROM e JOIN r0 r ON r.node = e.src JOIN outd o ON o.src = e.src
+        |    GROUP BY e.dst) c ON c.dst = n.node),
+        |s2 AS (SELECT n.node,
+        |    ((10000-8500)*1000000000000 // 10000) // (SELECT n FROM nn)
+        |      + COALESCE(c.cin, 0) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(CAST(
+        |        (((8500 * r.r) // 10000)::HUGEINT * e.w) // o.wout::HUGEINT
+        |      AS BIGINT)) AS BIGINT) AS cin
+        |    FROM e JOIN s1 r ON r.node = e.src JOIN outd o ON o.src = e.src
+        |    GROUP BY e.dst) c ON c.dst = n.node),
+        |s3 AS (SELECT n.node,
+        |    ((10000-8500)*1000000000000 // 10000) // (SELECT n FROM nn)
+        |      + COALESCE(c.cin, 0) AS r
+        |  FROM nodes n LEFT JOIN (
+        |    SELECT e.dst, CAST(sum(CAST(
+        |        (((8500 * r.r) // 10000)::HUGEINT * e.w) // o.wout::HUGEINT
+        |      AS BIGINT)) AS BIGINT) AS cin
+        |    FROM e JOIN s2 r ON r.node = e.src JOIN outd o ON o.src = e.src
+        |    GROUP BY e.dst) c ON c.dst = n.node)
+        |SELECT node, CAST(r AS BIGINT) AS rank FROM s3""".stripMargin,
 
     // PERMISSIVE parse: every (turn_idx % 11 = 3) line had its turn_idx
     // corrupted to 'x' at staging — good fields parse, the bad one

@@ -151,6 +151,46 @@ object Clusters {
         sum(col("__score")).as("cost_dropped"))
   }
 
+  /** Cluster-consistent flag propagation: a row-level boolean (PII hit,
+    * spam verdict, takedown request, license taint) spreads to EVERY
+    * member of the row's near-dup component — if one copy of a document
+    * is tainted, all its copies are, whichever copy the dedup later
+    * keeps. This is the release-gate semantics behind "removing the
+    * flagged URL is not enough; remove its mirrors too".
+    *
+    * Output: one row per input row — (id, flag_self, flag_cluster,
+    * cluster_id) where flag_cluster = OR over the component (= flag_self
+    * for rows in no pair, whose cluster_id is their own id).
+    *
+    * Scale shape: components over the pair stream (id-only), one
+    * partial-agg max per cluster (bool_or as max of 0/1 — partial-agg
+    * friendly, a mega-cluster combines map-side), two id-keyed joins
+    * back. No windows, no per-cluster sort.
+    */
+  def spreadFlag(
+      df: DataFrame,
+      idCol: String,
+      flag: Column,
+      pairs: DataFrame,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    val comp = connectedComponents(pairs, aCol, bCol, maxIters)
+    val flagged = df.select(col(idCol).cast("long").as("id"),
+      flag.cast("boolean").as("flag_self"))
+    val withComp = flagged
+      .join(comp, Seq("id"), "left")
+      .withColumn("cluster_id", coalesce(col("cluster_id"), col("id")))
+    val clusterFlag = withComp
+      .groupBy(col("cluster_id"))
+      .agg(max(col("flag_self").cast("int")).as("__f"))
+      .select(col("cluster_id"), (col("__f") === 1).as("flag_cluster"))
+    withComp.join(clusterFlag, Seq("cluster_id"))
+      .select(col("id"), col("flag_self"), col("flag_cluster"),
+        col("cluster_id"))
+  }
+
   /** Policy-pluggable keep-one dedup: per pair-connected component, keep
     * the member with the HIGHEST `score` (ties to the smallest id) and
     * drop the rest — "keep the longest / highest-quality copy", the

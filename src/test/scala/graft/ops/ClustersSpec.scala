@@ -103,4 +103,24 @@ class ClustersSpec extends AnyFunSuite {
       docs, "doc_id", col("score"), pairs).count()
     assert(flow.map(_._3).sum == docs.count() - survivors)
   }
+
+  test("spreadFlag: one tainted copy taints the whole component, " +
+    "unpaired rows keep their own flag") {
+    val docs = Seq(
+      (1L, true), (2L, false), (3L, false), // chain 1-2, 2-3: all tainted
+      (10L, false), (11L, false),           // clean pair: stays clean
+      (50L, true), (60L, false))            // unpaired
+      .toDF("doc_id", "flag")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val got = Clusters.spreadFlag(docs, "doc_id", col("flag"), pairs)
+      .as[(Long, Boolean, Boolean, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == Map(
+      1L -> ((true, true, 1L)), 2L -> ((false, true, 1L)),
+      3L -> ((false, true, 1L)),
+      10L -> ((false, false, 10L)), 11L -> ((false, false, 10L)),
+      50L -> ((true, true, 50L)), 60L -> ((false, false, 60L))))
+    // exactly one output row per input row — total assignment, no fanout
+    assert(got.size == docs.count())
+  }
 }

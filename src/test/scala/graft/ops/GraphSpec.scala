@@ -1,0 +1,90 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import org.apache.spark.sql.functions._
+
+import graft.TestSpark
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private val scale = 1000000000000L
+
+  private def pr(edges: Seq[(String, String, Long)], iters: Int = 3): Map[String, Long] =
+    Graph.pageRank(edges.toDF("src", "dst", "w"), iters)
+      .as[(String, Long)].collect().toMap
+
+  test("word-adjacency edges: weighted bigram counts, <2-word docs contribute nothing") {
+    val df = Seq("a b a b", "b a", "x", "").toDF("text")
+    val got = Graph.wordAdjacencyEdges(df, "text")
+      .as[(String, String, Long)].collect().toSet
+    // "a b a b" -> a→b ×2, b→a ×1; "b a" -> b→a ×1
+    assert(got == Set(("a", "b", 2L), ("b", "a", 2L)))
+  }
+
+  test("symmetric 2-cycle is stationary at scale/N (hand-computed integer round)") {
+    // r0 = 5e11; r85 = 8500·r0 div 10000 = 4.25e11 all to the one
+    // out-edge; teleport = (1500·scale div 10000) div 2 = 7.5e10;
+    // r1 = 7.5e10 + 4.25e11 = 5e11 = r0 — exact fixpoint, every round
+    val got = pr(Seq(("a", "b", 1L), ("b", "a", 1L)), iters = 3)
+    assert(got == Map("a" -> scale / 2, "b" -> scale / 2))
+  }
+
+  test("dangling node keeps teleport only; its inbound mass still arrives") {
+    val got = pr(Seq(("a", "b", 1L)), iters = 1)
+    val teleport = (1500L * scale / 10000L) / 2
+    val r85 = 8500L * (scale / 2) / 10000L
+    assert(got("a") == teleport)
+    assert(got("b") == teleport + r85)
+  }
+
+  test("out-mass splits by edge WEIGHT with per-edge floor division") {
+    val got = pr(Seq(("a", "b", 2L), ("a", "c", 1L), ("b", "a", 1L), ("c", "a", 1L)), iters = 1)
+    val r0 = scale / 3
+    val teleport = (1500L * scale / 10000L) / 3
+    val r85 = 8500L * r0 / 10000L
+    assert(got("b") == teleport + r85 * 2 / 3)
+    assert(got("c") == teleport + r85 / 3)
+  }
+
+  test("total mass is conserved up to the documented floor leak (≤ 1/edge/round + N teleport floors)") {
+    val rnd = new scala.util.Random(11)
+    // a 12-cycle guarantees no dangling node (a dangling node's 85%
+    // outbound mass evaporates by design and would swamp the floor leak)
+    val cycle = (0 until 12).map(i => (s"n$i", s"n${(i + 1) % 12}", 1L))
+    val edges = (cycle ++ (0 until 40).map(_ =>
+      (s"n${rnd.nextInt(12)}", s"n${rnd.nextInt(12)}", rnd.nextInt(5) + 1L)))
+      .filter { case (a, b, _) => a != b }.distinct
+    val got = pr(edges, iters = 3)
+    val total = got.values.sum
+    assert(total <= scale)
+    // loose bound: each of N teleports and each edge share floors ≤1 per
+    // round, plus the damping split itself
+    assert(scale - total < scale / 100, s"leaked ${scale - total}")
+  }
+
+  test("ranks are invariant under node renaming") {
+    val edges = Seq(("a", "b", 3L), ("b", "c", 1L), ("c", "a", 2L), ("a", "c", 1L))
+    val base = pr(edges)
+    val renamed = pr(edges.map { case (s, d, w) => ("x" + s, "x" + d, w) })
+    assert(renamed == base.map { case (k, v) => ("x" + k, v) })
+  }
+
+  test("hub centrality: every spoke points at the hub, hub outranks spokes") {
+    val spokes = (1 to 6).map(i => (s"s$i", "hub", 1L))
+    val back = (1 to 6).map(i => ("hub", s"s$i", 1L))
+    val got = pr(spokes ++ back, iters = 3)
+    assert((1 to 6).forall(i => got("hub") > got(s"s$i")))
+  }
+
+  test("empty graph and bad damping fail loud") {
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRank(Seq.empty[(String, String, Long)].toDF("src", "dst", "w"), 0)
+    }
+    assertThrows[IllegalArgumentException] {
+      Graph.pageRank(Seq(("a", "b", 1L)).toDF("src", "dst", "w"), 1, dampBp = 10000)
+    }
+  }
+}
