@@ -1218,6 +1218,65 @@ object SparkEntry {
       s.table(name).select("conv_id", "turn_idx", "tool_locf")
     }),
 
+    // --- STREAMING backward as-of join (the north rule's operator, live) ----------
+    // The live twin of q_asof_tool: feed observations and assistant
+    // anchors replayed as ONE tagged file stream; each anchor emits
+    // immediately with the latest feed value at-or-before its ts
+    // (feed-first tie rule = allowExactMatches). State is one (value, ts)
+    // pair per conversation. Replay files are cut at DISTINCT-ts
+    // boundaries so an equal-ts cohort never straddles a micro-batch;
+    // null-ts rows have no live timeline position and are filtered, so
+    // the oracle anchors on ts IS NOT NULL.
+    "q_stream_asof" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.AsOfEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamasof").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).filter($"ts".isNotNull)
+      val anchors = t.filter($"role" === "assistant")
+        .select($"conv_id", lit(1).as("src"), $"turn_idx",
+          lit(null).cast("string").as("value"), $"ts")
+      val feed = t.filter($"tool".isNotNull)
+        .groupBy($"conv_id", $"ts")
+        .agg(max_by($"tool", $"turn_idx").as("value"))
+        .select($"conv_id", lit(0).as("src"), lit(0).as("turn_idx"),
+          $"value", $"ts")
+      val tagged = anchors.unionByName(feed)
+      val nChunks = 4
+      val epochs = tagged.select($"ts").distinct()
+        .withColumn("__chunk",
+          ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"))))
+      val ordered = tagged.join(epochs, Seq("ts"))
+        .select($"conv_id", $"src", $"turn_idx", $"value", $"ts", $"__chunk")
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_asof_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(ordered.drop("__chunk").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[AsOfEvent]
+          StreamingFeatures.asOfBackward(src)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select("conv_id", "turn_idx", "tool_asof")
+    }),
+
     // --- STREAMING target encoding (live strictly-past label stats) -------------
     // The live twin of q_target_encode: per-role running (count, sum) of
     // past labels, same-second cohorts emitted before they absorb — tie
@@ -2176,6 +2235,27 @@ object SparkEntry {
     "q_bm25" -> ((s, dir) =>
       graft.ops.Retrieval.bm25Stats(docs(s, dir), "doc_id", "text",
         Seq("spark", "hash", "window", "merge"))),
+
+    // --- hybrid retrieval: reciprocal-rank fusion (dense ⊕ lexical) --------------
+    // The RAG retrieval stack's combiner: per query doc (<5), the exact
+    // dense top-10 (quantized dot, q_ann_topk's ranking) is fused with
+    // the lexical top-10 (word-set Jaccard via inverted-index candidates)
+    // by RRF in fixed point — scale DIV (60 + rank) summed, no score
+    // calibration, no float. Fused ties break to the smaller doc_id.
+    "q_rrf_fuse" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      val dense = Similarity.topKByDot(e, q, 10, excludeSelf = true)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val d = docs(s, dir)
+      val lex = graft.ops.Retrieval.moreLikeThisJaccard(
+          d, "doc_id", "text",
+          d.filter(col("doc_id") < 5), "doc_id", "text", topK = 10)
+        .select(col("query_id"), col("doc_id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(dense, lex), topK = 10)
+        .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"))
+    }),
 
     // --- EXACT set-similarity join via prefix filtering (PPJoin family) -----------
     // Every doc pair with shingle-set Jaccard ≥ 0.8, recall = 1 — the
@@ -3849,6 +3929,19 @@ object SparkEntry {
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
          |FROM turns a WHERE a.role = 'assistant'""".stripMargin,
+
+    // the live as-of must equal the batch as-of restricted to non-null-ts
+    // anchors (a live feed has no null event times)
+    "q_stream_asof" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
+         |        FROM turns WHERE tool IS NOT NULL AND ts IS NOT NULL
+         |        GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.last_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS tool_asof
+         |FROM turns a WHERE a.role = 'assistant' AND a.ts IS NOT NULL""".stripMargin,
 
     // trailing frame array, list_sort, discrete rank ceil(q*n/1e4) —
     // 1-based indexing on both engines
@@ -5593,6 +5686,38 @@ object SparkEntry {
         |  CAST(sum(dl) AS BIGINT) AS total_dl FROM dl)
         |SELECT tf.term, tf.doc_id, tf.tf, dl.dl, dfq.df_docs, c.n_docs, c.total_dl
         |FROM tf JOIN dl USING (doc_id) JOIN dfq USING (term) CROSS JOIN c""".stripMargin,
+
+    // dense ranking = q_ann_topk's quantized-dot top-10; lexical ranking =
+    // word-set Jaccard fixed-point top-10 over shared-word candidates;
+    // RRF contributions 10^9 // (60 + rank) summed, ties to smaller doc
+    "q_rrf_fuse" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS dot
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |dense AS (SELECT query_id, vec_id AS doc_id, rank FROM (
+        |  SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+        |  FROM scored) WHERE rank <= 10),
+        |qd AS (SELECT doc_id AS query_id, list_distinct(string_split(lower(text), ' ')) AS qs
+        |  FROM documents WHERE doc_id < 5),
+        |ds AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS s FROM documents),
+        |lex0 AS (SELECT qd.query_id, ds.doc_id,
+        |    CAST(len(list_intersect(ds.s, qd.qs)) AS BIGINT) AS inter,
+        |    CAST(len(ds.s) + len(qd.qs) - len(list_intersect(ds.s, qd.qs)) AS BIGINT) AS uni
+        |  FROM qd, ds WHERE ds.doc_id <> qd.query_id),
+        |lex AS (SELECT query_id, doc_id, rank FROM (
+        |  SELECT query_id, doc_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY (inter*1000000000)//uni DESC, doc_id) AS rank
+        |  FROM lex0 WHERE inter > 0) WHERE rank <= 10),
+        |u AS (SELECT query_id, doc_id, 1000000000//(60+rank) AS c FROM dense
+        |  UNION ALL SELECT query_id, doc_id, 1000000000//(60+rank) FROM lex),
+        |f AS (SELECT query_id, doc_id, CAST(sum(c) AS BIGINT) AS rrf FROM u GROUP BY query_id, doc_id)
+        |SELECT query_id, doc_id, rrf, rank FROM (
+        |  SELECT query_id, doc_id, rrf,
+        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
+        |  FROM f) WHERE rank <= 10""".stripMargin,
 
     // the oracle is the BRUTE-FORCE exact Jaccard join over distinct
     // 3-word shingle sets — the prefix-filtered path must reproduce it

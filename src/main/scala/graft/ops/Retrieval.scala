@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ranked-retrieval statistics over the corpus. Like the bigram-LM
@@ -56,5 +57,88 @@ object Retrieval {
       .crossJoin(broadcast(corpus))
       .select(col("term"), col("doc_id"), col("tf"), col("dl"),
         col("df_docs"), col("n_docs"), col("total_dl"))
+  }
+
+  /** Lexical more-like-this ranking: for each query document, the top-k
+    * corpus documents by word-SET Jaccard, scored in exact fixed point
+    * (`(inter·scale) div union` — no float crosses the engine boundary),
+    * ties to the smaller doc_id. Zero-overlap documents are never
+    * candidates — candidate generation is an inverted-index join on
+    * shared words, NOT a cross join, so each query only ever touches the
+    * postings of its own vocabulary (the same term-selective contract as
+    * [[bm25Stats]]).
+    *
+    * Scale shape: corpus postings are one scan + explode; the query side
+    * (tiny) broadcasts onto them; intersections meet in one
+    * (query, doc)-keyed partial agg. The per-query rank window partitions
+    * on query_id over candidate sets bounded by the query's posting
+    * fan-out, never the corpus.
+    */
+  def moreLikeThisJaccard(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      queries: DataFrame,
+      qIdCol: String,
+      qTextCol: String,
+      topK: Int,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val corpusSets = df.select(col(idCol).cast("long").as("doc_id"),
+      array_distinct(Dedup.words(col(textCol))).as("s"))
+    val qSets = queries.select(col(qIdCol).cast("long").as("query_id"),
+      array_distinct(Dedup.words(col(qTextCol))).as("qs"))
+    val cPost = corpusSets.select(col("doc_id"), explode(col("s")).as("w"))
+    val cSize = corpusSets.select(col("doc_id"), size(col("s")).cast("long").as("n"))
+    val qPost = qSets.select(col("query_id"), explode(col("qs")).as("w"))
+    val qSize = qSets.select(col("query_id"), size(col("qs")).cast("long").as("qn"))
+    val inter = cPost.join(broadcast(qPost), Seq("w"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(count(lit(1)).as("inter"))
+    inter.join(cSize, Seq("doc_id"))
+      .join(broadcast(qSize), Seq("query_id"))
+      .withColumn("uni", col("n") + col("qn") - col("inter"))
+      .withColumn("score", expr(s"(inter * ${scale}L) DIV uni"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) in
+    * exact fixed point: each input list contributes
+    * `scale div (k0 + rank)` per (query, doc) and contributions sum —
+    * the hybrid-retrieval combiner that needs NO score calibration
+    * between a dense (ANN) ranking and a lexical (BM25/Jaccard) ranking,
+    * because it consumes only ranks. Integer floor division replaces the
+    * float 1/(k0+r), so both engines agree bit-for-bit; fused ties break
+    * to the smaller doc_id.
+    *
+    * Inputs: each list is (query_id, doc_id, rank). Scale shape: the
+    * union + (query, doc)-keyed partial agg is rank-list-sized (≤ Σ per-
+    * list k per query, never corpus-sized), and the final rank window
+    * partitions on query_id over that bounded candidate set — fusing
+    * 10^9 queries is embarrassingly parallel.
+    */
+  def rrfFuse(
+      lists: Seq[DataFrame],
+      topK: Int,
+      k0: Int = 60,
+      scale: Long = 1000000000L
+  ): DataFrame = {
+    require(lists.nonEmpty, "rrfFuse needs at least one ranked list")
+    require(topK > 0 && k0 >= 0, "topK must be positive, k0 non-negative")
+    val tagged = lists.map(_.select(col("query_id"), col("doc_id"),
+      expr(s"${scale}L DIV ($k0 + rank)").as("__c")))
+    tagged.reduce(_ unionByName _)
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("__c")).as("rrf"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("int"))
+      .filter(col("rank") <= topK)
   }
 }

@@ -102,6 +102,82 @@ object StreamingFeatures {
       )
   }
 
+  /** One tagged arrival of the live as-of merge: `src` 0 = right/feed
+    * observation (its payload in `value`), 1 = left/anchor row needing
+    * the point-in-time feature. `turn_idx` identifies anchors (and
+    * tiebreaks equal-ts feed rows — the later index wins, matching the
+    * batch side's max_by(tool, turn_idx) pre-aggregation).
+    */
+  final case class AsOfEvent(
+      conv_id: String,
+      src: Int,
+      turn_idx: Int,
+      value: Option[String],
+      ts: Timestamp
+  )
+
+  final case class AsOfOut(
+      conv_id: String,
+      turn_idx: Int,
+      tool_asof: Option[String]
+  )
+
+  /** Per-key as-of carry: the latest feed payload and its event time —
+    * O(1) per conversation, never a buffer.
+    */
+  final case class AsOfCarry(value: Option[String], feedTs: Option[Timestamp])
+
+  /** Streaming BACKWARD as-of join — the LIVE twin of
+    * [[graft.features.AsOf.joinBackward]], the north rule's core operator
+    * on the incremental path: feed rows and anchor rows arrive as ONE
+    * tagged stream per key; each anchor is emitted immediately with the
+    * latest feed payload at-or-before its event time (`allowExactMatches`
+    * semantics: at equal ts the feed row sorts FIRST, so the anchor sees
+    * it — the same `(ts, src)` tie rule as the batch union-merge).
+    * `toleranceMs` drops matches staler than the anchor by more than the
+    * tolerance, exactly like the batch parameter.
+    *
+    * State is one (payload, feed ts) pair per conversation — O(1), never
+    * a row buffer; every anchor emits in its own micro-batch so no
+    * watermark is needed. Matches batch output exactly when a key's rows
+    * arrive in event-time order across micro-batches AND an equal-ts
+    * cohort never straddles a batch boundary (the replay cuts files at
+    * distinct-ts boundaries; a production feed keyed by ingest time
+    * satisfies it by construction). Null-ts rows have no place on a live
+    * timeline — callers filter them, mirroring the batch exec's
+    * null-ts-right skip.
+    */
+  def asOfBackward(
+      events: Dataset[AsOfEvent],
+      toleranceMs: Option[Long] = None
+  ): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[AsOfEvent],
+         state: GroupState[AsOfCarry]) => {
+          // feed-before-anchor at equal ts; equal-ts feed rows apply in
+          // turn_idx order so the last (highest idx) wins
+          val sorted = rows.toSeq.sortBy(e => (tsKey(e.ts), e.src, e.turn_idx))
+          var carry = state.getOption.getOrElse(AsOfCarry(None, None))
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { e =>
+            if (e.src == 0) carry = AsOfCarry(e.value, Some(e.ts))
+            else {
+              val fresh = carry.feedTs.exists(f =>
+                toleranceMs.forall(t => e.ts.getTime - f.getTime <= t))
+              out += AsOfOut(key, e.turn_idx,
+                if (fresh) carry.value else None)
+            }
+          }
+          state.update(carry)
+          out.result().iterator
+        }
+      )
+  }
+
   /** A turn carrying a training label on the live path. */
   final case class TurnLabelEvent(
       conv_id: String,

@@ -39,4 +39,44 @@ class RetrievalSpec extends AnyFunSuite {
     // dl still counts ALL words, not just query terms
     assert(got.select("dl").as[Long].head() == 8L)
   }
+
+  test("moreLikeThisJaccard: exact fixed-point scores, self and " +
+    "zero-overlap docs never candidates, ties to smaller doc_id") {
+    val docs = Seq(
+      (0L, "a b c d"),   // the query
+      (1L, "a b c d"),   // identical: J = 1
+      (2L, "a b x y"),   // J = 2/6
+      (3L, "a b y z"),   // J = 2/6 — tie with 2, must rank after it
+      (4L, "p q r s")    // zero overlap: absent
+    ).toDF("doc_id", "text")
+    val got = Retrieval.moreLikeThisJaccard(
+        docs, "doc_id", "text",
+        docs.filter(col("doc_id") === 0), "doc_id", "text", topK = 10)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(got.map(r => (r._2, r._4)).toSeq == Seq((1L, 1), (2L, 2), (3L, 3)))
+    assert(got.head._3 == 1000000000L)           // J=1 exactly
+    assert(got(1)._3 == 2L * 1000000000L / 6L)   // floor(2e9/6)
+  }
+
+  test("rrfFuse: rank-only fusion — contributions are scale div (k0+rank), " +
+    "docs in both lists beat docs in one, fused ties to smaller doc_id") {
+    def list(rows: (Long, Long, Int)*) =
+      rows.toSeq.toDF("query_id", "doc_id", "rank")
+    val dense = list((0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3))
+    val lex = list((0L, 11L, 1), (0L, 13L, 2), (0L, 10L, 3))
+    val got = Retrieval.rrfFuse(Seq(dense, lex), topK = 10, k0 = 60)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    def c(r: Int) = 1000000000L / (60L + r)
+    // 11: r2+r1, 10: r1+r3, 12: r3 only, 13: r2 only
+    assert(got.map(r => (r._2, r._3)).toSeq == Seq(
+      (11L, c(2) + c(1)), (10L, c(1) + c(3)), (13L, c(2)), (12L, c(3))))
+    // equal fused score (same single-list rank) breaks to the smaller doc
+    val tied = Retrieval.rrfFuse(
+      Seq(list((1L, 7L, 1)), list((1L, 5L, 1))), topK = 2)
+      .as[(Long, Long, Long, Int)].collect().sortBy(_._4)
+    assert(tied.map(_._2).toSeq == Seq(5L, 7L))
+    assertThrows[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty, topK = 1)
+    }
+  }
 }

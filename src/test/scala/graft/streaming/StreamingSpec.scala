@@ -132,6 +132,59 @@ class StreamingSpec extends AnyFunSuite {
     assert(got == want, got.toSeq.sortBy(t => (t._1, t._2)).mkString(","))
   }
 
+  test("streaming as-of: anchors see the latest feed at-or-before their " +
+    "ts across batches; equal-ts feed applies first; tolerance drops stale") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.{AsOfEvent, AsOfOut}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    def feed(c: String, v: String, t: Long, idx: Int = 0) =
+      AsOfEvent(c, 0, idx, Some(v), ts(t))
+    def anchor(c: String, idx: Int, t: Long) =
+      AsOfEvent(c, 1, idx, None, ts(t))
+    val input = MemoryStream[AsOfEvent]
+    val q = StreamingFeatures.asOfBackward(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_asof_unit").start()
+    // batch 1: anchor before any feed -> null; equal-ts feed visible to
+    // its anchor (allowExactMatches); two equal-ts feeds -> higher idx wins
+    input.addData(
+      anchor("A", 0, 10),
+      feed("A", "search", 20, idx = 1), feed("A", "code", 20, idx = 2),
+      anchor("A", 1, 20))
+    q.processAllAvailable()
+    // batch 2: the carry crosses the batch boundary; a newer feed
+    // overrides it for later anchors only
+    input.addData(
+      anchor("A", 2, 25),
+      feed("A", "fetch", 30),
+      anchor("A", 3, 35),
+      anchor("B", 0, 50)) // key with no feed ever: stays null
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_asof_unit")
+      .as[AsOfOut].collect().map(o => (o.conv_id, o.turn_idx) -> o.tool_asof)
+      .toMap
+    assert(got == Map(
+      ("A", 0) -> None, ("A", 1) -> Some("code"), ("A", 2) -> Some("code"),
+      ("A", 3) -> Some("fetch"), ("B", 0) -> None))
+    // tolerance path: a 5s-stale carry is dropped at 10s tolerance? kept;
+    // at 3s tolerance the same anchor reads null
+    val loose = MemoryStream[AsOfEvent]
+    val q2 = StreamingFeatures.asOfBackward(loose.toDS(),
+        toleranceMs = Some(3000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_asof_tol").start()
+    loose.addData(feed("C", "old", 100), anchor("C", 0, 102),
+      anchor("C", 1, 106))
+    q2.processAllAvailable()
+    q2.stop()
+    val tol = spark.table("stream_asof_tol")
+      .as[AsOfOut].collect().map(o => o.turn_idx -> o.tool_asof).toMap
+    assert(tol == Map(0 -> Some("old"), 1 -> None))
+  }
+
   test("streaming target encode: tie cohorts see pre-cohort state, " +
     "running stats carry across micro-batches") {
     import java.sql.Timestamp
