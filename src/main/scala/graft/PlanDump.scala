@@ -175,6 +175,10 @@ object PlanDump {
       "q_bm25 (posting tf partial agg filtered to query terms at the " +
         "scan; df + corpus constants ride broadcasts)" ->
         SparkEntry.queries("q_bm25")(spark, dir),
+      "q_rrf_fuse (hybrid RRF: tiny query side BROADCAST onto corpus " +
+        "postings, (query, doc)-keyed partial aggs, rank windows over " +
+        "rank-list-sized partitions — never corpus-sized)" ->
+        SparkEntry.queries("q_rrf_fuse")(spark, dir),
       "pageRank ONE power-iteration round (ranks ⋈ out-degreed edges on " +
         "src → dst-keyed partial agg + teleport; the loop localCheckpoints " +
         "so the plan stays O(1) in rounds)" -> {

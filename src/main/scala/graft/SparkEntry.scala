@@ -2257,6 +2257,28 @@ object SparkEntry {
         .select(col("query_id"), col("doc_id"), col("rrf"), col("rank"))
     }),
 
+    // --- retrieval eval: MRR@k / precision@k sufficient statistics ---------------
+    // Per labeled query (vec_id < 5): rank of the first same-label
+    // neighbor in the exact dense top-20 + the same-label count — the
+    // integers behind MRR@20 and P@20 (the reciprocal stays downstream).
+    // Queries with no hit keep a NULL-rank row: they ARE the metric's
+    // denominator.
+    "q_mrr" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"), col("label").as("q_label"))
+      val ranked = Similarity.topKByDot(
+          e, q.select(col("query_id"), col("q_embedding")), 20,
+          excludeSelf = true)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val rels = e.select(col("vec_id").as("doc_id"), col("label"))
+        .join(broadcast(q.select(col("query_id"), col("q_label"))),
+          col("label") === col("q_label"))
+        .select(col("query_id"), col("doc_id"))
+      graft.ops.Retrieval.rankEvalAtK(ranked, rels, k = 20)
+    }),
+
     // --- EXACT set-similarity join via prefix filtering (PPJoin family) -----------
     // Every doc pair with shingle-set Jaccard ≥ 0.8, recall = 1 — the
     // exact ground truth q_minhash_pairs approximates. Candidates come
@@ -5718,6 +5740,30 @@ object SparkEntry {
         |  SELECT query_id, doc_id, rrf,
         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id) AS INT) AS rank
         |  FROM f) WHERE rank <= 10""".stripMargin,
+
+    // q_ann_topk's quantized-dot ranking at k=20, relevance = label
+    // equality; queries with no same-label neighbor in the top 20 keep a
+    // NULL first_rel_rank row
+    "q_mrr" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id, e.label,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS dot
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, vec_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+        |  FROM scored),
+        |hits AS (SELECT r.query_id,
+        |    CAST(min(r.rank) AS BIGINT) AS first_rel_rank,
+        |    CAST(count(*) AS BIGINT) AS n_rel_topk
+        |  FROM ranked r JOIN q ON q.query_id = r.query_id
+        |  WHERE r.rank <= 20 AND r.label = q.ql
+        |  GROUP BY r.query_id)
+        |SELECT q.query_id, h.first_rel_rank,
+        |  COALESCE(h.n_rel_topk, 0) AS n_rel_topk
+        |FROM q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
 
     // the oracle is the BRUTE-FORCE exact Jaccard join over distinct
     // 3-word shingle sets — the prefix-filtered path must reproduce it

@@ -108,6 +108,39 @@ object Retrieval {
       .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
   }
 
+  /** Retrieval-evaluation sufficient statistics at cutoff k: for each
+    * query, the rank of the FIRST relevant result in a ranked list plus
+    * the relevant count within the cutoff — the exact integers behind
+    * MRR@k and precision@k. The reciprocal 1/first_rel_rank is a per-row
+    * scalar the eval notebook applies to a result |queries|-sized — it
+    * stays downstream, same contract as [[bm25Stats]]. Queries with no
+    * relevant result in the top k keep a row with NULL first_rel_rank
+    * (they are the signal — dropping them would inflate MRR).
+    *
+    * Inputs: `ranked` (query_id, doc_id, rank) with rank 1-based within
+    * each query; `rels` (query_id, doc_id) relevance pairs. Scale shape:
+    * one (query, doc)-keyed join against the relevance set and one
+    * query-keyed partial agg over ≤ k rows per query; the query universe
+    * rides a broadcast back onto the agg so empty-hit queries survive.
+    */
+  def rankEvalAtK(
+      ranked: DataFrame,
+      rels: DataFrame,
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val hits = ranked.filter(col("rank") <= k)
+      .join(rels.select(col("query_id"), col("doc_id")),
+        Seq("query_id", "doc_id"))
+      .groupBy(col("query_id"))
+      .agg(min(col("rank")).cast("long").as("first_rel_rank"),
+        count(lit(1)).as("n_rel_topk"))
+    ranked.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), col("first_rel_rank"),
+        coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) in
     * exact fixed point: each input list contributes
     * `scale div (k0 + rank)` per (query, doc) and contributions sum —

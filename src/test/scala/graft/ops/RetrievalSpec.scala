@@ -79,4 +79,21 @@ class RetrievalSpec extends AnyFunSuite {
       Retrieval.rrfFuse(Seq.empty, topK = 1)
     }
   }
+
+  test("rankEvalAtK: first relevant rank and hit count within cutoff; " +
+    "no-hit queries keep a NULL-rank row; beyond-cutoff hits ignored") {
+    val ranked = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), // rel at 2 and 3
+      (1L, 20L, 1), (1L, 21L, 2),               // rel only at cutoff+1
+      (2L, 30L, 1)                              // no rels at all
+    ).toDF("query_id", "doc_id", "rank")
+    val rels = Seq((0L, 11L), (0L, 12L), (1L, 21L)).toDF("query_id", "doc_id")
+    val got = Retrieval.rankEvalAtK(ranked, rels, k = 2)
+      .as[(Long, Option[Long], Long)].collect().map(r => r._1 -> ((r._2, r._3)))
+      .toMap
+    assert(got == Map(
+      0L -> ((Some(2L), 1L)),  // doc 12's hit at rank 3 is beyond k=2
+      1L -> ((Some(2L), 1L)),
+      2L -> ((None, 0L))))
+  }
 }
