@@ -179,6 +179,15 @@ object PlanDump {
         "postings, (query, doc)-keyed partial aggs, rank windows over " +
         "rank-list-sized partitions — never corpus-sized)" ->
         SparkEntry.queries("q_rrf_fuse")(spark, dir),
+      "q_bloom_prune (feed filtered by a packed-Bloom reference-object " +
+        "probe BEFORE the as-of shuffle; answer byte-equal to unpruned)" ->
+        SparkEntry.queries("q_bloom_prune")(spark, dir),
+      "q_gram_stats (codegen'd pair-fanout inline → ONE partial-agg " +
+        "shuffle to d(d+1)/2 keys; exchange O(d²·tasks), not O(d²·rows))" ->
+        SparkEntry.queries("q_gram_stats")(spark, dir),
+      "q_loghist (two half-corpus log₂-histograms merged counter-wise; " +
+        "windows over ≤65-row groups)" ->
+        SparkEntry.queries("q_loghist")(spark, dir),
       "pageRank ONE power-iteration round (ranks ⋈ out-degreed edges on " +
         "src → dst-keyed partial agg + teleport; the loop localCheckpoints " +
         "so the plan stays O(1) in rounds)" -> {

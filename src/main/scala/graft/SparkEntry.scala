@@ -2767,7 +2767,123 @@ object SparkEntry {
         .start()
       try q.awaitTermination() finally q.stop()
       s.table(view)
-    })
+    }),
+
+    // --- MAD robust outlier flags -----------------------------------------------
+    // Heavy-tail-safe twin of q_outliers' 3σ gate: med = exact per-lang
+    // median doc length, mad = exact median |v − med|, flag = the
+    // division-free cross-multiply |v − med|·10⁴ > 30000·mad ("beyond 3
+    // MADs"). Both medians ride the two-phase distributed rank
+    // selection, so a mega-language never single-task sorts.
+    "q_mad_outliers" -> ((s, dir) =>
+      graft.ops.Stats.madOutliers(
+        docs(s, dir), "lang", col("n_chars"), "doc_id", kBp = 30000L)),
+
+    // --- winsorization at exact per-group quantiles -------------------------------
+    // Clamp doc length into [p5, p95] per language — the tail-taming
+    // step before any mean/σ consumer. Bounds are exact discrete
+    // quantiles (elements of the data), the clip is a projection after
+    // a broadcast-sized join.
+    "q_winsorize" -> ((s, dir) =>
+      graft.ops.Stats.winsorize(
+        docs(s, dir), "lang", col("n_chars"), "doc_id",
+        loBp = 500, hiBp = 9500)),
+
+    // --- mergeable log₂-histogram quantile sketch ---------------------------------
+    // DDSketch's shape at γ = 2: bucket = bitlength(v) via the same
+    // unpadded-bin() idiom as the HLL rho, ≤ 65 counters per group.
+    // Built as TWO half-corpus sketches merged counter-wise (the
+    // lossless rollup), then rank-selected into factor-2 quantile
+    // brackets [2^(b−1), 2^b − 1] — the O(65)-state answer to any later
+    // quantile question, where the exact family re-scans the corpus.
+    "q_loghist" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val a = graft.ops.Sketches.logHistogram(
+        d.filter(col("doc_id") % 2 === 0), "lang", col("n_chars"))
+      val b = graft.ops.Sketches.logHistogram(
+        d.filter(col("doc_id") % 2 =!= 0), "lang", col("n_chars"))
+      graft.ops.Sketches.logHistQuantiles(
+        graft.ops.Sketches.logHistMerge(a, b, "lang"), "lang",
+        Seq(5000, 9900))
+    }),
+
+    // --- Bloom-PRUNED as-of join (proven lossless) ---------------------------------
+    // The 100 TB as-of shape when anchors cover a sliver of the feed's
+    // key space: a 4096-bit Bloom over the anchors' conv keys prunes the
+    // feed BEFORE its shuffle (no false negatives ⇒ no lost matches;
+    // false positives only cost shuffle rows). The oracle is the UNPRUNED
+    // as-of — pruning must not change one byte of the answer.
+    "q_bloom_prune" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val ckey = conv(substring(md5(col("conv_id").cast("binary")), 1, 15),
+        16, 10).cast("long")
+      val anchors = t.filter(col("role") === "assistant" && ckey % 4 === 0)
+        .select("conv_id", "turn_idx", "ts")
+      val obs = t.filter(col("tool").isNotNull)
+        .groupBy(col("conv_id"), col("ts"))
+        .agg(max_by(col("tool"), col("turn_idx")).as("last_tool"))
+      val words = graft.ops.Sketches.bloomWords(
+        graft.ops.Sketches.bloomBuild(anchors, ckey, nWords = 64, nHashes = 4),
+        nWords = 64)
+      val pruned = graft.ops.Sketches
+        .bloomMightContain(obs, ckey, words, nHashes = 4)
+        .filter(col("bloom_hit")).drop("bloom_hit")
+      AsOf.joinBackward(anchors, pruned, Seq("conv_id"))
+        .select("conv_id", "turn_idx", "last_tool")
+    }),
+
+    // --- streaming Count-Min frequency gauge ----------------------------------------
+    // The SAME Sketches.cmsBuild code on the live path: a streaming
+    // groupBy(row, counter).count is legal with O(depth·width) state in
+    // complete mode — the running hot-key detector needs no bespoke
+    // operator. File-source replay across 4 micro-batches must land
+    // counter-for-counter on the batch oracle.
+    "q_stream_cms" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamcms").toString
+      val watched = s"$tmp/watched"
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val nChunks = 4
+      val ordered = d.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_cms_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(d.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+          val keyed = src.filter(col("text").isNotNull)
+            .select(explode(split(lower(col("text")), " ")).as("word"))
+            .filter(col("word") =!= "")
+            .select(conv(substring(md5(col("word").cast("binary")), 1, 15),
+              16, 10).cast("long").as("k"))
+          graft.ops.Sketches.cmsBuild(keyed, col("k"), 3, 32)
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("row_idx"), col("counter_idx"), col("cnt"))
+    }),
+
+    // --- Gram-matrix PCA/covariance sufficient statistics ---------------------------
+    // Per dimension pair i ≤ j of the 64-dim embeddings: exact-integer
+    // (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) over the shared ×10⁴ quantization —
+    // cov·n² = n·s_ij − s_i·s_j with zero float drift, 2080 output keys
+    // no matter the corpus size, one partial-agg shuffle.
+    "q_gram_stats" -> ((s, dir) =>
+      Similarity.gramStats(embeds(s, dir), col("embedding")))
   )
 
   /** Published fixed-point weights for q_quality_score — the artifact a
@@ -6265,6 +6381,136 @@ object SparkEntry {
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
         |  WHERE doc_id % 3 = 0),
         |h AS (SELECT doc_id, md5(text) AS hash FROM u)
-        |SELECT min(doc_id) AS doc_id, hash FROM h GROUP BY hash""".stripMargin
+        |SELECT min(doc_id) AS doc_id, hash FROM h GROUP BY hash""".stripMargin,
+
+    // both medians replayed with the identical rank arithmetic as the
+    // exact-quantile oracles; the flag is the same integer cross-multiply
+    "q_mad_outliers" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |med AS (SELECT lang,
+        |    max(CASE WHEN rn*10000 >= 5000*n AND (rn-1)*10000 < 5000*n
+        |      THEN v END) AS med
+        |  FROM r GROUP BY lang),
+        |d AS (SELECT r.lang, r.doc_id, r.v, med.med, abs(r.v - med.med) AS adev
+        |  FROM r JOIN med USING (lang)),
+        |r2 AS (SELECT *,
+        |    row_number() OVER (PARTITION BY lang ORDER BY adev, doc_id) AS rn2,
+        |    count(*) OVER (PARTITION BY lang) AS n2
+        |  FROM d),
+        |mad AS (SELECT lang,
+        |    max(CASE WHEN rn2*10000 >= 5000*n2 AND (rn2-1)*10000 < 5000*n2
+        |      THEN adev END) AS mad
+        |  FROM r2 GROUP BY lang)
+        |SELECT d.lang, d.doc_id, d.v, d.med, mad.mad, d.adev AS abs_dev,
+        |  (d.adev * 10000 > 30000 * mad.mad) AS is_outlier
+        |FROM d JOIN mad USING (lang)""".stripMargin,
+
+    // exact p5/p95 rank selection, then the clamp
+    "q_winsorize" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |b AS (SELECT lang,
+        |    max(CASE WHEN rn*10000 >= 500*n AND (rn-1)*10000 < 500*n
+        |      THEN v END) AS lo,
+        |    max(CASE WHEN rn*10000 >= 9500*n AND (rn-1)*10000 < 9500*n
+        |      THEN v END) AS hi
+        |  FROM r GROUP BY lang)
+        |SELECT r.lang, r.doc_id, r.v, b.lo, b.hi,
+        |  least(greatest(r.v, b.lo), b.hi) AS v_clipped,
+        |  (r.v < b.lo OR r.v > b.hi) AS was_clipped
+        |FROM r JOIN b USING (lang)""".stripMargin,
+
+    // bucket = unpadded-bin() bitlength (the HLL rho idiom), counts
+    // summed per (lang, bucket) — the split-then-merge on the engine side
+    // is invisible to the oracle because counter merge IS addition —
+    // then the same division-free rank pick over ≤ 65 bucket rows
+    "q_loghist" ->
+      """WITH b AS (SELECT lang,
+        |    CASE WHEN n_chars = 0 THEN CAST(0 AS BIGINT)
+        |      ELSE CAST(length(bin(n_chars)) AS BIGINT) END AS bucket
+        |  FROM documents),
+        |h AS (SELECT lang, bucket, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM b GROUP BY 1, 2),
+        |c AS (SELECT lang, bucket, cnt,
+        |    sum(cnt) OVER (PARTITION BY lang ORDER BY bucket
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |    sum(cnt) OVER (PARTITION BY lang) AS n
+        |  FROM h),
+        |p AS (SELECT lang, CAST(max(n) AS BIGINT) AS n,
+        |    max(CASE WHEN cum*10000 >= 5000*n AND (cum-cnt)*10000 < 5000*n
+        |      THEN bucket END) AS b5000,
+        |    max(CASE WHEN cum*10000 >= 9900*n AND (cum-cnt)*10000 < 9900*n
+        |      THEN bucket END) AS b9900
+        |  FROM c GROUP BY lang)
+        |SELECT lang, n,
+        |  CAST(CASE WHEN b5000 = 0 THEN 0
+        |    ELSE CAST(1 AS BIGINT) << CAST(b5000 - 1 AS INTEGER) END
+        |    AS BIGINT) AS q5000_lo,
+        |  CAST(CASE WHEN b5000 = 0 THEN 0
+        |    ELSE (CAST(1 AS BIGINT) << CAST(b5000 AS INTEGER)) - 1 END
+        |    AS BIGINT) AS q5000_hi,
+        |  CAST(CASE WHEN b9900 = 0 THEN 0
+        |    ELSE CAST(1 AS BIGINT) << CAST(b9900 - 1 AS INTEGER) END
+        |    AS BIGINT) AS q9900_lo,
+        |  CAST(CASE WHEN b9900 = 0 THEN 0
+        |    ELSE (CAST(1 AS BIGINT) << CAST(b9900 AS INTEGER)) - 1 END
+        |    AS BIGINT) AS q9900_hi
+        |FROM p""".stripMargin,
+
+    // the oracle is the UNPRUNED as-of over the same anchor subset —
+    // Bloom pruning is correct iff it changes nothing
+    "q_bloom_prune" ->
+      s"""$T,
+         |a AS (SELECT conv_id, turn_idx, ts FROM turns
+         |  WHERE role = 'assistant'
+         |    AND CAST('0x' || substr(md5(conv_id), 1, 15) AS BIGINT) % 4 = 0),
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS last_tool
+         |        FROM turns WHERE tool IS NOT NULL GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.last_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS last_tool
+         |FROM a""".stripMargin,
+
+    // the live CMS must land counter-for-counter on the batch counters
+    // (same probe geometry as q_cms_freq's oracle)
+    "q_stream_cms" ->
+      s"""WITH w AS (SELECT unnest(string_split(lower(text), ' ')) AS word
+         |  FROM documents WHERE text IS NOT NULL),
+         |w2 AS (SELECT CAST('0x' || substr(md5(word), 1, 15) AS BIGINT) AS k
+         |  FROM w WHERE word <> ''),
+         |salts(row_idx, salt) AS (VALUES ${(0 until 3).map(j =>
+             s"($j, CAST(${java.lang.Long.toUnsignedString(
+               j.toLong * graft.exprs.BloomImpl.Phi)} AS UBIGINT))")
+             .mkString(", ")}),
+         |pos AS (SELECT row_idx,
+         |  ${fmixLateralSql("xor(CAST(k AS UBIGINT), salt)")},
+         |  CAST((u >> 1) % 32 AS BIGINT) AS counter_idx
+         |  FROM w2, salts)
+         |SELECT row_idx, counter_idx, CAST(count(*) AS BIGINT) AS cnt
+         |FROM pos GROUP BY 1, 2""".stripMargin,
+
+    // ROUND + HUGEINT sums replay the quantized Gram exactly; range() is
+    // 0-based to match the expression's dimension indexes
+    "q_gram_stats" ->
+      """WITH q AS (SELECT
+        |    [CAST(ROUND(CAST(x AS DOUBLE)*10000) AS BIGINT) for x in embedding]
+        |      AS qv
+        |  FROM embeddings),
+        |p AS (SELECT CAST(r1.range AS INTEGER) AS i,
+        |    CAST(r2.range AS INTEGER) AS j, qv
+        |  FROM q, range(0, 64) r1, range(0, 64) r2
+        |  WHERE r2.range >= r1.range)
+        |SELECT i, j, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(CAST(qv[i+1] AS HUGEINT)) AS DECIMAL(38,0)) AS s_i,
+        |  CAST(sum(CAST(qv[j+1] AS HUGEINT)) AS DECIMAL(38,0)) AS s_j,
+        |  CAST(sum(CAST(qv[i+1] AS HUGEINT) * CAST(qv[j+1] AS HUGEINT))
+        |    AS DECIMAL(38,0)) AS s_ij
+        |FROM p GROUP BY i, j""".stripMargin
   )
 }

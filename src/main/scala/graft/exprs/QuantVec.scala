@@ -36,6 +36,27 @@ object QuantVec {
     s
   }
 
+  def gramPairs(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    val qs = new Array[Long](n)
+    var i = 0
+    while (i < n) { qs(i) = q(a.getFloat(i).toDouble); i += 1 }
+    val out = new Array[Any](n * (n + 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        out(idx) = org.apache.spark.sql.catalyst.InternalRow(
+          i, j, qs(i) * qs(j), qs(i), qs(j))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def sqNorm(a: ArrayData): Long = {
     val n = a.numElements()
     var s = 0L
@@ -88,6 +109,44 @@ case class QuantElem(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     defineCodeGen(ctx, ev, a => s"graft.exprs.QuantVec.q((double) $a)")
   override protected def withNewChildInternal(c: Expression): QuantElem =
+    copy(child = c)
+}
+
+/** Upper-triangle Gram contributions of ONE embedding row: for every
+  * dimension pair i ≤ j, the struct (i, j, p = qᵢ·qⱼ, qᵢ, qⱼ) over the
+  * shared [[QuantVec.q]] quantization — `inline` + one partial-agg sum
+  * per (i, j) key turns these into the exact-integer covariance/PCA
+  * sufficient statistics (n, Σqᵢ, Σqⱼ, Σqᵢqⱼ) with d(d+1)/2 output keys
+  * no matter the corpus size. Quantized once per element, not per pair.
+  */
+case class QuantGramPairs(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("i",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("j",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      org.apache.spark.sql.types.StructField("p", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("qi", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("qj", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "quant_gram_pairs"
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"quant_gram_pairs requires array<float>, got $other")
+    }
+  override protected def nullSafeEval(a: Any): Any =
+    QuantVec.gramPairs(a.asInstanceOf[ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a => s"graft.exprs.QuantVec.gramPairs($a)")
+  override protected def withNewChildInternal(c: Expression): QuantGramPairs =
     copy(child = c)
 }
 

@@ -36,6 +36,30 @@ object Similarity {
   def quantSqNorm(a: Column): Column =
     bridge(graft.exprs.QuantSqNorm(expr(a)))
 
+  /** Exact-integer covariance/PCA sufficient statistics of an embedding
+    * column: per dimension pair i ≤ j, (n, s_i = Σqᵢ, s_j = Σqⱼ,
+    * s_ij = Σqᵢqⱼ) over the shared ×10⁴ quantization — everything a
+    * covariance/correlation/PCA consumer needs
+    * (cov·n² = n·s_ij − s_i·s_j), exact in decimal(38,0) to ~10¹² rows,
+    * engine-portable (the oracle replays ROUND + HUGEINT sums).
+    *
+    * Scale shape: one codegen'd [[graft.exprs.QuantGramPairs]] projection
+    * fans each row out to d(d+1)/2 structs (quantized once per element),
+    * then ONE partial-agg shuffle collapses map-side to at most
+    * d(d+1)/2 keys per task — the exchange carries O(d²·tasks) rows, not
+    * O(d²·corpus). Output: (i, j, n, s_i, s_j, s_ij).
+    */
+  def gramStats(df: DataFrame, embedding: Column): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.select(inline(bridge(graft.exprs.QuantGramPairs(expr(embedding)))))
+      .groupBy(col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("qi").cast(dec)).as("s_i"),
+        sum(col("qj").cast(dec)).as("s_j"),
+        sum(col("p").cast(dec)).as("s_ij"))
+  }
+
   /** Double-precision cosine similarity (for allclose-style consumers). */
   def cosine(a: Column, b: Column): Column = {
     val dot = aggregate(

@@ -403,4 +403,75 @@ object Sketches {
     val e = alpha * m * m / denom
     if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else e
   }
+
+  /** Base-2 log-histogram sketch (DDSketch's shape at γ = 2) over a
+    * NON-NEGATIVE integer column: bucket(0) = 0, bucket(v ≥ 1) =
+    * bitlength(v), i.e. bucket b ≥ 1 covers [2^(b−1), 2^b − 1]. At most
+    * 65 (group, bucket, cnt) rows per group no matter the corpus size,
+    * built in ONE map-side-combinable shuffle; slices merge by unioning
+    * and re-summing (counter-wise add — [[logHistMerge]]), the lossless
+    * rollup the EXACT quantile family can't offer: where
+    * [[Stats.exactGroupedQuantiles]] re-scans the corpus per question,
+    * this sketch answers any quantile later, from O(65) state, within a
+    * guaranteed factor-2 bracket. The bucket function is
+    * `length(bin(v))` — the engine-portable bitlength idiom the HLL rho
+    * already relies on (bin() is unpadded in both engines, no float
+    * log2). Negative values fail loud.
+    */
+  def logHistogram(df: DataFrame, groupCol: String, value: Column): DataFrame = {
+    val guarded = when(value < 0L, raise_error(concat(
+      lit("logHistogram: negative value "), value.cast("string"),
+      lit(" — the log bucket is defined for v >= 0 only"))))
+      .otherwise(value.cast("long"))
+    df.groupBy(col(groupCol),
+        when(guarded === 0L, 0L)
+          .otherwise(length(bin(guarded)).cast("long")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Lossless counter-wise merge of two log-histogram sketches. */
+  def logHistMerge(a: DataFrame, b: DataFrame, groupCol: String): DataFrame =
+    a.unionByName(b).groupBy(col(groupCol), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Quantile BRACKETS from a log-histogram sketch: per group and level q
+    * (basis points), the rank-selected bucket b — the same division-free
+    * integer rank arithmetic as [[Stats.exactGroupedQuantiles]], applied
+    * to ≤ 65 bucket rows — reported as [q<bp>_lo, q<bp>_hi] =
+    * [2^(b−1), 2^b − 1]: the true exact quantile provably lies inside
+    * (relative error ≤ 2×). Output: (group, n, q<bp>_lo, q<bp>_hi, ...).
+    */
+  def logHistQuantiles(
+      sketch: DataFrame,
+      groupCol: String,
+      qsBp: Seq[Int]
+  ): DataFrame = {
+    require(qsBp.nonEmpty && qsBp.forall(q => q > 0 && q <= 10000),
+      "quantiles are basis points in 1..10000")
+    require(qsBp.distinct.size == qsBp.size,
+      s"duplicate quantile levels: ${qsBp.mkString(", ")}")
+    val w1 = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+    val cum = sketch
+      .withColumn("__cum", sum(col("cnt")).over(w1))
+      .withColumn("__n", sum(col("cnt")).over(wAll))
+    val picks = qsBp.flatMap { q =>
+      val qn = lit(q.toLong) * col("__n")
+      val isPick = col("__cum") * 10000L >= qn &&
+        (col("__cum") - col("cnt")) * 10000L < qn
+      val b = max(when(isPick, col("bucket")))
+      Seq(
+        when(b === 0L, 0L)
+          .otherwise(call_function("shiftleft", lit(1L),
+            (b - 1L).cast("int"))).as(s"q${q}_lo"),
+        when(b === 0L, 0L)
+          .otherwise(call_function("shiftleft", lit(1L),
+            b.cast("int")) - 1L).as(s"q${q}_hi"))
+    }
+    cum.groupBy(col(groupCol))
+      .agg(max(col("__n")).as("n"), picks: _*)
+  }
 }

@@ -169,6 +169,88 @@ object Stats {
       .agg(max(col("__wt")).cast(dec).as("w_total"), picks: _*)
   }
 
+  /** Robust per-row outlier flags via MAD (median absolute deviation) —
+    * the 3σ flag's heavy-tail-safe twin: a single mega-document can drag
+    * a mean/σ gate arbitrarily, but moves both medians by at most one
+    * rank. Composes [[exactGroupedQuantiles]] twice (both passes two-phase,
+    * mega-group safe): med = median(value), mad = median(|value − med|),
+    * then the per-row flag is the division-free integer cross-multiply
+    *
+    *   is_outlier  ⇔  |v − med| · 10⁴  >  kBp · mad
+    *
+    * (kBp = 30000 ⇒ "beyond 3 MADs"). `mad = 0` — over half the group
+    * shares one value — flags EVERY deviating row, the standard MAD
+    * caveat, stated not hidden. Output: every input row with
+    * (group, id, v, med, mad, abs_dev, is_outlier).
+    *
+    * Scale shape: two quantile passes (each one full-volume partial-agg
+    * shuffle + chunk-sized windows) plus two joins against per-group
+    * single rows — Catalyst broadcasts both at any realistic group count.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      idCol: String,
+      kBp: Long,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(kBp > 0, "kBp must be positive basis points")
+    val reserved = Seq("__mv", "__adev", "n")
+    require(!reserved.exists(df.columns.contains),
+      s"madOutliers reserves the column names ${reserved.mkString(", ")}")
+    val meds = exactGroupedQuantiles(df, groupCol, value, idCol,
+      Seq(5000), chunkSpan)
+      .select(col(groupCol), col("q5000").as("med"))
+    val withMed = df.select(col(groupCol), col(idCol), value.as("__mv"))
+      .join(meds, Seq(groupCol))
+      .withColumn("__adev", abs(col("__mv") - col("med")))
+    val mads = exactGroupedQuantiles(
+      withMed, groupCol, col("__adev"), idCol, Seq(5000), chunkSpan)
+      .select(col(groupCol), col("q5000").as("mad"))
+    withMed.join(mads, Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("__mv").as("v"),
+        col("med"), col("mad"), col("__adev").as("abs_dev"),
+        (col("__adev") * 10000L > lit(kBp) * col("mad")).as("is_outlier"))
+  }
+
+  /** Winsorization at exact per-group quantile bounds — clamp the value
+    * column into [q(loBp), q(hiBp)] before any mean/σ-sensitive consumer
+    * (the standard tail-taming step before fitting the quality model or
+    * computing drift baselines). Bounds come from
+    * [[exactGroupedQuantiles]] — elements of the data, never
+    * interpolated — so the clipped output is integer-exact and the
+    * oracle replays it. Output: every input row with
+    * (group, id, v, lo, hi, v_clipped, was_clipped).
+    *
+    * Scale shape: one two-phase quantile pass + one join against
+    * per-group single rows (broadcast); the clip itself is a projection.
+    */
+  def winsorize(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      idCol: String,
+      loBp: Int,
+      hiBp: Int,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(loBp < hiBp, "loBp must be below hiBp")
+    val reserved = Seq("__wv", "n")
+    require(!reserved.exists(df.columns.contains),
+      s"winsorize reserves the column names ${reserved.mkString(", ")}")
+    val bounds = exactGroupedQuantiles(df, groupCol, value, idCol,
+      Seq(loBp, hiBp), chunkSpan)
+      .select(col(groupCol), col(s"q$loBp").as("lo"), col(s"q$hiBp").as("hi"))
+    df.select(col(groupCol), col(idCol), value.as("__wv"))
+      .join(bounds, Seq(groupCol))
+      .select(col(groupCol), col(idCol), col("__wv").as("v"),
+        col("lo"), col("hi"),
+        least(greatest(col("__wv"), col("lo")), col("hi")).as("v_clipped"),
+        (col("__wv") < col("lo") || col("__wv") > col("hi"))
+          .as("was_clipped"))
+  }
+
   /** Single-window reference formulation (`row_number` per group — one
     * task per group): the differential-test twin of
     * [[exactGroupedQuantiles]] and the documented rank contract, value at

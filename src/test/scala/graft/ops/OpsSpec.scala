@@ -909,4 +909,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got(1) == ((2L, 3L, 3L, 0L, 0L, 0L)))
     assert(got(2) == ((3L, 0L, 0L, 0L, 0L, 0L)))
   }
+
+  test("gramStats: upper-triangle covariance sufficient stats vs naive; " +
+      "diagonal ties out with quantSqNorm") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(41)
+    val d = 5
+    val vecs = (1 to 40).map(id =>
+      (id.toLong, Array.fill(d)((rnd.nextFloat() * 2 - 1))))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.gramStats(df, col("embedding"))
+      .select($"i", $"j", $"n", $"s_i".cast("long"), $"s_j".cast("long"),
+        $"s_ij".cast("long"))
+      .as[(Int, Int, Long, Long, Long, Long)].collect()
+    assert(got.length == d * (d + 1) / 2)
+    val q = vecs.map { case (_, v) => v.map(x =>
+      graft.exprs.QuantVec.q(x.toDouble)) }
+    got.foreach { case (i, j, n, si, sj, sij) =>
+      assert(i <= j && n == vecs.size)
+      assert(si == q.map(_(i)).sum, s"s_i at ($i,$j)")
+      assert(sj == q.map(_(j)).sum, s"s_j at ($i,$j)")
+      assert(sij == q.map(r => r(i) * r(j)).sum, s"s_ij at ($i,$j)")
+    }
+    // diagonal entries sum to the corpus quantized squared-norm total
+    val diagSum = got.filter(r => r._1 == r._2).map(_._6).sum
+    val normSum = df.select(Similarity.quantSqNorm(col("embedding")).as("s"))
+      .agg(org.apache.spark.sql.functions.sum($"s")).as[Long].collect().head
+    assert(diagSum == normSum)
+  }
 }

@@ -310,4 +310,93 @@ class SketchSpec extends AnyFunSuite {
       assert(grouped(g) == solo, s"group $g")
     }
   }
+
+  // ------------------------------------------------- log₂ histogram
+
+  test("logHistogram: bucket = bitlength, 0 gets bucket 0, " +
+      "power-of-two boundaries land on the right side") {
+    val df = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L).toDF("v")
+      .withColumn("g", lit("g"))
+    val got = Sketches.logHistogram(df, "g", $"v")
+      .select($"bucket", $"cnt").as[(Long, Long)].collect().toMap
+    // expected: 0→b0; 1→b1; 2,3→b2; 4,7→b3; 8→b4; 1023→b10; 1024→b11
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 2L, 3L -> 2L, 4L -> 1L,
+      10L -> 1L, 11L -> 1L))
+  }
+
+  test("logHistogram: negative values fail loud") {
+    val e = intercept[Exception] {
+      Sketches.logHistogram(Seq(("g", -1L)).toDF("g", "v"), "g", $"v")
+        .collect()
+    }
+    assert(e.getMessage.contains("negative value") ||
+      Option(e.getCause).exists(_.getMessage.contains("negative value")))
+  }
+
+  test("logHistMerge: half-corpus sketches merge losslessly to the whole") {
+    val rnd = new scala.util.Random(7)
+    val rows = (1 to 2000).map(i => (s"g${i % 2}", rnd.nextInt(100000).toLong))
+    val df = rows.toDF("g", "v")
+    val whole = Sketches.logHistogram(df, "g", $"v")
+      .as[(String, Long, Long)].collect().toSet
+    val a = Sketches.logHistogram(
+      rows.zipWithIndex.filter(_._2 % 2 == 0).map(_._1).toDF("g", "v"),
+      "g", $"v")
+    val b = Sketches.logHistogram(
+      rows.zipWithIndex.filter(_._2 % 2 == 1).map(_._1).toDF("g", "v"),
+      "g", $"v")
+    val merged = Sketches.logHistMerge(a, b, "g")
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("logHistQuantiles: the exact quantile always lies inside the " +
+      "factor-2 bracket; n matches") {
+    val rnd = new scala.util.Random(13)
+    val rows = (1 to 1500).map(i => (s"g${i % 3}", rnd.nextInt(50000).toLong))
+    val df = rows.toDF("g", "v")
+    val sketch = Sketches.logHistogram(df, "g", $"v")
+    val got = Sketches.logHistQuantiles(sketch, "g", Seq(5000, 9900))
+      .select($"g", $"n", $"q5000_lo", $"q5000_hi", $"q9900_lo", $"q9900_hi")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    val byG = rows.groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    def exact(vs: Seq[Long], qBp: Int): Long =
+      vs(((qBp.toLong * vs.size + 9999) / 10000 - 1).toInt)
+    got.foreach { case (g, n, lo5, hi5, lo99, hi99) =>
+      val vs = byG(g)
+      assert(n == vs.size)
+      val e5 = exact(vs, 5000)
+      val e99 = exact(vs, 9900)
+      assert(lo5 <= e5 && e5 <= hi5, s"$g median $e5 outside [$lo5, $hi5]")
+      assert(lo99 <= e99 && e99 <= hi99, s"$g p99 $e99 outside [$lo99, $hi99]")
+      // factor-2 bracket: hi = 2·lo − 1
+      assert(hi5 == 2 * lo5 - 1 && hi99 == 2 * lo99 - 1)
+    }
+  }
+
+  test("bloom-pruned as-of feed: answer byte-equal to unpruned, and the " +
+      "prune genuinely shrinks the feed (no false negatives by construction)") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    // anchors cover keys 0..9; the feed spans 0..99 — 90% prunable
+    val anchors = (0 until 10).flatMap(k =>
+      Seq((k.toLong, 1, ts(100 + k)), (k.toLong, 2, ts(200 + k))))
+      .toDF("key", "turn_idx", "ts")
+    val feed = (0 until 100).flatMap(k =>
+      Seq((k.toLong, ts(50 + k), s"v$k-a"), (k.toLong, ts(150 + k), s"v$k-b")))
+      .toDF("key", "ts", "value")
+    val words = Sketches.bloomWords(
+      Sketches.bloomBuild(anchors, $"key", nWords = 8, nHashes = 4),
+      nWords = 8)
+    val pruned = Sketches.bloomMightContain(feed, $"key", words, nHashes = 4)
+      .filter($"bloom_hit").drop("bloom_hit")
+    val nPruned = pruned.count()
+    assert(nPruned < feed.count(), "prune must drop something")
+    assert(nPruned >= 20L, "matching feed rows must all survive")
+    def asof(f: org.apache.spark.sql.DataFrame) =
+      graft.features.AsOf.joinBackward(anchors, f, Seq("key"))
+        .select($"key", $"turn_idx", $"value")
+        .as[(Long, Int, String)].collect().toSet
+    assert(asof(pruned) == asof(feed))
+  }
 }

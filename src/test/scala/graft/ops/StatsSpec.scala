@@ -117,4 +117,82 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("negative weight") ||
       Option(e.getCause).exists(_.getMessage.contains("negative weight")))
   }
+
+  /** Reference discrete quantile: value at rank ceil(q·n/10⁴) in sorted
+    * order — the documented contract of exactGroupedQuantiles.
+    */
+  private def refQuantile(vs: Seq[Long], qBp: Int): Long = {
+    val sorted = vs.sorted
+    val r = (qBp.toLong * sorted.size + 9999) / 10000
+    sorted((r - 1).toInt)
+  }
+
+  test("madOutliers: hand case — one far value beyond 3 MADs") {
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 2L), ("g", 3L, 3L),
+      ("g", 4L, 4L), ("g", 5L, 100L)).toDF("g", "id", "v")
+    val got = Stats.madOutliers(df, "g", $"v", "id", kBp = 30000L)
+      .select($"id", $"med", $"mad", $"abs_dev", $"is_outlier")
+      .as[(Long, Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    // med = rank ceil(2.5) = 3rd of (1,2,3,4,100) = 3; adevs (2,1,0,1,97)
+    // sorted (0,1,1,2,97) -> mad = 1; outlier iff adev > 3
+    assert(got.forall(r => r._2 == 3L && r._3 == 1L))
+    assert(got.map(r => r._1 -> r._5).toMap ==
+      Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("madOutliers: mad = 0 (majority constant) flags every deviating row " +
+      "— the documented caveat") {
+    val df = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 7L))
+      .toDF("g", "id", "v")
+    val got = Stats.madOutliers(df, "g", $"v", "id", kBp = 30000L)
+      .select($"id", $"mad", $"is_outlier")
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.forall(_._2 == 0L))
+    assert(got.filter(_._3).map(_._1).toSeq == Seq(4L))
+  }
+
+  test("madOutliers: randomized differential vs naive medians, " +
+      "two-phase chunking exercised") {
+    val rnd = new scala.util.Random(23)
+    val rows = (1 to 400).map { i =>
+      val g = s"g${i % 3}"
+      (g, i.toLong, rnd.nextInt(5000).toLong)
+    }
+    val byG = rows.groupBy(_._1)
+    val expect = rows.map { case (g, id, v) =>
+      val vs = byG(g).map(_._3)
+      val med = refQuantile(vs, 5000)
+      val mad = refQuantile(vs.map(x => math.abs(x - med)), 5000)
+      (g, id) -> (med, mad, math.abs(v - med) * 10000L > 30000L * mad)
+    }.toMap
+    val got = Stats.madOutliers(rows.toDF("g", "id", "v"), "g", $"v", "id",
+        kBp = 30000L, chunkSpan = 64L)
+      .select($"g", $"id", $"med", $"mad", $"is_outlier")
+      .as[(String, Long, Long, Long, Boolean)].collect()
+    assert(got.length == rows.size)
+    got.foreach { case (g, id, med, mad, fl) =>
+      assert(expect((g, id)) == ((med, mad, fl)))
+    }
+  }
+
+  test("winsorize: clamps into exact [p5, p95], flags only moved rows, " +
+      "randomized differential") {
+    val rnd = new scala.util.Random(31)
+    val rows = (1 to 300).map { i =>
+      (s"g${i % 2}", i.toLong, rnd.nextInt(10000).toLong)
+    }
+    val byG = rows.groupBy(_._1)
+    val got = Stats.winsorize(rows.toDF("g", "id", "v"), "g", $"v", "id",
+        loBp = 500, hiBp = 9500, chunkSpan = 128L)
+      .select($"g", $"id", $"v", $"lo", $"hi", $"v_clipped", $"was_clipped")
+      .as[(String, Long, Long, Long, Long, Long, Boolean)].collect()
+    assert(got.length == rows.size)
+    got.foreach { case (g, _, v, lo, hi, clipped, flag) =>
+      val vs = byG(g).map(_._3)
+      assert(lo == refQuantile(vs, 500) && hi == refQuantile(vs, 9500))
+      assert(clipped == math.min(math.max(v, lo), hi))
+      assert(flag == (v < lo || v > hi))
+      assert(clipped >= lo && clipped <= hi)
+    }
+  }
 }
