@@ -2883,7 +2883,78 @@ object SparkEntry {
     // cov·n² = n·s_ij − s_i·s_j with zero float drift, 2080 output keys
     // no matter the corpus size, one partial-agg shuffle.
     "q_gram_stats" -> ((s, dir) =>
-      Similarity.gramStats(embeds(s, dir), col("embedding")))
+      Similarity.gramStats(embeds(s, dir), col("embedding"))),
+
+    // --- topic segmentation by lexical drift ----------------------------------------
+    // New segment when a turn's word-set Jaccard vs the previous turn
+    // drops below 0.2 — integer cross-multiply, no division; lag +
+    // running boundary count share ONE conv_id window.
+    "q_topic_segments" -> ((s, dir) =>
+      graft.features.ConvFeatures.topicSegments(turns(s, dir),
+        tauBp = 2000L)),
+
+    // --- l-diversity audit (homogeneity-attack gate) --------------------------------
+    // k-anonymity's companion: per (lang, source) combo, row count +
+    // exact distinct sensitive values (doc length) + the meets-l flag.
+    "q_ldiversity" -> ((s, dir) =>
+      graft.ops.Privacy.lDiversityAudit(
+        docs(s, dir), Seq("lang", "source"), col("n_chars"), l = 5L)),
+
+    // --- quantile normalization onto a reference group ------------------------------
+    // Every language's doc-length distribution mapped exactly onto en's:
+    // rank r of n → reference value at ceil(r·n_ref/n). Ranks are
+    // two-phase (no single-task group sorts); v_norm is an element of
+    // the reference data, never interpolated.
+    "q_quantile_norm" -> ((s, dir) =>
+      graft.ops.Stats.quantileNormalize(
+        docs(s, dir), "lang", col("n_chars"), "doc_id", refGroup = "en")),
+
+    // --- streaming CDC latest-wins view ----------------------------------------------
+    // The SAME Snapshot.latestWins kernel on the live path: per-key
+    // max_by struct agg in complete mode = the continuously-maintained
+    // materialized view of an upsert/delete feed, O(live keys) state.
+    // File-source replay across 4 micro-batches must equal the batch
+    // merge (associativity, proven in Scd2CdcSpec, is what makes the
+    // arbitrary chunking legal).
+    "q_stream_cdc" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamcdc").toString
+      val watched = s"$tmp/watched"
+      val feed = Tables.read(s, dir, "events")
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"),
+          when(col("event_type") === "error" &&
+              col("ts") >= lit("2024-01-16").cast("timestamp"), "d")
+            .otherwise("u").as("op"))
+      val nChunks = 4
+      val ordered = feed.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("event_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_cdc_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(feed.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+          graft.ops.Snapshot.latestWins(src, "user_id", Seq("ts", "event_id"))
+            .writeStream.outputMode("complete").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type"), col("value"), col("op"))
+    })
   )
 
   /** Published fixed-point weights for q_quality_score — the artifact a
@@ -6511,6 +6582,65 @@ object SparkEntry {
         |  CAST(sum(CAST(qv[j+1] AS HUGEINT)) AS DECIMAL(38,0)) AS s_j,
         |  CAST(sum(CAST(qv[i+1] AS HUGEINT) * CAST(qv[j+1] AS HUGEINT))
         |    AS DECIMAL(38,0)) AS s_ij
-        |FROM p GROUP BY i, j""".stripMargin
+        |FROM p GROUP BY i, j""".stripMargin,
+
+    // distinct word sets via list comprehension, the same cross-multiply
+    // boundary rule, running boundary count in the (ts, turn_idx) order
+    "q_topic_segments" ->
+      s"""$T,
+         |w AS (SELECT conv_id, turn_idx, ts,
+         |  list_distinct([x for x in string_split(lower(COALESCE(text, '')), ' ')
+         |    if x <> '']) AS ws
+         |  FROM turns),
+         |l AS (SELECT conv_id, turn_idx, ts, ws,
+         |  lag(ws) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev
+         |  FROM w),
+         |b AS (SELECT conv_id, turn_idx, ts,
+         |  CASE WHEN prev IS NULL THEN TRUE
+         |       ELSE len(list_intersect(ws, prev)) * 10000
+         |            < 2000 * len(list_distinct(list_concat(ws, prev))) END
+         |    AS is_boundary
+         |  FROM l)
+         |SELECT conv_id, turn_idx, is_boundary,
+         |  CAST(sum(CASE WHEN is_boundary THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         |    AS BIGINT) AS segment_id
+         |FROM b""".stripMargin,
+
+    // count(DISTINCT) excludes NULLs in both engines — the documented rule
+    "q_ldiversity" ->
+      """SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(count(DISTINCT n_chars) AS BIGINT) AS diversity,
+        |  count(DISTINCT n_chars) >= 5 AS meets_l
+        |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // per-group ranks by one window, then the exact ceil-scaled rank
+    // lookup into the reference group's (rank -> value) table
+    "q_quantile_norm" ->
+      """WITH r AS (SELECT lang, doc_id, n_chars AS v,
+        |    row_number() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents),
+        |ref AS (SELECT rn AS rref, v AS vref FROM r WHERE lang = 'en'),
+        |refn AS (SELECT count(*) AS nref FROM documents WHERE lang = 'en'),
+        |t AS (SELECT r.*,
+        |    CAST((CAST(r.rn AS HUGEINT) * refn.nref + r.n - 1) // r.n
+        |      AS BIGINT) AS rt
+        |  FROM r, refn)
+        |SELECT t.lang, t.doc_id, t.v, CAST(t.rn AS BIGINT) AS rank,
+        |  CAST(t.n AS BIGINT) AS n, ref.vref AS v_norm
+        |FROM t JOIN ref ON t.rt = ref.rref""".stripMargin,
+
+    // the live latest-wins view must equal the batch CDC merge
+    "q_stream_cdc" ->
+      """WITH feed AS (SELECT user_id, ts, event_id, event_type, value,
+        |    CASE WHEN event_type = 'error' AND ts >= TIMESTAMP '2024-01-16'
+        |         THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC) AS rn FROM feed)
+        |SELECT user_id, ts, event_id, event_type, value, op
+        |FROM r WHERE rn = 1 AND op = 'u'""".stripMargin
   )
 }

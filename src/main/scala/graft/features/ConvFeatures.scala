@@ -534,4 +534,40 @@ object ConvFeatures {
       col("distinct_words"), col("total_words"),
       reason.isNull.as("keep"), reason.as("drop_reason"))
   }
+
+  /** Topic segmentation by lexical drift: a turn STARTS a new segment
+    * when its distinct-word set's Jaccard similarity with the
+    * immediately preceding turn falls below `tauBp` basis points —
+    * division-free as the integer cross-multiply
+    *
+    *   boundary  ⇔  |A∩B| · 10⁴  <  tauBp · |A∪B|
+    *
+    * The first turn always opens segment 1. Two EMPTY word sets (null or
+    * whitespace text) are NOT a boundary — 0 < tauBp·0 is false — i.e.
+    * absence of evidence keeps the running segment, stated not hidden.
+    * `segment_id` is the running boundary count in (ts, turn_idx) order.
+    *
+    * Scale shape: ONE conv_id exchange — the lag and the running sum
+    * share the same partitioning and sort, so Catalyst plans a single
+    * Window exec; word sets never leave their row (no explode).
+    */
+  def topicSegments(turns: DataFrame, tauBp: Long = 2000L): DataFrame = {
+    require(tauBp >= 0 && tauBp <= 10000, "tauBp must be basis points")
+    val w = Window.partitionBy(col("conv_id")).orderBy(col("ts"), col("turn_idx"))
+    val ws = array_distinct(filter(
+      split(lower(coalesce(col("text"), lit(""))), " "), x => x =!= ""))
+    val withPrev = turns
+      .select(col("conv_id"), col("turn_idx"), col("ts"), ws.as("__ws"))
+      .withColumn("__prev", lag(col("__ws"), 1).over(w))
+    val inter = size(array_intersect(col("__ws"), col("__prev"))).cast("long")
+    val union = size(array_union(col("__ws"), col("__prev"))).cast("long")
+    withPrev
+      .withColumn("is_boundary",
+        when(col("__prev").isNull, lit(true))
+          .otherwise(inter * 10000L < lit(tauBp) * union))
+      .withColumn("segment_id",
+        sum(col("is_boundary").cast("long"))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("conv_id", "turn_idx", "is_boundary", "segment_id")
+  }
 }

@@ -69,4 +69,32 @@ object Privacy {
     df.join(counts, cond)
       .drop(quasiCols.map(c => s"__q_$c"): _*)
   }
+
+  /** l-diversity audit — k-anonymity's companion gate: a quasi-identifier
+    * combo can be k-anonymous yet still leak if all k rows share one
+    * sensitive value (the homogeneity attack). Per combo: row count,
+    * DISTINCT sensitive-value count (`diversity`; NULL sensitive values
+    * are excluded, the standard count-distinct rule in both engines), and
+    * `meets_l`. Release gates join the failing combos back for
+    * suppression, exactly like [[kAnonFilter]].
+    *
+    * Scale shape: ONE exact count-distinct aggregation — Catalyst plans
+    * it as two partial aggs (first keyed (quasi…, sensitive), then
+    * (quasi…)), both map-side combinable, so a billion-row combo reduces
+    * before either exchange.
+    */
+  def lDiversityAudit(
+      df: DataFrame,
+      quasiCols: Seq[String],
+      sensitive: Column,
+      l: Long
+  ): DataFrame = {
+    require(quasiCols.nonEmpty, "need at least one quasi-identifier column")
+    require(l >= 1, s"l must be >= 1, got $l")
+    df.groupBy(quasiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        count_distinct(sensitive).as("diversity"))
+      .withColumn("meets_l", col("diversity") >= l)
+  }
 }

@@ -79,17 +79,32 @@ object Snapshot {
       versionCols: Seq[String],
       opCol: String = "op"
   ): DataFrame = {
-    require(versionCols.nonEmpty, "versionCols must order each key's rows")
     require(standing.columns.sorted.sameElements(delta.columns.sorted),
       "standing and delta must share one schema")
-    val cols = standing.columns.toSeq
-    val feed = standing.unionByName(delta)
+    latestWins(standing.unionByName(delta), keyCol, versionCols, opCol)
+  }
+
+  /** The latest-wins kernel [[cdcMergeLatest]] wraps: per key, the
+    * highest-(versionCols) row, deletes dropped. Shared verbatim by the
+    * STREAMING twin (q_stream_cdc): the same groupBy + max_by is a legal
+    * complete-mode streaming aggregation with O(live keys) state — the
+    * live materialized view of an upsert feed needs no bespoke operator.
+    */
+  def latestWins(
+      feed: DataFrame,
+      keyCol: String,
+      versionCols: Seq[String],
+      opCol: String = "op"
+  ): DataFrame = {
+    require(versionCols.nonEmpty, "versionCols must order each key's rows")
+    val cols = feed.columns.toSeq
+    val guarded = feed
       .withColumn(opCol,
         when(col(opCol).isin("u", "d"), col(opCol))
           .otherwise(raise_error(concat(
             lit(s"cdcMergeLatest: bad $opCol value "), col(opCol),
             lit(" — must be 'u' (upsert) or 'd' (delete)")))))
-    feed
+    guarded
       .groupBy(col(keyCol))
       .agg(max_by(
         struct(cols.filterNot(_ == keyCol).map(col): _*),

@@ -251,6 +251,85 @@ object Stats {
           .as("was_clipped"))
   }
 
+  /** Quantile normalization onto a REFERENCE group — the batch-effect
+    * correction that maps every group's distribution exactly onto the
+    * reference's (each source's doc-length profile onto `en`'s, each
+    * labeling vendor's score scale onto the calibration vendor's): a row
+    * at rank r of its n-row group takes the reference value at the
+    * rank-scaled position
+    *
+    *   r_ref = ceil(r · n_ref / n)     (exact: (r·n_ref + n − 1) div n,
+    *                                    the multiply in decimal(38,0))
+    *
+    * so r_ref ∈ [1, n_ref] always and the normalized value is an ELEMENT
+    * of the reference data — integer-exact, never interpolated, the same
+    * discrete-rank contract as [[exactGroupedQuantiles]]. The reference
+    * group maps to itself identically (r_ref = r). An EMPTY reference
+    * group fails loud. Output: every input row with
+    * (group, id, v, rank, n, v_norm).
+    *
+    * Scale shape: per-group ranks via the two-phase chunked cumsum
+    * ([[graft.ops.Curation.globalRank]]'s geometry with the group in
+    * every partitioning — no single-task group sorts), n_ref rides in as
+    * a broadcast single row, and the final lookup is ONE equi-join on
+    * the scaled rank (both sides partition by rank, reference side is
+    * the reference group's rows only).
+    */
+  def quantileNormalize(
+      df: DataFrame,
+      groupCol: String,
+      value: Column,
+      idCol: String,
+      refGroup: String,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val reserved = Seq("__qv", "__qchunk", "__qwithin", "__qtot", "__qcarry",
+      "__qn", "__rref", "__vref", "__nref", "__rtarget", "rank", "n", "v_norm")
+    require(!reserved.exists(df.columns.contains),
+      s"quantileNormalize reserves the column names ${reserved.mkString(", ")}")
+    val dec = "decimal(38,0)"
+    // per-group two-phase rank: chunk by value range, row_number within
+    // (group, chunk), carry = exclusive cumsum of chunk counts per group
+    val df1 = df.select(col(groupCol), col(idCol), value.as("__qv"))
+      .withColumn("__qchunk", floor(col("__qv").cast("long") / chunkSpan))
+    val w1 = Window.partitionBy(col(groupCol), col("__qchunk"))
+      .orderBy(col("__qv"), col(idCol))
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("__qchunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wAll = Window.partitionBy(col(groupCol))
+    val carry = df1.groupBy(col(groupCol), col("__qchunk"))
+      .agg(count(lit(1)).as("__qtot"))
+      .withColumn("__qcarry", coalesce(sum(col("__qtot")).over(wc), lit(0L)))
+      .withColumn("__qn", sum(col("__qtot")).over(wAll))
+      .select(col(groupCol), col("__qchunk"), col("__qcarry"), col("__qn"))
+    val ranked = df1
+      .withColumn("__qwithin", row_number().over(w1).cast("long"))
+      .join(carry, Seq(groupCol, "__qchunk"))
+      .withColumn("rank", col("__qcarry") + col("__qwithin"))
+    val ref = ranked.filter(col(groupCol) === refGroup)
+      .select(col("rank").as("__rref"), col("__qv").as("__vref"))
+    val nRef = ranked.filter(col(groupCol) === refGroup)
+      .agg(count(lit(1)).as("__nref"))
+    // LEFT join + fail-loud on the miss: with a non-empty reference every
+    // scaled rank lands in [1, n_ref] and matches exactly once, so a null
+    // __vref can only mean the reference group is empty. An INNER join
+    // would let an empty (broadcast) reference short-circuit the whole
+    // plan to zero rows without ever evaluating the guard.
+    ranked
+      .crossJoin(broadcast(nRef))
+      .withColumn("__rtarget",
+        call_function("div",
+          col("rank").cast(dec) * col("__nref") + col("__qn") - 1L,
+          col("__qn")).cast("long"))
+      .join(ref, col("__rtarget") === col("__rref"), "left")
+      .select(col(groupCol), col(idCol), col("__qv").as("v"),
+        col("rank"), col("__qn").as("n"),
+        when(col("__vref").isNull, raise_error(lit(
+          s"quantileNormalize: reference group '$refGroup' is empty")))
+          .otherwise(col("__vref")).as("v_norm"))
+  }
+
   /** Single-window reference formulation (`row_number` per group — one
     * task per group): the differential-test twin of
     * [[exactGroupedQuantiles]] and the documented rank contract, value at

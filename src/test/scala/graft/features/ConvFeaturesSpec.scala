@@ -366,4 +366,23 @@ class ConvFeaturesSpec extends AnyFunSuite {
       loose("p") == None && loose("t") == None)
     assert(loose("o") == Some("order") && loose("e") == Some("empty"))
   }
+
+  test("topicSegments: first turn opens, low-Jaccard turn breaks, " +
+      "high-overlap continues, empty-vs-empty is NOT a boundary") {
+    import java.sql.Timestamp
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val t = Seq(
+      ("c1", 0, "user", "alpha beta gamma", ts(0)),
+      ("c1", 1, "assistant", "beta gamma delta", ts(10)),   // J=2/4 >= 0.2
+      ("c1", 2, "user", "totally different words", ts(20)), // J=0 -> boundary
+      ("c1", 3, "assistant", null, ts(30)),                 // empty vs words: J=0/3 -> boundary
+      ("c1", 4, "user", "   ", ts(40))                      // empty vs empty: NOT a boundary
+    ).toDF("conv_id", "turn_idx", "role", "text", "ts")
+    val got = ConvFeatures.topicSegments(t, tauBp = 2000L)
+      .select($"turn_idx", $"is_boundary", $"segment_id")
+      .as[(Int, Boolean, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq(
+      (0, true, 1L), (1, false, 1L), (2, true, 2L), (3, true, 3L),
+      (4, false, 3L)))
+  }
 }

@@ -53,4 +53,21 @@ class PrivacySpec extends AnyFunSuite {
       .select("id", "k_count").as[(Long, Long)].collect().sortBy(_._1).toSeq
     assert(out == Seq((1L, 3L), (2L, 3L), (3L, 3L), (5L, 2L), (6L, 2L)))
   }
+
+  test("lDiversityAudit: distinct sensitive values per combo, nulls " +
+      "excluded, homogeneous combo flagged even when k-anonymous") {
+    val df = Seq(
+      // ("en","a"): 3 rows, all sensitive 10 -> k-anonymous but l-failing
+      (1L, "en", "a", Option(10L)), (2L, "en", "a", Option(10L)),
+      (3L, "en", "a", Option(10L)),
+      // ("en","b"): 3 rows, 2 distinct + a NULL (excluded)
+      (4L, "en", "b", Option(10L)), (5L, "en", "b", Option(20L)),
+      (6L, "en", "b", None)
+    ).toDF("id", "lang", "source", "sens")
+    val out = Privacy.lDiversityAudit(df, Seq("lang", "source"),
+        org.apache.spark.sql.functions.col("sens"), l = 2L)
+      .select("source", "n", "diversity", "meets_l")
+      .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(("a", 3L, 1L, false), ("b", 3L, 2L, true)))
+  }
 }

@@ -195,4 +195,42 @@ class StatsSpec extends AnyFunSuite {
       assert(clipped >= lo && clipped <= hi)
     }
   }
+
+  test("quantileNormalize: reference group is a fixed point; other groups " +
+      "match the naive rank-scaled lookup; two-phase chunking exercised") {
+    val rnd = new scala.util.Random(47)
+    // deliberately different sizes so rank scaling is non-trivial
+    val rows = (1 to 200).map(i => ("ref", i.toLong, rnd.nextInt(3000).toLong)) ++
+      (1 to 77).map(i => ("g1", 1000L + i, rnd.nextInt(9000).toLong)) ++
+      (1 to 123).map(i => ("g2", 2000L + i, rnd.nextInt(500).toLong))
+    val df = rows.toDF("g", "id", "v")
+    val got = Stats.quantileNormalize(df, "g", $"v", "id", refGroup = "ref",
+        chunkSpan = 64L)
+      .select($"g", $"id", $"v", $"rank", $"n", $"v_norm")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+    assert(got.length == rows.size)
+    val byG = rows.groupBy(_._1).view
+      .mapValues(_.sortBy(r => (r._3, r._2))).toMap
+    val refSorted = byG("ref").map(_._3)
+    val nRef = refSorted.size.toLong
+    val expectRank = byG.flatMap { case (g, rs) =>
+      rs.zipWithIndex.map { case ((_, id, _), i) => (g, id) -> (i + 1L) }
+    }
+    got.foreach { case (g, id, v, rank, n, vNorm) =>
+      assert(rank == expectRank((g, id)), s"rank of ($g, $id)")
+      assert(n == byG(g).size.toLong)
+      val rt = (rank * nRef + n - 1) / n
+      assert(vNorm == refSorted((rt - 1).toInt), s"v_norm of ($g, $id)")
+      if (g == "ref") assert(vNorm == v, "reference must map to itself")
+    }
+    // normalized multiset of a group IS a rank-scaled sample of ref values
+    val g2Norm = got.filter(_._1 == "g2").map(_._6).toSet
+    assert(g2Norm.subsetOf(refSorted.toSet))
+    val e = intercept[Exception] {
+      Stats.quantileNormalize(df, "g", $"v", "id", refGroup = "absent")
+        .collect()
+    }
+    assert(e.getMessage.contains("reference group") ||
+      Option(e.getCause).exists(_.getMessage.contains("reference group")))
+  }
 }
