@@ -867,6 +867,34 @@ object SparkEntry {
         .select(col("conv_id"), col("turn_idx"), col("tool"),
           col("ts").as("valid_from"), col("valid_to"), col("is_current"))),
 
+    // --- SCD-2 point-in-time READ (the feature-store read path) ------------------
+    // The other half of q_scd2: an anchor joined to the ONE validity
+    // interval containing its event time — conv_id equi key + range
+    // refinement, SortMergeJoin not BroadcastNestedLoopJoin, ≤ 1 match
+    // per anchor by construction (intervals partition each key's
+    // timeline; empty [ts, ts) intervals from equal-ts changes match
+    // nothing). The oracle is the BACKWARD AS-OF — reading the interval
+    // table point-in-time must equal as-of joining the change feed.
+    "q_scd2_read" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val intervals = graft.features.Scd2.validIntervals(
+          t.filter(col("tool").isNotNull && col("ts").isNotNull)
+            .select(col("conv_id"), col("turn_idx"), col("ts"), col("tool")),
+          keyCol = "conv_id", tsCol = "ts", tieCol = "turn_idx",
+          chunkSpanSec = 3600L)
+        .select(col("conv_id").as("dim_conv"), col("tool"),
+          col("ts").as("valid_from"), col("valid_to"))
+      val anchors = t.filter(col("role") === "assistant" && col("ts").isNotNull)
+        .select("conv_id", "turn_idx", "ts")
+      anchors.join(intervals,
+          col("conv_id") === col("dim_conv") &&
+            col("valid_from") <= col("ts") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")),
+          "left")
+        .select(col("conv_id"), col("turn_idx"),
+          col("tool").as("tool_pit"), col("valid_from").as("since_ts"))
+    }),
+
     // --- CDC latest-wins merge (Iceberg MERGE INTO semantics) --------------------
     // Apply a delta of upserts/deletes to a standing table: standing =
     // merge(∅, first-half feed), then merge(standing, second-half delta
@@ -1275,6 +1303,72 @@ object SparkEntry {
         } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       try q.awaitTermination() finally q.stop()
       s.table(name).select("conv_id", "turn_idx", "tool_asof")
+    }),
+
+    // --- STREAMING FORWARD as-of (label join live) --------------------------------
+    // The forward twin of q_stream_asof: anchors wait in state for their
+    // FIRST at-or-after observation; every observation flushes all
+    // pending anchors (any later one is farther ahead). A far-future
+    // sentinel observation per conversation (value NULL) flushes anchors
+    // with no future at all — the batch NULL. Must equal the batch
+    // forward as-of restricted to non-null-ts anchors.
+    "q_stream_asof_fwd" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.AsOfEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamasoffwd").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).filter($"ts".isNotNull)
+      val anchors = t.filter($"role" === "assistant")
+        .select($"conv_id", lit(1).as("src"), $"turn_idx",
+          lit(null).cast("string").as("value"), $"ts")
+      val feed = t.filter($"tool".isNotNull)
+        .groupBy($"conv_id", $"ts")
+        .agg(max_by($"tool", $"turn_idx").as("value"))
+        .select($"conv_id", lit(0).as("src"), lit(0).as("turn_idx"),
+          $"value", $"ts")
+      val tagged = anchors.unionByName(feed)
+      val nChunks = 4
+      val epochs = tagged.select($"ts").distinct()
+        .withColumn("__chunk",
+          ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("ts"))))
+      val ordered = tagged.join(epochs, Seq("ts"))
+        .select($"conv_id", $"src", $"turn_idx", $"value", $"ts", $"__chunk")
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      // the sentinel file lands LAST: one far-future null observation per
+      // conversation that has anchors
+      val sentinel = anchors.select($"conv_id").distinct()
+        .select($"conv_id", lit(0).as("src"), lit(0).as("turn_idx"),
+          lit(null).cast("string").as("value"),
+          lit("2100-01-01 00:00:00").cast("timestamp").as("ts"))
+      stageOrderedFile(sentinel, s"$tmp/scratch_sent", watched,
+        "chunk-sentinel.parquet", 1700000000000L + (nChunks + 1) * 10000L)
+      val name = freshStreamView(s, "stream_asof_fwd_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(ordered.drop("__chunk").schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[AsOfEvent]
+          StreamingFeatures.asOfForward(src)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select($"conv_id", $"turn_idx",
+        $"tool_asof".as("next_tool"))
     }),
 
     // --- STREAMING target encoding (live strictly-past label stats) -------------
@@ -3889,6 +3983,22 @@ object SparkEntry {
          |    AS is_current
          |FROM turns WHERE tool IS NOT NULL""".stripMargin,
 
+    // reading the SCD-2 interval table point-in-time IS the backward
+    // as-of on the change feed — the oracle is exactly that
+    "q_scd2_read" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS tool
+         |        FROM turns WHERE tool IS NOT NULL AND ts IS NOT NULL
+         |        GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS tool_pit,
+         |  (SELECT o.ts FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
+         |   ORDER BY o.ts DESC LIMIT 1) AS since_ts
+         |FROM turns a WHERE a.role = 'assistant' AND a.ts IS NOT NULL""".stripMargin,
+
     // latest row per key over the FULL feed in one pass — the two-step
     // standing+delta merge must land on exactly this (associativity)
     "q_cdc_merge" ->
@@ -4150,6 +4260,19 @@ object SparkEntry {
          |  (SELECT o.last_tool FROM obs o
          |   WHERE o.conv_id = a.conv_id AND o.ts <= a.ts
          |   ORDER BY o.ts DESC LIMIT 1) AS tool_asof
+         |FROM turns a WHERE a.role = 'assistant' AND a.ts IS NOT NULL""".stripMargin,
+
+    // the live forward as-of must equal the batch forward as-of
+    // restricted to non-null-ts anchors
+    "q_stream_asof_fwd" ->
+      s"""$T,
+         |obs AS (SELECT conv_id, ts, max_by(tool, turn_idx) AS next_tool
+         |        FROM turns WHERE tool IS NOT NULL AND ts IS NOT NULL
+         |        GROUP BY conv_id, ts)
+         |SELECT a.conv_id, a.turn_idx,
+         |  (SELECT o.next_tool FROM obs o
+         |   WHERE o.conv_id = a.conv_id AND o.ts >= a.ts
+         |   ORDER BY o.ts ASC LIMIT 1) AS next_tool
          |FROM turns a WHERE a.role = 'assistant' AND a.ts IS NOT NULL""".stripMargin,
 
     // trailing frame array, list_sort, discrete rank ceil(q*n/1e4) —

@@ -178,6 +178,74 @@ object StreamingFeatures {
       )
   }
 
+  /** One pending forward-join anchor: its event time (millis + nanos,
+    * [[tsKey]]'s exact decomposition) and identity.
+    */
+  final case class FwdAnchor(tsMs: Long, tsNs: Int, turnIdx: Int)
+
+  /** Anchors awaiting their first at-or-after observation, per key. */
+  final case class FwdState(pending: Seq[FwdAnchor])
+
+  /** Streaming FORWARD as-of join — the label join live: each anchor
+    * waits for the FIRST feed observation at-or-after its event time
+    * (`allowExactMatches`: an equal-ts observation counts, so anchors
+    * sort BEFORE feed rows at equal ts — the mirror of [[asOfBackward]]'s
+    * tie rule), then emits with its value; `toleranceMs` turns matches
+    * farther ahead than the tolerance into None, exactly like the batch
+    * [[graft.features.AsOfNative.joinForward]].
+    *
+    * State is the PENDING ANCHOR LIST per key — not O(1) like backward,
+    * and that is intrinsic: a forward join cannot emit an anchor before
+    * its future arrives. It is bounded by the anchors-per-observation
+    * cadence (every observation flushes ALL pending anchors, because any
+    * later observation is farther ahead), and in production by the
+    * tolerance horizon. Anchors with no future observation at all flush
+    * via a far-future SENTINEL observation with a null value per key
+    * (emitting None — the batch NULL), the same end-of-stream idiom as
+    * the windowed-agg and anomaly gauges. Feed rows are expected
+    * pre-reduced to one per (key, ts) (the batch queries' max_by
+    * pre-aggregation); same cross-batch contract as [[asOfBackward]]:
+    * event-time order per key, ts cohorts never straddling a micro-batch.
+    */
+  def asOfForward(
+      events: Dataset[AsOfEvent],
+      toleranceMs: Option[Long] = None
+  ): Dataset[AsOfOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[AsOfEvent],
+         state: GroupState[FwdState]) => {
+          // anchor-before-feed at equal ts: the anchor must be pending
+          // when its equal-ts observation processes
+          val sorted = rows.toSeq
+            .sortBy(e => (tsKey(e.ts), -e.src, e.turn_idx))
+          var pending = state.getOption.map(_.pending).getOrElse(Seq.empty)
+          val out = Seq.newBuilder[AsOfOut]
+          sorted.foreach { e =>
+            if (e.src == 1)
+              pending = pending :+
+                FwdAnchor(e.ts.getTime, e.ts.getNanos, e.turn_idx)
+            else {
+              // every pending anchor has ts <= this observation's ts (the
+              // per-key event-time-order contract), and no later
+              // observation can be nearer — flush them all
+              pending.foreach { a =>
+                val within = toleranceMs.forall(t =>
+                  e.ts.getTime - a.tsMs <= t)
+                out += AsOfOut(key, a.turnIdx, if (within) e.value else None)
+              }
+              pending = Seq.empty
+            }
+          }
+          state.update(FwdState(pending))
+          out.result().iterator
+        }
+      )
+  }
+
   /** A turn carrying a training label on the live path. */
   final case class TurnLabelEvent(
       conv_id: String,

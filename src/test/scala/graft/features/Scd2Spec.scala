@@ -53,4 +53,39 @@ class Scd2Spec extends AnyFunSuite {
     assert(ex.getMessage.contains("null ts") ||
       ex.getCause != null && ex.getCause.getMessage.contains("null ts"))
   }
+
+  test("point-in-time interval read equals backward as-of on the change " +
+      "feed (randomized, with equal-ts changes and pre-feed anchors)") {
+    import org.apache.spark.sql.functions._
+    import java.sql.Timestamp
+    val rnd = new scala.util.Random(53)
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    val changes = (1 to 300).map { i =>
+      (s"c${i % 7}", i, ts(rnd.nextInt(50).toLong * 10L), s"tool${i % 5}")
+    }
+    val anchors = (1 to 200).map { i =>
+      (s"c${i % 9}", 1000 + i, ts(rnd.nextInt(60).toLong * 5L))
+    }
+    val cdf = changes.toDF("conv_id", "turn_idx", "ts", "tool")
+    val adf = anchors.toDF("conv_id", "turn_idx", "ts")
+    val intervals = Scd2.validIntervals(cdf, "conv_id", "ts", "turn_idx",
+        chunkSpanSec = 60L)
+      .select(col("conv_id").as("dim_conv"), col("tool"),
+        col("ts").as("valid_from"), col("valid_to"))
+    val read = adf.join(intervals,
+        col("conv_id") === col("dim_conv") &&
+          col("valid_from") <= col("ts") &&
+          (col("valid_to").isNull || col("ts") < col("valid_to")), "left")
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .as[(String, Int, Option[String])].collect().toSet
+    // reference: backward as-of against the per-(conv, ts) last change
+    val obs = cdf.groupBy(col("conv_id"), col("ts"))
+      .agg(max_by(col("tool"), col("turn_idx")).as("tool"))
+    val asof = AsOf.joinBackward(adf, obs, Seq("conv_id"))
+      .select(col("conv_id"), col("turn_idx"), col("tool"))
+      .as[(String, Int, Option[String])].collect().toSet
+    assert(read == asof)
+    // exactly one row per anchor (intervals partition the timeline)
+    assert(read.size == anchors.size)
+  }
 }

@@ -185,6 +185,56 @@ class StreamingSpec extends AnyFunSuite {
     assert(tol == Map(0 -> Some("old"), 1 -> None))
   }
 
+  test("streaming FORWARD as-of: anchors wait for the first at-or-after " +
+    "observation across batches; equal-ts matches; sentinel flushes; " +
+    "tolerance turns a far future into None") {
+    import java.sql.Timestamp
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.{AsOfEvent, AsOfOut}
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    def feed(c: String, v: Option[String], t: Long) =
+      AsOfEvent(c, 0, 0, v, ts(t))
+    def anchor(c: String, idx: Int, t: Long) =
+      AsOfEvent(c, 1, idx, None, ts(t))
+    val input = MemoryStream[AsOfEvent]
+    val q = StreamingFeatures.asOfForward(input.toDS())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_asof_fwd_unit").start()
+    // batch 1: anchor at 10 pends; anchor at 20 matches the EQUAL-ts
+    // observation (allowExactMatches) — and so does the pending one
+    input.addData(
+      anchor("A", 0, 10), anchor("A", 1, 20), feed("A", Some("search"), 20))
+    q.processAllAvailable()
+    // batch 2: pending crosses the batch boundary; later observation
+    // only serves anchors still waiting; sentinel flushes the rest
+    input.addData(anchor("A", 2, 25), anchor("B", 0, 40))
+    q.processAllAvailable()
+    input.addData(feed("A", Some("fetch"), 30),
+      feed("A", None, 9999), feed("B", None, 9999)) // sentinels
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("stream_asof_fwd_unit")
+      .as[AsOfOut].collect().map(o => (o.conv_id, o.turn_idx) -> o.tool_asof)
+      .toMap
+    assert(got == Map(
+      ("A", 0) -> Some("search"), ("A", 1) -> Some("search"),
+      ("A", 2) -> Some("fetch"), ("B", 0) -> None))
+    // tolerance: a match 5s ahead is None at 3s tolerance, kept at 10s
+    val tol = MemoryStream[AsOfEvent]
+    val q2 = StreamingFeatures.asOfForward(tol.toDS(),
+        toleranceMs = Some(3000L))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_asof_fwd_tol").start()
+    tol.addData(anchor("C", 0, 100), anchor("C", 1, 104),
+      feed("C", Some("late"), 105))
+    q2.processAllAvailable()
+    q2.stop()
+    val tolGot = spark.table("stream_asof_fwd_tol")
+      .as[AsOfOut].collect().map(o => o.turn_idx -> o.tool_asof).toMap
+    assert(tolGot == Map(0 -> None, 1 -> Some("late")))
+  }
+
   test("streaming target encode: tie cohorts see pre-cohort state, " +
     "running stats carry across micro-batches") {
     import java.sql.Timestamp
