@@ -592,6 +592,35 @@ object SparkEntry {
         manifest, "source", "file_seq", "bytes", targetBytes = 2000L)
     }),
 
+    // --- small-file compaction EXECUTED (Iceberg binpack end-to-end) --------------
+    // The q_compact_plan loop closed: docs staged as ~200 small files
+    // under source=*/file_seq=*, a REAL driver-side file manifest (actual
+    // on-disk bytes), packShards groups adjacent smalls under the byte
+    // budget, and compactExec rewrites each group to ONE file in layout
+    // order. The oracle is the ORIGINAL table projection — compaction
+    // must not change one row; the file-count shrink and one-file-per-
+    // group invariants are asserted in LayoutSpec.
+    "q_compact_exec" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_compact").toString
+      val small = s"$tmp/small"
+      val out = s"$tmp/compacted"
+      docs(s, dir).withColumn("file_seq", floor(col("doc_id") / 8))
+        .repartition(col("source"), col("file_seq"))
+        .write.partitionBy("source", "file_seq").mode("overwrite")
+        .parquet(small)
+      val manifest = graft.ops.Layout.fileManifest(s, small, "source", "file_seq")
+      val assigned = graft.ops.Curation.packShards(
+          manifest, "source", "file_seq", col("bytes"),
+          budgetTokens = 16384L)
+        .select(col("source"), col("file_seq"),
+          col("shard_seq").as("group_seq"))
+      graft.ops.Layout.compactExec(
+        s.read.parquet(small), assigned,
+        "source", "file_seq", "doc_id", out)
+      s.read.parquet(out).select("doc_id", "lang", "n_chars", "source")
+    }),
+
     // --- length-bucketed dataloader batches (padding-waste accounting) ------------
     // Dynamic batching: searchsorted pow-ish buckets, batches of 32 in
     // doc_id order within each bucket (two-phase rank), one summary row
@@ -3982,6 +4011,11 @@ object SparkEntry {
          |  (lead(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) IS NULL)
          |    AS is_current
          |FROM turns WHERE tool IS NOT NULL""".stripMargin,
+
+    // compaction must not change one row — the oracle is the original
+    // table, whatever the (filesystem-dependent) grouping did
+    "q_compact_exec" ->
+      """SELECT doc_id, lang, n_chars, source FROM documents""".stripMargin,
 
     // reading the SCD-2 interval table point-in-time IS the backward
     // as-of on the change feed — the oracle is exactly that

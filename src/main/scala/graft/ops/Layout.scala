@@ -179,6 +179,75 @@ object Layout {
         max(col(fileSeqCol)).cast("long").as("file_hi"))
       .withColumn("is_rewrite", col("n_files") > 1L)
 
+  /** Driver-side file manifest of a two-level partitioned table directory
+    * (`partCol=v/fileSeqCol=n/` data files): one row per LEAF (part,
+    * file_seq) with its summed on-disk bytes — the Iceberg manifest's
+    * role. Driver-sized by design: its size is bounded by the FILE
+    * count (catalog metadata), never the data, exactly like
+    * [[graft.io.Checkpoint]]'s manifest and [[zBucketStats]]' output.
+    */
+  def fileManifest(
+      spark: org.apache.spark.sql.SparkSession,
+      dir: String,
+      partCol: String,
+      fileSeqCol: String
+  ): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+      val s = Files.list(p)
+      try s.iterator().asScala.toList finally s.close()
+    }
+    def subdirs(p: java.nio.file.Path, prefix: String) =
+      listDir(p).filter(q => Files.isDirectory(q) &&
+        q.getFileName.toString.startsWith(prefix + "="))
+    val rows = for {
+      pd <- subdirs(Paths.get(dir), partCol)
+      fd <- subdirs(pd, fileSeqCol)
+    } yield {
+      val bytes = listDir(fd)
+        .filter(f => f.getFileName.toString.endsWith(".parquet"))
+        .map(Files.size).sum
+      (pd.getFileName.toString.drop(partCol.length + 1),
+        fd.getFileName.toString.drop(fileSeqCol.length + 1).toLong,
+        bytes)
+    }
+    import spark.implicits._
+    rows.toDF(partCol, fileSeqCol, "bytes")
+  }
+
+  /** EXECUTE a compaction plan — the Iceberg-binpack rewrite
+    * [[compactionPlan]] plans: every file group becomes exactly ONE
+    * output file under `partCol=v/group_seq=g/`, rows kept in layout
+    * order (`fileSeqCol`, then `orderCol`) — adjacent smalls coalesce,
+    * nothing is split or re-sorted, and the DATA is byte-identical to
+    * the input (the oracle's contract: compaction must not change one
+    * row). `assignments` is the per-file (partCol, fileSeqCol,
+    * group_seq) map — [[graft.ops.Curation.packShards]] over the file
+    * manifest — broadcast onto the table scan (file-count-sized).
+    *
+    * Scale shape: ONE shuffle keyed (part, group), the same geometry as
+    * [[graft.ops.Curation.writeShards]]; each task writes one file per
+    * group directory it owns.
+    */
+  def compactExec(
+      table: DataFrame,
+      assignments: DataFrame, // (partCol, fileSeqCol, group_seq)
+      partCol: String,
+      fileSeqCol: String,
+      orderCol: String,
+      outDir: String
+  ): Unit =
+    table
+      .join(broadcast(assignments), Seq(partCol, fileSeqCol))
+      .repartition(col(partCol), col("group_seq"))
+      .sortWithinPartitions(col(partCol), col("group_seq"),
+        col(fileSeqCol), col(orderCol))
+      .write
+      .partitionBy(partCol, "group_seq")
+      .mode("overwrite")
+      .parquet(outDir)
+
   /** The layout write path: bucket rows by `zorderKey >> shift` and sort
     * within each bucket by the full key, so a `.write.partitionBy
     * ("zbucket")` (or a plain parquet write) emits one multi-dimension-

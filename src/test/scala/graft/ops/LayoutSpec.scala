@@ -120,4 +120,45 @@ class LayoutSpec extends AnyFunSuite {
     assert(plan.map(_._4).sum ==
       manifest.agg(sum("bytes")).as[Long].head())
   }
+
+  test("compactExec: data byte-identical, file count shrinks, exactly " +
+      "one data file per (part, group)") {
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val tmp = Files.createTempDirectory("graft_compact_spec").toString
+    val small = s"$tmp/small"
+    val out = s"$tmp/compacted"
+    val rnd = new scala.util.Random(59)
+    val rows = (1 to 400).map(i =>
+      (i.toLong, s"p${i % 3}", rnd.nextInt(1000).toLong))
+    val df = rows.toDF("id", "part", "v")
+      .withColumn("file_seq", floor(col("id") / 4))
+    df.repartition(col("part"), col("file_seq"))
+      .write.partitionBy("part", "file_seq").mode("overwrite").parquet(small)
+    def dataFiles(dir: String): Seq[java.nio.file.Path] = {
+      val s = Files.walk(Paths.get(dir))
+      try s.iterator().asScala.toList.filter(
+        _.getFileName.toString.endsWith(".parquet"))
+      finally s.close()
+    }
+    val nBefore = dataFiles(small).size
+    val manifest = Layout.fileManifest(spark, small, "part", "file_seq")
+    assert(manifest.count() > 0)
+    val assigned = Curation.packShards(manifest, "part", "file_seq",
+        col("bytes"), budgetTokens = 8192L)
+      .select(col("part"), col("file_seq"), col("shard_seq").as("group_seq"))
+    Layout.compactExec(spark.read.parquet(small), assigned,
+      "part", "file_seq", "id", out)
+    val after = dataFiles(out)
+    assert(after.size < nBefore,
+      s"compaction must shrink the file count ($nBefore -> ${after.size})")
+    // exactly one data file per (part, group) directory
+    val perDir = after.groupBy(_.getParent.toString).view.mapValues(_.size)
+    assert(perDir.values.forall(_ == 1),
+      s"multi-file group dirs: ${perDir.filter(_._2 > 1).keys}")
+    // data equality (partition cols read back as their dir values)
+    val got = spark.read.parquet(out).select($"id", $"part", $"v")
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == rows.toSet)
+  }
 }
