@@ -592,6 +592,46 @@ object SparkEntry {
         manifest, "source", "file_seq", "bytes", targetBytes = 2000L)
     }),
 
+    // --- Bloom-manifest file skipping (equality predicates) -------------------------
+    // The stats block min/max can't serve: per 64-doc bucket, the packed
+    // Bloom words of its n_chars values ride the manifest; an equality
+    // scan keeps only might-contain buckets (driver-side, catalog-sized
+    // decision) then applies the exact predicate. Lossless by
+    // no-false-negatives — the oracle is the PLAIN filter.
+    "q_bloom_skip" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("bucket", floor(col("doc_id") / 64))
+      val manifest = graft.ops.Layout.bloomBucketManifest(
+        d, col("bucket"), col("n_chars"), nWords = 4, nHashes = 3)
+      graft.ops.Layout.bloomPrunedEquality(
+          d, col("bucket"), col("n_chars"), 300L, manifest,
+          nWords = 4, nHashes = 3)
+        .select("doc_id", "lang", "n_chars")
+    }),
+
+    // --- per-tool response-latency quantiles ----------------------------------------
+    // Operator reuse end-to-end: FORWARD as-of from each tool event to
+    // the next assistant turn in its conversation, exact integer-second
+    // latency, then exact discrete p50/p90 per tool via the two-phase
+    // rank selection. Events with no assistant turn after them are
+    // excluded (stated, not hidden — they have no latency).
+    "q_tool_latency" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anchors = t.filter(col("tool").isNotNull && col("ts").isNotNull)
+        .select("conv_id", "turn_idx", "ts", "tool")
+      val assist = t.filter(col("role") === "assistant" && col("ts").isNotNull)
+        .select(col("conv_id"), col("ts"), col("ts").as("next_assist_ts"))
+        .distinct()
+      val lat = graft.features.AsOfNative.joinForward(
+          anchors, assist, Seq("conv_id"))
+        .filter(col("next_assist_ts").isNotNull)
+        .withColumn("latency_sec",
+          unix_timestamp(col("next_assist_ts")) - unix_timestamp(col("ts")))
+      graft.ops.Stats.exactGroupedQuantiles(
+        lat.select(col("tool"), col("latency_sec"), col("conv_id"),
+          col("turn_idx")),
+        "tool", col("latency_sec"), "turn_idx", Seq(5000, 9000))
+    }),
+
     // --- small-file compaction EXECUTED (Iceberg binpack end-to-end) --------------
     // The q_compact_plan loop closed: docs staged as ~200 small files
     // under source=*/file_seq=*, a REAL driver-side file manifest (actual
@@ -4016,6 +4056,38 @@ object SparkEntry {
     // table, whatever the (filesystem-dependent) grouping did
     "q_compact_exec" ->
       """SELECT doc_id, lang, n_chars, source FROM documents""".stripMargin,
+
+    // Bloom skipping is correct iff it changes nothing — the oracle is
+    // the plain equality filter
+    "q_bloom_skip" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE n_chars = 300""".stripMargin,
+
+    // next assistant turn per tool event as a correlated min lookup,
+    // then the same division-free rank selection per tool
+    "q_tool_latency" ->
+      s"""$T,
+         |tools AS (SELECT conv_id, turn_idx, ts, tool FROM turns
+         |  WHERE tool IS NOT NULL AND ts IS NOT NULL),
+         |nxt AS (SELECT t.tool, t.conv_id, t.turn_idx, t.ts,
+         |  (SELECT min(a.ts) FROM turns a
+         |   WHERE a.role = 'assistant' AND a.ts IS NOT NULL
+         |     AND a.conv_id = t.conv_id AND a.ts >= t.ts) AS nts
+         |  FROM tools t),
+         |lat AS (SELECT tool, conv_id, turn_idx,
+         |    CAST(FLOOR(epoch(nts)) AS BIGINT)
+         |      - CAST(FLOOR(epoch(ts)) AS BIGINT) AS v
+         |  FROM nxt WHERE nts IS NOT NULL),
+         |r AS (SELECT tool, v,
+         |    row_number() OVER (PARTITION BY tool ORDER BY v, turn_idx) AS rn,
+         |    count(*) OVER (PARTITION BY tool) AS n
+         |  FROM lat)
+         |SELECT tool, CAST(max(n) AS BIGINT) AS n,
+         |  max(CASE WHEN rn*10000 >= 5000*n AND (rn-1)*10000 < 5000*n
+         |    THEN v END) AS q5000,
+         |  max(CASE WHEN rn*10000 >= 9000*n AND (rn-1)*10000 < 9000*n
+         |    THEN v END) AS q9000
+         |FROM r GROUP BY tool""".stripMargin,
 
     // reading the SCD-2 interval table point-in-time IS the backward
     // as-of on the change feed — the oracle is exactly that

@@ -179,6 +179,81 @@ object Layout {
         max(col(fileSeqCol)).cast("long").as("file_hi"))
       .withColumn("is_rewrite", col("n_files") > 1L)
 
+  /** Per-bucket BLOOM manifest — the skipping stats block for EQUALITY
+    * predicates, where [[zBucketStats]]' min/max is powerless (hashed ids,
+    * content digests, high-cardinality keys): per bucket, the packed
+    * Bloom words of every key it contains (Iceberg/Parquet's
+    * bloom-filter column stats, as data). ONE partial-agg shuffle to at
+    * most nWords (bucket, word_idx, bits) rows per bucket — the bit_or
+    * combines map-side, so a billion-row bucket reduces before the
+    * exchange. Same probe math as [[graft.exprs.BloomImpl]], so no false
+    * negatives: a pruned bucket PROVABLY holds no matching row.
+    */
+  def bloomBucketManifest(
+      df: DataFrame,
+      bucketCol: Column,
+      key: Column,
+      nWords: Int,
+      nHashes: Int
+  ): DataFrame = {
+    require(nWords > 0, "nWords must be positive")
+    require(nHashes > 0 && nHashes <= 16, "nHashes must be in [1, 16]")
+    val m = nWords.toLong * graft.exprs.BloomImpl.BitsPerWord
+    val salts = (0 until nHashes).map(j =>
+      j.toLong * graft.exprs.BloomImpl.Phi)
+    df.select(bucketCol.cast("long").as("bucket"),
+        key.cast("long").as("__key"))
+      .filter(col("__key").isNotNull)
+      .select(col("bucket"), col("__key"),
+        explode(array(salts.map(lit(_)): _*)).as("__salt"))
+      .select(col("bucket"),
+        (shiftrightunsigned(
+          Curation.shuffleKey(col("__key").bitwiseXOR(col("__salt"))), 1)
+          % m).as("__pos"))
+      .select(col("bucket"),
+        (col("__pos") / graft.exprs.BloomImpl.BitsPerWord).cast("int")
+          .as("word_idx"),
+        call_function("shiftleft", lit(1L),
+          (col("__pos") % graft.exprs.BloomImpl.BitsPerWord).cast("int"))
+          .as("__mask"))
+      .groupBy(col("bucket"), col("word_idx"))
+      .agg(bit_or(col("__mask")).as("bits"))
+  }
+
+  /** Equality-predicate scan pruned by the Bloom manifest: keep only the
+    * buckets whose filter might contain `value`, then apply the exact
+    * predicate — LOSSLESS by the no-false-negative guarantee (the oracle
+    * is the plain filter); false-positive buckets only cost read volume.
+    * The manifest is collected driver-side — bucket-count-sized, the
+    * Iceberg stats block's role, the same documented sizing as
+    * [[graft.ops.Sketches.bloomWords]]; at production scale this
+    * decision happens at planning time against the file catalog.
+    */
+  def bloomPrunedEquality(
+      df: DataFrame,
+      bucketCol: Column,
+      key: Column,
+      value: Long,
+      manifest: DataFrame,
+      nWords: Int,
+      nHashes: Int
+  ): DataFrame = {
+    val words = manifest
+      .select(col("bucket"), col("word_idx"), col("bits"))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (b, rows) =>
+        val arr = new Array[Long](nWords)
+        rows.foreach(r => arr(r.getInt(1)) = r.getLong(2))
+        b -> arr
+      }
+    val keep = words.collect {
+      case (b, arr)
+          if graft.exprs.BloomImpl.mightContain(value, arr, nHashes) => b
+    }.toSeq
+    df.filter(bucketCol.cast("long").isin(keep: _*) && key === value)
+  }
+
   /** Driver-side file manifest of a two-level partitioned table directory
     * (`partCol=v/fileSeqCol=n/` data files): one row per LEAF (part,
     * file_seq) with its summed on-disk bytes — the Iceberg manifest's

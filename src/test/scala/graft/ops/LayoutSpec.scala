@@ -121,6 +121,38 @@ class LayoutSpec extends AnyFunSuite {
       manifest.agg(sum("bytes")).as[Long].head())
   }
 
+  test("bloomBucketManifest + bloomPrunedEquality: lossless vs the plain " +
+      "filter for every probed value, and buckets genuinely skip") {
+    val rnd = new scala.util.Random(61)
+    // keys clustered per bucket so most buckets lack most values
+    val rows = (0 until 2000).map { i =>
+      val bucket = i / 200
+      (i.toLong, bucket.toLong, (bucket * 1000 + rnd.nextInt(50)).toLong)
+    }
+    val df = rows.toDF("id", "bucket", "k")
+    val manifest = Layout.bloomBucketManifest(df, $"bucket", $"k",
+      nWords = 4, nHashes = 3)
+    // at most nWords manifest rows per bucket
+    val perBucket = manifest.groupBy("bucket").count()
+      .as[(Long, Long)].collect()
+    assert(perBucket.forall(_._2 <= 4))
+    var skippedSomething = false
+    for (v <- Seq(3010L, 7042L, 999999L)) {
+      val got = Layout.bloomPrunedEquality(df, $"bucket", $"k", v, manifest,
+          nWords = 4, nHashes = 3)
+        .select($"id").as[Long].collect().toSet
+      val plain = rows.filter(_._3 == v).map(_._1).toSet
+      assert(got == plain, s"lossless for $v")
+      // the matching value lives in one bucket; with 10 buckets the
+      // filter must rule out at least one non-matching bucket
+      val kept = Layout.bloomPrunedEquality(
+          df.select($"bucket").distinct(), $"bucket", lit(v).as("k"), v,
+          manifest, nWords = 4, nHashes = 3)
+      if (kept.count() < 10) skippedSomething = true
+    }
+    assert(skippedSomething, "bloom pruning never skipped a bucket")
+  }
+
   test("compactExec: data byte-identical, file count shrinks, exactly " +
       "one data file per (part, group)") {
     import java.nio.file.{Files, Paths}
