@@ -179,6 +179,13 @@ object PlanDump {
         "postings, (query, doc)-keyed partial aggs, rank windows over " +
         "rank-list-sized partitions — never corpus-sized)" ->
         SparkEntry.queries("q_rrf_fuse")(spark, dir),
+      "q_scd2_read (point-in-time dimension read: conv_id equi key + " +
+        "range refinement — hash/sort-merge route, never " +
+        "BroadcastNestedLoopJoin)" ->
+        SparkEntry.queries("q_scd2_read")(spark, dir),
+      "q_quantile_norm (per-group two-phase ranks, broadcast n_ref, one " +
+        "rank-keyed lookup join into the reference group)" ->
+        SparkEntry.queries("q_quantile_norm")(spark, dir),
       "q_bloom_prune (feed filtered by a packed-Bloom reference-object " +
         "probe BEFORE the as-of shuffle; answer byte-equal to unpruned)" ->
         SparkEntry.queries("q_bloom_prune")(spark, dir),

@@ -51,7 +51,11 @@ object Similarity {
     */
   def gramStats(df: DataFrame, embedding: Column): DataFrame = {
     val dec = "decimal(38,0)"
-    df.select(inline(bridge(graft.exprs.QuantGramPairs(expr(embedding)))))
+    // null embeddings are EXCLUDED explicitly (a vector that doesn't
+    // exist has no moments) — without the filter, inline would skip
+    // them silently and n would disagree with a count(*) consumer
+    df.filter(embedding.isNotNull)
+      .select(inline(bridge(graft.exprs.QuantGramPairs(expr(embedding)))))
       .groupBy(col("i"), col("j"))
       .agg(
         count(lit(1)).as("n"),

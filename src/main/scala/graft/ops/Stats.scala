@@ -57,7 +57,7 @@ object Stats {
         qsBp.mkString(", "))
     require(chunkSpan > 0, "chunkSpan must be positive")
     val reserved = Seq("__v", "__c", "__chunk", "__tot", "__before", "__n",
-      "__wcum", "__cum")
+      "__wcum", "__cum", "__cg", "__cc")
     require(!reserved.exists(df.columns.contains),
       s"exactGroupedQuantiles reserves the column names " +
         reserved.mkString(", "))
@@ -72,10 +72,13 @@ object Stats {
     val wc = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col(groupCol))
+    // null-safe carry join: a NULL group is a group (the oracle's GROUP
+    // BY keeps it) — a plain equi join would silently drop its rows here
     val carry = chunkTotals
       .withColumn("__before", coalesce(sum(col("__tot")).over(wc), lit(0L)))
       .withColumn("__n", sum(col("__tot")).over(wAll))
-      .select(col(groupCol), col("__chunk"), col("__before"), col("__n"))
+      .select(col(groupCol).as("__cg"), col("__chunk").as("__cc"),
+        col("__before"), col("__n"))
     // phase 2: within-chunk inclusive cumulative count; global
     // cum(≤v) = chunk offset + within-chunk cumulative
     val w1 = Window.partitionBy(col(groupCol), col("__chunk"))
@@ -83,7 +86,8 @@ object Stats {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = vc
       .withColumn("__wcum", sum(col("__c")).over(w1))
-      .join(carry, Seq(groupCol, "__chunk"))
+      .join(carry, col(groupCol) <=> col("__cg") &&
+        col("__chunk") <=> col("__cc"))
       .withColumn("__cum", col("__before") + col("__wcum"))
     val picks = qsBp.map { q =>
       val qn = lit(q.toLong) * col("__n")
@@ -132,7 +136,7 @@ object Stats {
         qsBp.mkString(", "))
     require(chunkSpan > 0, "chunkSpan must be positive")
     val reserved = Seq("__v", "__wc", "__chunk", "__tot", "__before",
-      "__wt", "__wcum", "__cum")
+      "__wt", "__wcum", "__cum", "__cg", "__cc")
     require(!reserved.exists(df.columns.contains),
       s"weightedGroupedQuantiles reserves the column names " +
         reserved.mkString(", "))
@@ -151,13 +155,16 @@ object Stats {
       .withColumn("__before",
         coalesce(sum(col("__tot")).over(wc), lit(0L).cast(dec)))
       .withColumn("__wt", sum(col("__tot")).over(wAll))
-      .select(col(groupCol), col("__chunk"), col("__before"), col("__wt"))
+      .select(col(groupCol).as("__cg"), col("__chunk").as("__cc"),
+        col("__before"), col("__wt"))
     val w1 = Window.partitionBy(col(groupCol), col("__chunk"))
       .orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // null-safe carry join — a NULL group is a group (see the unweighted twin)
     val cum = vc
       .withColumn("__wcum", sum(col("__wc")).over(w1))
-      .join(carry, Seq(groupCol, "__chunk"))
+      .join(carry, col(groupCol) <=> col("__cg") &&
+        col("__chunk") <=> col("__cc"))
       .withColumn("__cum", col("__before") + col("__wcum"))
     val picks = qsBp.map { q =>
       val qw = lit(q.toLong).cast(dec) * col("__wt")
@@ -196,19 +203,21 @@ object Stats {
       chunkSpan: Long = 4096L
   ): DataFrame = {
     require(kBp > 0, "kBp must be positive basis points")
-    val reserved = Seq("__mv", "__adev", "n")
+    val reserved = Seq("__mv", "__adev", "__mg", "n")
     require(!reserved.exists(df.columns.contains),
       s"madOutliers reserves the column names ${reserved.mkString(", ")}")
+    // null-safe group joins: a NULL group is a group (the oracle's
+    // GROUP BY keeps it), so the join-back must not silently drop it
     val meds = exactGroupedQuantiles(df, groupCol, value, idCol,
       Seq(5000), chunkSpan)
-      .select(col(groupCol), col("q5000").as("med"))
+      .select(col(groupCol).as("__mg"), col("q5000").as("med"))
     val withMed = df.select(col(groupCol), col(idCol), value.as("__mv"))
-      .join(meds, Seq(groupCol))
+      .join(meds, col(groupCol) <=> col("__mg")).drop("__mg")
       .withColumn("__adev", abs(col("__mv") - col("med")))
     val mads = exactGroupedQuantiles(
       withMed, groupCol, col("__adev"), idCol, Seq(5000), chunkSpan)
-      .select(col(groupCol), col("q5000").as("mad"))
-    withMed.join(mads, Seq(groupCol))
+      .select(col(groupCol).as("__mg"), col("q5000").as("mad"))
+    withMed.join(mads, col(groupCol) <=> col("__mg")).drop("__mg")
       .select(col(groupCol), col(idCol), col("__mv").as("v"),
         col("med"), col("mad"), col("__adev").as("abs_dev"),
         (col("__adev") * 10000L > lit(kBp) * col("mad")).as("is_outlier"))
@@ -236,14 +245,16 @@ object Stats {
       chunkSpan: Long = 4096L
   ): DataFrame = {
     require(loBp < hiBp, "loBp must be below hiBp")
-    val reserved = Seq("__wv", "n")
+    val reserved = Seq("__wv", "__wg", "n")
     require(!reserved.exists(df.columns.contains),
       s"winsorize reserves the column names ${reserved.mkString(", ")}")
+    // null-safe group join — a NULL group keeps its rows (see madOutliers)
     val bounds = exactGroupedQuantiles(df, groupCol, value, idCol,
       Seq(loBp, hiBp), chunkSpan)
-      .select(col(groupCol), col(s"q$loBp").as("lo"), col(s"q$hiBp").as("hi"))
+      .select(col(groupCol).as("__wg"),
+        col(s"q$loBp").as("lo"), col(s"q$hiBp").as("hi"))
     df.select(col(groupCol), col(idCol), value.as("__wv"))
-      .join(bounds, Seq(groupCol))
+      .join(bounds, col(groupCol) <=> col("__wg")).drop("__wg")
       .select(col(groupCol), col(idCol), col("__wv").as("v"),
         col("lo"), col("hi"),
         least(greatest(col("__wv"), col("lo")), col("hi")).as("v_clipped"),
@@ -285,7 +296,8 @@ object Stats {
   ): DataFrame = {
     require(chunkSpan > 0, "chunkSpan must be positive")
     val reserved = Seq("__qv", "__qchunk", "__qwithin", "__qtot", "__qcarry",
-      "__qn", "__rref", "__vref", "__nref", "__rtarget", "rank", "n", "v_norm")
+      "__qn", "__qg", "__qc2", "__rref", "__vref", "__nref", "__rtarget",
+      "rank", "n", "v_norm")
     require(!reserved.exists(df.columns.contains),
       s"quantileNormalize reserves the column names ${reserved.mkString(", ")}")
     val dec = "decimal(38,0)"
@@ -298,14 +310,18 @@ object Stats {
     val wc = Window.partitionBy(col(groupCol)).orderBy(col("__qchunk"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val wAll = Window.partitionBy(col(groupCol))
+    // null-safe group join — a NULL group keeps its rows (see madOutliers)
     val carry = df1.groupBy(col(groupCol), col("__qchunk"))
       .agg(count(lit(1)).as("__qtot"))
       .withColumn("__qcarry", coalesce(sum(col("__qtot")).over(wc), lit(0L)))
       .withColumn("__qn", sum(col("__qtot")).over(wAll))
-      .select(col(groupCol), col("__qchunk"), col("__qcarry"), col("__qn"))
+      .select(col(groupCol).as("__qg"), col("__qchunk").as("__qc2"),
+        col("__qcarry"), col("__qn"))
     val ranked = df1
       .withColumn("__qwithin", row_number().over(w1).cast("long"))
-      .join(carry, Seq(groupCol, "__qchunk"))
+      .join(carry, col(groupCol) <=> col("__qg") &&
+        col("__qchunk") <=> col("__qc2"))
+      .drop("__qg", "__qc2")
       .withColumn("rank", col("__qcarry") + col("__qwithin"))
     val ref = ranked.filter(col(groupCol) === refGroup)
       .select(col("rank").as("__rref"), col("__qv").as("__vref"))

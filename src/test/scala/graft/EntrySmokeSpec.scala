@@ -34,11 +34,13 @@ class EntrySmokeSpec extends AnyFunSuite {
     // the pure ones is the meaningful check and keeps this test cheap.
     val dir = "/root/testdata/sf0.001"
     val sideEffecting = Set("q_ingest_split", "q_checkpoint_resume",
-      "q_write_shards", "q_write_jsonl",
+      "q_write_shards", "q_write_jsonl", "q_compact_exec",
       "q_stream_sessionize", "q_stream_sessionize_files",
       "q_stream_locf", "q_stream_window", "q_stream_dedup", "q_stream_resume",
       "q_stream_sess_resume", "q_stream_enrich", "q_stream_join",
-      "q_stream_dedup_wm")
+      "q_stream_dedup_wm", "q_stream_asof", "q_stream_asof_fwd",
+      "q_stream_encode", "q_stream_hll", "q_stream_cms", "q_stream_cdc",
+      "q_stream_anomaly")
     val plans = SparkEntry.queries.view
       .filterKeys(!sideEffecting.contains(_)).toMap
       .map { case (name, fn) =>

@@ -140,6 +140,20 @@ class StatsSpec extends AnyFunSuite {
       Map(1L -> false, 2L -> false, 3L -> false, 4L -> false, 5L -> true))
   }
 
+  test("madOutliers + winsorize: a NULL group is a group — its rows " +
+      "survive the join-back with their own median/bounds") {
+    val df = Seq((Option("g"), 1L, 10L), (Option("g"), 2L, 20L),
+      (Option.empty[String], 3L, 5L), (Option.empty[String], 4L, 7L),
+      (Option.empty[String], 5L, 9L)).toDF("g", "id", "v")
+    val mad = Stats.madOutliers(df, "g", $"v", "id", kBp = 30000L)
+      .select($"id", $"med").as[(Long, Long)].collect().toMap
+    assert(mad.size == 5)
+    assert(mad(3L) == 7L && mad(4L) == 7L && mad(5L) == 7L) // null-group med
+    val win = Stats.winsorize(df, "g", $"v", "id", loBp = 500, hiBp = 9500)
+      .select($"id").as[Long].collect()
+    assert(win.length == 5)
+  }
+
   test("madOutliers: mad = 0 (majority constant) flags every deviating row " +
       "— the documented caveat") {
     val df = Seq(("g", 1L, 5L), ("g", 2L, 5L), ("g", 3L, 5L), ("g", 4L, 7L))
