@@ -645,19 +645,22 @@ object SparkEntry {
         .createTempDirectory("graft_verify_compact").toString
       val small = s"$tmp/small"
       val out = s"$tmp/compacted"
-      docs(s, dir).withColumn("file_seq", floor(col("doc_id") / 8))
-        .repartition(col("source"), col("file_seq"))
-        .write.partitionBy("source", "file_seq").mode("overwrite")
+      // ~8 docs per (lang, file) leaf: enough files that packing has
+      // real work at every SF without the STAGING write (fixture setup,
+      // not the operator) dominating the bench at sf0.1
+      docs(s, dir).withColumn("file_seq", floor(col("doc_id") / 64))
+        .repartition(col("lang"), col("file_seq"))
+        .write.partitionBy("lang", "file_seq").mode("overwrite")
         .parquet(small)
-      val manifest = graft.ops.Layout.fileManifest(s, small, "source", "file_seq")
+      val manifest = graft.ops.Layout.fileManifest(s, small, "lang", "file_seq")
       val assigned = graft.ops.Curation.packShards(
-          manifest, "source", "file_seq", col("bytes"),
+          manifest, "lang", "file_seq", col("bytes"),
           budgetTokens = 16384L)
-        .select(col("source"), col("file_seq"),
+        .select(col("lang"), col("file_seq"),
           col("shard_seq").as("group_seq"))
       graft.ops.Layout.compactExec(
         s.read.parquet(small), assigned,
-        "source", "file_seq", "doc_id", out)
+        "lang", "file_seq", "doc_id", out)
       s.read.parquet(out).select("doc_id", "lang", "n_chars", "source")
     }),
 
