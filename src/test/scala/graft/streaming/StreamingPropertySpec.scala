@@ -110,4 +110,58 @@ class StreamingPropertySpec extends AnyFunSuite {
         s"extra=${(got -- want).toSeq.sortBy(_._1)}")
     }
   }
+
+  test("streaming FORWARD as-of equals the in-memory oracle under random " +
+      "batch splits (with and without tolerance)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import StreamingFeatures.{AsOfEvent, AsOfOut}
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val rnd = new Random(420007L)
+    def ts(s: Long) = new Timestamp(s * 1000L)
+    for (round <- 0 until 6) {
+      val keys = Seq("a", "b", "c").take(1 + rnd.nextInt(3))
+      val tol = if (round % 2 == 0) None else Some(1000L * (3 + rnd.nextInt(8)))
+      val anchors = (0 until (8 + rnd.nextInt(20))).map { i =>
+        AsOfEvent(keys(rnd.nextInt(keys.size)), 1, i, None,
+          ts(rnd.nextInt(50).toLong))
+      }
+      // feed pre-reduced to one row per (key, ts) — the documented contract
+      val feeds = keys.flatMap { k =>
+        (0 until 40).filter(_ => rnd.nextBoolean() && rnd.nextBoolean())
+          .map(t => AsOfEvent(k, 0, 0, Some(s"v$k-$t"), ts(t.toLong)))
+      }
+      // far-future null-value sentinel per key flushes never-matching anchors
+      val sentinels = keys.map(k => AsOfEvent(k, 0, 0, None, ts(1000000L)))
+      // arrival contract: event-time order per key, anchors BEFORE feed at
+      // equal ts (the equal-ts observation must see the pending anchor)
+      val arrival = (anchors ++ feeds ++ sentinels)
+        .sortBy(e => (e.ts.getTime, -e.src, e.turn_idx))
+      val want = anchors.map { a =>
+        val future = feeds.filter(f =>
+          f.conv_id == a.conv_id && !f.ts.before(a.ts))
+        val first = future.sortBy(_.ts.getTime).headOption
+        val expected = first match {
+          case Some(f)
+              if tol.forall(t => f.ts.getTime - a.ts.getTime <= t) => f.value
+          case _ => None // too far ahead, or only the sentinel remains
+        }
+        (a.conv_id, a.turn_idx) -> expected
+      }.toMap
+      val input = MemoryStream[AsOfEvent]
+      val q = StreamingFeatures.asOfForward(input.toDS(), toleranceMs = tol)
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"prop_asof_fwd_$round").start()
+      randomChunks(arrival, rnd).foreach { chunk =>
+        input.addData(chunk: _*)
+        q.processAllAvailable()
+      }
+      q.stop()
+      val got = spark.table(s"prop_asof_fwd_$round")
+        .as[AsOfOut].collect()
+        .map(o => (o.conv_id, o.turn_idx) -> o.tool_asof).toMap
+      assert(got == want, s"round $round (tol=$tol): " +
+        s"diff=${(want.toSet diff got.toSet) ++ (got.toSet diff want.toSet)}")
+    }
+  }
 }
