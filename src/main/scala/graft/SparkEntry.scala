@@ -3120,6 +3120,46 @@ object SparkEntry {
       try q.awaitTermination() finally q.stop()
       s.table(name).select(col("user_id"), col("ts"), col("event_id"),
         col("event_type"), col("value"), col("op"))
+    }),
+
+    // --- order-independent corpus digest: replica audit ------------------
+    // A "replica" of documents with one row dropped per ~thousand ids and
+    // one text mutated; per source the (count, digest) pair must flag
+    // exactly the perturbed groups and pass the rest. The digest is a
+    // layout-independent multiset checksum, so the replica side is
+    // deliberately repartitioned differently — migration verification
+    // with one scan per side and no sort anywhere.
+    "q_dataset_digest" -> ((s, dir) => {
+      val canon = concat_ws("\u001f",
+        col("doc_id").cast("string"), col("lang"),
+        col("n_chars").cast("string"),
+        coalesce(col("text"), lit(" ")))
+      val a = docs(s, dir)
+      val b = a.filter(col("doc_id") % 997 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 1009 === 500, concat(col("text"), lit("~")))
+            .otherwise(col("text")))
+        .repartition(7)
+      val da = graft.ops.Audit.datasetDigest(a, canon, Seq("source"))
+      val db = graft.ops.Audit.datasetDigest(b, canon, Seq("source"))
+        .withColumnRenamed("n_rows", "n_rows_b")
+        .withColumnRenamed("digest", "digest_b")
+      da.join(db, Seq("source"), "full_outer")
+        .select(col("source"), col("n_rows"), col("digest"),
+          col("n_rows_b"), col("digest_b"),
+          (col("n_rows") <=> col("n_rows_b") &&
+            col("digest") <=> col("digest_b")).as("replica_ok"))
+    }),
+
+    // --- exact join-size forecast before a self-join ---------------------
+    // lineitem ⋈ lineitem on l_partkey: the hot-key profile a pipeline
+    // reads before launching a dedup-candidate-shaped self-join. Only the
+    // two per-key COUNT frames ever meet; the forecast total is the exact
+    // cardinality the real join would produce.
+    "q_join_size" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+      graft.ops.Audit.joinSizeProfile(li, li, "l_partkey", "l_partkey",
+        topK = 10)
     })
   )
 
@@ -3361,6 +3401,14 @@ object SparkEntry {
     * strpos terms — the engine-portable replay of Spark's `conv(hx, 16,
     * 10)` (q_lineage's bucket key).
     */
+  /** First 16 hex digits of an md5 hex column `h` as an unsigned-64
+    * HUGEINT, split 8+8 exactly like [[graft.ops.Audit.rowHashU64]]'s
+    * `conv` halves so the digest math replays bit-for-bit.
+    */
+  private def hexU64Sql(h: String): String =
+    s"CAST(${hexToLongSql(s"substr($h, 1, 8)", 8)} AS HUGEINT) * 4294967296" +
+      s" + (${hexToLongSql(s"substr($h, 9, 8)", 8)})"
+
   private def hexToLongSql(hx: String, digits: Int): String =
     (1 to digits).map { i =>
       val mult = BigInt(16).pow(digits - i)
@@ -6873,6 +6921,54 @@ object SparkEntry {
         |r AS (SELECT *, row_number() OVER (PARTITION BY user_id
         |    ORDER BY ts DESC, event_id DESC) AS rn FROM feed)
         |SELECT user_id, ts, event_id, event_type, value, op
-        |FROM r WHERE rn = 1 AND op = 'u'""".stripMargin
+        |FROM r WHERE rn = 1 AND op = 'u'""".stripMargin,
+
+    // the multiset digest replayed digit-by-digit: canonical string →
+    // md5 prefix as u64 (8+8 hex halves) → sum mod 2^64 per source, on
+    // both the original and the perturbed replica
+    "q_dataset_digest" ->
+      s"""WITH ca AS (SELECT source,
+         |    md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang,
+         |      CAST(n_chars AS VARCHAR), COALESCE(text, ' '))) AS h
+         |  FROM documents),
+         |ua AS (SELECT source, ${hexU64Sql("h")} AS u FROM ca),
+         |da AS (SELECT source, count(*) AS n_rows,
+         |    CAST(sum(u) % CAST('18446744073709551616' AS HUGEINT)
+         |      AS DECIMAL(38,0)) AS digest
+         |  FROM ua GROUP BY source),
+         |repl AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 1009 = 500 THEN text || '~' ELSE text END
+         |      AS text, lang, source, n_chars
+         |  FROM documents WHERE doc_id % 997 <> 0),
+         |cb AS (SELECT source,
+         |    md5(concat_ws(chr(31), CAST(doc_id AS VARCHAR), lang,
+         |      CAST(n_chars AS VARCHAR), COALESCE(text, ' '))) AS h
+         |  FROM repl),
+         |ub AS (SELECT source, ${hexU64Sql("h")} AS u FROM cb),
+         |db AS (SELECT source, count(*) AS n_rows_b,
+         |    CAST(sum(u) % CAST('18446744073709551616' AS HUGEINT)
+         |      AS DECIMAL(38,0)) AS digest_b
+         |  FROM ub GROUP BY source)
+         |SELECT source, n_rows, digest, n_rows_b, digest_b,
+         |  (n_rows IS NOT DISTINCT FROM n_rows_b
+         |    AND digest IS NOT DISTINCT FROM digest_b) AS replica_ok
+         |FROM da FULL JOIN db USING (source)""".stripMargin,
+
+    // per-key count products ARE the exact join size; top-10 by pairs
+    "q_join_size" ->
+      """WITH la AS (SELECT l_partkey AS key, count(*) AS n_left
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |rb AS (SELECT l_partkey AS key, count(*) AS n_right
+        |  FROM lineitem WHERE l_partkey IS NOT NULL GROUP BY 1),
+        |pk AS (SELECT key, n_left, n_right,
+        |    CAST(n_left AS HUGEINT) * n_right AS pairs
+        |  FROM la JOIN rb USING (key)),
+        |t AS (SELECT sum(pairs) AS total_pairs, count(*) AS n_join_keys
+        |  FROM pk)
+        |SELECT key, n_left, n_right, CAST(pairs AS DECIMAL(38,0)) AS pairs,
+        |  CAST(t.total_pairs AS DECIMAL(38,0)) AS total_pairs,
+        |  t.n_join_keys,
+        |  CAST((pairs * 10000) // t.total_pairs AS BIGINT) AS share_bp
+        |FROM pk, t ORDER BY pairs DESC, key ASC LIMIT 10""".stripMargin
   )
 }
