@@ -3160,6 +3160,21 @@ object SparkEntry {
       val li = Tables.read(s, dir, "lineitem")
       graft.ops.Audit.joinSizeProfile(li, li, "l_partkey", "l_partkey",
         topK = 10)
+    }),
+
+    // --- Neyman allocation: variance-proportional sampling plan ----------
+    // Budget 300 docs split across languages ∝ n·σ of n_chars, then
+    // applied with the deterministic fmix gate; the oracle replays the
+    // exact integer moments, the one IEEE sqrt, and the gate.
+    "q_neyman" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val plan = graft.ops.Curation.neymanPlan(d, "lang", col("n_chars"),
+        budget = 300)
+      val sampled = graft.ops.Curation.sampleByPlan(d, "doc_id", "lang", plan)
+        .groupBy(col("lang")).agg(count(lit(1)).as("n_sampled"))
+      plan.join(sampled, Seq("lang"), "left")
+        .select(col("lang"), col("n_avail"), col("w_nsigma"), col("alloc"),
+          col("rate_bp"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
     })
   )
 
@@ -6969,6 +6984,48 @@ object SparkEntry {
         |  CAST(t.total_pairs AS DECIMAL(38,0)) AS total_pairs,
         |  t.n_join_keys,
         |  CAST((pairs * 10000) // t.total_pairs AS BIGINT) AS share_bp
-        |FROM pk, t ORDER BY pairs DESC, key ASC LIMIT 10""".stripMargin
+        |FROM pk, t ORDER BY pairs DESC, key ASC LIMIT 10""".stripMargin,
+
+    // exact integer moments → one IEEE sqrt → floored allocation →
+    // fmix-gate sampled counts
+    "q_neyman" ->
+      """WITH m AS (SELECT lang, count(*) AS n_avail,
+        |    sum(CAST(n_chars AS HUGEINT)) AS s1,
+        |    sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n_avail,
+        |    CAST(FLOOR(SQRT(CAST(n_avail * s2 - s1 * s1 AS DOUBLE)))
+        |      AS BIGINT) AS w_nsigma
+        |  FROM m),
+        |t AS (SELECT sum(w_nsigma) AS totw FROM w),
+        |p AS (SELECT lang, n_avail, w_nsigma,
+        |    CASE WHEN t.totw = 0 THEN 0
+        |         ELSE LEAST(n_avail, CAST((CAST(300 AS HUGEINT) * w_nsigma)
+        |           // t.totw AS BIGINT)) END AS alloc
+        |  FROM w, t),
+        |pr AS (SELECT *, (alloc * 10000) // n_avail AS rate_bp FROM p),
+        |x0 AS (SELECT doc_id, lang,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, lang, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, lang, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |g AS (SELECT doc_id, lang,
+        |    CAST((xor(x, x >> 33) >> 20) % 10000 AS BIGINT) AS gate_bp
+        |  FROM x4),
+        |sc AS (SELECT g.lang, count(*) AS n_sampled
+        |  FROM g JOIN pr ON g.lang = pr.lang
+        |  WHERE g.gate_bp < pr.rate_bp GROUP BY g.lang)
+        |SELECT pr.lang, pr.n_avail, pr.w_nsigma, pr.alloc,
+        |  CAST(pr.rate_bp AS BIGINT) AS rate_bp,
+        |  COALESCE(sc.n_sampled, 0) AS n_sampled
+        |FROM pr LEFT JOIN sc ON pr.lang = sc.lang""".stripMargin
   )
 }

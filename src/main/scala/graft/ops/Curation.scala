@@ -167,6 +167,67 @@ object Curation {
       .filter(sampleGateBp(col(idCol)) < coalesce(col("__rate"), lit(0L)))
       .drop("__rate")
 
+  /** Neyman (variance-proportional) allocation: split a row budget
+    * across strata ∝ n_h·σ_h — the allocation that minimizes the
+    * variance of a stratified estimate of `metric`'s mean for a fixed
+    * total sample size (Neyman 1934). Flat-rate sampling overspends on
+    * big homogeneous strata (web boilerplate) and starves small noisy
+    * ones (code, math); this computes, from the data, the rate plan
+    * that [[sampleByPlan]] then applies with the usual deterministic
+    * fmix64 gate.
+    *
+    * All plan math is exact except one square root: the Neyman weight
+    * n_h·σ_h equals √(n_h·Σx² − (Σx)²) of the EXACT integer variance
+    * numerator, evaluated as FLOOR(SQRT(CAST(exact AS DOUBLE))). Both
+    * engines convert decimal→double and take IEEE-754 correctly-rounded
+    * square roots, so the replay is still bit-stable; the ±1 the double
+    * rounding could theoretically cost on a 19-digit numerator shifts an
+    * allocation by at most one row. Allocations are floored (never
+    * rounded up), capped at n_h, and zero-variance strata get weight 0 —
+    * callers wanting a floor compose with `greatest(rate_bp, lit(f))`.
+    *
+    * Output per stratum: `n_avail`, `w_nsigma` (= ⌊n_h·σ_h⌋), `alloc`
+    * (target rows), `rate_bp` (the gate rate, ⌊10^4·alloc/n⌋).
+    *
+    * Scale shape: ONE partial-agg shuffle for the per-stratum moment
+    * sums (count/Σx/Σx² all map-side combinable), then plan math on the
+    * |strata|-row frame with the 1-row weight total broadcast back.
+    * `budget·w` runs in decimal(38,0): exact for budget·n_h·σ_h < 10^38
+    * — beyond any real corpus.
+    */
+  def neymanPlan(
+      df: DataFrame,
+      strataCol: String,
+      metric: Column,
+      budget: Long
+  ): DataFrame = {
+    require(budget >= 0, "budget must be non-negative")
+    import graft.ops.ExactU64.{dec38, floorDiv}
+    val x = metric.cast("long").cast(dec38)
+    val moments = df.groupBy(col(strataCol))
+      .agg(
+        count(lit(1)).as("n_avail"),
+        sum(x).cast(dec38).as("__s1"),
+        sum(x * x).cast(dec38).as("__s2"))
+      .withColumn("__varnum",
+        (col("n_avail").cast(dec38) * col("__s2") -
+          col("__s1") * col("__s1")).cast(dec38))
+      .withColumn("w_nsigma",
+        floor(sqrt(col("__varnum").cast("double"))).cast("long"))
+    val tot = moments.agg(sum(col("w_nsigma")).cast(dec38).as("__totw"))
+    moments.crossJoin(broadcast(tot))
+      .withColumn("alloc",
+        when(col("__totw") === 0, lit(0L))
+          .otherwise(least(
+            col("n_avail"),
+            floorDiv(lit(budget).cast(dec38) * col("w_nsigma"),
+              col("__totw")).cast("long"))))
+      .withColumn("rate_bp",
+        call_function("div", col("alloc") * 10000L, col("n_avail")))
+      .select(col(strataCol), col("n_avail"), col("w_nsigma"),
+        col("alloc"), col("rate_bp"))
+  }
+
   /** Probability-proportional-to-size (PPS) sampling with a
     * deterministic hash threshold: keep a row iff
     *

@@ -398,6 +398,32 @@ class CurationSpec extends AnyFunSuite {
     assert(got == Map(1L -> 0L, 2L -> 1L, 5L -> 2L, 3L -> 3L, 4L -> 4L))
   }
 
+  test("neymanPlan: allocation ∝ n·σ, exact moments, caps and zeroes") {
+    // stratum a: constant metric (σ=0) → weight 0, alloc 0
+    // stratum b: n=4, values 0/0/10/10 → varnum = 4·200 − 400 = 400, w=20
+    // stratum c: n=2, values 0/30    → varnum = 2·900 − 900 = 900, w=30
+    val df = Seq(
+      ("a", 5L), ("a", 5L), ("a", 5L),
+      ("b", 0L), ("b", 0L), ("b", 10L), ("b", 10L),
+      ("c", 0L), ("c", 30L)).zipWithIndex
+      .map { case ((s, v), i) => (i.toLong, s, v) }
+      .toDF("id", "stratum", "v")
+    val plan = Curation.neymanPlan(df, "stratum", col("v"), budget = 5)
+      .select("stratum", "n_avail", "w_nsigma", "alloc", "rate_bp")
+      .as[(String, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // total weight 50: b gets floor(5·20/50)=2 of 4 (5000bp),
+    // c gets floor(5·30/50)=3 capped at n=2 (10000bp), a gets 0
+    assert(plan("a") == ((3L, 0L, 0L, 0L)))
+    assert(plan("b") == ((4L, 20L, 2L, 5000L)))
+    assert(plan("c") == ((2L, 30L, 2L, 10000L)))
+    // the plan feeds sampleByPlan unchanged: rate 10000 keeps all of c
+    val kept = Curation.sampleByPlan(df, "id", "stratum",
+        Curation.neymanPlan(df, "stratum", col("v"), budget = 5))
+      .groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(kept("c") == 2L && !kept.contains("a"))
+  }
+
   test("interleaveSchedule fails loud on a negative shard number") {
     val ex = intercept[Exception] {
       Seq(("a", -1L)).toDF("stratum", "shard")
