@@ -3175,6 +3175,25 @@ object SparkEntry {
       plan.join(sampled, Seq("lang"), "left")
         .select(col("lang"), col("n_avail"), col("w_nsigma"), col("alloc"),
           col("rate_bp"), coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+    }),
+
+    // --- reply-tree ancestor paths (pointer doubling) --------------------
+    // Turns reply to a deterministic hash-chosen EARLIER turn (the
+    // branched shape agent transcripts have); every turn resolves its
+    // root, depth and full ancestor path in O(log depth) self-joins.
+    // The oracle walks the same forest with a recursive CTE.
+    "q_thread_paths" -> ((s, dir) => {
+      val id64 = expr("CAST(substr(conv_id, 2) AS BIGINT)") * 1048576L +
+        col("turn_idx")
+      val withParent = turns(s, dir).select(col("conv_id"), col("turn_idx"))
+        .withColumn("parent_idx",
+          when(col("turn_idx") === 0, lit(null).cast("int"))
+            .otherwise((graft.ops.Curation.sampleGateBp(id64) %
+              col("turn_idx")).cast("int")))
+      graft.ops.Graph.treePaths(withParent, "conv_id", "turn_idx",
+          "parent_idx")
+        .select(col("conv_id"), col("turn_idx"), col("root").as("root_idx"),
+          col("depth"), col("path"))
     })
   )
 
@@ -7026,6 +7045,43 @@ object SparkEntry {
         |SELECT pr.lang, pr.n_avail, pr.w_nsigma, pr.alloc,
         |  CAST(pr.rate_bp AS BIGINT) AS rate_bp,
         |  COALESCE(sc.n_sampled, 0) AS n_sampled
-        |FROM pr LEFT JOIN sc ON pr.lang = sc.lang""".stripMargin
+        |FROM pr LEFT JOIN sc ON pr.lang = sc.lang""".stripMargin,
+
+    // the same hash-chosen forest walked upward by a recursive CTE: the
+    // deepest walk row per turn carries the root and the full path
+    "q_thread_paths" ->
+      s"""${T.replace("WITH turns", "WITH RECURSIVE turns")},
+         |ids AS (SELECT conv_id, turn_idx,
+         |    CAST(substr(conv_id, 2) AS BIGINT) * 1048576 + turn_idx AS id64
+         |  FROM turns),
+         |gx AS (SELECT conv_id, turn_idx,
+         |  ${fmixLateralSql("CAST(id64 AS UBIGINT)")}
+         |  FROM ids),
+         |par AS (SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx = 0 THEN NULL
+         |         ELSE CAST(CAST((u >> 20) % 10000 AS BIGINT) % turn_idx
+         |           AS INT) END AS parent
+         |  FROM gx),
+         |walk AS (
+         |  SELECT conv_id, turn_idx, parent AS cur, 1 AS depth,
+         |      '/' || CAST(parent AS VARCHAR) AS path
+         |    FROM par WHERE parent IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.conv_id, w.turn_idx, p.parent, w.depth + 1,
+         |      w.path || '/' || CAST(p.parent AS VARCHAR)
+         |    FROM walk w JOIN par p
+         |      ON p.conv_id = w.conv_id AND p.turn_idx = w.cur
+         |    WHERE p.parent IS NOT NULL),
+         |fw AS (SELECT conv_id, turn_idx, cur, depth, path,
+         |    row_number() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY depth DESC) AS rn
+         |  FROM walk)
+         |SELECT conv_id, turn_idx, CAST(cur AS INT) AS root_idx,
+         |  CAST(depth AS BIGINT) AS depth, path
+         |FROM fw WHERE rn = 1
+         |UNION ALL
+         |SELECT conv_id, turn_idx, turn_idx AS root_idx,
+         |  CAST(0 AS BIGINT) AS depth, '' AS path
+         |FROM par WHERE parent IS NULL""".stripMargin
   )
 }

@@ -103,4 +103,76 @@ object Graph {
     edgesOut.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
+
+  /** Ancestor resolution over a FOREST of parent-pointer trees — the
+    * shape agent transcripts have once tool calls and branched retries
+    * reply to earlier turns instead of forming a flat sequence. For
+    * every node: its root, its depth, and the full ancestor path
+    * ("/parent/…/root"; "" for roots).
+    *
+    * Algorithm: pointer doubling (recursive doubling). Each node carries
+    * (anc, depth, path) = a CONTIGUOUS prefix of its ancestor chain;
+    * one round composes every chain with its endpoint's chain — anc ←
+    * anc(anc), depth ← depth + depth(anc), path ← path ∥ path(anc) —
+    * so covered distance DOUBLES per round and a depth-d forest resolves
+    * in ⌈log₂ d⌉+1 rounds, not d. A per-level iterate (or a Spark
+    * `Window` — there is none that walks pointers) would serialize on
+    * the deepest chain; doubling is the scale-correct form: each round
+    * is ONE self-join keyed on (tree, anc) plus a changed-count, with
+    * lineage truncated per round so the plan stays O(1) in rounds.
+    *
+    * Contract: parents must be existing nodes of the same tree (a
+    * dangling parent FAILS LOUD via left-join + null check rather than
+    * silently dropping the subtree) and the structure must be acyclic —
+    * a cycle never converges and is reported by the maxRounds guard.
+    * maxRounds bounds DOUBLINGS: the default 20 covers depth 2^19.
+    */
+  def treePaths(
+      df: DataFrame,
+      treeCol: String,
+      idCol: String,
+      parentCol: String,
+      maxRounds: Int = 20
+  ): DataFrame = {
+    require(maxRounds > 0, "maxRounds must be positive")
+    val init = df.select(
+      col(treeCol).as("__t"), col(idCol).as("__id"),
+      coalesce(col(parentCol), col(idCol)).as("anc"),
+      when(col(parentCol).isNull, 0L).otherwise(1L).as("depth"),
+      when(col(parentCol).isNull, "")
+        .otherwise(concat(lit("/"), col(parentCol).cast("string"))).as("path"))
+    var state = init.localCheckpoint()
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val lookup = state.select(
+        col("__t").as("__t2"), col("__id").as("__a"),
+        col("anc").as("__anc2"), col("depth").as("__d2"),
+        col("path").as("__p2"))
+      // left join + fail-loud: an anc that is not a node of its tree is
+      // a broken input, not a row to drop silently
+      val stepped = state
+        .join(lookup, col("__t") === col("__t2") && col("anc") === col("__a"),
+          "left")
+        .select(col("__t"), col("__id"),
+          when(col("__a").isNull, raise_error(concat(
+            lit("treePaths: dangling parent pointer "), col("anc").cast("string"),
+            lit(" in tree "), col("__t").cast("string"))))
+            .otherwise(col("__anc2")).as("anc"),
+          (col("depth") + col("__d2")).as("depth"),
+          concat(col("path"), col("__p2")).as("path"),
+          (col("anc") =!= col("__anc2")).as("__moved"))
+        .localCheckpoint() // eager: truncates lineage, plan stays O(1)
+      converged = stepped.filter(col("__moved")).isEmpty
+      state = stepped.drop("__moved")
+      rounds += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"treePaths did not converge within $maxRounds doublings — either " +
+          "a parent cycle, or depth > 2^" + (maxRounds - 1) +
+          "; raise maxRounds (rounds are O(log depth)) after ruling out a cycle")
+    state.select(col("__t").as(treeCol), col("__id").as(idCol),
+      col("anc").as("root"), col("depth"), col("path"))
+  }
 }

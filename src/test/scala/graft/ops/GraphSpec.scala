@@ -87,4 +87,44 @@ class GraphSpec extends AnyFunSuite {
       Graph.pageRank(Seq(("a", "b", 1L)).toDF("src", "dst", "w"), 1, dampBp = 10000)
     }
   }
+
+  private def paths(rows: Seq[(String, Int, Option[Int])], maxRounds: Int = 20) =
+    Graph.treePaths(
+        rows.map { case (t, i, p) => (t, i, p.map(Integer.valueOf).orNull) }
+          .toDF("tree", "node", "parent"),
+        "tree", "node", "parent", maxRounds)
+      .select(col("tree"), col("node"), col("root").cast("int"),
+        col("depth"), col("path"))
+      .as[(String, Int, Int, Long, String)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+
+  test("treePaths: forest of two trees — roots, depths, ancestor paths") {
+    //   t1: 0 ← 1 ← 3, 0 ← 2          t2: 5 alone
+    val got = paths(Seq(
+      ("t1", 0, None), ("t1", 1, Some(0)), ("t1", 2, Some(0)),
+      ("t1", 3, Some(1)), ("t2", 5, None)))
+    assert(got == Map(
+      ("t1", 0) -> ((0, 0L, "")), ("t1", 1) -> ((0, 1L, "/0")),
+      ("t1", 2) -> ((0, 1L, "/0")), ("t1", 3) -> ((0, 2L, "/1/0")),
+      ("t2", 5) -> ((5, 0L, ""))))
+  }
+
+  test("treePaths: a depth-40 chain resolves in ≤7 doublings; the same " +
+    "chain with maxRounds too small (a would-be cycle) fails loud") {
+    val chain = ("c", 0, None) +: (1 to 40).map(i => ("c", i, Some(i - 1)))
+    val got = paths(chain, maxRounds = 7) // ceil(log2 40)+1 = 7
+    assert(got(("c", 40)) ==
+      ((0, 40L, (39 to 0 by -1).map("/" + _).mkString)))
+    assertThrows[IllegalStateException] { paths(chain, maxRounds = 3) }
+  }
+
+  test("treePaths fails loud on a dangling parent instead of dropping " +
+    "the subtree") {
+    val ex = intercept[Exception] {
+      paths(Seq(("t", 0, None), ("t", 1, Some(9))))
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("dangling parent")))
+  }
 }
