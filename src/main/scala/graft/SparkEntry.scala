@@ -3194,6 +3194,19 @@ object SparkEntry {
           "parent_idx")
         .select(col("conv_id"), col("turn_idx"), col("root").as("root_idx"),
           col("depth"), col("path"))
+    }),
+
+    // --- recency-decayed conversation profile at an anchor ---------------
+    // Char mass per conversation, halved per whole day of age at the
+    // corpus-max anchor — integer stepped decay (bit-exact across
+    // engines), future rows excluded by the ≤-anchor leakage guard.
+    "q_decay_agg" -> ((s, dir) => {
+      val t = turns(s, dir)
+      val anch = t.agg(max(col("ts")).as("__anchor"))
+      Windows.decayedAtAnchor(
+          t.crossJoin(broadcast(anch)), Seq("conv_id"), "ts",
+          col("__anchor"), coalesce(length(col("text")), lit(0L)),
+          halfLifeSec = 86400L, as = "decayed_chars")
     })
   )
 
@@ -7082,6 +7095,22 @@ object SparkEntry {
          |UNION ALL
          |SELECT conv_id, turn_idx, turn_idx AS root_idx,
          |  CAST(0 AS BIGINT) AS depth, '' AS path
-         |FROM par WHERE parent IS NULL""".stripMargin
+         |FROM par WHERE parent IS NULL""".stripMargin,
+
+    // stepped half-life weights replayed in integer shifts
+    "q_decay_agg" ->
+      s"""$T,
+         |a AS (SELECT max(ts) AS anchor FROM turns),
+         |aged AS (SELECT conv_id,
+         |    CAST(FLOOR(epoch(a.anchor)) AS BIGINT)
+         |      - CAST(FLOOR(epoch(ts)) AS BIGINT) AS age,
+         |    COALESCE(length(text), 0) AS v
+         |  FROM turns, a WHERE ts <= a.anchor),
+         |w AS (SELECT conv_id, v,
+         |    1048576 >> LEAST(age // 86400, 40) AS wt FROM aged)
+         |SELECT conv_id, count(*) AS n_past,
+         |  CAST(sum(CAST(v AS HUGEINT) * wt) AS DECIMAL(38,0))
+         |    AS decayed_chars
+         |FROM w GROUP BY conv_id""".stripMargin
   )
 }

@@ -121,6 +121,45 @@ object Windows {
     df.withColumn(as, terms.reduce(_ + _))
   }
 
+  /** Half-life-decayed aggregate AT AN ANCHOR timestamp: one row per
+    * group holding Σ value·w(age) where age = anchor − ts and the
+    * weight halves every `halfLifeSec` in WHOLE steps —
+    * w = 2^20 >> min(age div halfLife, 40) — so all arithmetic is
+    * integer and the replay is bit-exact (a float 2^(−age/h) would not
+    * cross engines deterministically). This is the recency-weighted
+    * profile feature ("how active was this conversation, counting
+    * yesterday half as much") evaluated point-in-time: rows with
+    * ts > anchor are EXCLUDED — the backward-as-of ≤ convention, zero
+    * temporal leakage — and ages beyond 40 half-lives weigh exactly 0.
+    *
+    * Unlike [[decayedSum]] (a per-row trailing LAG window), this is a
+    * group-level aggregate: ONE partial-agg shuffle, no sort, no
+    * window — the scan-fused weight projection combines map-side, so a
+    * mega-group costs the same as any groupBy key. The decayed sum
+    * accumulates in decimal(38,0): value·2^20 per row never overflows
+    * long, and the group sum never overflows decimal below 10^18 rows.
+    */
+  def decayedAtAnchor(
+      df: DataFrame,
+      groupCols: Seq[String],
+      tsCol: String,
+      anchor: Column,
+      value: Column,
+      halfLifeSec: Long,
+      as: String = "decayed"
+  ): DataFrame = {
+    require(halfLifeSec > 0, "halfLifeSec must be positive")
+    val age = anchor.cast("long") - col(tsCol).cast("long")
+    val steps = least(call_function("div", age, lit(halfLifeSec)), lit(40L))
+    val w = call_function("shiftright", lit(1048576L), steps.cast("int"))
+    df.filter(age >= 0)
+      .groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n_past"),
+        sum((value.cast("long") * w).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as(as))
+  }
+
   /** Multi-horizon trailing features in ONE exchange: the same agg at
     * several lookbacks (e.g. 1 h / 6 h / 24 h trailing event counts —
     * the bread-and-butter multi-scale activity features). All horizons

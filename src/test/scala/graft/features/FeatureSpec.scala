@@ -323,5 +323,29 @@ class FeatureSpec extends AnyFunSuite {
     }
   }
 
+  test("decayedAtAnchor: stepped half-life weights, future rows excluded, " +
+    "exact integer accumulation") {
+    import org.apache.spark.sql.functions._
+    val t0 = 1700000000L
+    val rows = Seq( // (grp, epoch offset from t0, value)
+      ("a", 0L, 10L),   // age 25 → 2 half-lives → w = 2^20 >> 2
+      ("a", 10L, 10L),  // age 15 → 1 → 2^19
+      ("a", 20L, 10L),  // age 5  → 0 → 2^20
+      ("a", 25L, 10L),  // age 0  → 0 → 2^20 (ts == anchor included)
+      ("a", 30L, 999L), // FUTURE — excluded entirely
+      ("b", 25L, 7L))
+      .map { case (g, off, v) => (g, ts((t0 + off) * 1000L), v) }
+      .toDF("grp", "t", "v")
+    val anchor = lit(ts((t0 + 25L) * 1000L))
+    val got = Windows.decayedAtAnchor(rows, Seq("grp"), "t", anchor,
+        col("v"), halfLifeSec = 10L, as = "dec")
+      .select(col("grp"), col("n_past"), col("dec").cast("long"))
+      .as[(String, Long, Long)].collect()
+      .map { case (g, n, d) => g -> ((n, d)) }.toMap
+    val s = 1048576L
+    assert(got("a") == ((4L, 10 * (s >> 2) + 10 * (s >> 1) + 10 * s + 10 * s)))
+    assert(got("b") == ((1L, 7 * s)))
+  }
+
   private def ts(ms: Long) = new Timestamp(ms)
 }
