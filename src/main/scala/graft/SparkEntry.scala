@@ -3207,7 +3207,18 @@ object SparkEntry {
           t.crossJoin(broadcast(anch)), Seq("conv_id"), "ts",
           col("__anchor"), coalesce(length(col("text")), lit(0L)),
           halfLifeSec = 86400L, as = "decayed_chars")
-    })
+    }),
+
+    // --- mega-group-safe exact grouped top-k -----------------------------
+    // Longest 3 documents per language via the salted two-phase
+    // selection — identical rows and ranks to the oracle's naive
+    // per-group window, but no task ever sees a whole language.
+    "q_top_per_group" -> ((s, dir) =>
+      graft.ops.Stats.groupedTopK(
+          docs(s, dir).select("doc_id", "lang", "n_chars"),
+          Seq("lang"), Seq(col("n_chars").desc), "doc_id", k = 3,
+          fanout = 8)
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank")))
   )
 
   /** Published fixed-point weights for q_quality_score — the artifact a
@@ -7111,6 +7122,14 @@ object SparkEntry {
          |SELECT conv_id, count(*) AS n_past,
          |  CAST(sum(CAST(v AS HUGEINT) * wt) AS DECIMAL(38,0))
          |    AS decayed_chars
-         |FROM w GROUP BY conv_id""".stripMargin
+         |FROM w GROUP BY conv_id""".stripMargin,
+
+    // the naive per-group window the two-phase selection must equal
+    "q_top_per_group" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    CAST(row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
+        |  FROM documents)
+        |SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 3""".stripMargin
   )
 }

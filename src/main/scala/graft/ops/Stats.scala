@@ -381,6 +381,52 @@ object Stats {
       .agg(max(col("__n")).as("n"), picks: _*)
   }
 
+  /** Exact per-group top-k ("the k best documents of every language"),
+    * MEGA-GROUP SAFE. The obvious `row_number().over(partitionBy(group))`
+    * sorts a dominant group in one task; instead the selection runs
+    * twice over bounded partitions:
+    *   1. rows are salted into `fanout` sub-partitions by a hash of the
+    *      unique tiebreak column; a per-(group, salt) window keeps each
+    *      sub-partition's top k — tasks see ~|group|/fanout rows;
+    *   2. the ≤ fanout·k survivors per group (the global top-k is a
+    *      subset of the union of per-salt top-ks — every dropped row
+    *      loses to ≥ k rows in its own salt) meet in a final
+    *      per-group window that assigns the exact rank 1..k.
+    * Identical output to the single-window form for any total order;
+    * the order is made total by appending the unique column ascending.
+    * Ranks are deterministic, ties broken by `uniqueCol` — the same
+    * contract as the quantile family.
+    *
+    * Scale shape: two exchanges (group+salt, then group), both with
+    * bounded task sizes (≤ max(|group|/fanout, fanout·k) rows). Size
+    * `fanout` ≈ cluster parallelism / |groups| for a dominated mixture.
+    */
+  def groupedTopK(
+      df: DataFrame,
+      groupCols: Seq[String],
+      order: Seq[Column],
+      uniqueCol: String,
+      k: Int,
+      fanout: Int = 32
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(fanout > 0, "fanout must be positive")
+    require(order.nonEmpty, "order must name at least one column")
+    require(!Seq("__salt", "__rn", "rank").exists(df.columns.contains),
+      "groupedTopK reserves the column names __salt, __rn, rank")
+    val fullOrder = order :+ col(uniqueCol).asc
+    val w1 = Window
+      .partitionBy((groupCols.map(col) :+ col("__salt")): _*)
+      .orderBy(fullOrder: _*)
+    val w2 = Window.partitionBy(groupCols.map(col): _*).orderBy(fullOrder: _*)
+    df.withColumn("__salt", pmod(hash(col(uniqueCol)), lit(fanout)))
+      .withColumn("__rn", row_number().over(w1))
+      .filter(col("__rn") <= k)
+      .withColumn("rank", row_number().over(w2))
+      .filter(col("rank") <= k)
+      .drop("__salt", "__rn")
+  }
+
   /** Average-rank map for one column, TWO-PHASE: each distinct value →
     * 2× its average rank (the ×2 keeps tied average ranks integral —
     * avg rank of a run of c equal values after p smaller ones is

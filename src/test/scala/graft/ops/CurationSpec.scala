@@ -424,6 +424,30 @@ class CurationSpec extends AnyFunSuite {
     assert(kept("c") == 2L && !kept.contains("a"))
   }
 
+  test("groupedTopK ≡ single-window top-k on random data (incl. a " +
+    "mega-group), deterministic under repartitioning, salted plan") {
+    val rnd = new scala.util.Random(11)
+    // group "big" dominates: 400 of 460 rows; scores collide heavily so
+    // the uniqueCol tiebreak is load-bearing
+    val rows = (0 until 400).map(i => ("big", i.toLong, rnd.nextInt(40).toLong)) ++
+      (400 until 460).map(i => (s"s${i % 3}", i.toLong, rnd.nextInt(40).toLong))
+    val df = rows.toDF("grp", "id", "score")
+    val got = Stats.groupedTopK(df.repartition(13), Seq("grp"),
+        Seq(col("score").desc), "id", k = 5, fanout = 8)
+      .select("grp", "id", "rank").as[(String, Long, Int)].collect().toSet
+    // naive single-window oracle
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("grp")).orderBy(col("score").desc, col("id").asc)
+    val naive = df.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 5)
+      .select("grp", "id", "rank").as[(String, Long, Int)].collect().toSet
+    assert(got == naive)
+    // both windows are present and the first partitions by the salt too
+    val plan = Stats.groupedTopK(df, Seq("grp"), Seq(col("score").desc),
+      "id", 5, 8).queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"))
+  }
+
   test("interleaveSchedule fails loud on a negative shard number") {
     val ex = intercept[Exception] {
       Seq(("a", -1L)).toDF("stratum", "shard")
