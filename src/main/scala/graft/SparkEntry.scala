@@ -3218,7 +3218,40 @@ object SparkEntry {
           docs(s, dir).select("doc_id", "lang", "n_chars"),
           Seq("lang"), Seq(col("n_chars").desc), "doc_id", k = 3,
           fanout = 8)
-        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank")))
+        .select(col("doc_id"), col("lang"), col("n_chars"), col("rank"))),
+
+    // --- blocked record linkage across two sources -----------------------
+    // Customers vs a perturbed replica (segment wiped for every 5th key,
+    // balance off by a cent for every 7th): blocking on (nation, name
+    // suffix) bounds candidates; Fellegi–Sunter integer weights classify.
+    // Pairs with BOTH fields perturbed score 900 < 2500 and are the
+    // expected false negatives; cross-customer candidates cap at 1300.
+    "q_record_link" -> ((s, dir) => {
+      val base = Tables.read(s, dir, "customer").select(
+        col("c_custkey"),
+        col("c_nationkey").as("nk"),
+        expr("substr(c_name, length(c_name) - 1, 2)").as("sfx"),
+        lower(col("c_name")).as("name"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") * 100).cast("long").as("cents"))
+      val a = base.select(col("c_custkey").as("a_id"), col("nk"), col("sfx"),
+        col("name").as("a_name"), col("c_mktsegment").as("a_seg"),
+        col("cents").as("a_cents"))
+      val b = base.select((col("c_custkey") + 1000000L).as("b_id"),
+        col("nk"), col("sfx"), col("name").as("b_name"),
+        when(col("c_custkey") % 5 === 0, lit("UNKNOWN"))
+          .otherwise(col("c_mktsegment")).as("b_seg"),
+        (col("cents") + when(col("c_custkey") % 7 === 0, 1L).otherwise(0L))
+          .as("b_cents"))
+      import graft.ops.RecordLink, RecordLink.FieldRule
+      RecordLink.linkBlocked(a, b, Seq("nk", "sfx"), Seq(
+          FieldRule("name", col("a_name") === col("b_name"), 2200L, -2000L),
+          FieldRule("seg", col("a_seg") === col("b_seg"), 1500L, -600L),
+          FieldRule("bal", col("a_cents") === col("b_cents"), 1800L, -700L)),
+          thresholdBp = 2500L)
+        .select(col("a_id"), col("b_id"), col("agree_name"), col("agree_seg"),
+          col("agree_bal"), col("score_bp"))
+    })
   )
 
   /** Published fixed-point weights for q_quality_score — the artifact a
@@ -7130,6 +7163,33 @@ object SparkEntry {
         |    CAST(row_number() OVER (PARTITION BY lang
         |      ORDER BY n_chars DESC, doc_id ASC) AS INT) AS rank
         |  FROM documents)
-        |SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 3""".stripMargin
+        |SELECT doc_id, lang, n_chars, rank FROM r WHERE rank <= 3""".stripMargin,
+
+    // blocked candidates + integer agreement weights, replayed verbatim
+    "q_record_link" ->
+      """WITH base AS (SELECT c_custkey, c_nationkey AS nk,
+        |    substr(c_name, length(c_name) - 1, 2) AS sfx,
+        |    lower(c_name) AS name, c_mktsegment,
+        |    CAST(FLOOR(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |a AS (SELECT c_custkey AS a_id, nk, sfx, name AS a_name,
+        |    c_mktsegment AS a_seg, cents AS a_cents FROM base),
+        |b AS (SELECT c_custkey + 1000000 AS b_id, nk, sfx, name AS b_name,
+        |    CASE WHEN c_custkey % 5 = 0 THEN 'UNKNOWN'
+        |         ELSE c_mktsegment END AS b_seg,
+        |    cents + CASE WHEN c_custkey % 7 = 0 THEN 1 ELSE 0 END AS b_cents
+        |  FROM base),
+        |s AS (SELECT a_id, b_id,
+        |    (a_name = b_name) AS agree_name,
+        |    (a_seg = b_seg) AS agree_seg,
+        |    (a_cents = b_cents) AS agree_bal,
+        |    (CASE WHEN a_name = b_name THEN 2200 ELSE -2000 END
+        |     + CASE WHEN a_seg = b_seg THEN 1500 ELSE -600 END
+        |     + CASE WHEN a_cents = b_cents THEN 1800 ELSE -700 END)
+        |      AS score_bp
+        |  FROM a JOIN b USING (nk, sfx))
+        |SELECT a_id, b_id, agree_name, agree_seg, agree_bal,
+        |  CAST(score_bp AS BIGINT) AS score_bp
+        |FROM s WHERE score_bp >= 2500""".stripMargin
   )
 }
