@@ -3251,7 +3251,25 @@ object SparkEntry {
           thresholdBp = 2500L)
         .select(col("a_id"), col("b_id"), col("agree_name"), col("agree_seg"),
           col("agree_bal"), col("score_bp"))
-    })
+    }),
+
+    // --- per-feed volume trend as an exact rational slope ----------------
+    // Daily event counts per type regressed on the epoch day — the
+    // is-this-feed-shrinking gauge with zero float.
+    "q_trend_slope" -> ((s, dir) => {
+      val daily = Tables.read(s, dir, "events")
+        .groupBy(col("event_type"),
+          call_function("div", col("ts").cast("long"), lit(86400L)).as("day"))
+        .agg(count(lit(1)).as("n_events"))
+      graft.ops.Analytics.trendSlope(daily, Seq("event_type"), col("day"),
+        col("n_events"))
+    }),
+
+    // --- exact two-sample KS distance between language slices ------------
+    "q_ks_drift" -> ((s, dir) =>
+      graft.ops.Analytics.ksDistance(
+        docs(s, dir).filter(col("lang").isin("en", "zh")),
+        col("lang") === "en", col("n_chars")))
   )
 
   /** Published fixed-point weights for q_quality_score — the artifact a
@@ -7190,6 +7208,44 @@ object SparkEntry {
         |  FROM a JOIN b USING (nk, sfx))
         |SELECT a_id, b_id, agree_name, agree_seg, agree_bal,
         |  CAST(score_bp AS BIGINT) AS score_bp
-        |FROM s WHERE score_bp >= 2500""".stripMargin
+        |FROM s WHERE score_bp >= 2500""".stripMargin,
+
+    // daily counts → exact moment sums → rational slope
+    "q_trend_slope" ->
+      """WITH daily AS (SELECT event_type,
+        |    CAST(FLOOR(epoch(ts)) AS BIGINT) // 86400 AS day,
+        |    count(*) AS n_events
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, count(*) AS n,
+        |    sum(CAST(day AS HUGEINT)) AS sx,
+        |    sum(CAST(n_events AS HUGEINT)) AS sy,
+        |    sum(CAST(day AS HUGEINT) * n_events) AS sxy,
+        |    sum(CAST(day AS HUGEINT) * day) AS sxx
+        |  FROM daily GROUP BY 1)
+        |SELECT event_type, n,
+        |  CAST(n * sxy - sx * sy AS DECIMAL(38,0)) AS slope_num,
+        |  CAST(n * sxx - sx * sx AS DECIMAL(38,0)) AS slope_den
+        |FROM m""".stripMargin,
+
+    // distinct-value cumulative counts → max cross-product CDF gap
+    "q_ks_drift" ->
+      """WITH f AS (SELECT n_chars AS v, (lang = 'en') AS a
+        |  FROM documents WHERE lang IN ('en', 'zh')),
+        |c AS (SELECT v,
+        |    sum(CASE WHEN a THEN 1 ELSE 0 END) AS ca,
+        |    sum(CASE WHEN a THEN 0 ELSE 1 END) AS cb
+        |  FROM f GROUP BY v),
+        |cum AS (SELECT v,
+        |    sum(ca) OVER (ORDER BY v) AS cuma,
+        |    sum(cb) OVER (ORDER BY v) AS cumb FROM c),
+        |t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c),
+        |g AS (SELECT v,
+        |    abs(CAST(cuma AS HUGEINT) * t.n_b
+        |      - CAST(cumb AS HUGEINT) * t.n_a) AS gap,
+        |    t.n_a, t.n_b FROM cum, t),
+        |mx AS (SELECT max(gap) AS ksn FROM g)
+        |SELECT CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
+        |  CAST(mx.ksn AS DECIMAL(38,0)) AS ks_num, min(g.v) AS at_value
+        |FROM g, mx WHERE g.gap = mx.ksn GROUP BY 1, 2, 3""".stripMargin
   )
 }

@@ -553,4 +553,89 @@ object Analytics {
         .as("pe_num"))
     base.crossJoin(broadcast(pe))
   }
+
+  /** Per-group least-squares TREND of y over x as an exact rational:
+    * slope = slope_num / slope_den with
+    *
+    *   slope_num = n·Σxy − Σx·Σy      slope_den = n·Σx² − (Σx)²
+    *
+    * — the volume-drift detector ("is this source's daily feed shrinking?")
+    * with no float in sight: both sides are decimal(38,0) products of
+    * integer sums, so sign and magnitude comparisons (slope_num·10⁶ vs
+    * slope_den·threshold) replay bit-exact in any engine. slope_den = 0
+    * ⇔ the group has a single distinct x — no trend, caller decides.
+    *
+    * Scale shape: ONE partial-agg shuffle (five map-side-combinable
+    * sums); output is |groups| rows. Overflow: n·Σxy must stay below
+    * 10^38 — x values should be SMALL indices (epoch days, not epoch
+    * micros); at x ≤ 10^6, y ≤ 10^12, n ≤ 10^9 the product is ≤ 10^27.
+    */
+  def trendSlope(
+      df: DataFrame,
+      groupCols: Seq[String],
+      x: Column,
+      y: Column
+  ): DataFrame = {
+    val d = ExactU64.dec38
+    val xl = x.cast("long").cast(d)
+    val yl = y.cast("long").cast(d)
+    df.groupBy(groupCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("n"),
+        sum(xl).as("__sx"), sum(yl).as("__sy"),
+        sum(xl * yl).as("__sxy"), sum(xl * xl).as("__sxx"))
+      .select((groupCols.map(col) ++ Seq(
+        col("n"),
+        (col("n").cast(d) * col("__sxy") - col("__sx") * col("__sy"))
+          .cast(d).as("slope_num"),
+        (col("n").cast(d) * col("__sxx") - col("__sx") * col("__sx"))
+          .cast(d).as("slope_den"))): _*)
+  }
+
+  /** Exact two-sample Kolmogorov–Smirnov distance between the `value`
+    * distributions of two slices: KS = max over v of |F_a(v) − F_b(v)|,
+    * reported as the exact integer cross-product form
+    * ks_num = max |cum_a(v)·n_b − cum_b(v)·n_a| (so KS = ks_num/(n_a·n_b))
+    * plus the value attaining it (smallest such v). The distribution-
+    * shift gauge between two sources/snapshots that, unlike PSI/KL,
+    * needs no bins, no smoothing constants, and no transcendentals —
+    * integer-exact across engines.
+    *
+    * Scale shape: rows collapse to distinct (value, side) COUNTS first
+    * (one partial-agg shuffle — the only pass over full volume); the
+    * cumulative walk then runs over DISTINCT values only. That stream is
+    * sketch-sized for the integer metrics this targets (lengths, counts,
+    * scores in a bounded domain); a billion-distinct-value column would
+    * need the chunked-prefix geometry of [[Stats.exactGroupedQuantiles]]
+    * — compose that before this reduction if you have one.
+    */
+  def ksDistance(
+      df: DataFrame,
+      isA: Column,
+      value: Column
+  ): DataFrame = {
+    val d = ExactU64.dec38
+    val counts = df.filter(value.isNotNull && isA.isNotNull)
+      .groupBy(value.cast("long").as("v"))
+      .agg(
+        sum(when(isA, 1L).otherwise(0L)).as("__ca"),
+        sum(when(isA, 0L).otherwise(1L)).as("__cb"))
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.orderBy(col("v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = counts
+      .withColumn("__cuma", sum(col("__ca")).over(w))
+      .withColumn("__cumb", sum(col("__cb")).over(w))
+    val tot = counts.agg(
+      sum(col("__ca")).as("n_a"), sum(col("__cb")).as("n_b"))
+    val gaps = cum.crossJoin(broadcast(tot))
+      .withColumn("__gap",
+        abs(col("__cuma").cast(d) * col("n_b") -
+          col("__cumb").cast(d) * col("n_a")).cast(d))
+    val mx = gaps.agg(max(col("__gap")).cast(d).as("ks_num"))
+    gaps.crossJoin(broadcast(mx))
+      .filter(col("__gap") === col("ks_num"))
+      .groupBy(col("n_a"), col("n_b"), col("ks_num"))
+      .agg(min(col("v")).as("at_value"))
+  }
 }

@@ -318,4 +318,40 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(got._1 * got._2 - got._3 == 17L &&
       got._1 * got._1 - got._3 == 23L)
   }
+
+  test("trendSlope: exact rational slope per group; single-x group has " +
+    "den 0") {
+    import spark.implicits._
+    val df = Seq(
+      ("up", 0L, 1L), ("up", 1L, 3L), ("up", 2L, 5L), // slope 2
+      ("down", 0L, 9L), ("down", 2L, 5L),             // slope −2
+      ("flat", 7L, 4L), ("flat", 7L, 8L))             // no x spread
+      .toDF("g", "x", "y")
+    val got = Analytics.trendSlope(df, Seq("g"), col("x"), col("y"))
+      .select(col("g"), col("n"), col("slope_num").cast("long"),
+        col("slope_den").cast("long"))
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got("up") == ((3L, 12L, 6L)))     // 12/6 = 2
+    assert(got("down") == ((2L, -8L, 4L)))   // −8/4 = −2
+    assert(got("flat")._3 == 0L)
+  }
+
+  test("ksDistance: exact max CDF gap in cross-product form, smallest " +
+    "attaining value, identical samples give 0") {
+    import spark.implicits._
+    val df = Seq((true, 1L), (true, 2L), (true, 3L), (false, 3L),
+      (false, 4L)).toDF("a", "v")
+    val got = Analytics.ksDistance(df, col("a"), col("v"))
+      .select(col("n_a"), col("n_b"), col("ks_num").cast("long"),
+        col("at_value"))
+      .as[(Long, Long, Long, Long)].collect()
+    // F_a(2)=2/3, F_b(2)=0 → gap = |2·2 − 0·3| = 4 (KS = 4/6)
+    assert(got.toSeq == Seq((3L, 2L, 4L, 2L)))
+    val same = Seq((true, 5L), (false, 5L), (true, 9L), (false, 9L))
+      .toDF("a", "v")
+    val z = Analytics.ksDistance(same, col("a"), col("v"))
+      .select(col("ks_num").cast("long")).as[Long].collect()
+    assert(z.toSeq == Seq(0L))
+  }
 }
