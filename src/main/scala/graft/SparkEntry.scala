@@ -3270,6 +3270,20 @@ object SparkEntry {
       graft.ops.Analytics.ksDistance(
         docs(s, dir).filter(col("lang").isin("en", "zh")),
         col("lang") === "en", col("n_chars")))
+    ,
+
+    // --- cross-feed user-base overlap matrix from KMV sketches -----------
+    // Which event feeds share users: full data is touched once (the
+    // sketch build); every pairwise Jaccard then costs one 128-long
+    // array compare. The oracle replays the k-min union estimator from
+    // the true distinct sets.
+    "q_source_overlap" -> ((s, dir) => {
+      val e = Tables.read(s, dir, "events")
+        .filter(col("user_id").isNotNull)
+      val sk = graft.ops.Sketches.kmvSketch(e, Seq("event_type"),
+        "user_id", 128)
+      graft.ops.Sketches.kmvOverlapMatrix(sk, "event_type", 128)
+    })
   )
 
   /** Published fixed-point weights for q_quality_score — the artifact a
@@ -7246,6 +7260,48 @@ object SparkEntry {
         |mx AS (SELECT max(gap) AS ksn FROM g)
         |SELECT CAST(g.n_a AS BIGINT) AS n_a, CAST(g.n_b AS BIGINT) AS n_b,
         |  CAST(mx.ksn AS DECIMAL(38,0)) AS ks_num, min(g.v) AS at_value
-        |FROM g, mx WHERE g.gap = mx.ksn GROUP BY 1, 2, 3""".stripMargin
+        |FROM g, mx WHERE g.gap = mx.ksn GROUP BY 1, 2, 3""".stripMargin,
+
+    // per-feed k-min sketches from the true distinct sets, then the
+    // union-k estimator per pair
+    "q_source_overlap" ->
+      s"""WITH d AS (SELECT DISTINCT event_type, user_id FROM events
+         |  WHERE user_id IS NOT NULL),
+         |m AS (SELECT event_type,
+         |  ${fmixLateralSql("CAST(user_id AS UBIGINT)")}
+         |  FROM d),
+         |r AS (SELECT event_type, u,
+         |  row_number() OVER (PARTITION BY event_type ORDER BY u) AS rn
+         |  FROM m),
+         |sk AS (SELECT event_type, u FROM r WHERE rn <= 128),
+         |skn AS (SELECT event_type, count(*) AS k_g FROM sk GROUP BY 1),
+         |-- n_ids mirrors kmvSketch: non-null ROWS, not distinct ids
+         |n AS (SELECT event_type, count(user_id) AS n_ids FROM events
+         |  GROUP BY 1),
+         |p AS (SELECT na.event_type AS src_a, nb.event_type AS src_b,
+         |    na.n_ids AS n_a, nb.n_ids AS n_b
+         |  FROM n na JOIN n nb ON na.event_type < nb.event_type),
+         |uni AS (SELECT p.src_a, p.src_b, s.u,
+         |    max(CASE WHEN s.event_type = p.src_a THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.event_type = p.src_b THEN 1 ELSE 0 END) AS in_b
+         |  FROM p JOIN sk s ON s.event_type IN (p.src_a, p.src_b)
+         |  GROUP BY 1, 2, 3),
+         |rk AS (SELECT src_a, src_b, u, in_a, in_b,
+         |    row_number() OVER (PARTITION BY src_a, src_b ORDER BY u) AS rn
+         |  FROM uni),
+         |x AS (SELECT src_a, src_b, count(*) AS k_used,
+         |    sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+         |      AS n_common
+         |  FROM rk WHERE rn <= 128 GROUP BY 1, 2)
+         |SELECT p.src_a, p.src_b, p.n_a, p.n_b,
+         |  CAST(x.k_used AS INT) AS k_used, CAST(x.n_common AS INT)
+         |    AS n_common,
+         |  CASE WHEN x.k_used = 0 THEN 0
+         |       ELSE CAST((x.n_common * 10000) // x.k_used AS BIGINT) END
+         |    AS jaccard_bp,
+         |  (ka.k_g < 128 AND kb.k_g < 128) AS exact
+         |FROM p JOIN x ON p.src_a = x.src_a AND p.src_b = x.src_b
+         |JOIN skn ka ON ka.event_type = p.src_a
+         |JOIN skn kb ON kb.event_type = p.src_b""".stripMargin
   )
 }

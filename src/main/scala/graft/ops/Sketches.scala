@@ -127,6 +127,53 @@ object Sketches {
           .as("est_distinct"),
         (size(col("mins")) < k).as("est_exact"))): _*)
 
+  /** Pairwise OVERLAP matrix between groups from their KMV sketches —
+    * "how much does crawl A's id universe intersect crawl B's" for every
+    * pair, WITHOUT touching full data again. For each unordered pair the
+    * k smallest of the union of the two sketches are (provably) the KMV
+    * sketch of the union; the fraction of them present in BOTH sketches
+    * is the standard k-min-values Jaccard estimator (Beyer et al.,
+    * SIGMOD 2007):  J ≈ n_common / k_used, and the intersection size
+    * follows as J · |A ∪ B| with [[kmvEstimate]] on the union sketch.
+    * Emitted as exact integers (n_common, k_used, jaccard_bp) so the
+    * estimator itself replays bit-for-bit; `exact = true` (both sides
+    * under k) means n_common IS the true intersection count.
+    *
+    * Scale shape: input is the |groups|-row sketch frame — full data was
+    * touched once by [[kmvSketch]]; the pair join is |groups|² rows of
+    * k-long arrays, array math codegen'd per pair. Elements are compared
+    * in the unsigned decimal domain (the sketch stores signed longs in
+    * unsigned order — a signed array_sort would be wrong).
+    */
+  def kmvOverlapMatrix(
+      sketches: DataFrame,
+      groupCol: String,
+      k: Int
+  ): DataFrame = {
+    val toU = (c: Column) =>
+      transform(c, x => when(x < 0L, x.cast(dec38) + two64)
+        .otherwise(x.cast(dec38)))
+    val a = sketches.select(col(groupCol).as("src_a"),
+      toU(col("mins")).as("__ma"), col("n_ids").as("n_a"))
+    val b = sketches.select(col(groupCol).as("src_b"),
+      toU(col("mins")).as("__mb"), col("n_ids").as("n_b"))
+    a.join(b, col("src_a") < col("src_b"))
+      .withColumn("__x",
+        slice(array_sort(array_union(col("__ma"), col("__mb"))), 1, k))
+      .withColumn("k_used", size(col("__x")))
+      .withColumn("n_common", size(filter(col("__x"),
+        x => array_contains(col("__ma"), x) && array_contains(col("__mb"), x))))
+      .withColumn("jaccard_bp",
+        when(col("k_used") === 0, 0L)
+          .otherwise(call_function("div",
+            col("n_common").cast("long") * 10000L,
+            col("k_used").cast("long"))))
+      .withColumn("exact",
+        size(col("__ma")) < k && size(col("__mb")) < k)
+      .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+        col("k_used"), col("n_common"), col("jaccard_bp"), col("exact"))
+  }
+
   /** Build a packed Bloom filter over an int64 key column as a
     * (word_idx, bits) frame: each key sets `nHashes` bit positions
     * (fmix64 of key ⊕ j·φ, see [[BloomImpl]]) in an m = nWords·63-bit

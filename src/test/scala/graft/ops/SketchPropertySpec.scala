@@ -92,4 +92,32 @@ class SketchPropertySpec extends AnyFunSuite {
     // 19 dof: p=0.001 critical value ~ 43.8
     assert(chi2 < 43.8, s"chi-square $chi2 over 20 cells suggests bias")
   }
+
+  test("KMV overlap matrix: exact intersection/union counts below k; " +
+    "estimator within 4/sqrt(k) above (seeded)") {
+    // groups with known overlap: g0 = [0,300), g1 = [200,500), g2 = [450,460)
+    val rows = (0L until 300L).map(("g0", _)) ++
+      (200L until 500L).map(("g1", _)) ++ (450L until 460L).map(("g2", _))
+    val df = rows.toDF("g", "id")
+    // k above every set size → everything exact
+    val exact = Sketches.kmvOverlapMatrix(
+        Sketches.kmvSketch(df, Seq("g"), "id", 1024), "g", 1024)
+      .select(col("src_a"), col("src_b"), col("k_used"), col("n_common"),
+        col("exact"))
+      .as[(String, String, Int, Int, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5))).toMap
+    assert(exact(("g0", "g1")) == ((500, 100, true))) // |∪|=500, |∩|=100
+    assert(exact(("g0", "g2")) == ((310, 0, true)))
+    assert(exact(("g1", "g2")) == ((300, 10, true)))
+    // k = 256 below the union sizes → estimator, not exact
+    val est = Sketches.kmvOverlapMatrix(
+        Sketches.kmvSketch(df, Seq("g"), "id", 256), "g", 256)
+      .select(col("src_a"), col("src_b"), col("jaccard_bp"), col("exact"))
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    val (jbp, isExact) = est(("g0", "g1"))
+    assert(!isExact)
+    // true J = 100/500 = 0.2; 4/sqrt(256) = 0.25 absolute slack
+    assert(math.abs(jbp / 10000.0 - 0.2) < 0.25, s"jaccard_bp $jbp")
+  }
 }
