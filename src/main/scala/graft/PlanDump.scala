@@ -215,6 +215,31 @@ object PlanDump {
           .agg(org.apache.spark.sql.functions.sum("c").as("cin"))
         nodes.join(contrib.withColumnRenamed("dst", "node"), Seq("node"), "left")
       },
+      "q_dataset_digest (multiset checksum: scan-fused md5-u64 projection " +
+        "→ source-keyed partial-agg sum, both sides; NO sort anywhere)" ->
+        SparkEntry.queries("q_dataset_digest")(spark, dir),
+      "q_join_size (join-size forecast: two per-key COUNT frames meet — " +
+        "inputs scanned once each, never shuffled row-wise; 1-row total " +
+        "broadcast back; TakeOrdered top-k)" ->
+        SparkEntry.queries("q_join_size")(spark, dir),
+      "q_top_per_group (mega-group-safe top-k: (group, salt) window over " +
+        "bounded sub-partitions, then a fanout·k survivor merge window)" ->
+        SparkEntry.queries("q_top_per_group")(spark, dir),
+      "q_neyman (variance-proportional plan: ONE moment partial agg, " +
+        "1-row weight total broadcast, gate stays a scan-side filter)" ->
+        SparkEntry.queries("q_neyman")(spark, dir),
+      "q_record_link (blocked linkage: equi-join on (nation, suffix) " +
+        "blocks — candidates |block|², never |A|·|B|; scoring is a " +
+        "scan-fused projection over the candidate stream)" ->
+        SparkEntry.queries("q_record_link")(spark, dir),
+      "q_source_overlap (KMV overlap matrix: full data touched once by " +
+        "the sketch partial agg; the pair join is |groups|² rows of " +
+        "k-long arrays with codegen'd array math)" ->
+        SparkEntry.queries("q_source_overlap")(spark, dir),
+      "q_decay_agg (anchor-decayed profile: broadcast 1-row anchor, " +
+        "scan-fused integer weight, ONE conv-keyed partial agg — no " +
+        "window, no sort)" ->
+        SparkEntry.queries("q_decay_agg")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting
