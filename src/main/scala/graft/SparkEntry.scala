@@ -3283,6 +3283,18 @@ object SparkEntry {
       val sk = graft.ops.Sketches.kmvSketch(e, Seq("event_type"),
         "user_id", 128)
       graft.ops.Sketches.kmvOverlapMatrix(sk, "event_type", 128)
+    }),
+
+    // --- measured MinHash-LSH tuning curve --------------------------------
+    // Candidates / precision / recall for every nested band split of the
+    // 8-component signature, against the exact PPJoin truth at J ≥ 0.5 —
+    // the s-curve as numbers measured on THIS corpus rather than theory.
+    "q_lsh_curve" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val truth = graft.ops.SSJoin.jaccardJoinExact(d, "doc_id", "text",
+        k = 3, tauBp = 5000, maxPrefixDf = 10000000L)
+      Dedup.lshTuningCurve(d, "doc_id", "text", k = 8,
+        bandConfigs = Seq(1, 2, 4, 8), shingleLen = 3, truthPairs = truth)
     })
   )
 
@@ -7302,6 +7314,84 @@ object SparkEntry {
          |  (ka.k_g < 128 AND kb.k_g < 128) AS exact
          |FROM p JOIN x ON p.src_a = x.src_a AND p.src_b = x.src_b
          |JOIN skn ka ON ka.event_type = p.src_a
-         |JOIN skn kb ON kb.event_type = p.src_b""".stripMargin
+         |JOIN skn kb ON kb.event_type = p.src_b""".stripMargin,
+
+    // signature components + nested band splits + exact Jaccard truth,
+    // one stats row per config
+    "q_lsh_curve" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |shl AS (SELECT doc_id, list_distinct(
+        |    [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |     for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM w WHERE len(ws) >= 3),
+        |sh AS (SELECT doc_id,
+        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+        |  FROM w WHERE len(ws) >= 3),
+        |sig AS (SELECT doc_id,
+        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
+        |  FROM sh),
+        |e AS (SELECT doc_id, unnest(s) AS tok FROM shl),
+        |sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM e GROUP BY doc_id),
+        |i AS (SELECT a.doc_id AS a, b.doc_id AS b, CAST(count(*) AS BIGINT) AS inter
+        |  FROM e a JOIN e b USING (tok) WHERE a.doc_id < b.doc_id
+        |  GROUP BY a.doc_id, b.doc_id),
+        |truth AS (SELECT i.a, i.b
+        |  FROM i JOIN sz sa ON sa.doc_id = i.a JOIN sz sb ON sb.doc_id = i.b
+        |  WHERE i.inter * 10000 >= 5000 * (sa.n + sb.n - i.inter)),
+        |tn AS (SELECT count(*) AS n_truth FROM truth),
+        |b1 AS (SELECT doc_id, md5(s0||','||s1||','||s2||','||s3||','||s4||','||s5||','||s6||','||s7) AS bk FROM sig),
+        |c1 AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM b1 l JOIN b1 r ON l.bk = r.bk AND l.doc_id < r.doc_id),
+        |b2 AS (SELECT doc_id, 0 AS bi, md5(s0||','||s1||','||s2||','||s3) AS bk FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s4||','||s5||','||s6||','||s7) FROM sig),
+        |c2 AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM b2 l JOIN b2 r ON l.bi = r.bi AND l.bk = r.bk AND l.doc_id < r.doc_id),
+        |b4 AS (SELECT doc_id, 0 AS bi, md5(s0||','||s1) AS bk FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s2||','||s3) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s4||','||s5) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s6||','||s7) FROM sig),
+        |c4 AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM b4 l JOIN b4 r ON l.bi = r.bi AND l.bk = r.bk AND l.doc_id < r.doc_id),
+        |b8 AS (SELECT doc_id, 0 AS bi, md5(s0) AS bk FROM sig
+        |  UNION ALL SELECT doc_id, 1, md5(s1) FROM sig
+        |  UNION ALL SELECT doc_id, 2, md5(s2) FROM sig
+        |  UNION ALL SELECT doc_id, 3, md5(s3) FROM sig
+        |  UNION ALL SELECT doc_id, 4, md5(s4) FROM sig
+        |  UNION ALL SELECT doc_id, 5, md5(s5) FROM sig
+        |  UNION ALL SELECT doc_id, 6, md5(s6) FROM sig
+        |  UNION ALL SELECT doc_id, 7, md5(s7) FROM sig),
+        |c8 AS (SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+        |  FROM b8 l JOIN b8 r ON l.bi = r.bi AND l.bk = r.bk AND l.doc_id < r.doc_id),
+        |s1c AS (SELECT count(*) AS nc, CAST(COALESCE(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nt
+        |  FROM c1 LEFT JOIN truth t USING (a, b)),
+        |s2c AS (SELECT count(*) AS nc, CAST(COALESCE(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nt
+        |  FROM c2 LEFT JOIN truth t USING (a, b)),
+        |s4c AS (SELECT count(*) AS nc, CAST(COALESCE(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nt
+        |  FROM c4 LEFT JOIN truth t USING (a, b)),
+        |s8c AS (SELECT count(*) AS nc, CAST(COALESCE(sum(CASE WHEN t.a IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS nt
+        |  FROM c8 LEFT JOIN truth t USING (a, b))
+        |SELECT 1 AS bands, 8 AS rows_per_band, nc AS n_candidates, nt AS n_true, tn.n_truth,
+        |  CASE WHEN tn.n_truth = 0 THEN 0 ELSE CAST((nt * 10000) // tn.n_truth AS BIGINT) END AS recall_bp,
+        |  CASE WHEN nc = 0 THEN 0 ELSE CAST((nt * 10000) // nc AS BIGINT) END AS precision_bp
+        |FROM s1c, tn
+        |UNION ALL SELECT 2, 4, nc, nt, tn.n_truth,
+        |  CASE WHEN tn.n_truth = 0 THEN 0 ELSE CAST((nt * 10000) // tn.n_truth AS BIGINT) END,
+        |  CASE WHEN nc = 0 THEN 0 ELSE CAST((nt * 10000) // nc AS BIGINT) END
+        |FROM s2c, tn
+        |UNION ALL SELECT 4, 2, nc, nt, tn.n_truth,
+        |  CASE WHEN tn.n_truth = 0 THEN 0 ELSE CAST((nt * 10000) // tn.n_truth AS BIGINT) END,
+        |  CASE WHEN nc = 0 THEN 0 ELSE CAST((nt * 10000) // nc AS BIGINT) END
+        |FROM s4c, tn
+        |UNION ALL SELECT 8, 1, nc, nt, tn.n_truth,
+        |  CASE WHEN tn.n_truth = 0 THEN 0 ELSE CAST((nt * 10000) // tn.n_truth AS BIGINT) END,
+        |  CASE WHEN nc = 0 THEN 0 ELSE CAST((nt * 10000) // nc AS BIGINT) END
+        |FROM s8c, tn""".stripMargin
   )
 }

@@ -468,4 +468,58 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }
+
+  /** Empirical MinHash-LSH TUNING CURVE: measured candidate count,
+    * precision and recall for each band configuration of a fixed
+    * k-component signature, against a caller-supplied exact truth set
+    * (e.g. [[SSJoin.jaccardJoinExact]] at the target Jaccard, or a
+    * labeled pair sample at web scale). This turns the theoretical
+    * s-curve threshold (1/b)^(1/r) into numbers measured ON THIS CORPUS
+    * — the artifact an engineer reads before spending a 100 TB pass on
+    * a (bands, rows) choice.
+    *
+    * Configs must divide k; because successive band splits NEST (a
+    * collision on a 4-component slice implies collisions on both its
+    * 2-component halves), candidate sets grow monotonically with
+    * `bands` — asserted as a property in DedupSpec. Counters are exact
+    * integers; recall/precision are floored basis points.
+    *
+    * Scale shape: one signature+band pass per config (|configs| ≤
+    * log₂ k of them) — each the [[minhashPairs]] geometry (band-keyed
+    * partial aggs, hot buckets capped); the truth set is joined
+    * pair-keyed, never expanded. Counts ride 1-row frames.
+    */
+  def lshTuningCurve(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int,
+      bandConfigs: Seq[Int],
+      shingleLen: Int,
+      truthPairs: DataFrame,
+      maxBucketSize: Int = 10000
+  ): DataFrame = {
+    require(bandConfigs.nonEmpty, "at least one band config is required")
+    bandConfigs.foreach(b =>
+      require(b > 0 && k % b == 0, s"bands=$b must divide k=$k"))
+    val truth = truthPairs.select(col("a"), col("b"))
+    val nTruth = truth.agg(count(lit(1)).as("n_truth"))
+    bandConfigs.map { b =>
+      val cand = minhashPairs(df, idCol, textCol, k, b, shingleLen,
+        maxBucketSize)
+      val nC = cand.agg(count(lit(1)).as("n_candidates"))
+      val nT = cand.join(truth, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_true"))
+      nC.crossJoin(nT).crossJoin(broadcast(nTruth))
+        .select(
+          lit(b).as("bands"), lit(k / b).as("rows_per_band"),
+          col("n_candidates"), col("n_true"), col("n_truth"),
+          when(col("n_truth") === 0, 0L)
+            .otherwise(call_function("div", col("n_true") * 10000L,
+              col("n_truth"))).as("recall_bp"),
+          when(col("n_candidates") === 0, 0L)
+            .otherwise(call_function("div", col("n_true") * 10000L,
+              col("n_candidates"))).as("precision_bp"))
+    }.reduce(_ union _)
+  }
 }

@@ -99,6 +99,38 @@ class OpsSpec extends AnyFunSuite {
     assert(uncapped.count() > 1000L)
   }
 
+  test("lshTuningCurve: nested band splits give monotone candidates and " +
+    "recall; counters equal per-config minhashPairs; truth join exact") {
+    val rnd = new scala.util.Random(23)
+    val vocab = (0 until 30).map(i => s"w$i")
+    def doc(n: Int) = (0 until n).map(_ => vocab(rnd.nextInt(30))).mkString(" ")
+    // pairs of near-identical docs (one word changed) + unrelated docs
+    val rows = (0L until 20L).flatMap { i =>
+      val base = doc(25)
+      Seq((2 * i, base), (2 * i + 1, base.replaceFirst("w\\d+", "zz")))
+    } ++ (100L until 120L).map(i => (i, doc(25)))
+    val df = rows.toDF("doc_id", "text")
+    val truth = SSJoin.jaccardJoinExact(df, "doc_id", "text", k = 3,
+      tauBp = 5000, maxPrefixDf = 1000000L)
+    val curve = Dedup.lshTuningCurve(df, "doc_id", "text", k = 8,
+        bandConfigs = Seq(1, 2, 4, 8), shingleLen = 3, truthPairs = truth)
+      .orderBy("bands")
+      .select("bands", "n_candidates", "n_true", "n_truth", "recall_bp",
+        "precision_bp")
+      .as[(Int, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(curve.map(_._1) == Seq(1, 2, 4, 8))
+    // nested splits: candidate and true-hit counts monotone in bands
+    assert(curve.map(_._2) == curve.map(_._2).sorted)
+    assert(curve.map(_._3) == curve.map(_._3).sorted)
+    assert(curve.map(_._4).distinct.size == 1) // one truth denominator
+    // per-config counters equal a direct minhashPairs run
+    val direct = Dedup.minhashPairs(df, "doc_id", "text", k = 8, bands = 4,
+      shingleLen = 3).count()
+    assert(curve.find(_._1 == 4).get._2 == direct)
+    // at 8 bands of 1 row recall should be high on one-word edits
+    assert(curve.last._5 >= 8000L, s"recall ${curve.last._5}")
+  }
+
   test("nearDupPairs fails fast above maxCorpus; LSH path agrees on hits") {
     val e = graft.io.Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
     val ex = intercept[IllegalArgumentException] {
