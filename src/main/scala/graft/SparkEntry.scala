@@ -2370,6 +2370,26 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       TextStats.featureHash(docs(s, dir), "doc_id", "text", dims = 64)),
 
+    // --- DSIR importance selection (target-domain data selection) -------------------
+    // Every document scored by the whole-bit log2-likelihood ratio of
+    // its hashed token profile under the TARGET vs RAW corpus
+    // distributions — the "pick web data that looks like my target
+    // domain" selector, as exact integers: the oracle replays the word
+    // hash, both +1-smoothed 64-bucket profiles, the bitlen-difference
+    // weights and the threshold. The target is content-defined (docs
+    // saying "customer" ≥ 3 times — a domain, not a label), and
+    // minScore = 3 sits exactly in the measured gap: every target doc
+    // scores ≥ 3 on this corpus while off-domain docs top out at 2 —
+    // the selection recovers the domain from distribution alone.
+    "q_dsir_select" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val target = d.filter(
+        size(filter(split(lower(col("text")), " "),
+          w => w === "customer")) >= 3)
+      graft.ops.Curation.dsirScores(d, target,
+        "doc_id", "text", dims = 64, minScore = 3L)
+    }),
+
     // --- inverted index (salted two-phase per-key top-k) ----------------------------
     // term → (df, top-3 docs by tf): the retrieval/decontam lookup
     // structure. The per-TERM ranking is the mega-key showcase — a
@@ -6280,6 +6300,45 @@ object SparkEntry {
         |  FROM toks WHERE term <> '')
         |SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS n_terms
         |FROM h GROUP BY doc_id, bucket""".stripMargin,
+
+    // DSIR replay: same per-word polynomial hash, both smoothed 64-bucket
+    // profiles (target = docs with >= 3 'customer' tokens), bitlen
+    // weights via the unpadded bin() idiom, per-doc integer score and
+    // the >= 3 selection gate
+    "q_dsir_select" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |tk AS (SELECT doc_id,
+        |    list_reduce(
+        |      list_prepend(0::BIGINT,
+        |        [unicode(c)::BIGINT for c in string_split(term, '')]),
+        |      (h, c) -> (h * 31 + c) % 1000000007) % 64 AS bucket
+        |  FROM toks WHERE term <> ''),
+        |tgt AS (SELECT doc_id FROM toks WHERE term = 'customer'
+        |  GROUP BY doc_id HAVING count(*) >= 3),
+        |bk AS (SELECT unnest(range(0, 64)) AS bucket),
+        |tprof AS (SELECT b.bucket, CAST(COALESCE(x.cnt, 0) + 1 AS BIGINT) AS t
+        |  FROM bk b LEFT JOIN (
+        |    SELECT tk.bucket, count(*) AS cnt
+        |    FROM tk JOIN tgt USING (doc_id) GROUP BY 1) x USING (bucket)),
+        |rprof AS (SELECT b.bucket, CAST(COALESCE(x.cnt, 0) + 1 AS BIGINT) AS r
+        |  FROM bk b LEFT JOIN (
+        |    SELECT bucket, count(*) AS cnt FROM tk GROUP BY 1) x USING (bucket)),
+        |w AS (SELECT t.bucket,
+        |    CAST(length(bin(t.t)) AS BIGINT)
+        |      - CAST(length(bin(CAST((SELECT sum(t) FROM tprof) AS BIGINT))) AS BIGINT)
+        |      - CAST(length(bin(r.r)) AS BIGINT)
+        |      + CAST(length(bin(CAST((SELECT sum(r) FROM rprof) AS BIGINT))) AS BIGINT)
+        |      AS w
+        |  FROM tprof t JOIN rprof r USING (bucket)),
+        |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |    CAST(sum(w.w) AS BIGINT) AS score
+        |  FROM tk JOIN w USING (bucket) GROUP BY 1)
+        |SELECT d.doc_id,
+        |  CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+        |  CAST(COALESCE(sc.score, 0) AS BIGINT) AS score,
+        |  COALESCE(sc.score, 0) >= 3 AS selected
+        |FROM documents d LEFT JOIN sc USING (doc_id)""".stripMargin,
 
     // per-term ranking replayed as a plain window — the salted
     // two-phase route must be indistinguishable from it

@@ -707,4 +707,91 @@ object Curation {
       .partitionBy(strataCol, "shard_seq")
       .mode("overwrite")
       .parquet(outDir)
+
+  /** DSIR-style hashed importance scoring for TARGET-DOMAIN data
+    * selection ("Data Selection for Language Models via Importance
+    * Resampling", Xie et al. 2023): score every corpus document by how
+    * much its hashed token profile resembles a TARGET corpus relative
+    * to the raw corpus itself — the step that picks "looks like my
+    * eval domain" data out of a web crawl. The pointwise
+    * log-likelihood-ratio weight is computed as the exact-integer
+    * whole-bit surrogate
+    *
+    *   w(b)  = bitlen(t_b) − bitlen(T) − bitlen(r_b) + bitlen(R)
+    *   score = Σ_tokens w(bucket(token))
+    *
+    * where t_b / r_b are the (+1-smoothed) per-bucket token counts of
+    * the target / raw corpus, T / R their smoothed totals, bucket(·)
+    * the same vocabulary-free hashing trick as
+    * [[TextStats.featureHash]] (rolling hash mod `dims`), and
+    * bitlen(x) = length(bin(x)) — the engine-portable floor(log2 x)+1
+    * idiom the HLL rho and the log2 histogram already rely on. w is
+    * log2(t_b/T) − log2(r_b/R) rounded to whole bits: monotone in the
+    * true ratio and bit-replayable by the DuckDB oracle, where a float
+    * log would put the selection boundary on engine-dependent rounding.
+    *
+    * Output: one row per corpus document — (idCol, n_tokens, score,
+    * selected) with selected ⇔ score ≥ `minScore` (default 1: its
+    * tokens are more target-like than raw-like at whole-bit
+    * granularity; raise it to tighten selection toward the target
+    * mode). Token-less documents score 0. Callers wanting a fixed
+    * budget instead of a threshold feed `score` to the two-phase
+    * top-k/rank family rather than re-deriving it. When the target IS
+    * a subset of the corpus and distributionally indistinguishable
+    * from it, scores sit at ≈ 0 — the correct "nothing to select on"
+    * answer, not a failure. Note the count column is named `n_tokens`,
+    * which [[packShards]] reserves — `.drop("n_tokens")` before
+    * packing the selection.
+    *
+    * Scale shape: each profile is a dims-bounded aggregate (≤ `dims`
+    * rows, ONE partial-agg shuffle over its token stream); the weight
+    * table (≤ dims rows) is BROADCAST back onto the corpus token
+    * stream, so scoring is a map-side hash join + one doc-keyed
+    * partial agg — corpus tokens never shuffle for the weights. Counts
+    * stay < 2^63 past 10^18 tokens.
+    */
+  def dsirScores(
+      corpus: DataFrame,
+      target: DataFrame,
+      idCol: String,
+      textCol: String,
+      dims: Int = 64,
+      minScore: Long = 1L
+  ): DataFrame = {
+    require(dims > 0, "dims must be positive")
+    def bitlen(c: Column): Column = length(bin(c)).cast("long")
+    def toks(df: DataFrame, keep: Seq[Column]): DataFrame =
+      df.select(keep :+ explode(Dedup.words(col(textCol))).as("__term"): _*)
+        .filter(col("__term") =!= "")
+        .withColumn("__bucket",
+          (TextStats.rollingFingerprint(col("__term")) % dims).cast("long"))
+        .drop("__term")
+    // +1 smoothing over ALL dims buckets, so a bucket absent from one
+    // side still carries a finite weight instead of dropping its tokens
+    def profile(df: DataFrame, cnt: String): DataFrame =
+      corpus.sparkSession.range(0, dims).select(col("id").as("__bucket"))
+        .join(toks(df, Nil).groupBy(col("__bucket"))
+                .agg(count(lit(1)).as("__n")),
+              Seq("__bucket"), "left")
+        .select(col("__bucket"),
+          (coalesce(col("__n"), lit(0L)) + 1L).as(cnt))
+    val tp = profile(target, "__t")
+    val rp = profile(corpus, "__r")
+    val weights = tp.join(rp, Seq("__bucket"))
+      .crossJoin(broadcast(tp.agg(sum(col("__t")).as("__tt"))))
+      .crossJoin(broadcast(rp.agg(sum(col("__r")).as("__rt"))))
+      .select(col("__bucket"),
+        (bitlen(col("__t")) - bitlen(col("__tt"))
+          - bitlen(col("__r")) + bitlen(col("__rt"))).as("__w"))
+    val scored = toks(corpus, Seq(col(idCol)))
+      .join(broadcast(weights), Seq("__bucket"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("__nt"), sum(col("__w")).as("__score"))
+    corpus.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("__nt"), lit(0L)).as("n_tokens"),
+        coalesce(col("__score"), lit(0L)).as("score"),
+        (coalesce(col("__score"), lit(0L)) >= minScore).as("selected"))
+  }
 }

@@ -459,4 +459,63 @@ class CurationSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     assert(msgs(ex).exists(m => m != null && m.contains("out of [0,")))
   }
+
+  test("dsirScores ≡ naive integer replay; target-like docs selected; " +
+      "empty doc emits (0, 0, false); order/partitioning invariant") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val dims = 16
+    // two disjoint vocabularies: target speaks A, the rest speaks B
+    val aWords = Seq("alpha", "axiom", "amber", "apex")
+    val bWords = Seq("basalt", "borax", "burl", "bog")
+    val rnd = new scala.util.Random(7)
+    def sent(ws: Seq[String], n: Int) =
+      Seq.fill(n)(ws(rnd.nextInt(ws.size))).mkString(" ")
+    val rows = (0L until 30L).map { i =>
+      val text =
+        if (i == 29L) "" // token-less document
+        else if (i % 3 == 0) sent(aWords, 8) // target-like
+        else sent(bWords, 8)
+      (i, text)
+    }
+    val corpus = rows.toDF("doc_id", "text")
+    val target = corpus.filter(col("doc_id") % 3 === 0 && col("text") =!= "")
+    val got = Curation.dsirScores(corpus, target, "doc_id", "text", dims)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+
+    // naive single-node replay of the documented integer contract
+    def buckets(t: String): Seq[Long] =
+      t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+        .map(w => graft.exprs.RollingHashImpl.hash(UTF8String.fromString(w)) % dims)
+    def prof(texts: Seq[String]): Map[Long, Long] = {
+      val c = texts.flatMap(buckets).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      (0L until dims.toLong).map(b => b -> (c.getOrElse(b, 0L) + 1L)).toMap
+    }
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val tp = prof(rows.filter(r => r._1 % 3 == 0 && r._2.nonEmpty).map(_._2))
+    val rp = prof(rows.map(_._2))
+    val (tt, rt) = (tp.values.sum, rp.values.sum)
+    val w = (0L until dims.toLong).map(b =>
+      b -> (bitlen(tp(b)) - bitlen(tt) - bitlen(rp(b)) + bitlen(rt))).toMap
+    val naive = rows.map { case (id, t) =>
+      val bs = buckets(t)
+      val score = bs.map(w).sum
+      (id, bs.size.toLong, score, score > 0L)
+    }
+    assert(got.toSeq == naive)
+    assert(got.find(_._1 == 29L).get == ((29L, 0L, 0L, false)))
+    // the disjoint vocabularies must actually separate
+    assert(naive.filter(r => r._1 % 3 == 0 && r._1 != 29L).forall(_._4))
+    assert(naive.filter(r => r._1 % 3 != 0).forall(!_._4))
+    // physical layout of the input must not change a single score
+    val shuffled = Curation.dsirScores(
+        corpus.repartition(7).sortWithinPartitions(col("text")),
+        target, "doc_id", "text", dims)
+      .as[(Long, Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(shuffled.toSeq == naive)
+    // the weight table rides a broadcast join; corpus tokens never
+    // shuffle for scoring
+    val plan = Curation.dsirScores(corpus, target, "doc_id", "text", dims)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"))
+  }
 }
