@@ -3216,6 +3216,24 @@ object SparkEntry {
           col("depth"), col("path"))
     }),
 
+    // --- branched-transcript DFS linearization ---------------------------
+    // The same hash-chosen reply forest rendered into the order a
+    // trainer consumes it: depth-first pre-order, every subtree
+    // contiguous, siblings by turn id. One sort per conversation over a
+    // padded root-to-node key; the oracle rebuilds the key from the
+    // recursive walk and ranks it with a plain window.
+    "q_tree_order" -> ((s, dir) => {
+      val id64 = expr("CAST(substr(conv_id, 2) AS BIGINT)") * 1048576L +
+        col("turn_idx")
+      val withParent = turns(s, dir).select(col("conv_id"), col("turn_idx"))
+        .withColumn("parent_idx",
+          when(col("turn_idx") === 0, lit(null).cast("int"))
+            .otherwise((graft.ops.Curation.sampleGateBp(id64) %
+              col("turn_idx")).cast("int")))
+      graft.ops.Graph.dfsOrder(withParent, "conv_id", "turn_idx",
+        "parent_idx")
+    }),
+
     // --- recency-decayed conversation profile at an anchor ---------------
     // Char mass per conversation, halved per whole day of age at the
     // corpus-max anchor — integer stepped decay (bit-exact across
@@ -7243,6 +7261,55 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, turn_idx AS root_idx,
          |  CAST(0 AS BIGINT) AS depth, '' AS path
          |FROM par WHERE parent IS NULL""".stripMargin,
+
+    // the walk's deepest row carries each node's child-to-root path; the
+    // DFS key is its reverse plus the node itself, each component
+    // zero-padded, ranked by a per-conversation window
+    "q_tree_order" ->
+      s"""${T.replace("WITH turns", "WITH RECURSIVE turns")},
+         |ids AS (SELECT conv_id, turn_idx,
+         |    CAST(substr(conv_id, 2) AS BIGINT) * 1048576 + turn_idx AS id64
+         |  FROM turns),
+         |gx AS (SELECT conv_id, turn_idx,
+         |  ${fmixLateralSql("CAST(id64 AS UBIGINT)")}
+         |  FROM ids),
+         |par AS (SELECT conv_id, turn_idx,
+         |    CASE WHEN turn_idx = 0 THEN NULL
+         |         ELSE CAST(CAST((u >> 20) % 10000 AS BIGINT) % turn_idx
+         |           AS INT) END AS parent
+         |  FROM gx),
+         |walk AS (
+         |  SELECT conv_id, turn_idx, parent AS cur, 1 AS depth,
+         |      '/' || CAST(parent AS VARCHAR) AS path
+         |    FROM par WHERE parent IS NOT NULL
+         |  UNION ALL
+         |  SELECT w.conv_id, w.turn_idx, p.parent, w.depth + 1,
+         |      w.path || '/' || CAST(p.parent AS VARCHAR)
+         |    FROM walk w JOIN par p
+         |      ON p.conv_id = w.conv_id AND p.turn_idx = w.cur
+         |    WHERE p.parent IS NOT NULL),
+         |fw AS (SELECT conv_id, turn_idx, depth, path,
+         |    row_number() OVER (PARTITION BY conv_id, turn_idx
+         |      ORDER BY depth DESC) AS rn
+         |  FROM walk),
+         |allp AS (
+         |  SELECT conv_id, turn_idx, CAST(depth AS BIGINT) AS depth, path
+         |    FROM fw WHERE rn = 1
+         |  UNION ALL
+         |  SELECT conv_id, turn_idx, CAST(0 AS BIGINT) AS depth, ''
+         |    FROM par WHERE parent IS NULL),
+         |k AS (SELECT conv_id, turn_idx, depth,
+         |    array_to_string(list_transform(
+         |      list_append(
+         |        list_reverse(list_filter(string_split(path, '/'),
+         |          x -> x <> '')),
+         |        CAST(turn_idx AS VARCHAR)),
+         |      x -> lpad(x, 7, '0')), '/') AS key
+         |  FROM allp)
+         |SELECT conv_id, turn_idx, depth,
+         |  CAST(row_number() OVER (PARTITION BY conv_id ORDER BY key)
+         |    - 1 AS BIGINT) AS dfs_pos
+         |FROM k""".stripMargin,
 
     // stepped half-life weights replayed in integer shifts
     "q_decay_agg" ->

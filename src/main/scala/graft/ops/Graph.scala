@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Iterative graph compute as plain DataFrame joins (Pregel-shaped):
@@ -174,5 +174,54 @@ object Graph {
           "; raise maxRounds (rounds are O(log depth)) after ruling out a cycle")
     state.select(col("__t").as(treeCol), col("__id").as(idCol),
       col("anc").as("root"), col("depth"), col("path"))
+  }
+
+  /** DFS (pre-order) linearization of a reply forest: the order in which
+    * a branched transcript renders into ONE training sequence — every
+    * subtree contiguous, each node directly after its parent's earlier
+    * subtrees, siblings in id order, roots in id order. This is the
+    * missing step between [[treePaths]] (structure) and the SFT
+    * rendering family (q_render_sft renders LINEAR conversations; a
+    * branched agent trace has to be linearized first or parent/child
+    * turns interleave across branches).
+    *
+    * Construction: each node's sort key is its root-to-node id chain
+    * ([[treePaths]]' child-to-root `path`, reversed, plus the node's own
+    * id), zero-padded per component so lexicographic string order equals
+    * numeric order. A parent's key is a strict '/'-prefix of its
+    * children's ('/' < '0' in ASCII), so pre-order falls out of ONE sort
+    * — no per-level iteration. `dfs_pos` is the 0-based rank of that key
+    * within the tree.
+    *
+    * Ids must be non-negative and fit `padWidth` digits (fails loud,
+    * not mis-sorts). Scale shape: [[treePaths]]' O(log depth) doubling
+    * joins, then one window partitioned by TREE — bounded by the
+    * largest single conversation (the same per-conversation unit every
+    * window feature in this engine sorts), never by the corpus.
+    */
+  def dfsOrder(
+      df: DataFrame,
+      treeCol: String,
+      idCol: String,
+      parentCol: String,
+      maxRounds: Int = 20,
+      padWidth: Int = 7
+  ): DataFrame = {
+    require(padWidth > 0 && padWidth <= 18, "padWidth must be in 1..18")
+    val paths = treePaths(df, treeCol, idCol, parentCol, maxRounds)
+    def padded(x: Column): Column =
+      when(length(x) > padWidth || substring(x, 1, 1) === "-",
+        raise_error(concat(lit("dfsOrder: id "), x,
+          lit(s" does not fit $padWidth non-negative digits"))))
+        .otherwise(lpad(x, padWidth, "0"))
+    val chain = concat(
+      reverse(filter(split(col("path"), "/"), x => x =!= "")),
+      array(col(idCol).cast("string")))
+    val key = concat_ws("/", transform(chain, padded(_)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(treeCol)).orderBy(col("__dfs_key"))
+    paths.withColumn("__dfs_key", key)
+      .withColumn("dfs_pos", (row_number().over(w) - 1).cast("long"))
+      .select(col(treeCol), col(idCol), col("depth"), col("dfs_pos"))
   }
 }

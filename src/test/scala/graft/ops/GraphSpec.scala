@@ -127,4 +127,64 @@ class GraphSpec extends AnyFunSuite {
       Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
     assert(msgs(ex).exists(m => m != null && m.contains("dangling parent")))
   }
+
+  private def dfs(rows: Seq[(String, Int, Option[Int])]) =
+    Graph.dfsOrder(
+        rows.map { case (t, i, p) => (t, i, p.map(Integer.valueOf).orNull) }
+          .toDF("tree", "node", "parent"),
+        "tree", "node", "parent")
+      .as[(String, Int, Long, Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+
+  test("dfsOrder: hand-checked pre-order — subtrees contiguous, siblings " +
+      "by id, multi-digit ids sort numerically, forests independent") {
+    //   t1:      0            DFS: 0, 1, 3, 10, 2
+    //          /   \          (10 is in 3's subtree and must come BEFORE
+    //         1     2          sibling 2 — string sort of unpadded ids
+    //         |                would put "10" after "2")
+    //         3
+    //         |
+    //        10
+    val got = dfs(Seq(
+      ("t1", 0, None), ("t1", 1, Some(0)), ("t1", 2, Some(0)),
+      ("t1", 3, Some(1)), ("t1", 10, Some(3)),
+      ("t2", 7, None), ("t2", 8, Some(7))))
+    assert(got == Map(
+      ("t1", 0) -> ((0L, 0L)), ("t1", 1) -> ((1L, 1L)),
+      ("t1", 3) -> ((2L, 2L)), ("t1", 10) -> ((3L, 3L)),
+      ("t1", 2) -> ((1L, 4L)),
+      ("t2", 7) -> ((0L, 0L)), ("t2", 8) -> ((1L, 1L))))
+  }
+
+  test("dfsOrder properties on a random forest: positions are a " +
+      "permutation, every parent precedes its child, every subtree is a " +
+      "contiguous interval") {
+    val rnd = new scala.util.Random(23)
+    val rows = ("f", 0, None) +: (1 to 60).map(i =>
+      ("f", i, Some(rnd.nextInt(i)))) // parent < child: acyclic by construction
+    val got = dfs(rows)
+    val pos = got.map { case ((_, n), (_, p)) => n -> p }
+    assert(pos.values.toSeq.sorted == (0L until 61L))
+    val parent = rows.collect { case (_, n, Some(p)) => n -> p }.toMap
+    assert(parent.forall { case (c, p) => pos(p) < pos(c) })
+    // subtree of n = n + all descendants; its positions must be an interval
+    def subtree(n: Int): Set[Int] =
+      Set(n) ++ parent.collect { case (c, p) if p == n => c }.flatMap(subtree)
+    (0 to 60).foreach { n =>
+      val ps = subtree(n).map(pos(_))
+      assert(ps.max - ps.min + 1 == ps.size, s"subtree of $n not contiguous")
+    }
+  }
+
+  test("dfsOrder fails loud on an id wider than padWidth") {
+    val ex = intercept[Exception] {
+      Graph.dfsOrder(
+        Seq(("t", 1, null), ("t", 100, Integer.valueOf(1)))
+          .toDF("tree", "node", "parent"),
+        "tree", "node", "parent", padWidth = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => e.getMessage +: msgs(e.getCause))
+    assert(msgs(ex).exists(m => m != null && m.contains("does not fit")))
+  }
 }
