@@ -569,6 +569,21 @@ object SparkEntry {
           budgetTokens = 2000L)
         .select("doc_id", "lang", "n_tokens", "shard_seq")),
 
+    // --- exact-boundary concat-and-chop packing --------------------------------
+    // The OTHER pretraining layout: the per-lang token stream cut every
+    // 2000 tokens with documents SPLITTING at boundaries — every shard
+    // is exactly budget-sized, one output row per (doc, shard) piece
+    // with both within-shard and within-document [start, end) offsets.
+    // The oracle replays the running sum and expands each document's
+    // shard range with generate_series.
+    "q_pack_split" -> ((s, dir) =>
+      graft.ops.Curation.packSplit(
+          docs(s, dir), strataCol = "lang", orderCol = "doc_id",
+          tokens = TextStats.regexTokenCount(col("text")),
+          budgetTokens = 2000L)
+        .select("doc_id", "lang", "n_tokens", "shard_seq", "piece_seq",
+          "tok_start", "tok_end", "doc_tok_start", "doc_tok_end")),
+
     // --- curriculum ordering (two-phase global rank) ------------------------------
     // "Sort the corpus by difficulty, number it, cut it into equal
     // training phases" — the global row_number computed by the two-phase
@@ -4998,6 +5013,34 @@ object SparkEntry {
         |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
         |    0) / 2000.0) AS BIGINT) AS shard_seq
         |FROM t""".stripMargin,
+
+    // concat-and-chop replay: the same running sum, each document's
+    // shard range expanded inclusively, piece spans by clamp
+    "q_pack_split" ->
+      """WITH t AS (SELECT doc_id, lang,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT) AS n_tokens
+        |FROM documents),
+        |c AS (SELECT doc_id, lang, n_tokens,
+        |  CAST(COALESCE(SUM(n_tokens) OVER (PARTITION BY lang
+        |    ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |    0) AS BIGINT) AS g
+        |  FROM t),
+        |p AS (SELECT doc_id, lang, n_tokens, g,
+        |  unnest(generate_series(g // 2000,
+        |    CASE WHEN n_tokens = 0 THEN g // 2000
+        |         ELSE (g + n_tokens - 1) // 2000 END)) AS shard_seq
+        |  FROM c)
+        |SELECT doc_id, lang, n_tokens,
+        |  CAST(shard_seq AS BIGINT) AS shard_seq,
+        |  CAST(shard_seq - g // 2000 AS BIGINT) AS piece_seq,
+        |  CAST(GREATEST(g, shard_seq * 2000) - shard_seq * 2000 AS BIGINT)
+        |    AS tok_start,
+        |  CAST(LEAST(g + n_tokens, (shard_seq + 1) * 2000) - shard_seq * 2000
+        |    AS BIGINT) AS tok_end,
+        |  CAST(GREATEST(g, shard_seq * 2000) - g AS BIGINT) AS doc_tok_start,
+        |  CAST(LEAST(g + n_tokens, (shard_seq + 1) * 2000) - g AS BIGINT)
+        |    AS doc_tok_end
+        |FROM p""".stripMargin,
 
     "q_lang_id" ->
       """WITH sc AS (SELECT doc_id,

@@ -708,6 +708,85 @@ object Curation {
       .mode("overwrite")
       .parquet(outDir)
 
+  /** Exact-boundary "concat-and-chop" packing: the GPT-style pretraining
+    * layout where each stratum's token stream is conceptually
+    * concatenated in `orderCol` order and cut every `budgetTokens`
+    * tokens, documents SPLITTING across boundaries — unlike
+    * [[packShards]] (whole documents, stated overrun), every shard here
+    * holds exactly `budgetTokens` tokens (the stratum's last shard runs
+    * short). Emits one row per (document, shard) PIECE:
+    *
+    *   shard_seq      shard this piece lands in
+    *   piece_seq      0-based piece index within the document
+    *   tok_start/end  the piece's [start, end) WITHIN its shard
+    *   doc_tok_start/end  the piece's [start, end) within the DOCUMENT
+    *                  (what the loader actually slices)
+    *
+    * Zero-token documents emit one empty piece ([x, x)) in the shard the
+    * cut position falls in — present, never silently dropped. Pieces of
+    * one document tile [0, n) exactly and each shard's pieces tile
+    * [0, budget) exactly (both property-tested); piece 0 lands in the
+    * same shard [[packShards]] assigns, so the two layouts agree on
+    * where a document starts.
+    *
+    * Scale shape: the same two-phase mega-stratum-safe exclusive cumsum
+    * as [[packShards]] (chunked within-sums + tiny across-chunk carry),
+    * then a scan-fused explode over the piece range. A document
+    * spanning p shards inherently emits p rows — documents that could
+    * approach the shard count should be pre-chopped
+    * ([[TextStats.chunkWords]]) so no single input row fans out
+    * unboundedly. Token counts must be non-negative (fails loud).
+    */
+  def packSplit(
+      df: DataFrame,
+      strataCol: String,
+      orderCol: String,
+      tokens: Column,
+      budgetTokens: Long,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(budgetTokens > 0, "budgetTokens must be positive")
+    require(chunkSpan > 0, "chunkSpan must be positive")
+    val reserved = Seq("n_tokens", "shard_seq", "piece_seq", "tok_start",
+      "tok_end", "doc_tok_start", "doc_tok_end",
+      "__pchunk", "__pwithin", "__pcarry", "__ptot", "__g")
+    require(!reserved.exists(df.columns.contains),
+      s"packSplit reserves the column names ${reserved.mkString(", ")}")
+    val guarded = when(tokens >= 0L, tokens).otherwise(raise_error(concat(
+      lit("packSplit: negative token count "), tokens.cast("string"),
+      lit(" — token counts must be >= 0"))))
+    val df1 = df
+      .withColumn("n_tokens", guarded)
+      .withColumn("__pchunk", floor(col(orderCol).cast("long") / chunkSpan))
+    val w1 = Window.partitionBy(col(strataCol), col("__pchunk"))
+      .orderBy(col(orderCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val chunkTotals = df1.groupBy(col(strataCol), col("__pchunk"))
+      .agg(sum(col("n_tokens")).as("__ptot"))
+    val wc = Window.partitionBy(col(strataCol)).orderBy(col("__pchunk"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carry = chunkTotals
+      .withColumn("__pcarry", coalesce(sum(col("__ptot")).over(wc), lit(0L)))
+      .select(col(strataCol), col("__pchunk"), col("__pcarry"))
+    val b = lit(budgetTokens)
+    val s0 = call_function("div", col("__g"), b)
+    val s1 = when(col("n_tokens") === 0L, s0)
+      .otherwise(call_function("div", col("__g") + col("n_tokens") - 1L, b))
+    val pstart = greatest(col("__g"), col("shard_seq") * b)
+    val pend = least(col("__g") + col("n_tokens"), (col("shard_seq") + 1L) * b)
+    df1
+      .withColumn("__pwithin", coalesce(sum(col("n_tokens")).over(w1), lit(0L)))
+      .join(carry, Seq(strataCol, "__pchunk"))
+      .withColumn("__g", col("__pcarry") + col("__pwithin"))
+      .withColumn("shard_seq", explode(sequence(s0, s1)))
+      .withColumn("piece_seq", (col("shard_seq") - s0).cast("long"))
+      .withColumn("tok_start", pstart - col("shard_seq") * b)
+      .withColumn("tok_end", pend - col("shard_seq") * b)
+      .withColumn("doc_tok_start", pstart - col("__g"))
+      .withColumn("doc_tok_end", pend - col("__g"))
+      .drop("__pchunk", "__pwithin", "__pcarry", "__g")
+  }
+
   /** DSIR-style hashed importance scoring for TARGET-DOMAIN data
     * selection ("Data Selection for Language Models via Importance
     * Resampling", Xie et al. 2023): score every corpus document by how

@@ -460,6 +460,59 @@ class CurationSpec extends AnyFunSuite {
     assert(msgs(ex).exists(m => m != null && m.contains("out of [0,")))
   }
 
+  test("packSplit: every full shard tiles to exactly the budget, pieces " +
+      "tile each document, piece 0 agrees with packShards, zero-token " +
+      "docs keep one empty piece, mega-doc spans many shards") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 200).map { i =>
+      val toks =
+        if (i == 60) 200L // mega doc: spans ≥ 5 shards at B = 37
+        else if (i % 17 == 0) 0L
+        else rnd.nextInt(50).toLong
+      (s"s${i % 2}", i.toLong, toks)
+    }
+    val B = 37L
+    val got = Curation.packSplit(
+        rows.toDF("lang", "id", "toks").repartition(9),
+        "lang", "id", col("toks"), B, chunkSpan = 16L)
+      .select("lang", "id", "n_tokens", "shard_seq", "piece_seq",
+        "tok_start", "tok_end", "doc_tok_start", "doc_tok_end")
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    // pieces of one doc tile [0, n) contiguously, in piece_seq order
+    rows.foreach { case (lang, id, n) =>
+      val ps = got.filter(r => r._1 == lang && r._2 == id).sortBy(_._5)
+      assert(ps.map(_._5) == (0L until ps.size.toLong), s"piece_seq gap at $id")
+      assert(ps.head._8 == 0L && ps.last._9 == n)
+      ps.sliding(2).foreach {
+        case Seq(a, b) => assert(a._9 == b._8, s"doc $id pieces not contiguous")
+        case _ =>
+      }
+      // within-shard spans are in [0, B] and match the doc-relative width
+      ps.foreach(p => assert(p._6 >= 0 && p._7 <= B && p._7 - p._6 == p._9 - p._8))
+      if (n == 0) assert(ps.size == 1 && ps.head._6 == ps.head._7)
+    }
+    // every shard except each stratum's last is covered by exactly B tokens
+    got.groupBy(_._1).foreach { case (lang, rs) =>
+      val last = rs.map(_._4).max
+      rs.groupBy(_._4).foreach { case (shard, ps) =>
+        val covered = ps.map(p => p._7 - p._6).sum
+        if (shard < last) assert(covered == B, s"$lang shard $shard covers $covered")
+        else assert(covered <= B)
+      }
+    }
+    // the mega doc really spans multiple shards
+    assert(got.count(r => r._2 == 60L) >= 6)
+    // piece 0 lands where packShards puts the whole document
+    val whole = Curation.packShards(
+        rows.toDF("lang", "id", "toks"), "lang", "id", col("toks"), B,
+        chunkSpan = 16L)
+      .select("lang", "id", "shard_seq").as[(String, Long, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    got.filter(_._5 == 0L).foreach(r =>
+      assert(whole((r._1, r._2)) == r._4, s"doc ${r._2} start shard disagrees"))
+  }
+
   test("dsirScores ≡ naive integer replay; target-like docs selected; " +
       "empty doc emits (0, 0, false); order/partitioning invariant") {
     import org.apache.spark.unsafe.types.UTF8String
