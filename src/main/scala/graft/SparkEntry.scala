@@ -2749,6 +2749,23 @@ object SparkEntry {
       graft.features.ConvFeatures.dedupConversations(t.unionByName(reIngested))
     }),
 
+    // --- cross-conversation SUB-dialogue duplication ---------------------------------
+    // Forked/replayed sessions: every 9th conversation's first 6 turns
+    // are re-ingested under a 'd' prefix — whole-conversation digests
+    // miss them (the tails differ), but the copies share their 3-turn
+    // text shingles with the source, so each must pair with it at
+    // containment 10000 bp (unless a shingle is template-hot: df > 20
+    // conversations excludes it, the stated guard).
+    "q_subdialogue_dup" -> ((s, dir) => {
+      val t = turns(s, dir).select("conv_id", "turn_idx", "text")
+      val copies = t
+        .filter(substring(col("conv_id"), 2, 10).cast("long") % 9 === 0 &&
+          col("turn_idx") < 6)
+        .withColumn("conv_id", concat(lit("d"), substring(col("conv_id"), 2, 10)))
+      Dedup.subdialoguePairs(t.unionByName(copies), "conv_id", "turn_idx",
+        "text", k = 3, maxShingleDf = 20)
+    }),
+
     // --- training-example factory (context + label + split, ONE exchange) ----------
     // The engine's end-to-end point for the transcript tier: per user
     // turn, trailing 3-turn context (strictly preceding), forward
@@ -6655,6 +6672,38 @@ object SparkEntry {
          |SELECT conv_id, conv_digest, n_turns,
          |  conv_id = min(conv_id) OVER (PARTITION BY conv_digest) AS kept
          |FROM d""".stripMargin,
+
+    // 3-turn text shingles (chr(1)-joined, nulls as '') hashed inside a
+    // per-conversation window; df-capped self-join pairs conversations
+    "q_subdialogue_dup" ->
+      s"""$T,
+         |u AS (SELECT conv_id, turn_idx, text FROM turns
+         |  UNION ALL
+         |  SELECT 'd' || substr(conv_id, 2) AS conv_id, turn_idx, text
+         |  FROM turns
+         |  WHERE CAST(substr(conv_id, 2) AS BIGINT) % 9 = 0 AND turn_idx < 6),
+         |sh0 AS (SELECT conv_id,
+         |    CASE WHEN lead(turn_idx, 2) OVER w IS NOT NULL THEN
+         |      substr(md5(concat_ws(chr(1), COALESCE(text, ''),
+         |        COALESCE(lead(text, 1) OVER w, ''),
+         |        COALESCE(lead(text, 2) OVER w, ''))), 1, 16)
+         |    END AS h
+         |  FROM u WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+         |sh AS (SELECT DISTINCT h, conv_id FROM sh0 WHERE h IS NOT NULL),
+         |hot AS (SELECT h FROM sh GROUP BY h HAVING count(*) > 20),
+         |kept AS (SELECT * FROM sh WHERE h NOT IN (SELECT h FROM hot)),
+         |sized AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+         |  FROM kept GROUP BY 1),
+         |p AS (SELECT x.conv_id AS conv_a, y.conv_id AS conv_b,
+         |    CAST(count(*) AS BIGINT) AS n_shared
+         |  FROM kept x JOIN kept y ON x.h = y.h AND x.conv_id < y.conv_id
+         |  GROUP BY 1, 2)
+         |SELECT p.conv_a, p.conv_b, p.n_shared, sa.n AS n_a, sb.n AS n_b,
+         |  CAST(p.n_shared * 10000 // LEAST(sa.n, sb.n) AS BIGINT)
+         |    AS contain_bp
+         |FROM p
+         |JOIN sized sa ON sa.conv_id = p.conv_a
+         |JOIN sized sb ON sb.conv_id = p.conv_b""".stripMargin,
 
     // context (strictly-preceding list), label (strictly-following
     // conditional min), split (pure time function) — all three replayed

@@ -522,4 +522,75 @@ object Dedup {
               col("n_candidates"))).as("precision_bp"))
     }.reduce(_ union _)
   }
+
+  /** Cross-conversation SUB-DIALOGUE duplication: pairs of conversations
+    * sharing runs of `k` consecutive identical turn texts — the
+    * transcript-granularity twin of document near-dup. Agent corpora are
+    * full of these (replayed sessions, forked runs, templated flows);
+    * whole-conversation dedup ([[q_conv_dedup]]'s digest) misses them
+    * because the surrounding turns differ, and document-level shingles
+    * can't see turn boundaries.
+    *
+    * Contract: a turn-shingle is the first-16-hex-chars md5 of the `k`
+    * texts at consecutive `orderCol` positions joined by U+0001
+    * (missing/NULL text reads as "" — the unit separator never appears
+    * in text, so the join is injective per k). Shingles occurring in more
+    * than `maxShingleDf` conversations are excluded from pairing (the
+    * templated-flow guard — the same df-cap contract as
+    * [[Decontam.ngramOverlap]]); emit one row per unordered conversation
+    * pair (a < b) with the distinct shared-shingle count, both sides'
+    * distinct shingle counts, and
+    * `contain_bp = floor(10^4 · n_shared / min(n_a, n_b))` — the
+    * containment score a keep/drop policy thresholds on.
+    *
+    * Scale shape: turn text is digested INSIDE one per-conversation
+    * window (k−1 leads share a single conv-keyed sort — the engine's
+    * standard per-conversation exchange) and never crosses a shuffle
+    * again; pairing runs on fixed-width (hash, conv) rows with the
+    * df-capped self-join bounded by maxShingleDf² per shingle, the
+    * [[minhashPairs]] bucket geometry.
+    */
+  def subdialoguePairs(
+      turns: DataFrame,
+      convCol: String,
+      orderCol: String,
+      textCol: String,
+      k: Int = 3,
+      maxShingleDf: Int = 20
+  ): DataFrame = {
+    require(k >= 2, "a sub-dialogue shingle needs k >= 2 turns")
+    require(maxShingleDf >= 2, "maxShingleDf < 2 would exclude every pair")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(convCol)).orderBy(col(orderCol))
+    val joined = concat_ws("\u0001",
+      (0 until k).map(j =>
+        coalesce(lead(col(textCol), j).over(w), lit(""))): _*)
+    // a shingle exists only where all k turns do — test the ORDER column
+    // (never null for a present row), not the text (legitimately null)
+    val rows = turns
+      .withColumn("__h",
+        when(lead(col(orderCol), k - 1).over(w).isNotNull,
+          substring(md5(joined), 1, 16)))
+      .filter(col("__h").isNotNull)
+      .select(col("__h"), col(convCol).as("__c"))
+      .distinct()
+    val kept = rows.join(
+      broadcast(rows.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
+        .filter(col("__df") > maxShingleDf).select("__h")),
+      Seq("__h"), "left_anti")
+    val sized = kept.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
+    val pairs = kept.as("x").join(kept.as("y"), Seq("__h"))
+      .filter(col("x.__c") < col("y.__c"))
+      .groupBy(col("x.__c").as("conv_a"), col("y.__c").as("conv_b"))
+      .agg(count(lit(1)).as("n_shared"))
+    pairs
+      .join(sized.select(col("__c").as("conv_a"), col("__n").as("n_a")),
+        Seq("conv_a"))
+      .join(sized.select(col("__c").as("conv_b"), col("__n").as("n_b")),
+        Seq("conv_b"))
+      .select(col("conv_a"), col("conv_b"), col("n_shared"),
+        col("n_a"), col("n_b"),
+        call_function("div", col("n_shared") * 10000L,
+          least(col("n_a"), col("n_b"))).as("contain_bp"))
+  }
 }

@@ -970,4 +970,40 @@ class OpsSpec extends AnyFunSuite {
       .agg(org.apache.spark.sql.functions.sum($"s")).as[Long].collect().head
     assert(diagSum == normSum)
   }
+
+  test("subdialoguePairs: copied turn run pairs with its source at full " +
+      "containment; unrelated conversations emit nothing; the hot-shingle " +
+      "cap excludes template runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    def pairs(rows: Seq[(String, Int, String)], maxDf: Int = 20) =
+      Dedup.subdialoguePairs(rows.toDF("conv", "idx", "text").repartition(5),
+          "conv", "idx", "text", k = 3, maxShingleDf = maxDf)
+        .as[(String, String, Long, Long, Long, Long)].collect().toSet
+    val a = Seq("a0", "a1", "a2", "a3", "a4", "a5").zipWithIndex
+      .map { case (t, i) => ("A", i, t) }
+    val b = Seq("a1", "a2", "a3", "a4").zipWithIndex // A's middle run
+      .map { case (t, i) => ("B", i, t) }
+    val c = Seq("x0", "x1", "x2", "x3").zipWithIndex
+      .map { case (t, i) => ("C", i, t) }
+    // A: 4 shingles, B: 2 (both inside A), C: disjoint → one pair
+    assert(pairs(a ++ b ++ c) == Set(("A", "B", 2L, 4L, 2L, 10000L)))
+    // shingle boundaries matter: a copy offset by one turn still matches
+    // only the overlapping aligned runs, not partial ones
+    val b2 = Seq("a0x", "a1", "a2", "a3").zipWithIndex
+      .map { case (t, i) => ("B", i, t) } // first turn differs
+    assert(pairs(a ++ b2) == Set(("A", "B", 1L, 4L, 2L, 5000L)))
+    // a run shared by MANY conversations (template flow) is capped out:
+    // with maxDf = 2, three conversations sharing one run emit no pairs
+    val tpl = (0 to 2).flatMap(i =>
+      Seq("t0", "t1", "t2").zipWithIndex.map { case (t, j) => (s"T$i", j, t) })
+    assert(pairs(tpl, maxDf = 2).isEmpty)
+    // ...but the same three at maxDf = 3 pair all three ways
+    assert(pairs(tpl, maxDf = 3).size == 3)
+    // null text participates as '' (still a valid shingle component)
+    val n1 = Seq(("N1", 0, "p"), ("N1", 1, null), ("N1", 2, "q"),
+      ("N2", 0, "p"), ("N2", 1, null), ("N2", 2, "q"))
+    assert(pairs(n1.map(r => (r._1, r._2, r._3: String))) ==
+      Set(("N1", "N2", 1L, 1L, 1L, 10000L)))
+  }
 }
