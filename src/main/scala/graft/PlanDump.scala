@@ -51,6 +51,17 @@ object PlanDump {
       "q_pack_shards (token-budget packing: one window per stratum, " +
         "no global sort)" ->
         SparkEntry.queries("q_pack_shards")(spark, dir),
+      "q_pack_split (concat-and-chop: the same two-phase cumsum, then a " +
+        "scan-fused generate over each document's piece range — fan-out " +
+        "only where a document truly spans shards)" ->
+        SparkEntry.queries("q_pack_split")(spark, dir),
+      "q_dsir_select (DSIR selection: dims-bounded profile aggs; the " +
+        "weight table BROADCAST onto the corpus token stream — corpus " +
+        "tokens never shuffle for the weights)" ->
+        SparkEntry.queries("q_dsir_select")(spark, dir),
+      "q_tree_order (branched-transcript DFS linearization: O(log depth) " +
+        "doubling joins + ONE per-conversation sort over the padded key)" ->
+        SparkEntry.queries("q_tree_order")(spark, dir),
       "q_corpus_pipeline (composed clean → decontam anti-join → sample → " +
         "pack: one Catalyst job, every exchange keyed by its stage)" ->
         SparkEntry.queries("q_corpus_pipeline")(spark, dir),
