@@ -36,15 +36,25 @@ object Dedup {
   /** Lower-cased, single-space word split (matches DuckDB string_split). */
   def words(textCol: Column): Column = split(lower(textCol), " ")
 
-  /** k-word shingles, empty when there are fewer than k words. */
-  def shingles(ws: Column, k: Int): Column =
-    when(size(ws) < k, array().cast("array<string>"))
-      .otherwise(
-        transform(
-          sequence(lit(0), size(ws) - k),
-          i => concat_ws(" ", slice(ws, i + 1, lit(k)))
-        )
-      )
+  /** k-word shingles, empty when there are fewer than k words.
+    *
+    * Built as a chain of k−1 `zip_with`s over k shifted slices of `ws`
+    * rather than a per-index `transform` whose lambda body slices `ws`:
+    * a higher-order-function lambda re-evaluates every non-lambda-var
+    * subtree PER ELEMENT, so an inline `ws` (e.g. `words(col(text))`)
+    * would re-split the whole document once per shingle — O(n²) per doc.
+    * Here `ws` appears only at the top level (k+1 references, evaluated
+    * once each per row) and every lambda touches lambda vars only, so
+    * the cost is O(n·k) no matter what expression the caller passes.
+    */
+  def shingles(ws: Column, k: Int): Column = {
+    require(k >= 1, "shingle length k must be >= 1")
+    val m = size(ws) - (k - 1)
+    val joined = (2 to k).foldLeft(slice(ws, lit(1), m)) { (acc, j) =>
+      zip_with(acc, slice(ws, lit(j), m), (a, b) => concat_ws(" ", a, b))
+    }
+    when(size(ws) < k, array().cast("array<string>")).otherwise(joined)
+  }
 
   /** MinHash component j: min over shingles of the first 8 md5 hex chars of
     * `j|shingle`. String min == numeric min (fixed-width hex).

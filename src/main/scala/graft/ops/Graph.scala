@@ -43,14 +43,15 @@ object Graph {
     * groupBy — the only shuffle.
     */
   def wordAdjacencyEdges(df: DataFrame, textCol: String): DataFrame = {
+    // zip_with over two shifted slices, NOT transform+element_at: a HOF
+    // lambda re-evaluates non-lambda-var subtrees per element, so an
+    // inline words() would re-split the document once per bigram (O(n²)
+    // per doc). Here the lambda touches lambda vars only — O(n).
     val ws = Dedup.words(col(textCol))
-    val bigrams = when(size(ws) < 2, array().cast("array<struct<src:string,dst:string>>"))
-      .otherwise(transform(
-        sequence(lit(0), size(ws) - 2),
-        i => struct(
-          element_at(ws, i + 1).as("src"),
-          element_at(ws, i + 2).as("dst"))))
-    df.select(explode(bigrams).as("e"))
+    val n = greatest(size(ws) - 1, lit(0))
+    df.select(explode(zip_with(
+        slice(ws, lit(1), n), slice(ws, lit(2), n),
+        (a, b) => struct(a.as("src"), b.as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .groupBy("src", "dst")
       .agg(count(lit(1)).as("w"))
@@ -70,8 +71,12 @@ object Graph {
   ): DataFrame = {
     require(iters > 0, "iters must be positive")
     require(dampBp > 0 && dampBp < 10000, "dampBp must be in (0, 10000)")
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
+    // the caller's edge relation is referenced four times below (node
+    // union ×2, out-degree join ×2) — persist so an expensive upstream
+    // (e.g. corpus bigram extraction) runs once, not four times
+    val edgesP = edges.persist()
+    val nodes = edgesP.select(col("src").as("node"))
+      .union(edgesP.select(col("dst").as("node")))
       .distinct()
       .persist()
     val n = nodes.count() // the teleport constant's one driver-side input
@@ -79,8 +84,8 @@ object Graph {
     val teleport = ((10000L - dampBp) * scale / 10000L) / n
     // out-degree joined ONCE; every round reuses the same (src, dst, w,
     // wout) edge relation
-    val edgesOut = edges
-      .join(edges.groupBy(col("src")).agg(sum(col("w")).as("wout")), Seq("src"))
+    val edgesOut = edgesP
+      .join(edgesP.groupBy(col("src")).agg(sum(col("w")).as("wout")), Seq("src"))
       .persist()
     var ranks = nodes.withColumn("r", lit(scale / n)).localCheckpoint()
     (1 to iters).foreach { _ =>
@@ -101,6 +106,7 @@ object Graph {
     }
     nodes.unpersist()
     edgesOut.unpersist()
+    edgesP.unpersist()
     ranks.select(col("node"), col("r").as("rank"))
   }
 
