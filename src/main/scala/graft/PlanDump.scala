@@ -251,6 +251,10 @@ object PlanDump {
         "scan-fused integer weight, ONE conv-keyed partial agg — no " +
         "window, no sort)" ->
         SparkEntry.queries("q_decay_agg")(spark, dir),
+      "q_cluster_split (leakage-free split: component labels left-join " +
+        "back to the corpus, codegen'd fmix64 gate on the CLUSTER id — " +
+        "no window, no extra shuffle beyond the label-propagation rounds)" ->
+        SparkEntry.queries("q_cluster_split")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

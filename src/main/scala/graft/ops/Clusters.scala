@@ -224,4 +224,45 @@ object Clusters {
       .select(col("id").as(idCol))
     df.join(drops, Seq(idCol), "left_anti")
   }
+
+  /** Leakage-free train/test split: each row is routed by the
+    * deterministic fmix64 gate ([[Curation.sampleGateBp]]) applied to its
+    * near-dup COMPONENT id (component min id; the row's own id when it
+    * sits in no pair) rather than to its own id — so all copies of a
+    * near-duplicate always land on the SAME side. Splitting by per-row
+    * hash leaks: a test document's mirror lands in train with
+    * probability 1 − testBp/10⁴, and the eval measures memorization of
+    * the mirror, not generalization. Keying the gate by the cluster id
+    * closes that hole while staying seedless and reproducible (the same
+    * corpus always splits identically, and splits at different rates
+    * nest, both inherited from the gate).
+    *
+    * Output: one row per input row — (idCol, split_key, split) with
+    * split ∈ {"test", "train"} and split_key the gated component id.
+    *
+    * Scale shape: components over the id-only pair stream (bounded
+    * label-propagation rounds), ONE left join back to the corpus keyed
+    * on the id, then a codegen'd scan-side gate — no window, no extra
+    * shuffle beyond the component rounds.
+    */
+  def clusterSplit(
+      df: DataFrame,
+      idCol: String,
+      pairs: DataFrame,
+      testBp: Int,
+      aCol: String = "a",
+      bCol: String = "b",
+      maxIters: Int = 20
+  ): DataFrame = {
+    require(testBp > 0 && testBp < 10000, "testBp must be in (0, 10000)")
+    val cc = connectedComponents(pairs, aCol, bCol, maxIters)
+      .select(col("id").as(idCol), col("cluster_id"))
+    df.join(cc, Seq(idCol), "left")
+      .withColumn("split_key",
+        coalesce(col("cluster_id"), col(idCol).cast("long")))
+      .withColumn("split",
+        when(Curation.sampleGateBp(col("split_key")) < testBp, "test")
+          .otherwise("train"))
+      .drop("cluster_id")
+  }
 }

@@ -123,4 +123,51 @@ class ClustersSpec extends AnyFunSuite {
     // exactly one output row per input row — total assignment, no fanout
     assert(got.size == docs.count())
   }
+
+  test("clusterSplit: paired docs share a side (zero split leakage), " +
+    "unpaired docs gate on their own id, rates nest") {
+    val docs = (0L to 40L).map(i => Tuple1(i)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    def split(bp: Int): Map[Long, (Long, String)] =
+      Clusters.clusterSplit(docs, "doc_id", pairs, testBp = bp)
+        .as[(Long, Long, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val got = split(2000)
+    // total assignment, one row per input row
+    assert(got.size == 41)
+    // every component rides the gate of its min id — all copies same side
+    assert(Seq(1L, 2L, 3L).map(got(_)).distinct.size == 1)
+    assert(got(1L)._1 == 1L)
+    assert(Seq(10L, 11L).map(got(_)).distinct.size == 1)
+    // unpaired: split_key is the row's own id, gate matches sampleGateBp
+    assert(got(7L)._1 == 7L)
+    assert(got(7L)._2 ==
+      (if (graft.exprs.SampleHashImpl.gateBp(7L) < 2000) "test" else "train"))
+    // nesting: test(1000) is a subset of test(3000)
+    val lo = split(1000).collect { case (id, (_, "test")) => id }.toSet
+    val hi = split(3000).collect { case (id, (_, "test")) => id }.toSet
+    assert(lo.subsetOf(hi) && lo.size < hi.size)
+  }
+
+  test("clusterSplit: no MinHash near-dup pair straddles the split on a " +
+    "corpus with planted mirrors") {
+    val base = (0L until 60L).map { i =>
+      (i, s"alpha beta gamma delta epsilon zeta eta theta doc$i word${i % 7} tail${i % 5}")
+    }
+    // plant mirrors: every 6th doc duplicated verbatim under a new id
+    val mirrored = base ++ base.collect {
+      case (i, t) if i % 6 == 0 => (i + 1000L, t)
+    }
+    val d = mirrored.toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(d, "doc_id", "text").persist()
+    assert(pairs.count() > 0) // the planted mirrors must actually pair
+    val splits = Clusters.clusterSplit(
+      d.select("doc_id"), "doc_id", pairs, testBp = 3000)
+    val straddling = pairs
+      .join(splits.select(col("doc_id").as("a"), col("split").as("sa")), Seq("a"))
+      .join(splits.select(col("doc_id").as("b"), col("split").as("sb")), Seq("b"))
+      .filter(col("sa") =!= col("sb"))
+    assert(straddling.isEmpty)
+    pairs.unpersist()
+  }
 }
