@@ -2048,6 +2048,25 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, dir) =>
       graft.ops.TextStats.topNgrams(docs(s, dir), "text", n = 3, k = 20)),
 
+    // --- one-scan blocklist tagging (Aho–Corasick, k terms one pass) ------------
+    // The C4/RefinedWeb badwords-filter shape: every term of the
+    // blocklist counted (substring, overlapping-exact) in ONE automaton
+    // pass per row — k regex scans over 100 TB collapse to one, the term
+    // list rides as a single reference object. Output is one row per
+    // (doc, matched term) with the exact count — the audit behind the
+    // drop decision.
+    "q_blocklist" -> ((s, dir) =>
+      graft.ops.TextStats.blocklistCounts(
+        docs(s, dir), "doc_id", col("text"), blocklistTerms)),
+
+    // --- the composed badwords DROP gate -----------------------------------------
+    // Documents containing NO blocklist term survive; same automaton,
+    // zero-shuffle scan-fused predicate.
+    "q_blocklist_gate" -> ((s, dir) =>
+      graft.ops.TextStats.blocklistGate(
+          docs(s, dir), col("text"), blocklistTerms)
+        .select("doc_id", "n_chars")),
+
     // --- word co-occurrence (PMI sufficient statistics) -------------------------
     // Ordered pairs within 2 positions, pair + unigram + total counts as
     // exact integers — PMI and collocation mining without a float log.
@@ -3433,6 +3452,17 @@ object SparkEntry {
     "the", "ing", "ion", "ent", "data", "table", "query", "join", "scan",
     "er", "an", "qu", "le", "e", "t", "a", " ")
 
+  /** Blocklist for q_blocklist / q_blocklist_gate: substring terms —
+    * multi-word phrases and self-overlap-capable entries included, so
+    * the oracle exercises the overlapping-count contract, not just
+    * token hits. Shared by query and oracle so they can never drift.
+    */
+  private val blocklistTerms: Seq[String] =
+    Seq("slow", "big data", "a a", "scan scan")
+  private def blocklistKwCte: String =
+    "kw(term) AS (SELECT * FROM (VALUES " +
+      blocklistTerms.map(t => s"('$t')").mkString(", ") + ") v(term))"
+
   // ---------------------------------------------------------------- oracle
 
   /** fmix64 replayed as DuckDB LATERAL ALIAS columns: takes a UBIGINT
@@ -4125,6 +4155,25 @@ object SparkEntry {
         |SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences
         |FROM g GROUP BY ngram
         |ORDER BY n_occurrences DESC, ngram ASC LIMIT 20""".stripMargin,
+
+    // overlapping-exact substring counts replayed position-by-position:
+    // every start offset where the term matches counts once — the same
+    // contract as the automaton's end-position outputs
+    "q_blocklist" ->
+      s"""WITH $blocklistKwCte,
+         |hits AS (SELECT d.doc_id, k.term,
+         |  CAST(len(list_filter(range(1, len(d.text) - len(k.term) + 2),
+         |    p -> substr(d.text, CAST(p AS INT), len(k.term)) = k.term))
+         |    AS BIGINT) AS n
+         |  FROM documents d, kw k)
+         |SELECT doc_id, term, n FROM hits WHERE n > 0""".stripMargin,
+
+    // the drop gate only needs existence, not counts
+    "q_blocklist_gate" ->
+      s"""WITH $blocklistKwCte
+         |SELECT d.doc_id, d.n_chars FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM kw k
+         |  WHERE contains(d.text, k.term))""".stripMargin,
 
     // pair lists per offset via the ngram-style list comprehension, pairs
     // re-split from the joined key, unigram counts joined on each side

@@ -601,4 +601,64 @@ object TextStats {
       .select(col("a"), col("b"), col("n_ab"), col("n_a"), col("n_b"),
         col("n_total"))
   }
+
+  /** array<bigint> of per-term SUBSTRING occurrence counts (overlapping
+    * included), index-aligned with `terms` — all terms matched in ONE
+    * Aho–Corasick pass over the text ([[graft.exprs.MultiMatchCounts]]),
+    * not one scan per term. The C4/RefinedWeb badwords-filter shape: at
+    * 100 TB, k regex passes is k full-corpus scans; this is one, with
+    * the term list riding along as a single reference object (plan size
+    * O(1) in k).
+    */
+  def multiMatchCounts(text: Column, terms: Seq[String]): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.MultiMatchCounts(
+        org.apache.spark.sql.GraftBridge.expression(text),
+        new graft.exprs.AcAutomaton(terms.toArray)))
+
+  /** Blocklist tagging: one row per (document, matched term) with its
+    * exact overlapping occurrence count — the audit artifact behind a
+    * badwords filter (which term fired, where, how often) rather than a
+    * bare drop bit. Matching is substring (phrases with spaces work),
+    * case-sensitive; callers wanting case-folds pass `lower(text)` and
+    * lowercase terms.
+    *
+    * Scale shape: ONE scan-fused automaton pass per row, then a
+    * posexplode of the k-length count vector filtered to hits — output
+    * is hit-sized, never |docs|×k; no shuffle at all.
+    */
+  def blocklistCounts(
+      df: DataFrame,
+      idCol: String,
+      text: Column,
+      terms: Seq[String]
+  ): DataFrame =
+    df.select(
+        col(idCol),
+        posexplode(multiMatchCounts(text, terms)).as(Seq("pos", "n")))
+      .filter(col("n") > 0)
+      .select(
+        col(idCol),
+        element_at(
+          lit(terms.toArray), col("pos").cast("int") + 1).as("term"),
+        col("n"))
+
+  /** The filter the tags exist for: rows whose text contains NO
+    * blocklist term survive (C4's badwords drop). Zero-shuffle
+    * scan-fused predicate on the scalar total-hit expression
+    * ([[graft.exprs.MultiMatchTotal]] — stays in whole-stage codegen
+    * and allocates nothing per row, unlike an `aggregate` HOF over the
+    * per-term count array), one array load per character regardless of
+    * the blocklist size.
+    */
+  def blocklistGate(
+      df: DataFrame,
+      text: Column,
+      terms: Seq[String]
+  ): DataFrame =
+    df.filter(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.exprs.MultiMatchTotal(
+          org.apache.spark.sql.GraftBridge.expression(text),
+          new graft.exprs.AcAutomaton(terms.toArray))) === 0L)
 }
