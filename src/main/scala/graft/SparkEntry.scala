@@ -909,6 +909,25 @@ object SparkEntry {
         TextStats.piiTokenCount(col("t")).as("n_pii"))
     }),
 
+    // --- PII SPAN index: [start, end) byte offsets + kind ------------------------
+    // The audit artifact behind the scrub: WHERE each redaction sat in
+    // the unmodified text, as engine-stable BYTE offsets (char offsets
+    // drift between UTF-8 and UTF-16 engines past any non-ASCII char).
+    // Same salted fixture and byte-identical classification rules as
+    // q_pii_scrub; one scan-fused expression + a hit-sized explode.
+    "q_pii_spans" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn(
+        "t",
+        concat(col("text"), lit(" "),
+          when(col("doc_id") % 4 === 0, lit("alice@example.com"))
+            .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
+            .when(col("doc_id") % 4 === 2, lit("1234567890"))
+            .otherwise(lit("clean"))))
+      d.select(col("doc_id"), explode(TextStats.piiSpans(col("t"))).as("sp"))
+        .select(col("doc_id"), col("sp.start").as("start"),
+          col("sp.end").as("end"), col("sp.kind").as("kind"))
+    }),
+
     // --- consistent key pseudonymization ------------------------------------------
     // Release-time surrogate keys: salted md5 pseudonyms that preserve
     // joinability/grouping within a release while rotating across
@@ -4347,6 +4366,36 @@ object SparkEntry {
         |    OR regexp_full_match(x, '[0-9]{1,3}(\.[0-9]{1,3}){3}')
         |    OR regexp_full_match(x, '[0-9]{7,}')]) AS BIGINT) AS n_pii
         |FROM p""".stripMargin,
+
+    // byte-offset spans replayed via prefix joins: token i's start is
+    // strlen(tokens 1..i-1 joined by ' ') + one separator byte (i > 1);
+    // strlen counts BYTES in DuckDB, matching the operator's contract
+    "q_pii_spans" ->
+      """WITH p AS (
+        |  SELECT doc_id, text || ' ' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
+        |         WHEN doc_id % 4 = 1 THEN '10.0.0.1'
+        |         WHEN doc_id % 4 = 2 THEN '1234567890'
+        |         ELSE 'clean' END AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM p),
+        |sp AS (SELECT doc_id, unnest([{
+        |    's': strlen(array_to_string(ts[1:i-1], ' '))
+        |         + CASE WHEN i > 1 THEN 1 ELSE 0 END,
+        |    'e': strlen(array_to_string(ts[1:i-1], ' '))
+        |         + CASE WHEN i > 1 THEN 1 ELSE 0 END + strlen(ts[i]),
+        |    'k': CASE WHEN len(string_split(ts[i],'@')) = 2
+        |           AND strlen(string_split(ts[i],'@')[1]) >= 1
+        |           AND strlen(string_split(ts[i],'@')[2]) >= 3
+        |           AND contains(string_split(ts[i],'@')[2], '.') THEN 'email'
+        |         WHEN regexp_full_match(ts[i], '[0-9]{1,3}(\.[0-9]{1,3}){3}')
+        |           THEN 'ip'
+        |         WHEN regexp_full_match(ts[i], '[0-9]{7,}') THEN 'num'
+        |         ELSE NULL END
+        |  } for i in range(1, len(ts)+1)]) AS sp FROM tok)
+        |SELECT doc_id, CAST(sp.s AS BIGINT) AS start,
+        |  CAST(sp.e AS BIGINT) AS "end", sp.k AS kind
+        |FROM sp WHERE sp.k IS NOT NULL""".stripMargin,
 
     // salted md5 surrogate replayed literally
     "q_pseudonymize" ->

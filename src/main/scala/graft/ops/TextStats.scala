@@ -133,6 +133,17 @@ object TextStats {
   def piiTokenCount(text: Column): Column =
     size(filter(split(text, " ", -1), isPiiToken _)).cast("long")
 
+  /** array<struct<start,end,kind>> of [start, end) BYTE spans for every
+    * token [[scrubPii]] would redact — WHERE the PII sat, not just that
+    * it did ([[graft.exprs.PiiSpans]]; classification is the scrub's
+    * rules verbatim, so spans can never desync from redactions). The
+    * release-audit artifact, and the input to span-level loss masking.
+    */
+  def piiSpans(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.PiiSpans(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
   /** Occurrences of a marker word (word-boundary anchored). */
   def markerCount(text: Column, word: String): Column =
     regexp_count(text, lit("\\b" + word + "\\b")).cast("long")
