@@ -2209,6 +2209,51 @@ object SparkEntry {
         "doc_id", "text")
     }),
 
+    // --- STREAMING incremental near-dup gate ---------------------------------------
+    // q_incr_dedup's live twin: the same delta (doc_id % 3 = 0) replayed
+    // through the file source in 3 micro-batches and flagged per batch
+    // against the standing corpus's MATERIALIZED index artifacts (hash
+    // set + band table written to parquet first — the write-once outputs
+    // of production incremental ingest). Stateless: band membership is
+    // row-level joins on null-guarded key columns, never explode +
+    // stateful re-aggregation; flags must equal the batch operator's.
+    "q_stream_neardup" -> ((s, dir) => {
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_sneardup").toString
+      val d = docs(s, dir)
+      val standing = d.filter(col("doc_id") % 3 =!= 0)
+      standing.select(md5(col("text").cast("binary")).as("hash")).distinct()
+        .write.mode("overwrite").parquet(s"$tmp/idx_hashes")
+      Dedup.minhashBands(standing, "doc_id", "text")
+        .select("band_idx", "band_key").distinct()
+        .write.mode("overwrite").parquet(s"$tmp/idx_bands")
+      val delta = d.filter(col("doc_id") % 3 === 0)
+        .select("doc_id", "text")
+      val watched = s"$tmp/watched"
+      val nChunks = 3
+      val ordered = delta.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("doc_id"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val view = freshStreamView(s, "q_stream_neardup_sink_")
+      val q = graft.streaming.StreamingFeatures.nearDupFlags(
+          s.readStream.schema(delta.schema)
+            .option("maxFilesPerTrigger", "1").parquet(watched),
+          s.read.parquet(s"$tmp/idx_hashes"),
+          s.read.parquet(s"$tmp/idx_bands"),
+          "doc_id", "text")
+        .writeStream.outputMode("append")
+        .format("memory").queryName(view)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      s.table(view)
+    }),
+
     // --- data-dependent mixture plan ---------------------------------------------
     // Target mixture weights + a global token budget → per-stratum keep
     // rates, all exact-integer (overflow-free budget×bp split); one
@@ -3490,6 +3535,43 @@ object SparkEntry {
     * compacted via DuckDB's same-SELECT alias references so new oracles
     * don't re-inline six CTEs each.
     */
+  /** The incremental (delta-vs-standing) near-dup flag replay — shared
+    * verbatim by q_incr_dedup and its live twin q_stream_neardup, whose
+    * contract is flag-for-flag equality with the batch operator.
+    */
+  private val incrDedupSql: String =
+    """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+      |sh AS (SELECT doc_id,
+      |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
+      |  FROM w WHERE len(ws) >= 3),
+      |sig AS (SELECT doc_id,
+      |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
+      |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
+      |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
+      |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
+      |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
+      |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
+      |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
+      |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
+      |  FROM sh),
+      |bands AS (
+      |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
+      |newd AS (SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id % 3 = 0),
+      |oldh AS (SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id % 3 <> 0),
+      |oldb AS (SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % 3 <> 0),
+      |nearhit AS (SELECT DISTINCT b.doc_id FROM bands b
+      |  JOIN oldb USING (band_idx, band_key) WHERE b.doc_id % 3 = 0)
+      |SELECT n.doc_id,
+      |  (oh.hash IS NOT NULL) AS drop_exact,
+      |  (nh.doc_id IS NOT NULL) AS drop_near,
+      |  (oh.hash IS NULL AND nh.doc_id IS NULL) AS kept
+      |FROM newd n
+      |LEFT JOIN oldh oh ON oh.hash = n.hash
+      |LEFT JOIN nearhit nh ON nh.doc_id = n.doc_id""".stripMargin
+
   /** The MinHash-LSH pair replay + recursive hash-min component walk —
     * shared by q_dup_clusters and q_dedup_keep_best, which differ only in
     * the final keeper policy.
@@ -6169,38 +6251,12 @@ object SparkEntry {
 
     // delta batch (doc_id % 3 = 0) vs standing corpus: exact by hash
     // membership, near by sharing any MinHash band with an old doc
-    "q_incr_dedup" ->
-      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
-        |sh AS (SELECT doc_id,
-        |  [ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] for i in range(1, greatest(len(ws)-2, 0)+1)] AS sh
-        |  FROM w WHERE len(ws) >= 3),
-        |sig AS (SELECT doc_id,
-        |  list_min([substr(md5('0|' || s), 1, 8) for s in sh]) AS s0,
-        |  list_min([substr(md5('0|' || s), 9, 8) for s in sh]) AS s1,
-        |  list_min([substr(md5('0|' || s), 17, 8) for s in sh]) AS s2,
-        |  list_min([substr(md5('0|' || s), 25, 8) for s in sh]) AS s3,
-        |  list_min([substr(md5('1|' || s), 1, 8) for s in sh]) AS s4,
-        |  list_min([substr(md5('1|' || s), 9, 8) for s in sh]) AS s5,
-        |  list_min([substr(md5('1|' || s), 17, 8) for s in sh]) AS s6,
-        |  list_min([substr(md5('1|' || s), 25, 8) for s in sh]) AS s7
-        |  FROM sh),
-        |bands AS (
-        |  SELECT doc_id, 0 AS band_idx, md5(s0 || ',' || s1) AS band_key FROM sig
-        |  UNION ALL SELECT doc_id, 1, md5(s2 || ',' || s3) FROM sig
-        |  UNION ALL SELECT doc_id, 2, md5(s4 || ',' || s5) FROM sig
-        |  UNION ALL SELECT doc_id, 3, md5(s6 || ',' || s7) FROM sig),
-        |newd AS (SELECT doc_id, md5(text) AS hash FROM documents WHERE doc_id % 3 = 0),
-        |oldh AS (SELECT DISTINCT md5(text) AS hash FROM documents WHERE doc_id % 3 <> 0),
-        |oldb AS (SELECT DISTINCT band_idx, band_key FROM bands WHERE doc_id % 3 <> 0),
-        |nearhit AS (SELECT DISTINCT b.doc_id FROM bands b
-        |  JOIN oldb USING (band_idx, band_key) WHERE b.doc_id % 3 = 0)
-        |SELECT n.doc_id,
-        |  (oh.hash IS NOT NULL) AS drop_exact,
-        |  (nh.doc_id IS NOT NULL) AS drop_near,
-        |  (oh.hash IS NULL AND nh.doc_id IS NULL) AS kept
-        |FROM newd n
-        |LEFT JOIN oldh oh ON oh.hash = n.hash
-        |LEFT JOIN nearhit nh ON nh.doc_id = n.doc_id""".stripMargin,
+    "q_incr_dedup" -> incrDedupSql,
+
+    // the LIVE twin replays the same delta through the file source
+    // against the materialized standing index — the flags must be
+    // identical, so the oracle IS q_incr_dedup's
+    "q_stream_neardup" -> incrDedupSql,
 
     // integer mixture plan: budget 123456 split as bp*12 + (bp*3456)//10000
     // (the overflow-free floor identity), rates floored in integer math

@@ -104,26 +104,46 @@ object Dedup {
       shingleLen: Int = 3
   ): DataFrame = {
     require(k % bands == 0, "k must divide into bands")
-    val r = k / bands
-    // one-pass custom expression (lower+split+shingle+md5+min in a single
-    // JVM loop) — same semantics as minhashSignature(shingles(words(c)), k)
-    // but ~5x faster than the interpreted HOF chain
-    val sigExpr = org.apache.spark.sql.GraftBridge.column(
-      graft.exprs.MinHashSig(
-        org.apache.spark.sql.GraftBridge.expression(col(textCol)),
-        k, shingleLen))
     val sigDf = df
-      .select(col(idCol).as("doc"), explode(array(sigExpr)).as("sig"))
+      .select(col(idCol).as("doc"),
+        explode(array(minhashSigCol(col(textCol), k, shingleLen))).as("sig"))
       .filter(col("sig").isNotNull)
-    val bandStructs = (0 until bands).map { b =>
-      val parts = (b * r until (b + 1) * r).map(j => element_at(col("sig"), j + 1))
-      struct(lit(b).as("band_idx"),
-        md5s(concat_ws(",", parts: _*)).as("band_key"))
-    }
+    val bandStructs =
+      bandKeysFromSig(col("sig"), k, bands).zipWithIndex.map { case (kc, b) =>
+        struct(lit(b).as("band_idx"), kc.as("band_key"))
+      }
     sigDf
       .select(col("doc"), explode(array(bandStructs: _*)).as("band"))
       .select(col("doc"), col("band.band_idx").as("band_idx"),
         col("band.band_key").as("band_key"))
+  }
+
+  /** The one-pass MinHash signature COLUMN ([[graft.exprs.MinHashSig]]:
+    * lower+split+shingle+md5+min in a single JVM loop — same semantics
+    * as minhashSignature(shingles(words(c)), k) but ~5x faster than the
+    * interpreted HOF chain). Null when the doc has fewer than
+    * `shingleLen` words.
+    */
+  def minhashSigCol(textCol: Column, k: Int, shingleLen: Int): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.MinHashSig(
+        org.apache.spark.sql.GraftBridge.expression(textCol),
+        k, shingleLen))
+
+  /** The band keys of a (non-null) signature column, one Column per
+    * band — EXACTLY the keys [[minhashBands]] explodes into rows, kept
+    * row-level for callers that must stay aggregation-free (the
+    * streaming near-dup gate joins each key against the standing index
+    * instead of exploding, because an explode would need a stateful
+    * per-doc re-aggregation in append mode). Callers guard null sigs.
+    */
+  def bandKeysFromSig(sig: Column, k: Int, bands: Int): Seq[Column] = {
+    require(k % bands == 0, "k must divide into bands")
+    val r = k / bands
+    (0 until bands).map { b =>
+      val parts = (b * r until (b + 1) * r).map(j => element_at(sig, j + 1))
+      md5s(concat_ws(",", parts: _*))
+    }
   }
 
   /** Candidate near-duplicate pairs: docs sharing at least one LSH band.

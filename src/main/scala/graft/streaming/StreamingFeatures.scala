@@ -455,6 +455,72 @@ object StreamingFeatures {
       )
   }
 
+  /** LIVE incremental near-dup gate: each streaming document is flagged
+    * against a STANDING corpus's write-once index artifacts — its exact
+    * hash set and its MinHash band table (exactly what
+    * [[graft.ops.Dedup.incrementalFlags]] reads batch-side; this is that
+    * operator's live twin, and must emit identical flags). The crawl
+    * firehose shape: "is this new page a copy (exact or near) of
+    * anything we already hold?" answered per micro-batch, without
+    * waiting for the nightly batch pass.
+    *
+    * Statelessness is the design point: the per-doc "shares ANY band
+    * with the standing corpus" test is NOT an explode + aggregate (that
+    * would need a stateful per-doc re-aggregation in append mode) but
+    * `bands` row-level left joins — the signature's band keys stay as
+    * columns ([[graft.ops.Dedup.bandKeysFromSig]], null-guarded for
+    * short docs, and a null key never joins) and each joins the standing
+    * band set for its own band index. Zero streaming state; every
+    * micro-batch is a pure stream-static join, so kill/restart needs no
+    * recovery beyond the source offsets.
+    *
+    * At scale the standing index is huge and the micro-batch small: the
+    * joins hash-partition on hash/band_key and only the BATCH side of
+    * each exchange is per-trigger work; a production deployment snapshots
+    * the index bucketed by those keys so the static side's shuffle is
+    * elided (io.Bucketed), exactly like the batch path.
+    */
+  def nearDupFlags(
+      newDocs: DataFrame, // streaming (idCol, textCol)
+      oldHashes: DataFrame, // static index: (hash) distinct md5(text)
+      oldBands: DataFrame, // static index: (band_idx, band_key) distinct
+      idCol: String,
+      textCol: String,
+      k: Int = 8,
+      bands: Int = 4,
+      shingleLen: Int = 3
+  ): DataFrame = {
+    import graft.ops.Dedup
+    val ex = oldHashes.select(col("hash")).distinct()
+      .withColumn("__ex", lit(true))
+    val bandSets = (0 until bands).map { b =>
+      oldBands.filter(col("band_idx") === b)
+        .select(col("band_key").as(s"__bk$b")).distinct()
+        .withColumn(s"__nr$b", lit(true))
+    }
+    val keyed = newDocs.select(
+        col(idCol),
+        md5(col(textCol).cast("binary")).as("hash"),
+        Dedup.minhashSigCol(col(textCol), k, shingleLen).as("__sig"))
+    val withKeys = Dedup.bandKeysFromSig(col("__sig"), k, bands).zipWithIndex
+      .foldLeft(keyed) { case (d, (kc, b)) =>
+        d.withColumn(s"__bk$b", when(col("__sig").isNotNull, kc))
+      }
+    val joined = (0 until bands).foldLeft(
+      withKeys.join(ex, Seq("hash"), "left")) { (d, b) =>
+      d.join(bandSets(b), Seq(s"__bk$b"), "left")
+    }
+    val near = (0 until bands)
+      .map(b => coalesce(col(s"__nr$b"), lit(false)))
+      .reduce(_ || _)
+    val exact = coalesce(col("__ex"), lit(false))
+    joined.select(
+      col(idCol),
+      exact.as("drop_exact"),
+      near.as("drop_near"),
+      (exact || near).unary_!.as("kept"))
+  }
+
   /** BOUNDED-STATE streaming dedup: first occurrence per `keyCols` wins,
     * but state for a key is evicted once the event-time watermark passes
     * it — the trade [[dedupExact]]'s scaladoc documents ("exact dedup is

@@ -40,7 +40,7 @@ class EntrySmokeSpec extends AnyFunSuite {
       "q_stream_sess_resume", "q_stream_enrich", "q_stream_join",
       "q_stream_dedup_wm", "q_stream_asof", "q_stream_asof_fwd",
       "q_stream_encode", "q_stream_hll", "q_stream_cms", "q_stream_cdc",
-      "q_stream_anomaly")
+      "q_stream_anomaly", "q_stream_neardup")
     val plans = SparkEntry.queries.view
       .filterKeys(!sideEffecting.contains(_)).toMap
       .map { case (name, fn) =>
