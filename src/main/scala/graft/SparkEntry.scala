@@ -1080,6 +1080,20 @@ object SparkEntry {
         maxCosineBp = 9500)
     }),
 
+    // --- contrastive TRIPLET mining ----------------------------------------------
+    // The training-example factory for embedding models: per anchor, the
+    // best presumed positive (exact cosine ≥ 0.35 — the band this
+    // synthetic corpus actually populates) + the best hard negative
+    // below the band after skipping 2; anchors with no positive emit
+    // nothing. One decimal(38) predicate decides both bands, so a
+    // vector can never appear on both sides of its own triplet.
+    "q_triplets" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_embedding"))
+      Similarity.tripletMine(e, q, posMinCosineBp = 3500, skipTop = 2)
+    }),
+
     // --- LSH-bucketed ANN candidates (scale path; Scala-oracled) ---------------
     "q_ann_lsh" -> ((s, dir) => {
       val e = embeds(s, dir)
@@ -5509,6 +5523,37 @@ object SparkEntry {
         |  FROM kept)
         |SELECT query_id, vec_id, dot, rnk - 2 AS neg_rank
         |FROM ranked WHERE rnk > 2 AND rnk <= 12""".stripMargin,
+
+    // same scored CTE as q_hard_negatives; one band predicate
+    // (3500 bp → 12250000 = bp²) splits positives from negatives,
+    // rank 1 of each band joins into the triplet
+    "q_triplets" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS dot,
+        |  CAST(list_sum([CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(q.qe)+1)]) AS BIGINT) AS sq_a,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS sq_b
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |banded AS (SELECT *, (dot > 0 AND sq_a > 0 AND sq_b > 0
+        |  AND dot::HUGEINT * dot::HUGEINT * CAST(100000000 AS HUGEINT)
+        |      >= CAST(12250000 AS HUGEINT) * sq_a::HUGEINT * sq_b::HUGEINT)
+        |  AS is_pos FROM scored),
+        |ranked AS (SELECT query_id, vec_id, dot, is_pos,
+        |    row_number() OVER (PARTITION BY query_id, is_pos
+        |      ORDER BY dot DESC, vec_id) AS rnk
+        |  FROM banded),
+        |pos AS (SELECT query_id, vec_id AS pos_id, dot AS pos_dot
+        |  FROM ranked WHERE is_pos AND rnk = 1),
+        |neg AS (SELECT query_id, vec_id AS neg_id, dot AS neg_dot
+        |  FROM ranked WHERE NOT is_pos AND rnk = 3)
+        |SELECT query_id, pos_id, pos_dot, neg_id, neg_dot
+        |FROM pos JOIN neg USING (query_id)""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH qv AS (SELECT vec_id,

@@ -495,6 +495,58 @@ object Similarity {
         (col("rank") - skipTop).as("neg_rank"))
   }
 
+  /** Contrastive TRIPLET mining — the training-example factory for
+    * embedding models: per anchor, ONE presumed positive (highest-dot
+    * neighbor with exact cosine ≥ `posMinCosineBp`) and ONE hard
+    * negative (highest-dot survivor BELOW the positive band, after
+    * skipping `skipTop` — the same band [[hardNegatives]] mines, at
+    * k = 1). The two bands partition the non-self corpus exactly (one
+    * decimal(38) cosine predicate decides both), so a vector can never
+    * be both the positive and the negative. Anchors with no positive
+    * emit nothing — a triplet without a positive is not a triplet.
+    *
+    * Scale shape: ONE scored pass (queries broadcast, corpus streamed),
+    * one window keyed (query_id, is_pos) for per-band ranks, one
+    * query-keyed agg pivoting the two winners into the triplet row.
+    * Per-anchor output is exactly one row; the corpus never re-scans.
+    */
+  def tripletMine(
+      corpus: DataFrame, // (vec_id, embedding)
+      queries: DataFrame, // (query_id, q_embedding)
+      posMinCosineBp: Int,
+      skipTop: Int = 0
+  ): DataFrame = {
+    require(posMinCosineBp > 0 && posMinCosineBp <= 10000,
+      s"posMinCosineBp must be in 1..10000, got $posMinCosineBp")
+    require(skipTop >= 0, "skipTop must be >= 0")
+    val scored = corpus.crossJoin(broadcast(queries))
+      .filter(col("query_id") =!= col("vec_id"))
+      .select(
+        col("query_id"),
+        col("vec_id"),
+        quantDot(col("embedding"), col("q_embedding")).as("dot"),
+        quantSqNorm(col("q_embedding")).as("sq_a"),
+        quantSqNorm(col("embedding")).as("sq_b"))
+      .withColumn("is_pos", cosineAtLeastBp(posMinCosineBp))
+    val w = Window.partitionBy(col("query_id"), col("is_pos"))
+      .orderBy(col("dot").desc, col("vec_id").asc)
+    val ranked = scored.withColumn("rnk", row_number().over(w))
+    ranked
+      .filter((col("is_pos") && col("rnk") === 1) ||
+        (!col("is_pos") && col("rnk") === skipTop + 1))
+      .groupBy(col("query_id"))
+      .agg(
+        max(when(col("is_pos"), struct(col("vec_id"), col("dot"))))
+          .as("pos"),
+        max(when(!col("is_pos"), struct(col("vec_id"), col("dot"))))
+          .as("neg"))
+      .filter(col("pos").isNotNull && col("neg").isNotNull)
+      .select(
+        col("query_id"),
+        col("pos.vec_id").as("pos_id"), col("pos.dot").as("pos_dot"),
+        col("neg.vec_id").as("neg_id"), col("neg.dot").as("neg_dot"))
+  }
+
   def recallAtK(
       candidates: DataFrame, // (query_id, vec_id, dot)
       truth: DataFrame, // (query_id, vec_id, dot) — exact scores
