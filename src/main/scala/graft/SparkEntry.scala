@@ -2043,6 +2043,39 @@ object SparkEntry {
         graft.ops.SegDedup.wordBlocks(col("text"), 10))
     }),
 
+    // --- composed DO-NOT-TRAIN byte mask (span-source union) --------------------
+    // The loss mask a tokenized pipeline consumes: PII spans and
+    // duplicated-block excision regions — independent producers in
+    // different coordinates (bytes vs blocks) — converted onto one byte
+    // axis (blockByteSpans via the word-offset sentinel array) and
+    // merged into maximal disjoint [start, end) intervals with an
+    // absorbed-span count. Fixture plants a shared 20-word preamble
+    // CONTAINING an IP on every 5th doc, so a PII span provably
+    // collapses INTO its covering duplicate span (n_spans >= 2 there),
+    // plus the usual per-doc PII salt for disjoint spans.
+    "q_mask_spans" -> ((s, dir) => {
+      val pre = "header 10.0.0.1 flagged the quick brown fox jumps over " +
+        "the lazy dog while the cat sat on the mat today"
+      val d0 = docs(s, dir).select(col("doc_id"),
+        concat(
+          when(col("doc_id") % 5 === 0, concat(lit(pre + " "), col("text")))
+            .otherwise(col("text")),
+          lit(" "),
+          when(col("doc_id") % 4 === 0, lit("alice@example.com"))
+            .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
+            .when(col("doc_id") % 4 === 2, lit("1234567890"))
+            .otherwise(lit("clean"))).as("t"))
+      val pii = d0
+        .select(col("doc_id"), explode(TextStats.piiSpans(col("t"))).as("sp"))
+        .select(col("doc_id"), col("sp.start").as("start"),
+          col("sp.end").as("end"))
+      val dupBlocks = graft.ops.SegDedup.duplicatedSpans(
+        d0, "doc_id", graft.ops.SegDedup.wordBlocks(col("t"), 10))
+      val dupBytes = graft.ops.SegDedup.blockByteSpans(
+        d0, "doc_id", col("t"), dupBlocks, blockWords = 10)
+      TextStats.mergeSpans(pii.unionByName(dupBytes), "doc_id")
+    }),
+
     // --- Z-order layout key ------------------------------------------------------
     // Two bucketized dims (capped char length, source number) interleaved
     // into one 20-bit Morton key — codegen'd built-ins only (shift/and/or
@@ -4232,6 +4265,72 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS span_blocks
         |FROM f GROUP BY doc_id, grp""".stripMargin,
 
+    // both span sources replayed (pii prefix-sum bytes; duplicated
+    // blocks -> bytes via the same prefix sums), then gaps-and-islands
+    // merged: new island when start exceeds the running max of PRIOR
+    // ends (equality abuts -> merges)
+    "q_mask_spans" ->
+      """WITH d0 AS (SELECT doc_id,
+        |    (CASE WHEN doc_id % 5 = 0
+        |      THEN 'header 10.0.0.1 flagged the quick brown fox jumps over the lazy dog while the cat sat on the mat today ' || text
+        |      ELSE text END) || ' ' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
+        |         WHEN doc_id % 4 = 1 THEN '10.0.0.1'
+        |         WHEN doc_id % 4 = 2 THEN '1234567890'
+        |         ELSE 'clean' END AS t
+        |  FROM documents),
+        |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM d0),
+        |psp AS (SELECT doc_id, unnest([{
+        |    's': CASE WHEN i = 1 THEN 0
+        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END,
+        |    'e': CASE WHEN i = 1 THEN 0
+        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END
+        |      + strlen(ts[i]),
+        |    'k': CASE WHEN len(string_split(ts[i],'@')) = 2
+        |           AND strlen(string_split(ts[i],'@')[1]) >= 1
+        |           AND strlen(string_split(ts[i],'@')[2]) >= 3
+        |           AND contains(string_split(ts[i],'@')[2], '.') THEN 'email'
+        |         WHEN regexp_full_match(ts[i], '[0-9]{1,3}(\.[0-9]{1,3}){3}')
+        |           THEN 'ip'
+        |         WHEN regexp_full_match(ts[i], '[0-9]{7,}') THEN 'num'
+        |         ELSE NULL END
+        |  } for i in range(1, len(ts)+1)]) AS sp FROM tok),
+        |pii AS (SELECT doc_id, CAST(sp.s AS BIGINT) AS s, CAST(sp.e AS BIGINT) AS e
+        |  FROM psp WHERE sp.k IS NOT NULL),
+        |segs AS (SELECT doc_id, gs.i AS seg_idx,
+        |    array_to_string(ts[gs.i*10+1 : gs.i*10+10], ' ') AS seg
+        |  FROM tok, LATERAL (SELECT unnest(range(0, CAST(ceil(len(ts)/10.0) AS BIGINT))) AS i) gs),
+        |h AS (SELECT doc_id, seg_idx, substr(md5(seg), 1, 16) AS hk FROM segs),
+        |hot AS (SELECT hk FROM (SELECT hk, count(*) AS c FROM h GROUP BY hk) WHERE c > 1),
+        |f AS (SELECT doc_id, seg_idx,
+        |    seg_idx - row_number() OVER (PARTITION BY doc_id ORDER BY seg_idx) AS grp
+        |  FROM h JOIN hot USING (hk)),
+        |bsp AS (SELECT doc_id, min(seg_idx) AS b0, count(*) AS nb
+        |  FROM f GROUP BY doc_id, grp),
+        |dup AS (SELECT b.doc_id,
+        |    CAST(CASE WHEN b.b0 = 0 THEN 0
+        |      ELSE strlen(array_to_string(ts[1:CAST(b.b0*10 AS INT)], ' ')) + 1
+        |      END AS BIGINT) AS s,
+        |    CAST(strlen(array_to_string(
+        |      ts[1:CAST(least((b.b0+b.nb)*10, len(ts)) AS INT)], ' '))
+        |      AS BIGINT) AS e
+        |  FROM bsp b JOIN tok USING (doc_id)),
+        |allsp AS (SELECT * FROM pii UNION ALL SELECT * FROM dup),
+        |m AS (SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM allsp),
+        |m2 AS (SELECT doc_id, s, e,
+        |    CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END AS nw FROM m),
+        |g AS (SELECT doc_id, s, e,
+        |    sum(nw) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS UNBOUNDED PRECEDING) AS grp
+        |  FROM m2)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS start,
+        |  CAST(max(e) AS BIGINT) AS "end",
+        |  CAST(count(*) AS BIGINT) AS n_spans
+        |FROM g GROUP BY doc_id, grp""".stripMargin,
+
     // the z key replayed bit-for-bit as shift/and/or terms
     "q_zorder" ->
       s"""WITH $zDimsCte
@@ -4476,10 +4575,11 @@ object SparkEntry {
         |  FROM documents),
         |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM p),
         |sp AS (SELECT doc_id, unnest([{
-        |    's': strlen(array_to_string(ts[1:i-1], ' '))
-        |         + CASE WHEN i > 1 THEN 1 ELSE 0 END,
-        |    'e': strlen(array_to_string(ts[1:i-1], ' '))
-        |         + CASE WHEN i > 1 THEN 1 ELSE 0 END + strlen(ts[i]),
+        |    's': CASE WHEN i = 1 THEN 0
+        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END,
+        |    'e': CASE WHEN i = 1 THEN 0
+        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END
+        |      + strlen(ts[i]),
         |    'k': CASE WHEN len(string_split(ts[i],'@')) = 2
         |           AND strlen(string_split(ts[i],'@')[1]) >= 1
         |           AND strlen(string_split(ts[i],'@')[2]) >= 3

@@ -161,6 +161,37 @@ object SegDedup {
       .select(col(idCol), col("span_start"), col("span_blocks"))
   }
 
+  /** Convert [[duplicatedSpans]]' BLOCK spans to BYTE spans over the
+    * original text — the coordinate [[graft.ops.TextStats.mergeSpans]]
+    * and the PII span index share. Block k of wordBlocks(text, span)
+    * covers words [k·span, min((k+1)·span, n)); its bytes follow from
+    * the word-offset array ([[graft.ops.TextStats.wordByteOffsets]],
+    * whose sentinel makes the exclusive end offsets[j+1] − 1 uniform).
+    * One id-keyed join of the fixed-width span stream back to a
+    * scan-side offsets projection; text never re-shuffles.
+    */
+  def blockByteSpans(
+      df: DataFrame,
+      idCol: String,
+      text: Column,
+      spans: DataFrame, // (idCol, span_start [block], span_blocks)
+      blockWords: Int
+  ): DataFrame = {
+    require(blockWords > 0, "blockWords must be positive")
+    val off = df.select(col(idCol),
+      graft.ops.TextStats.wordByteOffsets(text).as("__off"))
+    // size(__off) = n_words + 1 (the sentinel)
+    val nWords = (size(col("__off")) - 1).cast("long")
+    val firstWord = col("span_start") * blockWords
+    val endWord = least(
+      (col("span_start") + col("span_blocks")) * blockWords, nWords)
+    spans.join(off, Seq(idCol))
+      .select(
+        col(idCol),
+        element_at(col("__off"), (firstWord + 1).cast("int")).as("start"),
+        (element_at(col("__off"), (endWord + 1).cast("int")) - 1).as("end"))
+  }
+
   private def occurrences(base: DataFrame, idCol: String): DataFrame =
     base
       .select(col(idCol), posexplode(col("__segs")).as(Seq("__idx", "__seg")))

@@ -613,6 +613,43 @@ object TextStats {
         col("n_total"))
   }
 
+  /** Byte start offsets of each single-space-split token plus the
+    * uniform end sentinel ([[graft.exprs.WordByteOffsets]]) — the bridge
+    * from word/block coordinates to [[piiSpans]]' byte-span convention.
+    */
+  def wordByteOffsets(text: Column): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.WordByteOffsets(
+        org.apache.spark.sql.GraftBridge.expression(text)))
+
+  /** Interval UNION per document: merge overlapping and abutting
+    * [start, end) spans — from ANY mix of sources (PII spans, duplicate
+    * excisions, policy redactions) — into maximal disjoint intervals,
+    * with n_spans counting how many source spans each interval absorbed.
+    * This is the composed "do not train on these bytes" loss mask: span
+    * producers stay independent and this one operator owns the merge.
+    *
+    * Scale shape: gaps-and-islands over a window PARTITIONED PER
+    * DOCUMENT — bounded by one document's own span count, never the
+    * corpus, so no mega-task exists (same argument as duplicatedSpans).
+    */
+  def mergeSpans(spans: DataFrame, idCol: String): DataFrame = {
+    val ord = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("start"), col("end"))
+    // running max of PRIOR ends: a span starting strictly past it opens
+    // a new island (equality abuts -> merges)
+    val prevMax = max(col("end")).over(ord.rowsBetween(
+      org.apache.spark.sql.expressions.Window.unboundedPreceding, -1))
+    spans
+      .withColumn("__new",
+        when(prevMax.isNull || col("start") > prevMax, 1L).otherwise(0L))
+      .withColumn("__grp", sum(col("__new")).over(ord))
+      .groupBy(col(idCol), col("__grp"))
+      .agg(min(col("start")).as("start"), max(col("end")).as("end"),
+        count(lit(1)).as("n_spans"))
+      .select(col(idCol), col("start"), col("end"), col("n_spans"))
+  }
+
   /** array<bigint> of per-term SUBSTRING occurrence counts (overlapping
     * included), index-aligned with `terms` — all terms matched in ONE
     * Aho–Corasick pass over the text ([[graft.exprs.MultiMatchCounts]]),
