@@ -2125,6 +2125,14 @@ object SparkEntry {
       graft.ops.TextStats.blocklistCounts(
         docs(s, dir), "doc_id", col("text"), blocklistTerms)),
 
+    // --- blocklist match SPANS (byte offsets, third mask source) ----------------
+    // WHERE each term matched, [start, end) bytes — the blocklist feed
+    // into the mergeSpans do-not-train mask; overlapping occurrences all
+    // emitted, hit-sized output, zero shuffle.
+    "q_blocklist_spans" -> ((s, dir) =>
+      graft.ops.TextStats.blocklistSpans(
+        docs(s, dir), "doc_id", col("text"), blocklistTerms)),
+
     // --- the composed badwords DROP gate -----------------------------------------
     // Documents containing NO blocklist term survive; same automaton,
     // zero-shuffle scan-fused predicate.
@@ -4381,6 +4389,23 @@ object SparkEntry {
          |    AS BIGINT) AS n
          |  FROM documents d, kw k)
          |SELECT doc_id, term, n FROM hits WHERE n > 0""".stripMargin,
+
+    // match positions from the char walk, converted to BYTE offsets via
+    // strlen of the char prefix (strlen counts bytes) — exact on any
+    // input; the p = 1 guard avoids DuckDB's NULL zero-length slice
+    "q_blocklist_spans" ->
+      s"""WITH $blocklistKwCte,
+         |pos AS (SELECT d.doc_id, d.text, k.term,
+         |    unnest(list_filter(range(1, len(d.text) - len(k.term) + 2),
+         |      p -> substr(d.text, CAST(p AS INT), len(k.term)) = k.term)) AS p
+         |  FROM documents d, kw k)
+         |SELECT doc_id,
+         |  CAST(CASE WHEN p = 1 THEN 0
+         |    ELSE strlen(text[1:CAST(p-1 AS INT)]) END AS BIGINT) AS start,
+         |  CAST(strlen(text[1:CAST(p + len(term) - 1 AS INT)]) AS BIGINT)
+         |    AS "end",
+         |  term
+         |FROM pos""".stripMargin,
 
     // the drop gate only needs existence, not counts
     "q_blocklist_gate" ->

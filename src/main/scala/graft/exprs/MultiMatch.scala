@@ -37,6 +37,10 @@ class AcAutomaton(val patterns: Array[String]) extends Serializable {
   require(patterns.distinct.length == patterns.length, "duplicate patterns")
 
   // rebuilt per JVM after deserialization; only `patterns` is serialized
+  /** The resolved (delta, outputs) tables, for walkers living outside
+    * this class (the span emitter in [[MultiMatchImpl]]). */
+  private[exprs] def dense: (Array[Int], Array[Array[Int]]) = built
+
   @transient private lazy val built: (Array[Int], Array[Array[Int]]) = {
     val maxStates = patterns.map(_.length).sum + 1
     val next = Array.fill(maxStates * 128)(-1) // trie children
@@ -135,6 +139,42 @@ class AcAutomaton(val patterns: Array[String]) extends Serializable {
 }
 
 object MultiMatchImpl {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  /** [start, end) BYTE spans of every occurrence of every pattern
+    * (overlapping included), with the matched pattern as `term`. The
+    * walk runs over the UTF-8 BYTES directly: patterns are ASCII, so
+    * the byte automaton accepts exactly the same occurrences as the
+    * char automaton (any byte ≥ 0x80 — lead or continuation — resets to
+    * root, which a match can never span), and match positions fall out
+    * in the byte convention [[PiiSpans]] and mergeSpans share, with no
+    * String allocation per row.
+    */
+  def spans(text: UTF8String, ac: AcAutomaton): GenericArrayData = {
+    val (delta, outs) = ac.dense
+    val bytes = text.getBytes
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var st = 0
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i).toInt
+      if (c >= 0 && c < 128) {
+        st = delta(st * 128 + c)
+        val o = outs(st)
+        var j = 0
+        while (j < o.length) {
+          val p = ac.patterns(o(j))
+          out += new GenericInternalRow(Array[Any](
+            (i + 1 - p.length).toLong, (i + 1).toLong,
+            UTF8String.fromString(p)))
+          j += 1
+        }
+      } else st = 0
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   def counts(
       text: UTF8String,
       ac: AcAutomaton
@@ -172,6 +212,43 @@ case class MultiMatchCounts(
       c => s"graft.exprs.MultiMatchImpl.counts($c, $acRef)")
   }
   override protected def withNewChildInternal(c: Expression): MultiMatchCounts =
+    copy(child = c)
+}
+
+/** array<struct<start,end,term>> of [start, end) BYTE spans for every
+  * pattern occurrence — WHERE each blocklist term matched, in the same
+  * byte convention as [[PiiSpans]], so blocklist hits feed the same
+  * mergeSpans do-not-train mask as PII and duplicate excisions.
+  */
+case class MultiMatchSpans(
+    child: Expression,
+    ac: AcAutomaton
+) extends UnaryExpression {
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"multi_match_spans requires a string column, got $other")
+    }
+  override def dataType: DataType = ArrayType(
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("start", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("end", LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("term", StringType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "multi_match_spans"
+  override protected def nullSafeEval(input: Any): Any =
+    MultiMatchImpl.spans(input.asInstanceOf[UTF8String], ac)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val acRef = ctx.addReferenceObj("acAutomaton", ac, "graft.exprs.AcAutomaton")
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.MultiMatchImpl.spans($c, $acRef)")
+  }
+  override protected def withNewChildInternal(c: Expression): MultiMatchSpans =
     copy(child = c)
 }
 

@@ -691,6 +691,27 @@ object TextStats {
           lit(terms.toArray), col("pos").cast("int") + 1).as("term"),
         col("n"))
 
+  /** Blocklist match SPANS: one row per (document, occurrence) with
+    * [start, end) BYTE offsets and the matched term — the third span
+    * source for the [[mergeSpans]] do-not-train mask (PII, duplicate
+    * excisions, and now blocklist hits share one byte axis). Same
+    * automaton, overlapping occurrences all emitted; hit-sized output.
+    */
+  def blocklistSpans(
+      df: DataFrame,
+      idCol: String,
+      text: Column,
+      terms: Seq[String]
+  ): DataFrame =
+    df.select(
+        col(idCol),
+        explode(org.apache.spark.sql.GraftBridge.column(
+          graft.exprs.MultiMatchSpans(
+            org.apache.spark.sql.GraftBridge.expression(text),
+            new graft.exprs.AcAutomaton(terms.toArray)))).as("sp"))
+      .select(col(idCol), col("sp.start").as("start"),
+        col("sp.end").as("end"), col("sp.term").as("term"))
+
   /** The filter the tags exist for: rows whose text contains NO
     * blocklist term survive (C4's badwords drop). Zero-shuffle
     * scan-fused predicate on the scalar total-hit expression

@@ -91,6 +91,27 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(!plan.contains("term499") && plan.length < 4000, plan.length)
   }
 
+  test("blocklistSpans: byte-exact offsets past non-ASCII, overlapping " +
+    "occurrences all emitted, spans slice to their term") {
+    val t = "héllo aa aaa slow x"
+    val d = Seq((1L, t)).toDF("doc_id", "text")
+    val got = TextStats.blocklistSpans(d, "doc_id", col("text"),
+        Seq("aa", "slow"))
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == Set(
+      (1L, 7L, 9L, "aa"), (1L, 10L, 12L, "aa"), (1L, 11L, 13L, "aa"),
+      (1L, 14L, 18L, "slow")))
+    val bytes = t.getBytes("UTF-8")
+    got.foreach { case (_, s, e, term) =>
+      assert(new String(bytes.slice(s.toInt, e.toInt), "UTF-8") == term)
+    }
+    // span count always equals the per-term counts
+    val nFromCounts = TextStats.blocklistCounts(
+        d, "doc_id", col("text"), Seq("aa", "slow"))
+      .agg(sum("n")).as[Long].head()
+    assert(nFromCounts == got.size.toLong)
+  }
+
   test("total equals the sum of per-pattern counts on random strings") {
     val rnd = new scala.util.Random(97)
     val alphabet = "abcd"
