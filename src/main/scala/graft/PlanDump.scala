@@ -255,6 +255,18 @@ object PlanDump {
         "back to the corpus, codegen'd fmix64 gate on the CLUSTER id — " +
         "no window, no extra shuffle beyond the label-propagation rounds)" ->
         SparkEntry.queries("q_cluster_split")(spark, dir),
+      "q_blocklist_gate (one-scan Aho–Corasick drop gate: k terms, ONE " +
+        "whole-stage-codegen scan→filter span, the automaton a single " +
+        "reference object — zero shuffle, plan O(1) in the list size)" ->
+        SparkEntry.queries("q_blocklist_gate")(spark, dir),
+      "q_mask_spans (composed do-not-train mask: PII spans + duplicated " +
+        "blocks on one byte axis, merged per-document — the islands " +
+        "window is bounded by a doc's own span count, never the corpus)" ->
+        SparkEntry.queries("q_mask_spans")(spark, dir),
+      "q_triplets (contrastive mining: ONE broadcast-scored corpus " +
+        "pass, one (query, band)-keyed window, one pivot agg — the " +
+        "positive/negative bands split on a single decimal predicate)" ->
+        SparkEntry.queries("q_triplets")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting
