@@ -659,18 +659,25 @@ object SparkEntry {
       val tmp = java.nio.file.Files
         .createTempDirectory("graft_verify_compact").toString
       // the small-file fixture is a pure deterministic function of the
-      // input dir, so stage it ONCE per (process, dir) and reuse: the
-      // bench row then times the operator (manifest -> pack -> rewrite),
-      // not a repeated fixture write
-      val small = s"/tmp/graft_compact_fixture_${dir.hashCode.toHexString}/small"
-      val out = s"$tmp/compacted"
-      // ~8 docs per (lang, file) leaf: enough files that packing has
-      // real work at every SF
-      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$small/_SUCCESS")))
-        docs(s, dir).withColumn("file_seq", floor(col("doc_id") / 64))
+      // input dir, so stage it once PER JVM per dir and reuse (the bench
+      // row then times the operator — manifest -> pack -> rewrite — not
+      // a repeated fixture write). The cache is process-private (a fresh
+      // temp dir registered in an in-memory map), NEVER a persistent
+      // shared /tmp path: a path keyed on the dir name would silently
+      // reuse stale data after the inputs or the fixture recipe change,
+      // and two concurrent JVMs would race overwrites inside it.
+      val small = compactFixtureCache.computeIfAbsent(dir, d => {
+        val stage = java.nio.file.Files
+          .createTempDirectory("graft_compact_fixture").toString + "/small"
+        // ~8 docs per (lang, file) leaf: enough files that packing has
+        // real work at every SF
+        docs(s, d).withColumn("file_seq", floor(col("doc_id") / 64))
           .repartition(col("lang"), col("file_seq"))
           .write.partitionBy("lang", "file_seq").mode("overwrite")
-          .parquet(small)
+          .parquet(stage)
+        stage
+      })
+      val out = s"$tmp/compacted"
       val manifest = graft.ops.Layout.fileManifest(s, small, "lang", "file_seq")
       val assigned = graft.ops.Curation.packShards(
           manifest, "lang", "file_seq", col("bytes"),
@@ -899,10 +906,7 @@ object SparkEntry {
       val d = docs(s, dir).withColumn(
         "t",
         concat(col("text"), lit(" "),
-          when(col("doc_id") % 4 === 0, lit("alice@example.com"))
-            .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
-            .when(col("doc_id") % 4 === 2, lit("1234567890"))
-            .otherwise(lit("clean"))))
+          piiSaltCol))
       d.select(
         col("doc_id"),
         TextStats.scrubPii(col("t")).as("text_scrubbed"),
@@ -919,10 +923,7 @@ object SparkEntry {
       val d = docs(s, dir).withColumn(
         "t",
         concat(col("text"), lit(" "),
-          when(col("doc_id") % 4 === 0, lit("alice@example.com"))
-            .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
-            .when(col("doc_id") % 4 === 2, lit("1234567890"))
-            .otherwise(lit("clean"))))
+          piiSaltCol))
       d.select(col("doc_id"), explode(TextStats.piiSpans(col("t"))).as("sp"))
         .select(col("doc_id"), col("sp.start").as("start"),
           col("sp.end").as("end"), col("sp.kind").as("kind"))
@@ -2061,10 +2062,7 @@ object SparkEntry {
           when(col("doc_id") % 5 === 0, concat(lit(pre + " "), col("text")))
             .otherwise(col("text")),
           lit(" "),
-          when(col("doc_id") % 4 === 0, lit("alice@example.com"))
-            .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
-            .when(col("doc_id") % 4 === 2, lit("1234567890"))
-            .otherwise(lit("clean"))).as("t"))
+          piiSaltCol).as("t"))
       val pii = d0
         .select(col("doc_id"), explode(TextStats.piiSpans(col("t"))).as("sp"))
         .select(col("doc_id"), col("sp.start").as("start"),
@@ -3576,11 +3574,63 @@ object SparkEntry {
     * the oracle exercises the overlapping-count contract, not just
     * token hits. Shared by query and oracle so they can never drift.
     */
+  /** Per-JVM staging cache for q_compact_exec's small-file fixture:
+    * dir → freshly-created temp path, so repeat evaluations in one
+    * process (bench cold+warm) skip the fixture write without ever
+    * sharing state across processes or runs.
+    */
+  private val compactFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** The PII span struct comprehension (DuckDB list comprehension over a
+    * `ts` string_split column in scope): byte start/end by prefix sums +
+    * the scrub's classification. ONE definition shared by the
+    * q_pii_spans and q_mask_spans oracles so the replay can never drift
+    * between them (same pattern as incrDedupSql).
+    */
+  private val piiSpanStructSql: String =
+    """unnest([{
+    's': CASE WHEN i = 1 THEN 0
+      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END,
+    'e': CASE WHEN i = 1 THEN 0
+      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END
+      + strlen(ts[i]),
+    'k': CASE WHEN len(string_split(ts[i],'@')) = 2
+           AND strlen(string_split(ts[i],'@')[1]) >= 1
+           AND strlen(string_split(ts[i],'@')[2]) >= 3
+           AND contains(string_split(ts[i],'@')[2], '.') THEN 'email'
+         WHEN regexp_full_match(ts[i], '[0-9]{1,3}(\.[0-9]{1,3}){3}')
+           THEN 'ip'
+         WHEN regexp_full_match(ts[i], '[0-9]{7,}') THEN 'num'
+         ELSE NULL END
+  } for i in range(1, len(ts)+1)])"""
+
+  /** The deterministic per-doc PII salt, SQL side (twin of
+    * [[piiSaltCol]]). */
+  private val piiSaltSql: String =
+    """CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
+       WHEN doc_id % 4 = 1 THEN '10.0.0.1'
+       WHEN doc_id % 4 = 2 THEN '1234567890'
+       ELSE 'clean' END"""
+
+  /** The deterministic PII salt appended to every doc in the PII-family
+    * fixtures (q_pii_scrub, q_pii_spans, q_mask_spans) — ONE definition
+    * on each engine side so the three fixtures can never drift.
+    */
+  private def piiSaltCol: org.apache.spark.sql.Column =
+    when(col("doc_id") % 4 === 0, lit("alice@example.com"))
+      .when(col("doc_id") % 4 === 1, lit("10.0.0.1"))
+      .when(col("doc_id") % 4 === 2, lit("1234567890"))
+      .otherwise(lit("clean"))
+
   private val blocklistTerms: Seq[String] =
     Seq("slow", "big data", "a a", "scan scan")
   private def blocklistKwCte: String =
+    // embedded quotes doubled so a term like "don't" can never break
+    // (or rewrite) the oracle SQL it is interpolated into
     "kw(term) AS (SELECT * FROM (VALUES " +
-      blocklistTerms.map(t => s"('$t')").mkString(", ") + ") v(term))"
+      blocklistTerms.map(t => s"('${t.replace("'", "''")}')")
+        .mkString(", ") + ") v(term))"
 
   // ---------------------------------------------------------------- oracle
 
@@ -4278,31 +4328,13 @@ object SparkEntry {
     // merged: new island when start exceeds the running max of PRIOR
     // ends (equality abuts -> merges)
     "q_mask_spans" ->
-      """WITH d0 AS (SELECT doc_id,
-        |    (CASE WHEN doc_id % 5 = 0
-        |      THEN 'header 10.0.0.1 flagged the quick brown fox jumps over the lazy dog while the cat sat on the mat today ' || text
-        |      ELSE text END) || ' ' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
-        |         WHEN doc_id % 4 = 1 THEN '10.0.0.1'
-        |         WHEN doc_id % 4 = 2 THEN '1234567890'
-        |         ELSE 'clean' END AS t
-        |  FROM documents),
-        |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM d0),
-        |psp AS (SELECT doc_id, unnest([{
-        |    's': CASE WHEN i = 1 THEN 0
-        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END,
-        |    'e': CASE WHEN i = 1 THEN 0
-        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END
-        |      + strlen(ts[i]),
-        |    'k': CASE WHEN len(string_split(ts[i],'@')) = 2
-        |           AND strlen(string_split(ts[i],'@')[1]) >= 1
-        |           AND strlen(string_split(ts[i],'@')[2]) >= 3
-        |           AND contains(string_split(ts[i],'@')[2], '.') THEN 'email'
-        |         WHEN regexp_full_match(ts[i], '[0-9]{1,3}(\.[0-9]{1,3}){3}')
-        |           THEN 'ip'
-        |         WHEN regexp_full_match(ts[i], '[0-9]{7,}') THEN 'num'
-        |         ELSE NULL END
-        |  } for i in range(1, len(ts)+1)]) AS sp FROM tok),
+      s"""WITH d0 AS (SELECT doc_id,
+         |    (CASE WHEN doc_id % 5 = 0
+         |      THEN 'header 10.0.0.1 flagged the quick brown fox jumps over the lazy dog while the cat sat on the mat today ' || text
+         |      ELSE text END) || ' ' || $piiSaltSql AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM d0),
+         |psp AS (SELECT doc_id, $piiSpanStructSql AS sp FROM tok),
         |pii AS (SELECT doc_id, CAST(sp.s AS BIGINT) AS s, CAST(sp.e AS BIGINT) AS e
         |  FROM psp WHERE sp.k IS NOT NULL),
         |segs AS (SELECT doc_id, gs.i AS seg_idx,
@@ -4561,13 +4593,9 @@ object SparkEntry {
          |FROM turns""".stripMargin,
 
     "q_pii_scrub" ->
-      """WITH p AS (
-        |  SELECT doc_id, text || ' ' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
-        |         WHEN doc_id % 4 = 1 THEN '10.0.0.1'
-        |         WHEN doc_id % 4 = 2 THEN '1234567890'
-        |         ELSE 'clean' END AS t
-        |  FROM documents)
+      raw"""WITH p AS (
+         |  SELECT doc_id, text || ' ' || $piiSaltSql AS t
+         |  FROM documents)
         |SELECT doc_id,
         |  array_to_string([
         |    CASE WHEN len(string_split(x,'@')) = 2
@@ -4591,32 +4619,14 @@ object SparkEntry {
     // strlen(tokens 1..i-1 joined by ' ') + one separator byte (i > 1);
     // strlen counts BYTES in DuckDB, matching the operator's contract
     "q_pii_spans" ->
-      """WITH p AS (
-        |  SELECT doc_id, text || ' ' ||
-        |    CASE WHEN doc_id % 4 = 0 THEN 'alice@example.com'
-        |         WHEN doc_id % 4 = 1 THEN '10.0.0.1'
-        |         WHEN doc_id % 4 = 2 THEN '1234567890'
-        |         ELSE 'clean' END AS t
-        |  FROM documents),
-        |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM p),
-        |sp AS (SELECT doc_id, unnest([{
-        |    's': CASE WHEN i = 1 THEN 0
-        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END,
-        |    'e': CASE WHEN i = 1 THEN 0
-        |      ELSE strlen(array_to_string(ts[1:i-1], ' ')) + 1 END
-        |      + strlen(ts[i]),
-        |    'k': CASE WHEN len(string_split(ts[i],'@')) = 2
-        |           AND strlen(string_split(ts[i],'@')[1]) >= 1
-        |           AND strlen(string_split(ts[i],'@')[2]) >= 3
-        |           AND contains(string_split(ts[i],'@')[2], '.') THEN 'email'
-        |         WHEN regexp_full_match(ts[i], '[0-9]{1,3}(\.[0-9]{1,3}){3}')
-        |           THEN 'ip'
-        |         WHEN regexp_full_match(ts[i], '[0-9]{7,}') THEN 'num'
-        |         ELSE NULL END
-        |  } for i in range(1, len(ts)+1)]) AS sp FROM tok)
-        |SELECT doc_id, CAST(sp.s AS BIGINT) AS start,
-        |  CAST(sp.e AS BIGINT) AS "end", sp.k AS kind
-        |FROM sp WHERE sp.k IS NOT NULL""".stripMargin,
+      s"""WITH p AS (
+         |  SELECT doc_id, text || ' ' || $piiSaltSql AS t
+         |  FROM documents),
+         |tok AS (SELECT doc_id, string_split(t, ' ') AS ts FROM p),
+         |sp AS (SELECT doc_id, $piiSpanStructSql AS sp FROM tok)
+         |SELECT doc_id, CAST(sp.s AS BIGINT) AS start,
+         |  CAST(sp.e AS BIGINT) AS "end", sp.k AS kind
+         |FROM sp WHERE sp.k IS NOT NULL""".stripMargin,
 
     // salted md5 surrogate replayed literally
     "q_pseudonymize" ->

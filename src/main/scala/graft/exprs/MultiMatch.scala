@@ -95,18 +95,22 @@ class AcAutomaton(val patterns: Array[String]) extends Serializable {
   }
 
   /** TOTAL occurrence count across all patterns — the gate predicate's
-    * fast path: no per-pattern array, no allocation, and (per state) the
-    * output size is precomputed, so the loop body is two array loads.
+    * fast path: no per-pattern array, TRUE zero allocation (the walk
+    * reads the UTF8String's bytes in place via getByte — no toString
+    * transcode, no byte-array copy), and (per state) the output size is
+    * precomputed, so the loop body is two array loads. Walking bytes is
+    * exact: patterns are ASCII, any byte ≥ 0x80 (lead or continuation)
+    * resets to root, which a match can never span.
     */
   def total(text: UTF8String): Long = {
     val (delta, outs) = built
-    val s = text.toString
+    val len = text.numBytes
     var n = 0L
     var st = 0
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i).toInt
-      if (c < 128) {
+    while (i < len) {
+      val c = text.getByte(i).toInt
+      if (c >= 0) {
         st = delta(st * 128 + c)
         n += outs(st).length
       } else st = 0
@@ -116,17 +120,18 @@ class AcAutomaton(val patterns: Array[String]) extends Serializable {
   }
 
   /** Per-pattern occurrence counts (overlapping included), index-aligned
-    * with `patterns`. One pass, one array load per character.
+    * with `patterns`. One pass, one array load per byte, zero allocation
+    * beyond the result array (same in-place byte walk as [[total]]).
     */
   def counts(text: UTF8String): Array[Long] = {
     val (delta, outs) = built
-    val s = text.toString
+    val len = text.numBytes
     val n = new Array[Long](patterns.length)
     var st = 0
     var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i).toInt
-      if (c < 128) {
+    while (i < len) {
+      val c = text.getByte(i).toInt
+      if (c >= 0) {
         st = delta(st * 128 + c)
         val o = outs(st)
         var j = 0
@@ -152,13 +157,13 @@ object MultiMatchImpl {
     */
   def spans(text: UTF8String, ac: AcAutomaton): GenericArrayData = {
     val (delta, outs) = ac.dense
-    val bytes = text.getBytes
+    val len = text.numBytes
     val out = scala.collection.mutable.ArrayBuffer.empty[Any]
     var st = 0
     var i = 0
-    while (i < bytes.length) {
-      val c = bytes(i).toInt
-      if (c >= 0 && c < 128) {
+    while (i < len) {
+      val c = text.getByte(i).toInt
+      if (c >= 0) {
         st = delta(st * 128 + c)
         val o = outs(st)
         var j = 0

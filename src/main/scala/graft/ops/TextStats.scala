@@ -725,7 +725,11 @@ object TextStats {
       text: Column,
       terms: Seq[String]
   ): DataFrame =
-    df.filter(
+    // null text contains no blocklist term, so it SURVIVES — without the
+    // isNull arm the null-intolerant total would null the predicate and
+    // silently drop the row, diverging from the gate's stated contract
+    // (and from the oracle's NOT EXISTS, which keeps null-text rows)
+    df.filter(text.isNull ||
       org.apache.spark.sql.GraftBridge.column(
         graft.exprs.MultiMatchTotal(
           org.apache.spark.sql.GraftBridge.expression(text),

@@ -112,6 +112,15 @@ class MultiMatchSpec extends AnyFunSuite {
     assert(nFromCounts == got.size.toLong)
   }
 
+  test("blocklistGate keeps null-text rows (null contains no term; the " +
+    "null-intolerant total must not silently drop them)") {
+    val d = Seq((1L, "slow text"), (2L, null), (3L, "clean"))
+      .toDF("doc_id", "text")
+    val kept = TextStats.blocklistGate(d, col("text"), Seq("slow"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L))
+  }
+
   test("total equals the sum of per-pattern counts on random strings") {
     val rnd = new scala.util.Random(97)
     val alphabet = "abcd"
