@@ -838,6 +838,22 @@ object SparkEntry {
         "text", k = 3, minContamBp = 5000, maxShingleDf = 100)
     }),
 
+    // --- maximal CONTIGUOUS contaminated runs (longest-overlap criterion) -------
+    // Same probe suite as q_decontam, but POSITIONAL: word positions
+    // whose 3-shingle appears anywhere in the suite, merged into maximal
+    // runs per doc (the contiguous-n-gram-overlap check; 50 scattered
+    // shared shingles vs one verbatim quote are different problems).
+    // The probe docs themselves must report their 150-byte prefix as one
+    // long run; runs of a single shingle are screened (minRunShingles=2).
+    "q_decontam_spans" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val probes = d.filter(col("doc_id") % 97 === 0)
+        .select(col("doc_id").as("probe_id"),
+          substring(col("text"), 1, 150).as("text"))
+      graft.ops.Decontam.contamSpans(d, probes, "doc_id", "text",
+        k = 3, minRunShingles = 2, maxShingleDf = 100)
+    }),
+
     // --- composed corpus cleaning (dedup + quality + language gates) ----------
     "q_corpus_clean" -> ((s, dir) =>
       graft.ops.CorpusClean(docs(s, dir))
@@ -2503,6 +2519,15 @@ object SparkEntry {
     "q_lm_surprisal" -> ((s, dir) =>
       TextStats.lmSurprisalStats(docs(s, dir), "doc_id", "text")),
 
+    // --- Kneser–Ney bigram TRAINING statistics (the model-fit side) --------------
+    // q_lm_surprisal scores docs against a bigram table; this builds the
+    // table: per distinct bigram, the raw count plus both KN
+    // continuation-type counts and the distinct-bigram total — exact
+    // integers, discount arithmetic downstream. minCount=3 thresholds
+    // the OUTPUT only (continuation counts see every bigram).
+    "q_kn_stats" -> ((s, dir) =>
+      graft.ops.NgramLm.knBigramStats(docs(s, dir), "text", minCount = 3L)),
+
     // --- BPE-training inner loop: adjacent-token pair counts ------------------------
     // Corpus-wide counts of adjacent token pairs under the current
     // vocab — the statistic whose argmax is the next BPE merge. Same
@@ -3962,6 +3987,28 @@ object SparkEntry {
         |  CAST(count(*) AS BIGINT) AS n_pairs
         |FROM prs p JOIN bi USING (a, b) JOIN uni USING (a)
         |GROUP BY p.doc_id, bi.n_ab, uni.n_a""".stripMargin,
+    // the distinct-bigram table with both KN continuation-type counts
+    // (count windows over it) and the distinct-bigram total; empty
+    // split-artifact words excluded on both engines; c >= 3 filters the
+    // OUTPUT only (continuation counts are over all bigrams)
+    "q_kn_stats" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |prs0 AS (SELECT
+        |    unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM w),
+        |prs AS (SELECT w1, w2 FROM prs0 WHERE w1 <> '' AND w2 <> ''),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM prs GROUP BY w1, w2),
+        |l AS (SELECT w2, CAST(count(*) AS BIGINT) AS left_types
+        |  FROM b GROUP BY w2),
+        |r AS (SELECT w1, CAST(count(*) AS BIGINT) AS right_types
+        |  FROM b GROUP BY w1),
+        |t AS (SELECT CAST(count(*) AS BIGINT) AS d_total FROM b)
+        |SELECT b.w1, b.w2, b.c, l.left_types, r.right_types, t.d_total
+        |FROM b JOIN l USING (w2) JOIN r USING (w1) CROSS JOIN t
+        |WHERE b.c >= 3""".stripMargin,
+
     // transitive closure of the minhash pair stream: symmetric edges,
     // label walk (every label reaches everything in its component), then
     // min label per vertex = the component's min doc_id
@@ -5613,6 +5660,36 @@ object SparkEntry {
         |  CAST(FLOOR(j.n_shared * 10000.0 / pn.n_probe) AS BIGINT) AS contam_bp
         |FROM j JOIN pn USING (probe_id)
         |WHERE FLOOR(j.n_shared * 10000.0 / pn.n_probe) >= 5000""".stripMargin,
+
+    // positional twin of q_decontam: positional corpus shingles joined
+    // to the DISTINCT union of probe shingles, hot shingles (df > 100 on
+    // the pruned stream) excluded, runs merged per doc by the islands
+    // trick (pos - row_number), single-shingle runs screened
+    "q_decontam_spans" ->
+      """WITH probes AS (SELECT doc_id AS probe_id, substr(text, 1, 150) AS text
+        |  FROM documents WHERE doc_id % 97 = 0),
+        |cw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+        |cpos AS (SELECT doc_id, i - 1 AS pos,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 0)+1)) AS i) g
+        |  WHERE len(ws) >= 3),
+        |pw AS (SELECT probe_id, string_split(lower(text), ' ') AS ws FROM probes),
+        |psh AS (SELECT DISTINCT s AS shingle FROM (
+        |  SELECT unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2]
+        |          for i in range(1, greatest(len(ws)-2, 0)+1)]) AS s
+        |  FROM pw WHERE len(ws) >= 3)),
+        |m0 AS (SELECT doc_id, pos, shingle FROM cpos JOIN psh USING (shingle)),
+        |hot AS (SELECT shingle FROM (
+        |  SELECT shingle, count(DISTINCT doc_id) AS df FROM m0 GROUP BY shingle)
+        |  WHERE df > 100),
+        |m AS (SELECT doc_id, pos FROM m0 ANTI JOIN hot USING (shingle)),
+        |f AS (SELECT doc_id, pos,
+        |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        |  FROM m)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS run_start,
+        |  CAST(count(*) AS BIGINT) AS run_shingles,
+        |  CAST(count(*) + 2 AS BIGINT) AS run_words
+        |FROM f GROUP BY doc_id, grp HAVING count(*) >= 2""".stripMargin,
 
     "q_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws

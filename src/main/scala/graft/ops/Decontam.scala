@@ -94,6 +94,71 @@ object Decontam {
       .filter(col("contam_bp") >= minContamBp)
   }
 
+  /** Maximal CONTIGUOUS contaminated runs per document: the positions
+    * whose `k`-word shingle appears in ANY probe (benchmark) item,
+    * merged into maximal runs — the "longest contaminated span" check
+    * (contiguous n-gram overlap, the PaLM/GPT-3-style criterion) that
+    * [[ngramOverlap]]'s set-overlap score cannot express: 50 scattered
+    * shared shingles and one 50-shingle verbatim quote have the same
+    * contam_bp but are different problems, and excision needs the WHERE.
+    * The cross-set twin of [[SegDedup.duplicatedSpans]] (which finds
+    * intra-corpus duplicated regions; this finds probe-set ones).
+    *
+    * Returns (doc_id, run_start, run_shingles, run_words) — `run_start`
+    * is the 0-based WORD index of the run's first shingle,
+    * `run_words = run_shingles + k − 1` is its width in words — one row
+    * per maximal run with ≥ `minRunShingles` shingles.
+    *
+    * Scale shape: same geometry as [[ngramOverlap]] — the probe shingle
+    * set is broadcast and the positional corpus shingle stream is pruned
+    * map-side against it BEFORE anything stateful, so corpus shingles
+    * never cross a shuffle; the df cap is exact on the pruned stream for
+    * the same reason as there. The run merge is a gaps-and-islands
+    * window PARTITIONED PER DOCUMENT over matched positions only —
+    * bounded by one document's own match count, never the corpus.
+    * Dropping a hot shingle can split a run in two (documented: the cap
+    * excludes it from matching entirely, [[droppedHotShingles]] audits).
+    */
+  def contamSpans(
+      corpus: DataFrame, // (idCol, textCol)
+      probes: DataFrame, // (probeIdCol or any id, textCol)
+      idCol: String,
+      textCol: String,
+      k: Int = 3,
+      minRunShingles: Int = 1,
+      maxShingleDf: Int = 10000
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(minRunShingles >= 1, "minRunShingles must be >= 1")
+    val cPos = corpus.select(
+      col(idCol).as("doc_id"),
+      posexplode(Dedup.shingles(Dedup.words(col(textCol)), k))
+        .as(Seq("pos", "shingle")))
+    // the UNION of all probes' shingles — run detection is against the
+    // whole suite (an excision does not care WHICH item leaked)
+    val pSet = probes
+      .select(explode(Dedup.shingles(Dedup.words(col(textCol)), k))
+        .as("shingle"))
+      .distinct()
+    val matched = cPos.join(broadcast(pSet), Seq("shingle"))
+    val hot = matched.select(col("shingle"), col("doc_id")).distinct()
+      .groupBy(col("shingle"))
+      .agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxShingleDf)
+      .select("shingle")
+    val kept = matched.join(broadcast(hot), Seq("shingle"), "left_anti")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+    kept
+      .withColumn("__grp", col("pos") - row_number().over(w))
+      .groupBy(col("doc_id"), col("__grp"))
+      .agg(min(col("pos")).cast("long").as("run_start"),
+        count(lit(1)).as("run_shingles"))
+      .filter(col("run_shingles") >= minRunShingles.toLong)
+      .select(col("doc_id"), col("run_start"), col("run_shingles"),
+        (col("run_shingles") + (k - 1).toLong).as("run_words"))
+  }
+
   /** The shingles [[ngramOverlap]]'s `maxShingleDf` cap removed from
     * matching: one row per dropped shingle with its corpus document
     * frequency. Log/alert on this next to the overlap output.

@@ -119,6 +119,33 @@ class CurationSpec extends AnyFunSuite {
     assert(dropped == Set(("a b c", 2L)), dropped.mkString(","))
   }
 
+  test("contamSpans: maximal runs, min-run screening, hot-cap run split") {
+    // probe phrase "t1 t2 t3 t4 t5" -> shingles t1t2t3, t2t3t4, t3t4t5
+    val corpus = Seq(
+      (1L, "aa bb cc t1 t2 t3 t4 t5 dd ee"), // one 3-shingle run at pos 3
+      (2L, "t1 t2 t3 zz yy xx t3 t4 t5"), // two SEPARATED 1-shingle runs
+      (3L, "no overlap at all here"))
+      .toDF("doc_id", "text")
+    val probes = Seq((100L, "t1 t2 t3 t4 t5")).toDF("probe_id", "text")
+    val runs = Decontam.contamSpans(corpus, probes, "doc_id", "text",
+      k = 3, minRunShingles = 1, maxShingleDf = 1000)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(runs == Set(
+      (1L, 3L, 3L, 5L), // adjacent matches merge into ONE maximal run
+      (2L, 0L, 1L, 3L), (2L, 6L, 1L, 3L)), runs.mkString(","))
+    // min-run screening drops doc 2's scattered single-shingle hits
+    val screened = Decontam.contamSpans(corpus, probes, "doc_id", "text",
+      k = 3, minRunShingles = 2, maxShingleDf = 1000)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(screened == Set((1L, 3L, 3L, 5L)), screened.mkString(","))
+    // df cap at 1: t1t2t3 (docs 1,2) and t3t4t5 (docs 1,2) drop from
+    // matching; doc 1's run SPLITS down to the surviving middle shingle
+    val capped = Decontam.contamSpans(corpus, probes, "doc_id", "text",
+      k = 3, minRunShingles = 1, maxShingleDf = 1)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(capped == Set((1L, 4L, 1L, 3L)), capped.mkString(","))
+  }
+
   test("writeShards lays out exactly one parquet file per shard directory " +
     "and the readback preserves assignments") {
     val df = Seq(
