@@ -267,6 +267,18 @@ object PlanDump {
         "pass, one (query, band)-keyed window, one pivot agg — the " +
         "positive/negative bands split on a single decimal predicate)" ->
         SparkEntry.queries("q_triplets")(spark, dir),
+      "q_decontam_spans (positional decontamination: corpus shingle " +
+        "stream pruned map-side against the broadcast probe set before " +
+        "anything stateful; the islands window partitions per document)" ->
+        SparkEntry.queries("q_decontam_spans")(spark, dir),
+      "q_kn_stats (Kneser–Ney table: corpus collapses to the distinct-" +
+        "bigram table in one partial agg; continuation counts are " +
+        "windows OVER that vocab-bounded table, never the corpus)" ->
+        SparkEntry.queries("q_kn_stats")(spark, dir),
+      "q_bt_stats (Bradley–Terry table: comparisons collapse to the " +
+        "pair table in one partial agg; margins re-aggregate the pair " +
+        "table only — every join side is pair/item-cardinality)" ->
+        SparkEntry.queries("q_bt_stats")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting

@@ -756,6 +756,25 @@ object SparkEntry {
       graft.features.ExampleFactory.preferencePairs(
         turns(s, dir), length(col("text")))),
 
+    // --- Bradley–Terry rating sufficient statistics -----------------------------
+    // q_pref_pairs EMITS comparisons; this builds the rating model's
+    // table from a comparison stream (the q_kn_stats-to-q_lm_surprisal
+    // relationship). Stream: per conversation with ≥2 tool invocations,
+    // the LAST-invoked tool beats the FIRST (the tool that closed the
+    // conversation vs the one that couldn't) — deterministic on
+    // (ts, turn_idx); same-tool and single-invocation conversations
+    // carry no signal and are excluded by the op.
+    "q_bt_stats" -> ((s, dir) => {
+      val t = turns(s, dir).filter(col("tool").isNotNull)
+      val cmp = t.groupBy(col("conv_id"))
+        .agg(
+          max(struct(col("ts"), col("turn_idx"), col("tool"))).as("__last"),
+          min(struct(col("ts"), col("turn_idx"), col("tool"))).as("__first"))
+        .select(col("__last.tool").as("winner"),
+          col("__first.tool").as("loser"))
+      graft.ops.Preference.bradleyTerryStats(cmp, "winner", "loser")
+    }),
+
     // --- strictly-ordered funnel ------------------------------------------------------
     // view → click → purchase where each stage only counts events after
     // the user's earliest valid previous-stage event.
@@ -4178,6 +4197,36 @@ object SparkEntry {
          |SELECT conv_id, chosen_idx, chosen_text, chosen_score,
          |  rejected_idx, rejected_text, rejected_score
          |FROM b WHERE chosen_score > rejected_score""".stripMargin,
+
+    // window-rank replay of the last-beats-first comparison stream,
+    // then the pair tallies and both per-item margins over the
+    // distinct-pair table (every comparison has exactly one winner)
+    "q_bt_stats" ->
+      s"""$T,
+         |tt AS (SELECT conv_id, tool, ts, turn_idx FROM turns
+         |  WHERE tool IS NOT NULL),
+         |r AS (SELECT conv_id, tool,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY ts DESC, turn_idx DESC) AS rl,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY ts ASC, turn_idx ASC) AS rf
+         |  FROM tt),
+         |c AS (SELECT winner, loser FROM (SELECT conv_id,
+         |    max(CASE WHEN rl = 1 THEN tool END) AS winner,
+         |    max(CASE WHEN rf = 1 THEN tool END) AS loser
+         |  FROM r GROUP BY 1) WHERE winner <> loser),
+         |p AS (SELECT least(winner, loser) AS item_a,
+         |    greatest(winner, loser) AS item_b,
+         |    CAST(count(*) AS BIGINT) AS n_ab,
+         |    CAST(sum(CASE WHEN winner < loser THEN 1 ELSE 0 END) AS BIGINT) AS wins_a
+         |  FROM c GROUP BY 1, 2),
+         |m AS (SELECT item, CAST(sum(w) AS BIGINT) AS w_tot,
+         |    CAST(sum(n) AS BIGINT) AS n_tot FROM (
+         |    SELECT item_a AS item, wins_a AS w, n_ab AS n FROM p
+         |    UNION ALL SELECT item_b, n_ab - wins_a, n_ab FROM p)
+         |  GROUP BY 1)
+         |SELECT p.item_a, p.item_b, p.n_ab, p.wins_a,
+         |  ma.w_tot AS w_a, ma.n_tot AS n_a, mb.w_tot AS w_b, mb.n_tot AS n_b
+         |FROM p JOIN m ma ON ma.item = p.item_a
+         |JOIN m mb ON mb.item = p.item_b""".stripMargin,
 
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events
