@@ -2529,6 +2529,16 @@ object SparkEntry {
     "q_rarity" -> ((s, dir) =>
       TextStats.rarityStats(docs(s, dir), "doc_id", "text", minCount = 5L)),
 
+    // --- Heaps-law vocabulary growth curve ----------------------------------------
+    // Per 100-document bucket: new word types (first containing doc in
+    // the bucket), running type/token totals — cum_types vs cum_tokens
+    // is the V(n) Heaps curve; a flattening tail means the corpus is
+    // saturating its vocabulary. Zero-token docs still hold their
+    // bucket position on the volume axis.
+    "q_vocab_growth" -> ((s, dir) =>
+      TextStats.vocabGrowth(docs(s, dir), "doc_id", "text",
+        bucketDocs = 100L)),
+
     // --- bigram-LM surprisal sufficient statistics (perplexity filter) -----------
     // Per document, the exact-integer multiset of its adjacent pairs'
     // (corpus bigram count, corpus left-unigram count) — the CCNet-style
@@ -2897,6 +2907,32 @@ object SparkEntry {
           .when(col("value") < 60.0, "signup")
           .when(col("value") < 80.0, "purchase")
           .otherwise("error"))),
+
+    // --- Fleiss' kappa sufficient statistics (multi-rater agreement) ------------
+    // Three deterministic rule-labelers rate every event into one
+    // 5-class alphabet: the event_type itself, q_kappa's value-bucket
+    // rater (abstaining — null — on null value instead of q_kappa's
+    // otherwise-'error'), and a props-length rater. Items where any
+    // rater abstains go ragged and are dropped + audited (classic
+    // Fleiss needs a constant rater count per item).
+    "q_fleiss" -> ((s, dir) => {
+      val e = Tables.read(s, dir, "events")
+      val classes = array(lit("view"), lit("click"), lit("signup"),
+        lit("purchase"), lit("error"))
+      val r1 = e.select(col("event_id").as("item"),
+        col("event_type").as("label"))
+      val r2 = e.select(col("event_id").as("item"),
+        when(col("value") < 20.0, "view")
+          .when(col("value") < 40.0, "click")
+          .when(col("value") < 60.0, "signup")
+          .when(col("value") < 80.0, "purchase")
+          .when(col("value").isNotNull, "error").as("label"))
+      val r3 = e.select(col("event_id").as("item"),
+        element_at(classes,
+          (pmod(length(col("props")), lit(5)) + 1).cast("int")).as("label"))
+      graft.ops.Analytics.fleissStats(
+        r1.unionAll(r2).unionAll(r3), "item", "label", nRaters = 3)
+    }),
 
     // --- exact Spearman rank correlation ----------------------------------------------
     // Do two quality signals agree? Average-rank Spearman over
@@ -3970,6 +4006,32 @@ object SparkEntry {
          |  FROM walk WHERE tok IS NOT NULL)
          |SELECT tok AS t1, nxt AS t2, CAST(count(*) AS BIGINT) AS n
          |FROM seq WHERE nxt IS NOT NULL GROUP BY t1, t2""".stripMargin,
+
+    // types bucketed by their first containing document (min doc_id,
+    // integer-div bucket), doc/token volume from the doc side so empty
+    // buckets with docs survive, running sums over the bucket frame
+    "q_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id, w FROM (
+        |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+        |    FROM documents) WHERE w <> ''),
+        |f AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY 1),
+        |nt AS (SELECT fd // 100 AS bucket, CAST(count(*) AS BIGINT) AS new_types
+        |  FROM f GROUP BY 1),
+        |dtc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS tc
+        |  FROM toks GROUP BY 1),
+        |db AS (SELECT d.doc_id // 100 AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(COALESCE(sum(dtc.tc), 0) AS BIGINT) AS bucket_tokens
+        |  FROM documents d LEFT JOIN dtc USING (doc_id) GROUP BY 1),
+        |j AS (SELECT db.bucket, db.n_docs,
+        |    CAST(COALESCE(nt.new_types, 0) AS BIGINT) AS new_types,
+        |    db.bucket_tokens
+        |  FROM db LEFT JOIN nt USING (bucket))
+        |SELECT CAST(bucket AS BIGINT) AS bucket, n_docs, new_types,
+        |  CAST(sum(new_types) OVER (ORDER BY bucket) AS BIGINT) AS cum_types,
+        |  bucket_tokens,
+        |  CAST(sum(bucket_tokens) OVER (ORDER BY bucket) AS BIGINT) AS cum_tokens
+        |FROM j""".stripMargin,
 
     // corpus word frequencies joined back per doc; zeros for tokenless
     "q_rarity" ->
@@ -7433,6 +7495,34 @@ object SparkEntry {
         |  CAST(sum(CASE WHEN a = b THEN 1 ELSE 0 END) AS HUGEINT) AS n_agree,
         |  (SELECT pe_num FROM pe) AS pe_num
         |FROM d""".stripMargin,
+
+    // the three rule-labelers in long format, null labels out, items
+    // pinned to exactly 3 ratings (the rest counted as dropped),
+    // contingency cells -> agreeing pairs + squared category totals
+    "q_fleiss" ->
+      """WITH r AS (
+        |  SELECT event_id AS i, event_type AS l FROM events
+        |  UNION ALL
+        |  SELECT event_id, CASE WHEN value < 20 THEN 'view'
+        |      WHEN value < 40 THEN 'click'
+        |      WHEN value < 60 THEN 'signup'
+        |      WHEN value < 80 THEN 'purchase'
+        |      WHEN value IS NOT NULL THEN 'error' END FROM events
+        |  UNION ALL
+        |  SELECT event_id,
+        |    (['view','click','signup','purchase','error'])[(length(props) % 5) + 1]
+        |  FROM events),
+        |rr AS (SELECT i, l FROM r WHERE l IS NOT NULL),
+        |cells AS (SELECT i, l, count(*) AS n FROM rr GROUP BY 1, 2),
+        |ni AS (SELECT i, CAST(sum(n) AS BIGINT) AS ni FROM cells GROUP BY 1),
+        |keep AS (SELECT i FROM ni WHERE ni = 3),
+        |kept AS (SELECT c.* FROM cells c JOIN keep USING (i)),
+        |tj AS (SELECT l, CAST(sum(n) AS HUGEINT) AS t FROM kept GROUP BY 1)
+        |SELECT CAST((SELECT count(*) FROM keep) AS HUGEINT) AS n_items,
+        |  CAST(3 AS BIGINT) AS n_raters,
+        |  CAST(COALESCE((SELECT sum(n * (n - 1)) FROM kept), 0) AS HUGEINT) AS agree_pairs,
+        |  CAST(COALESCE((SELECT sum(t * t) FROM tj), 0) AS HUGEINT) AS pe_num,
+        |  CAST((SELECT count(*) FROM ni WHERE ni <> 3) AS BIGINT) AS n_dropped""".stripMargin,
 
     // single-window replay of the two-phase rank maps; r2 = doubled
     // average rank keeps ties integral, HUGEINT mirrors decimal(38,0)

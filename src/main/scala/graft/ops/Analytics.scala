@@ -554,6 +554,67 @@ object Analytics {
     base.crossJoin(broadcast(pe))
   }
 
+  /** Fleiss' κ sufficient statistics — [[kappaExact]]'s MULTI-rater
+    * generalization for annotation pipelines with ≥ 3 labelers. Input
+    * is LONG format (one row per rating), so raters need no identity —
+    * exactly Fleiss' setting (any `nRaters` raters per item, not
+    * necessarily the same ones). One row out, all exact integers
+    * (decimal(38,0) where 10^12-row squares overflow int64):
+    *
+    *   n_items      items with exactly nRaters non-null ratings
+    *   n_raters     echo of the required count R
+    *   agree_pairs  Σ_i Σ_c n_ic(n_ic − 1) — agreeing rating pairs
+    *   pe_num       Σ_c (Σ_i n_ic)² — the chance-agreement numerator
+    *   n_dropped    items with ≠ R ratings, EXCLUDED and audited
+    *                (classic Fleiss needs constant R; silently keeping
+    *                ragged items would bias P̄'s denominator)
+    *
+    * The caller computes P̄ = agree_pairs / (n_items·R·(R−1)),
+    * P̄e = pe_num / (n_items·R)², κ = (P̄−P̄e)/(1−P̄e) — floats stay
+    * downstream, the [[kappaExact]] contract.
+    *
+    * Scale shape: ratings cross the shuffle once into the (item, label)
+    * contingency cells; per-item totals re-aggregate the CELLS (each
+    * item has ≤ |labels| cells, so the second exchange is
+    * cell-cardinality); the keep-filter is a cell↔item semi-join on the
+    * same key, and everything after is label-cardinality. Single-row
+    * branches meet in broadcast cross joins.
+    */
+  def fleissStats(
+      ratings: DataFrame, // (itemCol, labelCol) — one row per rating
+      itemCol: String,
+      labelCol: String,
+      nRaters: Int
+  ): DataFrame = {
+    require(nRaters >= 2, "nRaters must be >= 2")
+    val dec = "decimal(38,0)"
+    val r = ratings.filter(col(labelCol).isNotNull)
+      .select(col(itemCol).as("__i"), col(labelCol).as("__l"))
+    val cells = r.groupBy(col("__i"), col("__l"))
+      .agg(count(lit(1)).as("__n"))
+    val perItem = cells.groupBy(col("__i")).agg(sum(col("__n")).as("__ni"))
+    val keptIds = perItem.filter(col("__ni") === nRaters.toLong).select("__i")
+    val kept = cells.join(keptIds, Seq("__i"))
+    val base = keptIds.agg(count(lit(1)).cast(dec).as("n_items"))
+    val agree = kept.agg(
+      coalesce(sum(col("__n") * (col("__n") - 1L)), lit(0L))
+        .cast(dec).as("agree_pairs"))
+    val pe = kept.groupBy(col("__l"))
+      .agg(sum(col("__n")).cast(dec).as("__t"))
+      .agg(coalesce(sum(col("__t") * col("__t")), lit(0L).cast(dec))
+        .as("pe_num"))
+    val drop = perItem.agg(
+      coalesce(sum(when(col("__ni") =!= nRaters.toLong, 1L).otherwise(0L)),
+        lit(0L)).as("n_dropped"))
+    base
+      .withColumn("n_raters", lit(nRaters.toLong))
+      .crossJoin(broadcast(agree))
+      .crossJoin(broadcast(pe))
+      .crossJoin(broadcast(drop))
+      .select(col("n_items"), col("n_raters"), col("agree_pairs"),
+        col("pe_num"), col("n_dropped"))
+  }
+
   /** Per-group least-squares TREND of y over x as an exact rational:
     * slope = slope_num / slope_den with
     *

@@ -281,6 +281,67 @@ object TextStats {
         coalesce(col("__fs"), lit(0L)).as("freq_sum"))
   }
 
+  /** Heaps-law vocabulary growth curve: per `bucketDocs`-document
+    * bucket (in `idCol` order), how many NEW word types appear — types
+    * whose first containing document falls in that bucket — plus the
+    * bucket's document/token volume and running totals. cum_types vs
+    * cum_tokens IS the V(n) ∝ n^β Heaps curve (the β fit, the only
+    * float, stays downstream): a flattening curve says the corpus is
+    * saturating its vocabulary (more data, few new words — crawl
+    * overlap); a steepening one says the new data is out-of-domain or
+    * garbage. Zero-token documents still count toward n_docs (position
+    * on the x-axis is corpus volume, not token luck).
+    *
+    * `idCol` must be non-negative (fails loud otherwise): bucket
+    * assignment is integer `div`, and a negative id would make Spark's
+    * truncating div disagree with floor semantics.
+    *
+    * Scale shape: one word-keyed min agg gives each type's first
+    * document (partial-agg friendly — "the" collapses map-side), then
+    * everything is bucket-cardinality. The running sums are ONE
+    * unpartitioned window over the bucket frame — bounded by
+    * corpus_docs/bucketDocs rows (the chunk-frame convention of
+    * [[Curation]]'s packing), never by document or token volume.
+    */
+  def vocabGrowth(
+      df: org.apache.spark.sql.DataFrame,
+      idCol: String,
+      textCol: String,
+      bucketDocs: Long
+  ): org.apache.spark.sql.DataFrame = {
+    require(bucketDocs > 0, "bucketDocs must be positive")
+    val guarded = when(col(idCol) >= 0L, col(idCol).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("vocabGrowth: negative id "), col(idCol).cast("string"),
+        lit(" — ids must be >= 0"))))
+    val bucket = call_function("div", guarded, lit(bucketDocs))
+    val toks = df
+      .select(bucket.as("__b"), explode(Dedup.words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+    // each type's first containing bucket (min over doc buckets is the
+    // bucket of the min doc id — div is monotone on non-negatives)
+    val newTypes = toks.groupBy(col("__w"))
+      .agg(min(col("__b")).as("__fb"))
+      .groupBy(col("__fb").as("bucket"))
+      .agg(count(lit(1)).as("new_types"))
+    val docSide = df
+      .select(bucket.as("bucket"),
+        size(filter(Dedup.words(col(textCol)), _ =!= "")).cast("long")
+          .as("__tc"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__tc")).as("bucket_tokens"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("bucket"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    docSide
+      .join(newTypes, Seq("bucket"), "left")
+      .withColumn("new_types", coalesce(col("new_types"), lit(0L)))
+      .withColumn("cum_types", sum(col("new_types")).over(w))
+      .withColumn("cum_tokens", sum(col("bucket_tokens")).over(w))
+      .select(col("bucket"), col("n_docs"), col("new_types"),
+        col("cum_types"), col("bucket_tokens"), col("cum_tokens"))
+  }
+
   /** Feature hashing ("hashing trick"): each whitespace word is routed
     * to `bucket = rollingHash(word) mod dims`, and the per-(doc, bucket)
     * counts ARE the document's sparse feature vector — fixed

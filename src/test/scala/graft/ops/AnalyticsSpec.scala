@@ -354,4 +354,45 @@ class AnalyticsSpec extends AnyFunSuite {
       .select(col("ks_num").cast("long")).as[Long].collect()
     assert(z.toSeq == Seq(0L))
   }
+
+  test("fleissStats: textbook invariants on a hand case; ragged items " +
+    "dropped and audited; null labels make an item ragged") {
+    // 3 raters, 4 clean items + 1 ragged (null label) + 1 short (2 rows)
+    // item 1: x x x (unanimous)  item 2: x x y  item 3: y y y
+    // item 4: x y z (full split)
+    val ratings = Seq(
+      (1L, "x"), (1L, "x"), (1L, "x"),
+      (2L, "x"), (2L, "x"), (2L, "y"),
+      (3L, "y"), (3L, "y"), (3L, "y"),
+      (4L, "x"), (4L, "y"), (4L, "z"),
+      (5L, "x"), (5L, "x"), (5L, null),
+      (6L, "y"), (6L, "y"))
+      .toDF("item", "label")
+    val got = Analytics.fleissStats(ratings, "item", "label", 3)
+      .select(col("n_items").cast("long"), col("n_raters"),
+        col("agree_pairs").cast("long"), col("pe_num").cast("long"),
+        col("n_dropped"))
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // kept cells: 1:{x:3} 2:{x:2,y:1} 3:{y:3} 4:{x:1,y:1,z:1}
+    // agree_pairs = 6 + (2+0) + 6 + 0 = 14
+    // totals: x = 3+2+1 = 6, y = 1+3+1 = 5, z = 1 -> pe_num = 36+25+1 = 62
+    assert(got == Seq((4L, 3L, 14L, 62L, 2L)), got.mkString(","))
+    // perfect agreement: kappa numerator check — P-bar = 1
+    // (agree_pairs == n_items * R * (R-1))
+    val perfect = Seq((1L, "a"), (1L, "a"), (2L, "b"), (2L, "b"))
+      .toDF("item", "label")
+    val p = Analytics.fleissStats(perfect, "item", "label", 2)
+      .select(col("n_items").cast("long"), col("agree_pairs").cast("long"))
+      .as[(Long, Long)].head()
+    assert(p._2 == p._1 * 2L * 1L)
+  }
+
+  test("fleissStats: empty-kept corpus returns zeros, not an empty frame") {
+    val ragged = Seq((1L, "x"), (2L, "y")).toDF("item", "label")
+    val got = Analytics.fleissStats(ragged, "item", "label", 3)
+      .select(col("n_items").cast("long"), col("agree_pairs").cast("long"),
+        col("pe_num").cast("long"), col("n_dropped"))
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((0L, 0L, 0L, 2L)), got.mkString(","))
+  }
 }

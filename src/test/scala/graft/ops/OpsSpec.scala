@@ -805,6 +805,35 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L) == ((0L, 0L, 0L)), "tokenless doc reports zeros")
   }
 
+  test("vocabGrowth: new types by first bucket, running totals, " +
+    "zero-token docs keep their bucket on the axis") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "a b"), // bucket 0: types a, b
+      (1L, "b a"), // nothing new
+      (2L, "c a"), // bucket 1: c is new
+      (3L, ""), // zero tokens, still a bucket-1 doc
+      (4L, "d d d") // bucket 2: d is new, 3 tokens
+    ).toDF("doc_id", "text")
+    val got = TextStats.vocabGrowth(docs, "doc_id", "text", bucketDocs = 2L)
+      .as[(Long, Long, Long, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(got == Seq(
+      (0L, 2L, 2L, 2L, 4L, 4L),
+      (1L, 2L, 1L, 3L, 2L, 6L),
+      (2L, 1L, 1L, 4L, 3L, 9L)), got.mkString(","))
+  }
+
+  test("vocabGrowth: negative ids fail loud") {
+    import spark.implicits._
+    val docs = Seq((-1L, "a")).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      TextStats.vocabGrowth(docs, "doc_id", "text", 2L).collect()
+    }
+    assert(e.getMessage.contains("vocabGrowth") ||
+      e.getCause != null && e.getCause.getMessage.contains("vocabGrowth"),
+      e.getMessage)
+  }
+
   test("bpePairCounts: greedy-walk adjacent pairs, longest match wins, " +
     "codepoint fallback") {
     import spark.implicits._
