@@ -830,6 +830,15 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
         TextStats.rollingFingerprint(col("text")).as("rfp"))),
 
+    // --- WINNOWING fingerprints (MOSS local fingerprinting) ----------------------
+    // Width-4 windows over 3-word-shingle hashes, min per window with
+    // rightmost ties — any shared run of >= w+k-1 = 6 words between two
+    // docs is GUARANTEED to share a fingerprint (substring-granularity
+    // matching that doc-level minhash can't localize).
+    "q_winnow_fp" -> ((s, dir) =>
+      Dedup.winnowFingerprints(docs(s, dir), "doc_id", "text",
+        k = 3, w = 4)),
+
     // --- MinHash LSH near-dup candidate pairs ---------------------------------
     "q_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashPairs(docs(s, dir), "doc_id", "text")),
@@ -5622,6 +5631,30 @@ object SparkEntry {
         |    (h, c) -> (h * 31 + c) % 1000000007)
         |END AS rfp
         |FROM documents""".stripMargin,
+
+    // positional 3-shingle hashes (the q_rolling_fp recurrence per
+    // shingle), frame-min per full width-4 window, rightmost minimal
+    // occurrence via the range join-back, consecutive picks collapsed
+    "q_winnow_fp" ->
+      """WITH cw AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |hs AS (SELECT doc_id, i - 1 AS pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [unicode(c)::BIGINT for c in string_split(
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2], '')]),
+        |      (h, c) -> (h * 31 + c) % 1000000007) AS h
+        |  FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 0)+1)) AS i) g
+        |  WHERE len(ws) >= 3),
+        |m AS (SELECT doc_id, pos AS p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mh
+        |  FROM hs QUALIFY pos >= 3),
+        |sel AS (SELECT m.doc_id, m.mh AS fp_hash,
+        |    CAST(max(h2.pos) AS BIGINT) AS fp_pos
+        |  FROM m JOIN hs h2 ON h2.doc_id = m.doc_id
+        |    AND h2.pos BETWEEN m.p - 3 AND m.p AND h2.h = m.mh
+        |  GROUP BY m.doc_id, m.p, m.mh)
+        |SELECT DISTINCT doc_id, fp_hash, fp_pos FROM sel""".stripMargin,
 
     "q_corpus_clean" ->
       """WITH sc AS (SELECT doc_id, text,

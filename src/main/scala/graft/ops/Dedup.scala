@@ -623,4 +623,55 @@ object Dedup {
         call_function("div", col("n_shared") * 10000L,
           least(col("n_a"), col("n_b"))).as("contain_bp"))
   }
+
+  /** WINNOWING fingerprints (Schleimer–Wilkerson–Aiken, the MOSS local
+    * fingerprinting scheme): per document, the positional `k`-word
+    * shingle hashes winnowed by a width-`w` sliding window — each full
+    * window selects its MINIMUM hash, ties broken to the RIGHTMOST
+    * occurrence, and consecutive windows picking the same occurrence
+    * emit it once. The guarantee this buys over sampling every i-th
+    * hash: ANY shared word run of ≥ w + k − 1 words between two
+    * documents shares at least one (fp_hash) — substring-granularity
+    * robust matching that doc-level minhash ([[minhashPairs]]) and
+    * block-level segment dedup can't localize. Join fingerprint tables
+    * on fp_hash to find candidate local overlaps; fp_pos is the 0-based
+    * word index of the selected shingle for excision/inspection.
+    *
+    * Hash = the corpus-replayable polynomial rolling hash
+    * ([[TextStats.rollingFingerprint]]) of the space-joined shingle —
+    * mod 1e9+7, so the density knob stays honest (uniform over ~2³⁰).
+    *
+    * Scale shape: scan-fused posexplode, ONE per-document window
+    * (bounded by a document's own shingle count, never the corpus),
+    * then ONE distinct shuffle on (doc, hash, pos) whose cardinality is
+    * ~2·n/(w+1) selected fingerprints, not n window rows. Docs shorter
+    * than k + w − 1 words have no full window and emit nothing (the
+    * guarantee is vacuous below one window).
+    */
+  def winnowFingerprints(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int = 5,
+      w: Int = 4
+  ): DataFrame = {
+    require(k >= 1, "k must be >= 1")
+    require(w >= 1, "w must be >= 1")
+    val hashes = df.select(
+      col(idCol).as("doc_id"),
+      posexplode(shingles(words(col(textCol)), k)).as(Seq("pos", "__s")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"),
+        TextStats.rollingFingerprint(col("__s")).as("__h"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(-(w - 1), 0)
+    // min over (h, -pos): smallest hash, tie -> largest pos (rightmost)
+    hashes
+      .withColumn("__sel",
+        min(struct(col("__h").as("h"), (-col("pos")).as("np"))).over(win))
+      .filter(col("pos") >= (w - 1).toLong) // full windows only
+      .select(col("doc_id"), col("__sel.h").as("fp_hash"),
+        (-col("__sel.np")).as("fp_pos"))
+      .distinct()
+  }
 }
