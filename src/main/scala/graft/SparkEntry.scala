@@ -3186,6 +3186,23 @@ object SparkEntry {
     "q_turn_context" -> ((s, dir) =>
       graft.features.ConvFeatures.turnContext(turns(s, dir), 3)),
 
+    // --- consecutive same-role turn merge -----------------------------------------
+    // The normalization chat-template renderers assume: maximal
+    // same-role runs in (ts, turn_idx) order collapse to one turn
+    // (bodies joined by \n, null text rendered empty), conversations
+    // re-indexed densely, n_merged auditing the collapse.
+    "q_merge_turns" -> ((s, dir) =>
+      graft.features.ConvFeatures.mergeTurns(turns(s, dir))),
+
+    // --- context-budget suffix trim --------------------------------------------------
+    // Standard chat truncation: system turns always survive; of the
+    // rest, keep the longest suffix whose whitespace-token total fits
+    // the 64-token budget (an oversized turn drops even when most
+    // recent — the suffix property stays exact).
+    "q_ctx_window" -> ((s, dir) =>
+      graft.features.ConvFeatures.contextBudgetTrim(
+        turns(s, dir), budgetTokens = 64L)),
+
     // --- BOUNDED-STATE streaming dedup (watermark eviction) -----------------------
     // dropDuplicatesWithinWatermark: first occurrence per content hash
     // wins and its state is evicted once the watermark passes — the
@@ -7641,6 +7658,41 @@ object SparkEntry {
          |    ORDER BY ts, turn_idx ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING)), 0)
          |    AS BIGINT) AS context_turns
          |FROM turns""".stripMargin,
+
+    // gaps-and-islands on (rn - rn_by_role), ordered string_agg per run,
+    // dense re-index over the merged rows
+    "q_merge_turns" ->
+      s"""$T,
+         |r AS (SELECT conv_id, turn_idx, role, text, ts,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+         |  - row_number() OVER (PARTITION BY conv_id, role ORDER BY ts, turn_idx)
+         |    AS grp
+         |  FROM turns),
+         |g AS (SELECT conv_id, role, grp,
+         |    min(ts) AS ts, CAST(min(turn_idx) AS INT) AS first_turn_idx,
+         |    CAST(count(*) AS BIGINT) AS n_merged,
+         |    string_agg(coalesce(text, ''), chr(10) ORDER BY ts, turn_idx) AS text
+         |  FROM r GROUP BY 1, 2, 3)
+         |SELECT conv_id,
+         |  CAST(row_number() OVER (PARTITION BY conv_id
+         |    ORDER BY ts, first_turn_idx) - 1 AS INT) AS merged_idx,
+         |  role, text, ts, first_turn_idx, n_merged
+         |FROM g""".stripMargin,
+
+    // suffix token totals over a current-row-to-end frame (system rows
+    // contribute 0), budget filter with the system bypass
+    "q_ctx_window" ->
+      s"""$T,
+         |x AS (SELECT conv_id, turn_idx, role, text, ts,
+         |    CAST(len(string_split(coalesce(text, ''), ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(sum(CASE WHEN role = 'system' THEN 0
+         |        ELSE len(string_split(coalesce(text, ''), ' ')) END)
+         |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |      AS BIGINT) AS tail_tokens
+         |  FROM turns)
+         |SELECT conv_id, turn_idx, role, text, ts, n_tokens, tail_tokens
+         |FROM x WHERE role = 'system' OR tail_tokens <= 64""".stripMargin,
 
     // bounded-state dedup where every duplicate arrives within its
     // original's watermark lifetime ⇒ output is exact first-wins dedup;

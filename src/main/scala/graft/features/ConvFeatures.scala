@@ -126,6 +126,90 @@ object ConvFeatures {
     )
   }
 
+  /** Consecutive same-role turn MERGE — the transcript normalization
+    * every chat-template renderer assumes has run (clients that send
+    * three assistant messages in a row produce one logical reply; a
+    * template that alternates roles mis-renders the raw form). Maximal
+    * runs of equal `role` in (ts, turn_idx) order collapse to one turn:
+    * bodies joined by `\n` in order (null text renders empty, the
+    * [[turnContext]] convention), `ts`/`first_turn_idx` from the run's
+    * first turn, `n_merged` auditing the collapse, and `merged_idx`
+    * re-indexing the conversation densely from 0. Ordering follows the
+    * family contract (non-null ts; [[orderAudit]] is the QC gate).
+    *
+    * Scale shape: the classic gaps-and-islands pair of per-conversation
+    * windows (rn − rn_by_role), one (conv, role, run) aggregation whose
+    * per-group collect is bounded by the run's own length, and one
+    * per-conversation re-index window over the MERGED rows — every
+    * stage is conversation-bounded; one conv_id exchange geometry, so
+    * the bucketed layout elides it.
+    */
+  def mergeTurns(turns: DataFrame): DataFrame = {
+    val ord = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("turn_idx"))
+    val ordRole = Window.partitionBy(col("conv_id"), col("role"))
+      .orderBy(col("ts"), col("turn_idx"))
+    val runs = turns
+      .withColumn("__grp",
+        row_number().over(ord) - row_number().over(ordRole))
+      .groupBy(col("conv_id"), col("role"), col("__grp"))
+      .agg(
+        min(col("ts")).as("ts"),
+        min(col("turn_idx")).as("first_turn_idx"),
+        count(lit(1)).as("n_merged"),
+        concat_ws("\n", transform(
+          sort_array(collect_list(struct(
+            col("ts").as("t"), col("turn_idx").as("i"),
+            coalesce(col("text"), lit("")).as("x")))),
+          s => s.getField("x"))).as("text"))
+    val reIdx = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("first_turn_idx"))
+    runs
+      .withColumn("merged_idx", (row_number().over(reIdx) - 1).cast("int"))
+      .select(col("conv_id"), col("merged_idx"), col("role"), col("text"),
+        col("ts"), col("first_turn_idx"), col("n_merged"))
+  }
+
+  /** Context-budget SUFFIX trim — the standard chat truncation: keep
+    * every `systemRole` turn (instructions must survive) plus the
+    * longest SUFFIX of non-system turns, in (ts, turn_idx) order, whose
+    * whitespace-token total fits `budgetTokens`. Returns the kept turns
+    * with `n_tokens` and `tail_tokens` — the non-system token total
+    * from this turn to the conversation's end, the number the budget
+    * was compared against (system turns contribute 0 to every suffix,
+    * so their own row reports the non-system tail below them). A single
+    * oversized turn drops even if it is the most recent — the suffix
+    * property is kept exact rather than special-cased (stated, not
+    * engine luck). Token accounting here is the honest whitespace count
+    * ([[graft.ops.TextStats.wsTokenCount]]); swap in the BPE walk for
+    * tokenizer-true budgets.
+    *
+    * Scale shape: one conv_id exchange; the suffix sum is a single
+    * per-conversation window over a reversed frame (current row →
+    * partition end) carrying one long of state per row. Over the
+    * bucketed layout the exchange disappears.
+    */
+  def contextBudgetTrim(
+      turns: DataFrame,
+      budgetTokens: Long,
+      systemRole: String = "system"
+  ): DataFrame = {
+    require(budgetTokens >= 0, "budgetTokens must be non-negative")
+    val isSys = col("role") === systemRole
+    val nToks = when(isSys, 0L).otherwise(
+      graft.ops.TextStats.wsTokenCount(coalesce(col("text"), lit(""))))
+    val tail = Window.partitionBy(col("conv_id"))
+      .orderBy(col("ts"), col("turn_idx"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    turns
+      .withColumn("n_tokens",
+        graft.ops.TextStats.wsTokenCount(coalesce(col("text"), lit(""))))
+      .withColumn("tail_tokens", sum(nToks).over(tail))
+      .filter(isSys || col("tail_tokens") <= budgetTokens)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
+        col("ts"), col("n_tokens"), col("tail_tokens"))
+  }
+
   /** Renders each conversation to ONE training-ready text: turns in
     * stable (ts, turn_idx) order, each line `role: text` (tool turns
     * tagged `role[tool]: text`, null text rendered empty), joined by

@@ -385,4 +385,43 @@ class ConvFeaturesSpec extends AnyFunSuite {
       (0, true, 1L), (1, false, 1L), (2, true, 2L), (3, true, 3L),
       (4, false, 3L)))
   }
+
+  test("mergeTurns: maximal same-role runs collapse in order, null text " +
+    "renders empty, dense re-index, singles pass through") {
+    val t = Seq(
+      ("c1", 0, "user", "a", null, ts(100)),
+      ("c1", 1, "user", "b", null, ts(110)),
+      ("c1", 2, "user", null, null, ts(120)), // null body in mid-run
+      ("c1", 3, "assistant", "x", null, ts(130)),
+      ("c1", 4, "user", "c", null, ts(140)), // same role, NEW run
+      ("c2", 0, "system", "s", null, ts(50))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.mergeTurns(t)
+      .select("conv_id", "merged_idx", "role", "text", "first_turn_idx",
+        "n_merged")
+      .as[(String, Int, String, String, Int, Long)].collect().toSet
+    assert(got == Set(
+      ("c1", 0, "user", "a\nb\n", 0, 3L),
+      ("c1", 1, "assistant", "x", 3, 1L),
+      ("c1", 2, "user", "c", 4, 1L),
+      ("c2", 0, "system", "s", 0, 1L)), got.mkString(","))
+  }
+
+  test("contextBudgetTrim: longest fitting suffix kept, system always " +
+    "survives, oversized turn drops even when most recent") {
+    val t = Seq(
+      ("c1", 0, "system", "obey these rules", null, ts(10)), // 3 words, free
+      ("c1", 1, "user", "one two three four", null, ts(20)), // 4 toks
+      ("c1", 2, "assistant", "five six", null, ts(30)), // 2 toks
+      ("c1", 3, "user", "seven", null, ts(40)), // 1 tok
+      ("c2", 0, "user", "way too many words to ever fit", null, ts(10))
+    ).toDF("conv_id", "turn_idx", "role", "text", "tool", "ts")
+    val got = ConvFeatures.contextBudgetTrim(t, budgetTokens = 3L)
+      .select("conv_id", "turn_idx", "tail_tokens")
+      .as[(String, Int, Long)].collect().toSet
+    // c1 suffix sums (non-system): idx1=7 idx2=3 idx3=1 -> keep 2,3 + system
+    // c2's single 7-token turn exceeds the budget even alone
+    assert(got == Set(("c1", 0, 7L), ("c1", 2, 3L), ("c1", 3, 1L)),
+      got.mkString(","))
+  }
 }
