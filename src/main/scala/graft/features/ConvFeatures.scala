@@ -184,10 +184,14 @@ object ConvFeatures {
     * ([[graft.ops.TextStats.wsTokenCount]]); swap in the BPE walk for
     * tokenizer-true budgets.
     *
-    * Scale shape: one conv_id exchange; the suffix sum is a single
-    * per-conversation window over a reversed frame (current row →
-    * partition end) carrying one long of state per row. Over the
-    * bucketed layout the exchange disappears.
+    * Scale shape: one conv_id exchange. The suffix total is computed as
+    * conversation_total − running_prefix_before — two O(n) frames
+    * (whole-partition and growing-from-start), NOT a
+    * current-row-to-partition-end frame: Spark evaluates
+    * unbounded-FOLLOWING frames by re-aggregating the remaining rows at
+    * every row (UnboundedFollowingWindowFunctionFrame), which is O(n²)
+    * in a mega-conversation. Over the bucketed layout the exchange
+    * disappears.
     */
   def contextBudgetTrim(
       turns: DataFrame,
@@ -198,13 +202,16 @@ object ConvFeatures {
     val isSys = col("role") === systemRole
     val nToks = when(isSys, 0L).otherwise(
       graft.ops.TextStats.wsTokenCount(coalesce(col("text"), lit(""))))
-    val tail = Window.partitionBy(col("conv_id"))
+    val ord = Window.partitionBy(col("conv_id"))
       .orderBy(col("ts"), col("turn_idx"))
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val whole = Window.partitionBy(col("conv_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val upTo = ord.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     turns
       .withColumn("n_tokens",
         graft.ops.TextStats.wsTokenCount(coalesce(col("text"), lit(""))))
-      .withColumn("tail_tokens", sum(nToks).over(tail))
+      .withColumn("tail_tokens",
+        sum(nToks).over(whole) - sum(nToks).over(upTo) + nToks)
       .filter(isSys || col("tail_tokens") <= budgetTokens)
       .select(col("conv_id"), col("turn_idx"), col("role"), col("text"),
         col("ts"), col("n_tokens"), col("tail_tokens"))
