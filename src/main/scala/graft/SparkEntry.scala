@@ -775,6 +775,17 @@ object SparkEntry {
       graft.ops.Preference.bradleyTerryStats(cmp, "winner", "loser")
     }),
 
+    // --- unbiased pass@k sufficient statistics (exact rationals) -----------------
+    // Task = conversation, sample = assistant turn, "correct" = non-null
+    // response (the transcript derivation nulls low-value payloads).
+    // pass@2 = 1 − fail_num/fail_den with both sides exact falling
+    // factorials; conversations with < 2 assistant turns are excluded
+    // (the estimator is undefined, not zero, there).
+    "q_pass_at_k" -> ((s, dir) =>
+      graft.ops.Analytics.passAtK(
+        turns(s, dir).filter(col("role") === "assistant"),
+        "conv_id", col("text").isNotNull, k = 2)),
+
     // --- strictly-ordered funnel ------------------------------------------------------
     // view → click → purchase where each stage only counts events after
     // the user's earliest valid previous-stage event.
@@ -2566,6 +2577,13 @@ object SparkEntry {
     "q_kn_stats" -> ((s, dir) =>
       graft.ops.NgramLm.knBigramStats(docs(s, dir), "text", minCount = 3L)),
 
+    // --- Good–Turing frequency-of-frequencies ---------------------------------------
+    // Per observed bigram count c: how many distinct bigrams occur
+    // exactly c times, plus the total bigram token mass — the GT
+    // smoother's whole input and the hapax-rate crawl-quality gauge.
+    "q_gt_counts" -> ((s, dir) =>
+      graft.ops.NgramLm.goodTuringCounts(docs(s, dir), "text")),
+
     // --- BPE-training inner loop: adjacent-token pair counts ------------------------
     // Corpus-wide counts of adjacent token pairs under the current
     // vocab — the statistic whose argmax is the next BPE merge. Same
@@ -4116,6 +4134,22 @@ object SparkEntry {
         |FROM b JOIN l USING (w2) JOIN r USING (w1) CROSS JOIN t
         |WHERE b.c >= 3""".stripMargin,
 
+    // the same distinct-bigram table grouped by its count value, plus
+    // the total bigram token mass sum(c * n_c)
+    "q_gt_counts" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+        |  FROM documents),
+        |prs0 AS (SELECT
+        |    unnest(ws[1:len(ws)-1]) AS w1, unnest(ws[2:len(ws)]) AS w2
+        |  FROM w),
+        |prs AS (SELECT w1, w2 FROM prs0 WHERE w1 <> '' AND w2 <> ''),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c
+        |  FROM prs GROUP BY w1, w2),
+        |f AS (SELECT c, CAST(count(*) AS BIGINT) AS n_c FROM b GROUP BY 1),
+        |t AS (SELECT CAST(COALESCE(sum(c * n_c), 0) AS BIGINT) AS big_n
+        |  FROM f)
+        |SELECT f.c, f.n_c, t.big_n FROM f CROSS JOIN t""".stripMargin,
+
     // transitive closure of the minhash pair stream: symmetric edges,
     // label walk (every label reaches everything in its component), then
     // min label per vertex = the component's min doc_id
@@ -4315,6 +4349,19 @@ object SparkEntry {
          |  ma.w_tot AS w_a, ma.n_tot AS n_a, mb.w_tot AS w_b, mb.n_tot AS n_b
          |FROM p JOIN m ma ON ma.item = p.item_a
          |JOIN m mb ON mb.item = p.item_b""".stripMargin,
+
+    // per-conversation assistant-sample tallies, then the k=2 falling
+    // factorials; f < k clamps the numerator (no k-failure subset exists)
+    "q_pass_at_k" ->
+      s"""$T,
+         |s AS (SELECT conv_id AS task, CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c
+         |  FROM turns WHERE role = 'assistant' GROUP BY 1),
+         |f AS (SELECT task, n, c, n - c AS f FROM s WHERE n >= 2)
+         |SELECT task, n, c,
+         |  CAST(CASE WHEN f >= 2 THEN f * (f - 1) ELSE 0 END AS HUGEINT) AS fail_num,
+         |  CAST(n * (n - 1) AS HUGEINT) AS fail_den
+         |FROM f""".stripMargin,
 
     "q_funnel" ->
       """WITH s0 AS (SELECT user_id, min(ts) AS t FROM events

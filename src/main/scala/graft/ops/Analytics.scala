@@ -615,6 +615,45 @@ object Analytics {
         col("pe_num"), col("n_dropped"))
   }
 
+  /** Unbiased pass@k sufficient statistics (the Codex-paper estimator)
+    * as EXACT RATIONALS: per task with n ≥ k samples,
+    *
+    *   pass@k = 1 − C(n−c, k)/C(n, k) = 1 − fail_num/fail_den
+    *
+    * with fail_num = (n−c)(n−c−1)…(n−c−k+1) and fail_den =
+    * n(n−1)…(n−k+1) — falling factorials, so the binomials' shared k!
+    * cancels and both sides stay integers (decimal(38,0); exact while
+    * nᵏ < 10³⁸, i.e. n up to ~10⁹ at k ≤ 4). Tasks with fewer than k
+    * samples are excluded — the estimator is undefined there, and
+    * silently emitting pass@n instead would bias a sweep. The one
+    * division (and nothing else) stays downstream, the repo's
+    * exact-integer contract.
+    *
+    * Scale shape: ONE task-keyed partial agg (count + conditional sum);
+    * the factorial products are plain projection on the task-cardinality
+    * frame.
+    */
+  def passAtK(
+      df: DataFrame, // one row per sample
+      taskCol: String,
+      correct: Column,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1 && k <= 8, "k must be in 1..8 (nᵏ must fit decimal(38))")
+    val dec = "decimal(38,0)"
+    val agg = df
+      .groupBy(col(taskCol).as("task"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(correct, 1L).otherwise(0L)).as("c"))
+      .filter(col("n") >= k.toLong)
+    val f = col("n") - col("c")
+    val num = (0 until k).map(i => (f - i.toLong).cast(dec)).reduce(_ * _)
+    val den = (0 until k).map(i => (col("n") - i.toLong).cast(dec)).reduce(_ * _)
+    agg.select(col("task"), col("n"), col("c"),
+      when(f >= k.toLong, num).otherwise(lit(0L).cast(dec)).as("fail_num"),
+      den.as("fail_den"))
+  }
+
   /** Per-group least-squares TREND of y over x as an exact rational:
     * slope = slope_num / slope_den with
     *

@@ -42,12 +42,11 @@ object NgramLm {
     * bm25Stats pattern) — its branch recomputes B's lineage, so the op
     * is two corpus scans total, both scan-bound.
     */
-  def knBigramStats(
-      df: DataFrame,
-      textCol: String,
-      minCount: Long = 1L
-  ): DataFrame = {
-    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+  /** The distinct-bigram count table (w1, w2, c) both stats families
+    * derive from: one scan + partial-agg-friendly groupBy, vocab-pair
+    * bounded output.
+    */
+  private def bigramCounts(df: DataFrame, textCol: String): DataFrame = {
     val ws = Dedup.words(col(textCol))
     val m = size(ws) - 1
     // adjacent pairs as structs: ws only at top level (each slice
@@ -56,7 +55,7 @@ object NgramLm {
     val pairs = when(size(ws) < 2, array().cast("array<struct<w1:string,w2:string>>"))
       .otherwise(zip_with(slice(ws, lit(1), m), slice(ws, lit(2), m),
         (a, b) => struct(a.as("w1"), b.as("w2"))))
-    val b = df
+    df
       .select(explode(pairs).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
       // empty "words" are single-space-split artifacts (doubled spaces),
@@ -65,6 +64,15 @@ object NgramLm {
       .filter(col("w1") =!= "" && col("w2") =!= "")
       .groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("c"))
+  }
+
+  def knBigramStats(
+      df: DataFrame,
+      textCol: String,
+      minCount: Long = 1L
+  ): DataFrame = {
+    require(minCount >= 1L, s"minCount must be >= 1, got $minCount")
+    val b = bigramCounts(df, textCol)
     val wL = org.apache.spark.sql.expressions.Window.partitionBy(col("w2"))
     val wR = org.apache.spark.sql.expressions.Window.partitionBy(col("w1"))
     val total = b.agg(count(lit(1)).as("d_total"))
@@ -75,5 +83,30 @@ object NgramLm {
       .filter(col("c") >= minCount)
       .select(col("w1"), col("w2"), col("c"), col("left_types"),
         col("right_types"), col("d_total"))
+  }
+
+  /** Good–Turing frequency-of-frequencies: for each observed bigram
+    * count value `c`, how many distinct bigrams occur exactly `c` times
+    * (`n_c`), plus the total bigram TOKEN mass `big_n = Σ c·n_c`. These
+    * are the GT smoother's whole input — c* = (c+1)·N_{c+1}/N_c and the
+    * unseen-mass estimate N_1/N ride downstream as the only floats (the
+    * [[knBigramStats]] contract). The table is also the honest histogram
+    * behind "how heavy is this corpus's tail": n_1/Σn_c is the
+    * hapax-legomena rate, a crawl-quality gauge in its own right.
+    *
+    * Scale shape: the corpus collapses to the vocab-pair-bounded bigram
+    * table (one partial-agg shuffle), then to at most |distinct count
+    * values| rows (≤ a few thousand even at 100 TB — counts are
+    * Zipf-concentrated) in a second tiny agg; the total rides a
+    * broadcast one-row crossJoin.
+    */
+  def goodTuringCounts(df: DataFrame, textCol: String): DataFrame = {
+    val freq = bigramCounts(df, textCol)
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_c"))
+    val total = freq.agg(
+      coalesce(sum(col("c") * col("n_c")), lit(0L)).as("big_n"))
+    freq.crossJoin(broadcast(total))
+      .select(col("c"), col("n_c"), col("big_n"))
   }
 }

@@ -387,6 +387,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(p._2 == p._1 * 2L * 1L)
   }
 
+  test("passAtK: exact falling-factorial rationals; all-fail, all-pass, " +
+    "sub-k tasks excluded, f < k clamps the numerator to 0") {
+    val samples = Seq(
+      // task t1: n=4, c=2 -> fail_num = 2*1 = 2, fail_den = 4*3 = 12
+      ("t1", true), ("t1", false), ("t1", true), ("t1", false),
+      // t2: n=3, c=0 -> all fail: 3*2=6 / 3*2=6 -> pass@2 = 0
+      ("t2", false), ("t2", false), ("t2", false),
+      // t3: n=2, c=2 -> f=0 < k: fail_num=0 -> pass@2 = 1
+      ("t3", true), ("t3", true),
+      // t4: n=1 < k -> excluded
+      ("t4", true))
+      .toDF("task", "ok")
+    val got = Analytics.passAtK(samples, "task", col("ok"), k = 2)
+      .select(col("task"), col("n"), col("c"),
+        col("fail_num").cast("long"), col("fail_den").cast("long"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      ("t1", 4L, 2L, 2L, 12L),
+      ("t2", 3L, 0L, 6L, 6L),
+      ("t3", 2L, 2L, 0L, 2L)), got.mkString(","))
+    // cross-check t1 against the binomial form: C(2,2)/C(4,2) = 1/6 = 2/12
+  }
+
   test("fleissStats: empty-kept corpus returns zeros, not an empty frame") {
     val ragged = Seq((1L, "x"), (2L, "y")).toDF("item", "label")
     val got = Analytics.fleissStats(ragged, "item", "label", 3)

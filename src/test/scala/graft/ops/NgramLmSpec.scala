@@ -39,4 +39,14 @@ class NgramLmSpec extends AnyFunSuite {
     val df = Seq((1L, "x  y"), (2L, "solo"), (3L, "")).toDF("doc_id", "text")
     assert(NgramLm.knBigramStats(df, "text").count() == 0L)
   }
+
+  test("goodTuringCounts: frequency-of-frequencies and token mass — " +
+    "hand-computed") {
+    // bigrams: (a,b):2 (b,a):1 (b,c):2 (c,c):1 -> N_1 = 2, N_2 = 2
+    // big_n = 1*2 + 2*2 = 6 (= total bigram tokens)
+    val df = Seq((1L, "a b a b c"), (2L, "b c c")).toDF("doc_id", "text")
+    val got = NgramLm.goodTuringCounts(df, "text")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((1L, 2L, 6L), (2L, 2L, 6L)), got.mkString(","))
+  }
 }
