@@ -893,6 +893,29 @@ object SparkEntry {
         k = 3, minRunShingles = 2, maxShingleDf = 100)
     }),
 
+    // --- MEMORIZATION audit (per-probe corpus-derived fraction) --------------------
+    // ngramOverlap turned around: per "generation", how much of its
+    // text appears anywhere in the corpus. Probes synthesized in-query:
+    // every 89th doc's 100-char prefix + a novel suffix (partial
+    // memorization) and pure-novel word soup per 178th doc (must report
+    // 0, not vanish).
+    "q_memorization" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val partial = d.filter(col("doc_id") % 89 === 0)
+        .select(col("doc_id").as("probe_id"),
+          concat(substring(col("text"), 1, 100),
+            lit(" zq1 zq2 zq3 zq4 zq5")).as("text"))
+      val novel = d.filter(col("doc_id") % 178 === 0)
+        .select((-col("doc_id") - 1).as("probe_id"),
+          concat_ws(" ",
+            concat(lit("zzqa"), col("doc_id").cast("string")),
+            concat(lit("zzqb"), col("doc_id").cast("string")),
+            concat(lit("zzqc"), col("doc_id").cast("string")),
+            concat(lit("zzqd"), col("doc_id").cast("string"))).as("text"))
+      graft.ops.Decontam.memorizationScore(
+        d, partial.unionAll(novel), "probe_id", "text", k = 3)
+    }),
+
     // --- composed corpus cleaning (dedup + quality + language gates) ----------
     "q_corpus_clean" -> ((s, dir) =>
       graft.ops.CorpusClean(docs(s, dir))
@@ -5868,6 +5891,37 @@ object SparkEntry {
         |  CAST(FLOOR(j.n_shared * 10000.0 / pn.n_probe) AS BIGINT) AS contam_bp
         |FROM j JOIN pn USING (probe_id)
         |WHERE FLOOR(j.n_shared * 10000.0 / pn.n_probe) >= 5000""".stripMargin,
+
+    // distinct probe shingles vs the distinct corpus shingle set; novel
+    // probes survive the left join with 0
+    "q_memorization" ->
+      """WITH partial AS (SELECT doc_id AS probe_id,
+        |    substr(text, 1, 100) || ' zq1 zq2 zq3 zq4 zq5' AS text
+        |  FROM documents WHERE doc_id % 89 = 0),
+        |novel AS (SELECT -doc_id - 1 AS probe_id,
+        |    'zzqa' || doc_id || ' zzqb' || doc_id ||
+        |    ' zzqc' || doc_id || ' zzqd' || doc_id AS text
+        |  FROM documents WHERE doc_id % 178 = 0),
+        |probes AS (SELECT * FROM partial UNION ALL SELECT * FROM novel),
+        |pw AS (SELECT probe_id, string_split(lower(text), ' ') AS ws
+        |  FROM probes),
+        |psh AS (SELECT DISTINCT probe_id,
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM pw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 0)+1)) AS i) g
+        |  WHERE len(ws) >= 3),
+        |cw AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+        |csh AS (SELECT DISTINCT ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS shingle
+        |  FROM cw, LATERAL (SELECT unnest(range(1, greatest(len(ws)-2, 0)+1)) AS i) g
+        |  WHERE len(ws) >= 3),
+        |fnd AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_found
+        |  FROM psh JOIN csh USING (shingle) GROUP BY 1),
+        |tot AS (SELECT probe_id, CAST(count(*) AS BIGINT) AS n_probe
+        |  FROM psh GROUP BY 1)
+        |SELECT t.probe_id, t.n_probe,
+        |  COALESCE(f.n_found, 0) AS n_found,
+        |  CAST(FLOOR(COALESCE(f.n_found, 0) * 10000.0 / t.n_probe) AS BIGINT)
+        |    AS memorized_bp
+        |FROM tot t LEFT JOIN fnd f USING (probe_id)""".stripMargin,
 
     // positional twin of q_decontam: positional corpus shingles joined
     // to the DISTINCT union of probe shingles, hot shingles (df > 100 on

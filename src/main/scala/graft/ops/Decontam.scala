@@ -94,6 +94,55 @@ object Decontam {
       .filter(col("contam_bp") >= minContamBp)
   }
 
+  /** MEMORIZATION score — [[ngramOverlap]]'s aggregation turned around:
+    * per PROBE (a model generation, a suspected-regurgitation sample),
+    * how many of its distinct `k`-word shingles appear ANYWHERE in the
+    * corpus — the Carlini-style "was this emitted text memorized from
+    * training data?" audit. Where decontamination asks "which corpus
+    * docs contain benchmark text" (per-doc verdicts, drop them),
+    * memorization asks "how much of THIS text is corpus-derived"
+    * (per-probe score, flag the generation). Returns
+    * (probe_id, n_probe, n_found, memorized_bp) for EVERY probe with
+    * ≥ 1 shingle — a fully-novel generation reports 0 explicitly rather
+    * than vanishing (absence-as-zero is exactly the bug an audit must
+    * not have).
+    *
+    * Scale shape: identical to [[ngramOverlap]] — the probe shingle set
+    * broadcasts, the corpus shingle stream is pruned map-side against
+    * it BEFORE anything stateful (corpus shingles never shuffle), and
+    * the found-set collapses to distinct matched PROBE shingles (probe-
+    * bounded) before the per-probe count.
+    */
+  def memorizationScore(
+      corpus: DataFrame, // (textCol) — ids irrelevant here
+      probes: DataFrame, // (probeIdCol, textCol)
+      probeIdCol: String,
+      textCol: String,
+      k: Int = 3
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val cSh = corpus.select(
+      explode(Dedup.shingles(Dedup.words(col(textCol)), k)).as("shingle"))
+    val p = shingleRows(probes, probeIdCol, textCol, k)
+      .withColumnRenamed(probeIdCol, "probe_id")
+    // corpus occurrences pruned against the broadcast probe set, then
+    // collapsed to the distinct matched shingles (probe-bounded)
+    val found = cSh
+      .join(broadcast(p.select("shingle").distinct()), Seq("shingle"))
+      .distinct()
+    val counts = p.join(found, Seq("shingle"), "left_semi")
+      .groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_found"))
+    p.groupBy(col("probe_id"))
+      .agg(count(lit(1)).as("n_probe"))
+      .join(counts, Seq("probe_id"), "left")
+      .withColumn("n_found", coalesce(col("n_found"), lit(0L)))
+      .withColumn("memorized_bp",
+        floor(col("n_found") * 10000L / col("n_probe")).cast("long"))
+      .select(col("probe_id"), col("n_probe"), col("n_found"),
+        col("memorized_bp"))
+  }
+
   /** Maximal CONTIGUOUS contaminated runs per document: the positions
     * whose `k`-word shingle appears in ANY probe (benchmark) item,
     * merged into maximal runs — the "longest contaminated span" check

@@ -146,6 +146,26 @@ class CurationSpec extends AnyFunSuite {
     assert(capped == Set((1L, 4L, 1L, 3L)), capped.mkString(","))
   }
 
+  test("memorizationScore: per-probe found fraction, fully-novel probes " +
+    "report 0 instead of vanishing, duplicate corpus shingles count once") {
+    val corpus = Seq(
+      (1L, "t1 t2 t3 t4"), // shingles t1t2t3, t2t3t4
+      (2L, "t1 t2 t3 t1 t2 t3")) // repeats t1t2t3 (must not double-count)
+      .toDF("doc_id", "text")
+    val probes = Seq(
+      (10L, "t1 t2 t3 xx yy"), // 3 shingles, 1 found -> 3333 bp
+      (11L, "t2 t3 t4"), // 1 shingle, found -> 10000 bp
+      (12L, "aa bb cc dd")) // 2 shingles, none found -> 0 bp, row PRESENT
+      .toDF("probe_id", "text")
+    val got = Decontam.memorizationScore(corpus, probes, "probe_id", "text",
+      k = 3)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (10L, 3L, 1L, 3333L),
+      (11L, 1L, 1L, 10000L),
+      (12L, 2L, 0L, 0L)), got.mkString(","))
+  }
+
   test("writeShards lays out exactly one parquet file per shard directory " +
     "and the readback preserves assignments") {
     val df = Seq(
