@@ -3244,6 +3244,32 @@ object SparkEntry {
       graft.features.ConvFeatures.contextBudgetTrim(
         turns(s, dir), budgetTokens = 64L)),
 
+    // --- END-TO-END SFT dataset build under ONE oracle ----------------------------
+    // The transcript-axis twin of q_corpus_pipeline: same-role merge →
+    // context-budget trim (64 tokens) → render to one training string
+    // per conversation → token-budget shard packing (512) over the
+    // survivors, all one declarative DAG. Merged turns lose per-turn
+    // tool identity, so the render's tool tag is null by construction.
+    // Conversations whose every non-system turn overflows the budget
+    // drop out before rendering — on both engines.
+    "q_sft_pipeline" -> ((s, dir) => {
+      import graft.features.ConvFeatures
+      val merged = ConvFeatures.mergeTurns(turns(s, dir))
+        .withColumnRenamed("merged_idx", "turn_idx")
+      val trimmed = ConvFeatures
+        .contextBudgetTrim(merged, budgetTokens = 64L)
+        .withColumn("tool", lit(null).cast("string"))
+        .drop("n_tokens", "tail_tokens")
+      val rendered = ConvFeatures.renderConversation(trimmed)
+        .withColumn("__ord", substring(col("conv_id"), 2, 18).cast("long"))
+        .withColumn("stratum", lit("all"))
+      graft.ops.Curation.packShards(
+        rendered, "stratum", "__ord",
+        TextStats.wsTokenCount(col("sft_text")), budgetTokens = 512L)
+        .select(col("conv_id"), col("n_turns"), col("n_chars"),
+          col("n_tokens"), col("shard_seq"))
+    }),
+
     // --- BOUNDED-STATE streaming dedup (watermark eviction) -----------------------
     // dropDuplicatesWithinWatermark: first occurrence per content hash
     // wins and its state is evicted once the watermark passes — the
@@ -7794,6 +7820,50 @@ object SparkEntry {
          |  FROM turns)
          |SELECT conv_id, turn_idx, role, text, ts, n_tokens, tail_tokens
          |FROM x WHERE role = 'system' OR tail_tokens <= 64""".stripMargin,
+
+    // the four stages replayed in sequence: islands merge, suffix trim,
+    // ordered string_agg render (tool null by construction), exclusive
+    // cumsum packing in numeric conversation order
+    "q_sft_pipeline" ->
+      s"""$T,
+         |r AS (SELECT conv_id, turn_idx, role, text, ts,
+         |    row_number() OVER (PARTITION BY conv_id ORDER BY ts, turn_idx)
+         |  - row_number() OVER (PARTITION BY conv_id, role ORDER BY ts, turn_idx)
+         |    AS grp
+         |  FROM turns),
+         |g AS (SELECT conv_id, role, grp, min(ts) AS ts,
+         |    CAST(min(turn_idx) AS INT) AS first_turn_idx,
+         |    string_agg(coalesce(text, ''), chr(10) ORDER BY ts, turn_idx) AS text
+         |  FROM r GROUP BY 1, 2, 3),
+         |m AS (SELECT conv_id,
+         |    CAST(row_number() OVER (PARTITION BY conv_id
+         |      ORDER BY ts, first_turn_idx) - 1 AS INT) AS turn_idx,
+         |    role, text, ts
+         |  FROM g),
+         |x AS (SELECT conv_id, turn_idx, role, text, ts,
+         |    CAST(sum(CASE WHEN role = 'system' THEN 0
+         |        ELSE len(string_split(coalesce(text, ''), ' ')) END)
+         |      OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+         |      AS BIGINT) AS tail_tokens
+         |  FROM m),
+         |k AS (SELECT conv_id, turn_idx, role, text, ts FROM x
+         |  WHERE role = 'system' OR tail_tokens <= 64),
+         |lines AS (SELECT conv_id, ts, turn_idx,
+         |    role || ': ' || COALESCE(text, '') AS line FROM k),
+         |rr AS (SELECT conv_id, CAST(count(*) AS BIGINT) AS n_turns,
+         |    string_agg(line, chr(10) ORDER BY ts, turn_idx) AS sft_text
+         |  FROM lines GROUP BY conv_id),
+         |p AS (SELECT conv_id, n_turns,
+         |    CAST(length(sft_text) AS BIGINT) AS n_chars,
+         |    CAST(len(string_split(sft_text, ' ')) AS BIGINT) AS n_tokens,
+         |    CAST(substr(conv_id, 2) AS BIGINT) AS ord
+         |  FROM rr)
+         |SELECT conv_id, n_turns, n_chars, n_tokens,
+         |  CAST(FLOOR(COALESCE(SUM(n_tokens) OVER (ORDER BY ord
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 512.0)
+         |    AS BIGINT) AS shard_seq
+         |FROM p""".stripMargin,
 
     // bounded-state dedup where every duplicate arrives within its
     // original's watermark lifetime ⇒ output is exact first-wins dedup;
