@@ -2736,6 +2736,27 @@ object SparkEntry {
       graft.ops.Retrieval.rankEvalAtK(ranked, rels, k = 20)
     }),
 
+    // --- retrieval eval: nDCG/MAP hit-rank table ----------------------------------
+    // q_mrr's fixture, but the FULL hit-rank multiset plus each query's
+    // total relevant count (self excluded, matching excludeSelf) — the
+    // exact inputs of DCG@20, IDCG and AP@20; logs stay downstream.
+    "q_ndcg" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("q_embedding"), col("label").as("q_label"))
+      val ranked = Similarity.topKByDot(
+          e, q.select(col("query_id"), col("q_embedding")), 20,
+          excludeSelf = true)
+        .select(col("query_id"), col("vec_id").as("doc_id"), col("rank"))
+      val rels = e.select(col("vec_id").as("doc_id"), col("label"))
+        .join(broadcast(q.select(col("query_id"), col("q_label"))),
+          col("label") === col("q_label"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .select(col("query_id"), col("doc_id"))
+      graft.ops.Retrieval.ndcgStatsAtK(ranked, rels, k = 20)
+    }),
+
     // --- EXACT set-similarity join via prefix filtering (PPJoin family) -----------
     // Every doc pair with shingle-set Jaccard ≥ 0.8, recall = 1 — the
     // exact ground truth q_minhash_pairs approximates. Candidates come
@@ -7235,6 +7256,32 @@ object SparkEntry {
         |SELECT q.query_id, h.first_rel_rank,
         |  COALESCE(h.n_rel_topk, 0) AS n_rel_topk
         |FROM q LEFT JOIN hits h ON h.query_id = q.query_id""".stripMargin,
+
+    // q_mrr's ranking, but every hit rank kept (one row per relevant doc
+    // in the top 20) with the query's total same-label count (self
+    // excluded); no-hit queries keep a NULL-rank row
+    "q_ndcg" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qe, label AS ql
+        |  FROM embeddings WHERE vec_id < 5),
+        |scored AS (SELECT q.query_id, e.vec_id, e.label,
+        |  CAST(list_sum([CAST(ROUND(CAST(e.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |       * CAST(ROUND(CAST(q.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |       for i in range(1, len(e.embedding)+1)]) AS BIGINT) AS dot
+        |  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+        |ranked AS (SELECT query_id, vec_id, label,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY dot DESC, vec_id) AS rank
+        |  FROM scored),
+        |rt AS (SELECT q.query_id, CAST(count(*) AS BIGINT) AS n_rel_total
+        |  FROM embeddings e, q
+        |  WHERE e.label = q.ql AND e.vec_id <> q.query_id
+        |  GROUP BY 1),
+        |hits AS (SELECT r.query_id, CAST(r.rank AS BIGINT) AS hit_rank
+        |  FROM ranked r JOIN q ON q.query_id = r.query_id
+        |  WHERE r.rank <= 20 AND r.label = q.ql)
+        |SELECT q.query_id, h.hit_rank,
+        |  COALESCE(rt.n_rel_total, 0) AS n_rel_total
+        |FROM q LEFT JOIN hits h ON h.query_id = q.query_id
+        |LEFT JOIN rt ON rt.query_id = q.query_id""".stripMargin,
 
     // the oracle is the BRUTE-FORCE exact Jaccard join over distinct
     // 3-word shingle sets — the prefix-filtered path must reproduce it

@@ -141,6 +141,41 @@ object Retrieval {
         coalesce(col("n_rel_topk"), lit(0L)).as("n_rel_topk"))
   }
 
+  /** nDCG/MAP sufficient statistics — the full HIT-RANK table
+    * [[rankEvalAtK]]'s (min, count) compression cannot reconstruct: one
+    * row per relevant document found in the top `k` with its rank, plus
+    * the query's TOTAL relevant count (the ideal-DCG / AP denominator —
+    * without it a query with truncated recall scores the same as one
+    * with perfect recall). From the sorted hit ranks every standard
+    * graded metric derives exactly: DCG@k = Σ 1/log₂(r+1) over
+    * hit_rank, IDCG from n_rel_total, AP@k from each hit's index/rank —
+    * the logs and divisions (the only floats) stay downstream. Queries
+    * with NO hit keep a NULL-rank row with their n_rel_total: they are
+    * the metric's denominator ([[rankEvalAtK]]'s convention).
+    *
+    * Scale shape: rank lists are ≤ k per query by construction, so the
+    * hit join and both left joins are rank-list-cardinality; the rel
+    * totals are one partial agg over the relevance table.
+    */
+  def ndcgStatsAtK(
+      ranked: DataFrame, // (query_id, doc_id, rank)
+      rels: DataFrame, // (query_id, doc_id)
+      k: Int
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    val r = rels.select(col("query_id"), col("doc_id"))
+    val relTotals = r.groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_rel_total"))
+    val hits = ranked.filter(col("rank") <= k)
+      .join(r, Seq("query_id", "doc_id"))
+      .select(col("query_id"), col("rank").cast("long").as("hit_rank"))
+    ranked.select(col("query_id")).distinct()
+      .join(hits, Seq("query_id"), "left")
+      .join(relTotals, Seq("query_id"), "left")
+      .select(col("query_id"), col("hit_rank"),
+        coalesce(col("n_rel_total"), lit(0L)).as("n_rel_total"))
+  }
+
   /** Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR'09) in
     * exact fixed point: each input list contributes
     * `scale div (k0 + rank)` per (query, doc) and contributions sum —

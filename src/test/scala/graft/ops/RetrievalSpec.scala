@@ -96,4 +96,22 @@ class RetrievalSpec extends AnyFunSuite {
       1L -> ((Some(2L), 1L)),
       2L -> ((None, 0L))))
   }
+
+  test("ndcgStatsAtK: full hit-rank multiset with total-relevant " +
+    "denominators; no-hit queries keep a NULL-rank row") {
+    val ranked = Seq(
+      (0L, 10L, 1), (0L, 11L, 2), (0L, 12L, 3), // hits at 2 AND 3
+      (1L, 20L, 1), (1L, 21L, 2),
+      (2L, 30L, 1)
+    ).toDF("query_id", "doc_id", "rank")
+    val rels = Seq((0L, 11L), (0L, 12L), (0L, 99L), (1L, 21L))
+      .toDF("query_id", "doc_id")
+    val got = Retrieval.ndcgStatsAtK(ranked, rels, k = 3)
+      .as[(Long, Option[Long], Long)].collect().toSet
+    assert(got == Set(
+      (0L, Some(2L), 3L), // both hit ranks kept (rankEval would compress)
+      (0L, Some(3L), 3L), // n_rel_total = 3 incl. doc 99, never retrieved
+      (1L, Some(2L), 1L),
+      (2L, None, 0L)), got.mkString(","))
+  }
 }
