@@ -3464,6 +3464,22 @@ object SparkEntry {
       graft.ops.Privacy.lDiversityAudit(
         docs(s, dir), Seq("lang", "source"), col("n_chars"), l = 5L)),
 
+    // --- t-closeness audit (skewness-attack gate; exact ordered EMD) ----------------
+    // The release ladder's last rung: per (lang, source) combo, the
+    // EMD between the combo's length-bucket distribution and the
+    // corpus's, as the exact rational (emd_num, emd_den) — a combo can
+    // be k-anonymous and l-diverse yet leak "this combo's docs are all
+    // long". Sensitive = n_chars div 100 (the generalized value, as
+    // t-closeness prescribes); t = 0.25. Outputs cast to long for the
+    // oracle (library keeps decimal(38) for 10¹²-row headroom).
+    "q_tcloseness" -> ((s, dir) =>
+      graft.ops.Privacy.tClosenessAudit(
+          docs(s, dir), Seq("lang", "source"),
+          (col("n_chars") / 100).cast("long"), tBp = 2500)
+        .select(col("lang"), col("source"), col("n"),
+          col("emd_num").cast("long").as("emd_num"),
+          col("emd_den").cast("long").as("emd_den"), col("meets_t"))),
+
     // --- quantile normalization onto a reference group ------------------------------
     // Every language's doc-length distribution mapped exactly onto en's:
     // rank r of n → reference value at ceil(r·n_ref/n). Ranks are
@@ -8084,6 +8100,34 @@ object SparkEntry {
         |  CAST(count(DISTINCT n_chars) AS BIGINT) AS diversity,
         |  count(DISTINCT n_chars) >= 5 AS meets_l
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // ordered-EMD replay: dense (combo × bucket) grid, per-side cumsums,
+    // |cumC·N − cumG·N_q| summed in HUGEINT, den = N_q·N·(m−1)
+    "q_tcloseness" ->
+      """WITH b AS (SELECT lang, source, n_chars // 100 AS v FROM documents),
+        |cell AS (SELECT lang, source, v, count(*) AS c FROM b GROUP BY 1,2,3),
+        |g AS (SELECT v, count(*) AS gv FROM b GROUP BY 1),
+        |gc AS (SELECT v, sum(gv) OVER (ORDER BY v) AS cumg FROM g),
+        |tot AS (SELECT count(*) AS N, count(DISTINCT v) AS m FROM b),
+        |grp AS (SELECT lang, source, count(*) AS nq FROM b GROUP BY 1,2),
+        |grid AS (SELECT grp.lang, grp.source, grp.nq, gc.v, gc.cumg, tot.N, tot.m
+        |  FROM grp CROSS JOIN gc CROSS JOIN tot),
+        |j AS (SELECT grid.*, COALESCE(cell.c, 0) AS c FROM grid
+        |  LEFT JOIN cell ON cell.lang = grid.lang
+        |    AND cell.source = grid.source AND cell.v = grid.v),
+        |cum AS (SELECT lang, source, nq, N, m, v, cumg,
+        |    sum(c) OVER (PARTITION BY lang, source ORDER BY v) AS cumc
+        |  FROM j)
+        |SELECT lang, source, CAST(max(nq) AS BIGINT) AS n,
+        |  CAST(sum(abs(CAST(cumc AS HUGEINT) * N
+        |      - CAST(cumg AS HUGEINT) * nq)) AS BIGINT) AS emd_num,
+        |  CAST(max(CAST(nq AS HUGEINT) * N * greatest(m - 1, 1)) AS BIGINT)
+        |    AS emd_den,
+        |  sum(abs(CAST(cumc AS HUGEINT) * N - CAST(cumg AS HUGEINT) * nq))
+        |      * 10000
+        |    <= 2500 * max(CAST(nq AS HUGEINT) * N * greatest(m - 1, 1))
+        |    AS meets_t
+        |FROM cum GROUP BY lang, source""".stripMargin,
 
     // per-group ranks by one window, then the exact ceil-scaled rank
     // lookup into the reference group's (rank -> value) table

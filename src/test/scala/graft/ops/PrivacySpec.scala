@@ -70,4 +70,46 @@ class PrivacySpec extends AnyFunSuite {
       .as[(String, Long, Long, Boolean)].collect().sortBy(_._1).toSeq
     assert(out == Seq(("a", 3L, 1L, false), ("b", 3L, 2L, true)))
   }
+
+  test("tClosenessAudit: exact ordered-EMD rationals — skewed combo " +
+    "fails, near-global combo passes, null sensitive excluded") {
+    // global over non-null: v=1 ×3, v=2 ×5, N=8, m=2; cumG = (3, 8)
+    val df = Seq(
+      ("A", Option(1)), ("A", Option(1)), ("A", Option(2)),
+      ("B", Option(2)), ("B", Option(2)), ("B", Option(2)),
+      ("C", Option(1)), ("C", Option(2)),
+      ("C", None) // excluded from both sides
+    ).toDF("g", "v")
+    val out = Privacy.tClosenessAudit(df, Seq("g"), col("v"), tBp = 3000)
+      .select(col("g"), col("n"), col("emd_num").cast("long"),
+        col("emd_den").cast("long"), col("meets_t"))
+      .as[(String, Long, Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // A: cumC=(2,3) -> |2·8−3·3| + 0 = 7 / 24  (0.292 ≤ 0.3: meets)
+    assert(out("A") == ((3L, 7L, 24L, true)))
+    // B: cumC=(0,3) -> |0·8−3·3| + 0 = 9 / 24  (0.375 > 0.3: fails)
+    assert(out("B") == ((3L, 9L, 24L, false)))
+    // C: cumC=(1,2) -> |1·8−3·2| + 0 = 2 / 16  (0.125: meets)
+    assert(out("C") == ((2L, 2L, 16L, true)))
+  }
+
+  test("tClosenessAudit: m = 1 degenerates to EMD 0 with nonzero " +
+    "denominator; null quasi combos audited null-safely") {
+    val one = Seq(("A", 5), ("B", 5)).toDF("g", "v")
+    val o1 = Privacy.tClosenessAudit(one, Seq("g"), col("v"), tBp = 0)
+      .select(col("g"), col("emd_num").cast("long"),
+        col("emd_den").cast("long"), col("meets_t"))
+      .as[(String, Long, Long, Boolean)].collect().toSet
+    assert(o1 == Set(("A", 0L, 2L, true), ("B", 0L, 2L, true)))
+
+    // global: v=1 ×2, v=2 ×1, N=3, m=2; cumG = (2, 3)
+    val nq = Seq((Option("A"), 1), (None, 1), (None, 2)).toDF("g", "v")
+    val o2 = Privacy.tClosenessAudit(nq, Seq("g"), col("v"), tBp = 10000)
+      .select(col("g"), col("n"), col("emd_num").cast("long"),
+        col("emd_den").cast("long"))
+      .as[(Option[String], Long, Long, Long)].collect().toSet
+    // null combo: cumC=(1,2) -> |1·3−2·2| + 0 = 1 / 6
+    // A:          cumC=(1,1) -> |1·3−2·1| + 0 = 1 / 3
+    assert(o2 == Set((Option("A"), 1L, 1L, 3L), (None, 2L, 1L, 6L)))
+  }
 }
