@@ -2757,6 +2757,22 @@ object SparkEntry {
       graft.ops.Retrieval.ndcgStatsAtK(ranked, rels, k = 20)
     }),
 
+    // --- MMR diverse selection (dedup-aware top-k) --------------------------------
+    // Greedy maximal-marginal-relevance over a candidate pool: λ=0.7
+    // relevance-vs-redundancy in exact ×10⁴-quantized integers, k=4
+    // sequential picks each one TakeOrderedAndProject job. The oracle
+    // replays the greedy chain as four chained argmax CTEs over a
+    // precomputed exact pair-dot table.
+    "q_mmr_select" -> ((s, dir) => {
+      val e = embeds(s, dir)
+      val qv = e.filter(col("vec_id") === 1L)
+        .select(col("embedding")).head().getSeq[Float](0).toVector
+      Similarity.mmrSelect(
+        e.filter(col("vec_id") % 3 === 0)
+          .select(col("vec_id"), col("embedding")),
+        qv, k = 4, lambdaBp = 7000)
+    }),
+
     // --- EXACT set-similarity join via prefix filtering (PPJoin family) -----------
     // Every doc pair with shingle-set Jaccard ≥ 0.8, recall = 1 — the
     // exact ground truth q_minhash_pairs approximates. Candidates come
@@ -7298,6 +7314,49 @@ object SparkEntry {
         |  COALESCE(rt.n_rel_total, 0) AS n_rel_total
         |FROM q LEFT JOIN hits h ON h.query_id = q.query_id
         |LEFT JOIN rt ON rt.query_id = q.query_id""".stripMargin,
+
+    // greedy MMR replayed as chained argmax CTEs: rel = exact quantized
+    // dot to vec 1's embedding; pair dots precomputed once; pick i
+    // maximizes 7000·rel − 3000·max(sim to picks 1..i−1), ties by vec_id
+    "q_mmr_select" ->
+      """WITH c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 3 = 0),
+        |qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 1),
+        |rel AS (SELECT c.vec_id,
+        |  list_sum([CAST(ROUND(CAST(c.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |    * CAST(ROUND(CAST(qv.qe[i] AS DOUBLE)*10000) AS BIGINT)
+        |    for i in range(1, len(c.embedding)+1)]) AS rel
+        |  FROM c, qv),
+        |pd AS (SELECT ca.vec_id AS a, cb.vec_id AS b,
+        |  list_sum([CAST(ROUND(CAST(ca.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |    * CAST(ROUND(CAST(cb.embedding[i] AS DOUBLE)*10000) AS BIGINT)
+        |    for i in range(1, len(ca.embedding)+1)]) AS d
+        |  FROM c ca, c cb),
+        |s1 AS (SELECT vec_id, 7000*rel AS score FROM rel
+        |  ORDER BY 7000*rel DESC, vec_id LIMIT 1),
+        |d2 AS (SELECT r.vec_id, 7000*r.rel - 3000*max(pd.d) AS score
+        |  FROM rel r JOIN pd ON pd.a = r.vec_id
+        |    AND pd.b IN (SELECT vec_id FROM s1)
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1)
+        |  GROUP BY r.vec_id, r.rel),
+        |s2 AS (SELECT vec_id, score FROM d2 ORDER BY score DESC, vec_id LIMIT 1),
+        |d3 AS (SELECT r.vec_id, 7000*r.rel - 3000*max(pd.d) AS score
+        |  FROM rel r JOIN pd ON pd.a = r.vec_id
+        |    AND pd.b IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2)
+        |  GROUP BY r.vec_id, r.rel),
+        |s3 AS (SELECT vec_id, score FROM d3 ORDER BY score DESC, vec_id LIMIT 1),
+        |d4 AS (SELECT r.vec_id, 7000*r.rel - 3000*max(pd.d) AS score
+        |  FROM rel r JOIN pd ON pd.a = r.vec_id
+        |    AND pd.b IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+        |                 UNION SELECT vec_id FROM s3)
+        |  WHERE r.vec_id NOT IN (SELECT vec_id FROM s1 UNION SELECT vec_id FROM s2
+        |                         UNION SELECT vec_id FROM s3)
+        |  GROUP BY r.vec_id, r.rel),
+        |s4 AS (SELECT vec_id, score FROM d4 ORDER BY score DESC, vec_id LIMIT 1)
+        |SELECT CAST(1 AS INTEGER) AS rank, vec_id, CAST(score AS BIGINT) AS score FROM s1
+        |UNION ALL SELECT CAST(2 AS INTEGER), vec_id, CAST(score AS BIGINT) FROM s2
+        |UNION ALL SELECT CAST(3 AS INTEGER), vec_id, CAST(score AS BIGINT) FROM s3
+        |UNION ALL SELECT CAST(4 AS INTEGER), vec_id, CAST(score AS BIGINT) FROM s4""".stripMargin,
 
     // the oracle is the BRUTE-FORCE exact Jaccard join over distinct
     // 3-word shingle sets — the prefix-filtered path must reproduce it

@@ -547,6 +547,74 @@ object Similarity {
         col("neg.vec_id").as("neg_id"), col("neg.dot").as("neg_dot"))
   }
 
+  /** Maximal Marginal Relevance (Carbonell & Goldstein, SIGIR'98)
+    * diverse top-k selection: greedily pick the candidate maximizing
+    * `λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)` — relevance to the query
+    * traded against redundancy with what is ALREADY selected. This is
+    * the dedup-aware selection step plain top-k lacks: ten near-copies
+    * of the best document score ten slots under top-k, one slot here.
+    * All arithmetic is exact int64 on the shared ×10⁴ quantization with
+    * λ in basis points (`score = lambdaBp·dot − (10000−lambdaBp)·
+    * maxSim`; the first pick has no selected set, so its redundancy
+    * term is 0), ties broken by vec_id — bit-replayable by the oracle.
+    *
+    * Greedy MMR is INHERENTLY sequential in k (pick i+1 depends on pick
+    * i), so the loop runs k rounds; each round is one distributed
+    * scan+TopK job (`orderBy.limit(1)` plans as TakeOrderedAndProject —
+    * per-partition top-1 then a k-way driver merge, never a global
+    * sort) and collects exactly ONE row. The driver holds the ≤ k
+    * selected vectors — the selection OUTPUT, the same driver-sizing
+    * contract as [[ivfCentroids]] — and round i scores redundancy as
+    * `greatest` over i codegen'd [[quantDot]]s against literal vectors,
+    * so expression count grows O(k), fine for the k ≤ 10³ selections
+    * MMR is used at (re-ranking a retrieved pool, picking diverse
+    * exemplars). The corpus is scanned k times, NOT cached: at 100 TB
+    * the caller passes the candidate POOL (e.g. an [[annCandidates]]
+    * output), not the raw corpus.
+    *
+    * Returns (rank, vec_id, score) for the ≤ k selections, in selection
+    * order; stops early when candidates run out.
+    */
+  def mmrSelect(
+      corpus: DataFrame, // (vec_id, embedding)
+      queryVec: Seq[Float],
+      k: Int,
+      lambdaBp: Int = 5000
+  ): DataFrame = {
+    require(k > 0, "k must be positive")
+    require(lambdaBp >= 0 && lambdaBp <= 10000,
+      s"lambdaBp must be in [0, 10000], got $lambdaBp")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val rel = quantDot(col("embedding"), typedlit(queryVec))
+    var selected = Vector.empty[(Int, Long, Long)] // (rank, vec_id, score)
+    var selVecs = Vector.empty[Seq[Float]]
+    var exhausted = false
+    while (selected.size < k && !exhausted) {
+      val maxSim =
+        if (selVecs.isEmpty) lit(0L)
+        else if (selVecs.size == 1)
+          quantDot(col("embedding"), typedlit(selVecs.head))
+        else greatest(
+          selVecs.map(v => quantDot(col("embedding"), typedlit(v))): _*)
+      val score =
+        lit(lambdaBp.toLong) * rel - lit(10000L - lambdaBp) * maxSim
+      val picked = corpus
+        .filter(!col("vec_id").isin(selected.map(_._2): _*))
+        .select(col("vec_id"), col("embedding"), score.as("__score"))
+        .orderBy(col("__score").desc, col("vec_id").asc)
+        .limit(1)
+        .collect()
+      if (picked.isEmpty) exhausted = true
+      else {
+        val r = picked.head
+        selected :+= ((selected.size + 1, r.getLong(0), r.getLong(2)))
+        selVecs :+= r.getSeq[Float](1).toVector
+      }
+    }
+    selected.toDF("rank", "vec_id", "score")
+  }
+
   def recallAtK(
       candidates: DataFrame, // (query_id, vec_id, dot)
       truth: DataFrame, // (query_id, vec_id, dot) — exact scores
