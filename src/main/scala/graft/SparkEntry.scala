@@ -805,6 +805,30 @@ object SparkEntry {
         Tables.read(s, dir, "events"), "user_id", "ts", 604800L)),
 
     // --- language id (marker heuristic) --------------------------------------
+    // --- TRAINED hashed-ngram Naive Bayes classifier (train + infer in-pipeline) ----
+    // The model-based upgrade over q_lang_id's fixed marker lists: the
+    // classifier's weights come from the corpus's own labels, and both
+    // training and inference are exact-integer (bitlen log2), so the
+    // oracle replays the whole train→predict round trip. Texts are
+    // decorated in-query with per-lang marker phrases (the q_script_mix
+    // pattern — the synthetic corpus shares one vocabulary across
+    // langs, so undecorated labels carry no signal to learn).
+    "q_nb_classify" -> ((s, dir) => {
+      val marker = when(col("lang") === "de",
+          lit(" zwischen durch nicht schon"))
+        .when(col("lang") === "es", lit(" corazon manana senor nino"))
+        .when(col("lang") === "fr", lit(" toujours beaucoup chateau"))
+        .when(col("lang") === "zh", lit(" zhongwen pinyin hanzi shu"))
+        .otherwise(lit(" the quick brown fox jumps"))
+      val d = docs(s, dir).withColumn("__t",
+        concat(col("text"), repeat(marker, 6)))
+      val model = graft.ops.NaiveBayes.nbTrain(d, "lang", col("__t"))
+      graft.ops.NaiveBayes.nbPredict(d, "doc_id", col("__t"), model)
+        .join(d.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("predicted"), col("score"),
+          (col("predicted") === col("lang")).as("ok"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val langs = Seq(
         "en" -> Seq("the", "a"),
@@ -5753,6 +5777,53 @@ object SparkEntry {
         |  CAST(LEAST(g + n_tokens, (shard_seq + 1) * 2000) - g AS BIGINT)
         |    AS doc_tok_end
         |FROM p""".stripMargin,
+
+    // full train->predict replay: decorated lowercased text -> char
+    // trigrams ("c c c" space-joined, spaces are chars too) -> rolling
+    // hash mod 256 -> dense smoothed (label x bucket) bitlen weights ->
+    // per-(doc, label) exact score -> argmax with lexicographic ties
+    "q_nb_classify" ->
+      """WITH d AS (SELECT doc_id, lang, lower(text || repeat(CASE
+        |    WHEN lang = 'de' THEN ' zwischen durch nicht schon'
+        |    WHEN lang = 'es' THEN ' corazon manana senor nino'
+        |    WHEN lang = 'fr' THEN ' toujours beaucoup chateau'
+        |    WHEN lang = 'zh' THEN ' zhongwen pinyin hanzi shu'
+        |    ELSE ' the quick brown fox jumps' END, 6)) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(
+        |    [cs[i] || ' ' || cs[i+1] || ' ' || cs[i+2]
+        |     for i in range(1, len(cs) - 1)]) AS tri
+        |  FROM (SELECT doc_id, lang, string_split(t, '') AS cs FROM d)),
+        |h AS (SELECT doc_id, lang, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      [unicode(c)::BIGINT for c in string_split(tri, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007) % 256 AS bucket
+        |  FROM g),
+        |cnt AS (SELECT lang AS label, bucket, count(*) AS n
+        |  FROM h GROUP BY 1, 2),
+        |grid AS (SELECT l.label, r.range AS bucket
+        |  FROM (SELECT DISTINCT label FROM cnt) l CROSS JOIN range(0, 256) r),
+        |dense AS (SELECT grid.label, grid.bucket,
+        |    COALESCE(cnt.n, 0) + 1 AS cnt
+        |  FROM grid LEFT JOIN cnt
+        |    ON cnt.label = grid.label AND cnt.bucket = grid.bucket),
+        |model AS (SELECT dense.label, dense.bucket,
+        |    CAST(length(bin(dense.cnt)) AS BIGINT) AS w,
+        |    CAST(length(bin(t.tot)) AS BIGINT) AS base
+        |  FROM dense JOIN (SELECT label, sum(cnt) AS tot FROM dense
+        |                   GROUP BY 1) t ON t.label = dense.label),
+        |scored AS (SELECT h.doc_id, m.label,
+        |    sum(m.w) - count(*) * max(m.base) AS score
+        |  FROM h JOIN model m ON m.bucket = h.bucket
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, label AS predicted,
+        |    CAST(score AS BIGINT) AS score,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, d.lang, b.predicted, b.score,
+        |  b.predicted = d.lang AS ok
+        |FROM d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin,
 
     "q_lang_id" ->
       """WITH sc AS (SELECT doc_id,
