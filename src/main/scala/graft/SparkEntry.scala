@@ -2641,6 +2641,18 @@ object SparkEntry {
       TextStats.bpePairCounts(
         docs(s, dir).filter(col("doc_id") % 5 === 0), "text", bpeVocab)),
 
+    // --- BPE merge LEARNING (classic BPE training, the loop around q_bpe_pairs) -----
+    // Three rounds of: count adjacent pairs in the current token
+    // sequences, take the deterministic argmax, record the merge and
+    // APPLY it (leftmost non-overlapping — the textbook BPE pairing
+    // rule) before recounting. The oracle replays tokenize-once plus
+    // all three data-dependent merge rounds in window SQL, so the
+    // learned merges themselves sit under the hard signal.
+    "q_bpe_learn" -> ((s, dir) =>
+      TextStats.bpeLearnMerges(
+        docs(s, dir).filter(col("doc_id") % 5 === 0), "text", bpeVocab,
+        rounds = 3)),
+
     // --- typed parse of embedded JSON args (tool-call payloads) ---------------------
     // Every 11th event's props is corrupted in-query; from_json against
     // the explicit schema parses the rest scan-side (no inference pass)
@@ -4020,6 +4032,72 @@ object SparkEntry {
     bpeVocab.map(t => s"('${t.replace("'", "''")}', ${t.length})")
       .mkString(", ")
 
+  /** q_bpe_learn's oracle: ONE recursive greedy walk (the q_bpe_pairs
+    * tokenization), then per round a windowed argmax + the classic-BPE
+    * leftmost-non-overlapping merge application as pure window SQL:
+    * match positions chain into runs of consecutive indices
+    * (gaps-and-islands), a run's even offsets are the kept merges, kept
+    * idx becomes the merged token and kept idx+1 drops. Chained
+    * re-walks were tried first and hit a DuckDB recursive-CTE binding
+    * bug (a later walk silently reused the round-1 vocab) — the window
+    * formulation needs no recursion past the first walk AND matches the
+    * textbook merge-in-learned-order semantics the Spark side
+    * implements ([[graft.exprs.BpeMergeApply]]).
+    */
+  private def bpeLearnOracleSql: String = {
+    def round(i: Int) =
+      s"""w$i AS (SELECT doc_id, idx, tok,
+         |    lead(tok) OVER (PARTITION BY doc_id ORDER BY idx) AS nxt
+         |  FROM s$i),
+         |m$i AS MATERIALIZED (
+         |  SELECT t1, t2, t1 || t2 AS merged, CAST(n AS BIGINT) AS n
+         |  FROM (SELECT tok AS t1, nxt AS t2, count(*) AS n FROM w$i
+         |        WHERE nxt IS NOT NULL GROUP BY 1, 2)
+         |  ORDER BY n DESC, t1, t2 LIMIT 1),
+         |mm$i AS (SELECT w$i.doc_id, w$i.idx FROM w$i JOIN m$i
+         |  ON w$i.tok = m$i.t1 AND w$i.nxt = m$i.t2),
+         |k$i AS (SELECT doc_id, idx FROM (
+         |    SELECT doc_id, idx,
+         |      idx - min(idx) OVER (PARTITION BY doc_id, grp) AS off
+         |    FROM (SELECT doc_id, idx,
+         |        idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx)
+         |          AS grp
+         |      FROM mm$i))
+         |  WHERE off % 2 = 0),
+         |s${i + 1} AS (SELECT s.doc_id,
+         |    row_number() OVER (PARTITION BY s.doc_id ORDER BY s.idx) AS idx,
+         |    CASE WHEN k.idx IS NOT NULL
+         |      THEN (SELECT merged FROM m$i) ELSE s.tok END AS tok
+         |  FROM s$i s
+         |  LEFT JOIN k$i k ON k.doc_id = s.doc_id AND k.idx = s.idx
+         |  LEFT JOIN k$i k2 ON k2.doc_id = s.doc_id AND k2.idx = s.idx - 1
+         |  WHERE k2.idx IS NULL)""".stripMargin
+    s"""WITH RECURSIVE v(tok, l) AS (VALUES $bpeVocabValues),
+       |d AS (SELECT doc_id, text, length(text) AS n
+       |  FROM documents WHERE doc_id % 5 = 0),
+       |walk(doc_id, pos, tok) AS (
+       |  SELECT doc_id, 1, CAST(NULL AS VARCHAR) FROM d
+       |  UNION ALL
+       |  SELECT s.doc_id,
+       |    s.pos + COALESCE(
+       |      (SELECT MAX(l) FROM v WHERE substr(d.text, s.pos, l) = tok), 1),
+       |    COALESCE(
+       |      (SELECT tok FROM v WHERE substr(d.text, s.pos, l) = tok
+       |       ORDER BY l DESC LIMIT 1),
+       |      substr(d.text, s.pos, 1))
+       |  FROM walk s JOIN d USING (doc_id)
+       |  WHERE s.pos <= d.n),
+       |s1 AS (SELECT doc_id,
+       |    row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS idx, tok
+       |  FROM walk WHERE tok IS NOT NULL),
+       |${round(1)},
+       |${round(2)},
+       |${round(3)}
+       |SELECT CAST(1 AS INTEGER) AS round, t1, t2, merged, n FROM m1
+       |UNION ALL SELECT 2, t1, t2, merged, n FROM m2
+       |UNION ALL SELECT 3, t1, t2, merged, n FROM m3""".stripMargin
+  }
+
   /** Greedy longest-match token walk as a recursive CTE: one step per
     * emitted token — pos advances by the longest vocab entry matching at
     * pos (correlated MAX over the vocab VALUES) or by 1 character as the
@@ -4176,6 +4254,8 @@ object SparkEntry {
          |  FROM walk WHERE tok IS NOT NULL)
          |SELECT tok AS t1, nxt AS t2, CAST(count(*) AS BIGINT) AS n
          |FROM seq WHERE nxt IS NOT NULL GROUP BY t1, t2""".stripMargin,
+
+    "q_bpe_learn" -> bpeLearnOracleSql,
 
     // types bucketed by their first containing document (min doc_id,
     // integer-div bucket), doc/token volume from the doc side so empty

@@ -78,6 +78,36 @@ object VocabTokensImpl {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
   }
+
+  /** One classic-BPE merge pass over a token sequence: every LEFTMOST
+    * NON-OVERLAPPING adjacent (t1, t2) occurrence collapses to their
+    * concatenation, in one left-to-right scan — "aaaa" under (a, a)
+    * becomes [aa, aa], "aaa" becomes [aa, a] (the second candidate
+    * overlaps the consumed first and is skipped). The single scan IS
+    * the leftmost-non-overlap contract; the oracle replays it with a
+    * parity rule over runs of consecutive match positions.
+    */
+  def applyMerge(
+      toks: org.apache.spark.sql.catalyst.util.ArrayData,
+      t1: UTF8String,
+      t2: UTF8String,
+      merged: UTF8String
+  ): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val n = toks.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var i = 0
+    while (i < n) {
+      if (i + 1 < n && t1.equals(toks.getUTF8String(i)) &&
+          t2.equals(toks.getUTF8String(i + 1))) {
+        out += merged
+        i += 2
+      } else {
+        out += toks.getUTF8String(i)
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out.toArray)
+  }
 }
 
 case class VocabTokenCount(
@@ -151,5 +181,51 @@ case class VocabTokenSeq(
       c => s"graft.exprs.VocabTokensImpl.tokens($c, $vocabRef)")
   }
   override protected def withNewChildInternal(c: Expression): VocabTokenSeq =
+    copy(child = c)
+}
+
+/** [[VocabTokensImpl.applyMerge]] as an expression: one BPE merge rule
+  * applied to a token-sequence column. The merge pair is expression
+  * CONFIG (one learned rule per pass, the BPE-training shape), not a
+  * per-row input; rounds nest — round r's plan holds r of these nodes,
+  * each a single O(tokens) scan.
+  */
+case class BpeMergeApply(
+    child: Expression,
+    t1: String,
+    t2: String
+) extends UnaryExpression {
+  require(t1.nonEmpty && t2.nonEmpty, "merge tokens must be non-empty")
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(StringType, false) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"bpe_merge_apply requires array<string> without nulls, got $other")
+    }
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "bpe_merge_apply"
+
+  @transient private lazy val u1 = UTF8String.fromString(t1)
+  @transient private lazy val u2 = UTF8String.fromString(t2)
+  @transient private lazy val um = UTF8String.fromString(t1 + t2)
+
+  override protected def nullSafeEval(input: Any): Any =
+    VocabTokensImpl.applyMerge(
+      input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      u1, u2, um)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val r1 = ctx.addReferenceObj("t1", u1, "org.apache.spark.unsafe.types.UTF8String")
+    val r2 = ctx.addReferenceObj("t2", u2, "org.apache.spark.unsafe.types.UTF8String")
+    val rm = ctx.addReferenceObj("m", um, "org.apache.spark.unsafe.types.UTF8String")
+    defineCodeGen(ctx, ev,
+      c => s"graft.exprs.VocabTokensImpl.applyMerge($c, $r1, $r2, $rm)")
+  }
+  override protected def withNewChildInternal(c: Expression): BpeMergeApply =
     copy(child = c)
 }

@@ -227,9 +227,19 @@ object TextStats {
       df: org.apache.spark.sql.DataFrame,
       textCol: String,
       vocab: Seq[String]
+  ): org.apache.spark.sql.DataFrame =
+    seqPairCounts(df, vocabTokenSeq(col(textCol), vocab))
+
+  /** Adjacent-pair counts over an arbitrary token-SEQUENCE column (the
+    * [[bpePairCounts]] core, reused by the learning loop on merged
+    * sequences). One linear zip_with fan-out, one partial-agg shuffle.
+    */
+  private def seqPairCounts(
+      df: org.apache.spark.sql.DataFrame,
+      seq: Column
   ): org.apache.spark.sql.DataFrame = {
     val t = col("__toks")
-    df.select(vocabTokenSeq(col(textCol), vocab).as("__toks"))
+    df.select(seq.as("__toks"))
       .select(explode(
         zip_with(
           slice(t, lit(1), greatest(size(t) - 1, lit(0))),
@@ -239,6 +249,64 @@ object TextStats {
       .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
       .groupBy("t1", "t2")
       .agg(count(lit(1)).as("n"))
+  }
+
+  /** One classic-BPE merge pass over a token-sequence column: leftmost
+    * non-overlapping (t1, t2) occurrences collapse to t1+t2
+    * ([[graft.exprs.BpeMergeApply]], a single codegen'd scan).
+    */
+  def bpeMergeApply(toks: Column, t1: String, t2: String): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.BpeMergeApply(
+        org.apache.spark.sql.GraftBridge.expression(toks), t1, t2))
+
+  /** BPE merge LEARNING — classic byte-pair-encoding training over the
+    * token stream: tokenize ONCE with the base vocabulary (greedy
+    * longest-match, [[vocabTokenSeq]]), then `rounds` times take the
+    * most frequent adjacent token pair (ties broken by (t1, t2)
+    * lexicographically, so the argmax is deterministic), record the
+    * merge, and APPLY it to the sequences ([[bpeMergeApply]]: leftmost
+    * non-overlapping collapse — the textbook BPE pairing rule) before
+    * recounting. Merges therefore compose in learned order, exactly as
+    * a BPE tokenizer replays them at encode time.
+    *
+    * Returns one row per learned merge: (round, t1, t2, merged, n) with
+    * n the pair's corpus count AT SELECTION TIME. Stops early if no
+    * adjacent pair remains. Sequential in `rounds` by nature (round
+    * r+1 counts the sequences round r produced); each round is one
+    * distributed count + TakeOrderedAndProject argmax collecting a
+    * single row — the learned merges ARE the output, so the driver
+    * holding them is the same contract as
+    * [[graft.ops.Similarity.mmrSelect]]'s selections. Round r's plan
+    * re-tokenizes and re-applies r−1 single-scan merge expressions
+    * (recompute over cache, the scale-safe default); only (t1, t2,
+    * count) partial aggs ever shuffle.
+    */
+  def bpeLearnMerges(
+      df: org.apache.spark.sql.DataFrame,
+      textCol: String,
+      baseVocab: Seq[String],
+      rounds: Int
+  ): org.apache.spark.sql.DataFrame = {
+    require(rounds >= 1, "rounds must be >= 1")
+    val spark = df.sparkSession
+    import spark.implicits._
+    var seq = vocabTokenSeq(col(textCol), baseVocab)
+    var learned = Vector.empty[(Int, String, String, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      val top = seqPairCounts(df, seq)
+        .orderBy(col("n").desc, col("t1").asc, col("t2").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top.head
+        val (t1, t2) = (row.getString(0), row.getString(1))
+        learned :+= ((r, t1, t2, t1 + t2, row.getLong(2)))
+        seq = bpeMergeApply(seq, t1, t2)
+      }
+    }
+    learned.toDF("round", "t1", "t2", "merged", "n")
   }
 
   /** Word-rarity quality signals: per document, the token count, how
