@@ -748,6 +748,24 @@ object SparkEntry {
         col("value"), col("event_type").isin("click", "purchase"),
         nBins = 10, lo = 0.0, hi = 100.0)),
 
+    // --- EXACT isotonic calibration over the reliability bins -----------------------
+    // PAV on calibrationBins output, reduced rationals out. The oracle
+    // does NOT replay the pooling loop — it recomputes the fit through
+    // the independent minimax identity max_{j<=i} min_{k>=i} avg(j..k)
+    // (exact-fraction min/max via all-pairs cross-multiplied
+    // comparisons), so the two formulations check each other. The label
+    // is score-dependent WITH a deliberate dip in bin 6 (the natural
+    // event labels are flat in value, which would collapse the fit to
+    // one pool and exercise nothing): bins 0-2 rate 0, 3-5 rate 1,
+    // 6 rate 0, 7-9 rate 1 — PAV must pool the dip backwards.
+    "q_iso_calibrate" -> ((s, dir) =>
+      graft.ops.Analytics.isotonicCalibrate(
+        graft.ops.Analytics.calibrationBins(
+          Tables.read(s, dir, "events"),
+          col("value"),
+          col("value") >= 30 && !(col("value") >= 60 && col("value") < 70),
+          nBins = 10, lo = 0.0, hi = 100.0))),
+
     // --- DPO preference pairs --------------------------------------------------------
     // Best-vs-worst assistant turn per conversation by a deterministic
     // integer score (char length as the stand-in scorer); equal-score
@@ -4503,6 +4521,41 @@ object SparkEntry {
         |  CAST(sum(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS BIGINT) AS sum_score_bp
         |FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL
         |GROUP BY 1""".stripMargin,
+
+    // the PAV fit via the minimax identity: per (i, j<=i) the exact-min
+    // over k>=i interval average (NOT EXISTS any strictly smaller
+    // fraction, cross-multiplied), then the exact-max over j; equal
+    // values reduce (gcd) to one canonical fraction, so WHICH minimal/
+    // maximal interval row_number picks is immaterial
+    "q_iso_calibrate" ->
+      """WITH b AS (SELECT LEAST(9, GREATEST(0, CAST(FLOOR(value / 10.0) AS BIGINT))) AS bin,
+        |    CAST(count(*) AS BIGINT) AS n,
+        |    CAST(sum(CASE WHEN value >= 30 AND NOT (value >= 60 AND value < 70)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+        |  FROM events WHERE value IS NOT NULL
+        |  GROUP BY 1),
+        |p AS (SELECT bin, n, n_pos,
+        |    sum(n) OVER (ORDER BY bin) AS cw,
+        |    sum(n_pos) OVER (ORDER BY bin) AS cp FROM b),
+        |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+        |    k.cp - j.cp + j.n_pos AS pp, k.cw - j.cw + j.n AS ww
+        |  FROM p j JOIN p k ON j.bin <= k.bin),
+        |mn AS (SELECT i.bin AS ib, a.jb, a.pp, a.ww,
+        |    row_number() OVER (PARTITION BY i.bin, a.jb ORDER BY a.kb) AS rn
+        |  FROM p i JOIN iv a ON a.jb <= i.bin AND a.kb >= i.bin
+        |  WHERE NOT EXISTS (SELECT 1 FROM iv x
+        |    WHERE x.jb = a.jb AND x.kb >= i.bin
+        |      AND x.pp * a.ww < a.pp * x.ww)),
+        |m1 AS (SELECT ib, jb, pp, ww FROM mn WHERE rn = 1),
+        |mx AS (SELECT a.ib, a.pp, a.ww,
+        |    row_number() OVER (PARTITION BY a.ib ORDER BY a.jb) AS rn
+        |  FROM m1 a
+        |  WHERE NOT EXISTS (SELECT 1 FROM m1 x
+        |    WHERE x.ib = a.ib AND x.pp * a.ww > a.pp * x.ww))
+        |SELECT b.bin, b.n, b.n_pos,
+        |  CAST(mx.pp // greatest(gcd(mx.pp, mx.ww), 1) AS BIGINT) AS iso_num,
+        |  CAST(mx.ww // greatest(gcd(mx.pp, mx.ww), 1) AS BIGINT) AS iso_den
+        |FROM b JOIN mx ON mx.ib = b.bin AND mx.rn = 1""".stripMargin,
 
     // window-rank replay of the struct-min/max pair pick: best = (score
     // DESC, turn_idx DESC), worst = (score ASC, turn_idx ASC)

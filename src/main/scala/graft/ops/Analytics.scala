@@ -440,6 +440,64 @@ object Analytics {
         sum(floor(score * 10000d).cast("long")).as("sum_score_bp"))
   }
 
+  /** EXACT isotonic (monotone non-decreasing) calibration over score
+    * bins — pool-adjacent-violators on the [[calibrationBins]] output:
+    * a scorer whose empirical positive rate dips as the score rises is
+    * repaired into the closest monotone rate curve (L2), which is what
+    * a threshold sweep or a probability consumer should read instead of
+    * raw bin rates. All arithmetic is exact rationals: each bin's
+    * calibrated rate is its PAV pool's (Σ n_pos, Σ n), emitted REDUCED
+    * (gcd) as (iso_num, iso_den) so the representation is canonical —
+    * the oracle recomputes the fit independently via the minimax closed
+    * form ŷᵢ = max_{j≤i} min_{k≥i} avg(j..k) (Robertson et al.'s
+    * identity for the PAV solution) and must land on the same reduced
+    * fraction.
+    *
+    * The input is a BINNED AGGREGATE — at most `maxBins` rows by
+    * construction (the binning collapsed the corpus already), so the
+    * PAV stack runs on the driver over the collected bins: the same
+    * aggregate-sized-driver-data contract as
+    * [[Similarity.ivfCentroids]]. The guard makes exceeding it a loud
+    * error, not a silent driver OOM.
+    */
+  def isotonicCalibrate(
+      bins: DataFrame, // (bin, n, n_pos) — n >= 1 per present bin
+      maxBins: Int = 4096
+  ): DataFrame = {
+    require(maxBins > 0, "maxBins must be positive")
+    val spark = bins.sparkSession
+    import spark.implicits._
+    val rows = bins.select(
+        col("bin").cast("long"), col("n").cast("long"),
+        col("n_pos").cast("long"))
+      .orderBy(col("bin"))
+      .limit(maxBins + 1)
+      .as[(Long, Long, Long)].collect()
+    require(rows.length <= maxBins,
+      s"isotonicCalibrate saw more than $maxBins bins — bin coarser or " +
+        "raise maxBins; the PAV stack is driver-side by contract")
+    require(rows.forall(_._2 >= 1L), "every bin needs n >= 1")
+    // PAV stack: pools of (P = Σ n_pos, W = Σ n, span); merge while the
+    // last two pools violate monotonicity (cross-multiplied compare)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
+    rows.foreach { case (_, n, p) =>
+      var cur = (p, n, 1)
+      while (stack.nonEmpty &&
+          stack.last._1 * cur._2 > cur._1 * stack.last._2) {
+        val prev = stack.remove(stack.length - 1)
+        cur = (prev._1 + cur._1, prev._2 + cur._2, prev._3 + cur._3)
+      }
+      stack += cur
+    }
+    val fitted = stack.iterator.flatMap { case (p, w, span) =>
+      val g = BigInt(p).gcd(BigInt(w)).toLong max 1L
+      Iterator.fill(span)((p / g, w / g))
+    }.toVector
+    rows.toVector.zip(fitted)
+      .map { case ((bin, n, p), (num, den)) => (bin, n, p, num, den) }
+      .toDF("bin", "n", "n_pos", "iso_num", "iso_den")
+  }
+
   /** Strictly-ordered funnel: how many users reached stage k only
     * counting stage-k events AFTER their first qualifying stage-(k-1)
     * event — the sequence-sensitive variant (view → click → purchase

@@ -418,4 +418,47 @@ class AnalyticsSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Long)].collect().toSeq
     assert(got == Seq((0L, 0L, 0L, 2L)), got.mkString(","))
   }
+
+  test("isotonicCalibrate: PAV pools violators into exact reduced " +
+    "rationals; monotone input passes through") {
+    // rates 1/2, 0/3, 1/1: the first two violate -> pool to 1/5
+    val v = Seq((0L, 2L, 1L), (1L, 3L, 0L), (2L, 1L, 1L))
+      .toDF("bin", "n", "n_pos")
+    val got = Analytics.isotonicCalibrate(v)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 1L, 1L, 5L), (1L, 3L, 0L, 1L, 5L), (2L, 1L, 1L, 1L, 1L)))
+
+    // already monotone: each bin keeps its own (reduced) rate
+    val m = Seq((0L, 4L, 0L), (1L, 4L, 2L), (2L, 4L, 4L))
+      .toDF("bin", "n", "n_pos")
+    val gm = Analytics.isotonicCalibrate(m)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gm == Seq(
+      (0L, 4L, 0L, 0L, 1L), (1L, 4L, 2L, 1L, 2L), (2L, 4L, 4L, 1L, 1L)))
+
+    // strictly decreasing: one global pool
+    val d = Seq((0L, 1L, 1L), (1L, 1L, 0L)).toDF("bin", "n", "n_pos")
+    val gd = Analytics.isotonicCalibrate(d)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gd == Seq((0L, 1L, 1L, 1L, 2L), (1L, 1L, 0L, 1L, 2L)))
+  }
+
+  test("isotonicCalibrate: cascading merge and the maxBins guard") {
+    // rates 1/1, 1/2, 0/1: pooling the last two (1/3) still violates
+    // 1/1 -> the merge cascades into one pool 2/4 = 1/2
+    val c = Seq((0L, 1L, 1L), (1L, 2L, 1L), (2L, 1L, 0L))
+      .toDF("bin", "n", "n_pos")
+    val gc = Analytics.isotonicCalibrate(c)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(gc == Seq(
+      (0L, 1L, 1L, 1L, 2L), (1L, 2L, 1L, 1L, 2L), (2L, 1L, 0L, 1L, 2L)))
+
+    val big = Seq((0L, 1L, 0L), (1L, 1L, 1L), (2L, 1L, 1L))
+      .toDF("bin", "n", "n_pos")
+    val e = intercept[IllegalArgumentException] {
+      Analytics.isotonicCalibrate(big, maxBins = 2)
+    }
+    assert(e.getMessage.contains("more than 2 bins"))
+  }
 }
