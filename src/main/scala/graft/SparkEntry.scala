@@ -170,6 +170,25 @@ object SparkEntry {
       Sessionize(turns(s, dir), Seq("conv_id"), "ts", 1800L, Seq("turn_idx"))
         .select("conv_id", "turn_idx", "session_seq", "session_id")),
 
+    // --- gap + MAX-DURATION capped sessionization ---------------------------
+    // q_sessionize's boundaries, then fixed 1200 s slices from each
+    // session's first event — "no session longer than N" on top of gap
+    // logic (the closed-form slicing contract; see Sessionize.capped).
+    "q_sessionize_capped" -> ((s, dir) =>
+      Sessionize.capped(turns(s, dir), Seq("conv_id"), "ts",
+          gapSeconds = 1800L, maxSeconds = 1200L, tieBreak = Seq("turn_idx"))
+        .select("conv_id", "turn_idx", "session_seq", "slice_seq",
+          "capped_session_id")),
+
+    // --- LOCF with EXPIRY (stale-feature invalidation) ----------------------
+    // q_locf_backfill's carry, but a tool observation only serves for
+    // 900 s after it happened — past that the anchor reads NULL, the
+    // point-in-time staleness contract a feature store enforces.
+    "q_locf_ttl" -> ((s, dir) =>
+      Windows.locfTtl(turns(s, dir), Windows.turnWindow, "tool", "ts",
+          ttlSeconds = 900L, as = "tool_ttl")
+        .select("conv_id", "turn_idx", "tool_ttl")),
+
     // --- checkpoint write -> invalidate -> RESUME -> read, under the oracle ----
     // The sessionized output is written through the resumable bucketed
     // sink, two buckets are then invalidated (the operational repair
@@ -5408,6 +5427,47 @@ object SparkEntry {
          |SELECT conv_id, turn_idx, session_seq,
          |  conv_id || '#' || CAST(session_seq AS VARCHAR) AS session_id
          |FROM s2""".stripMargin,
+
+    // q_sessionize's boundaries + session-start min + fixed-width slice
+    "q_sessionize_capped" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, turn_idx, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1),
+         |s3 AS (SELECT conv_id, turn_idx, session_seq,
+         |  CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |      - min(CAST(FLOOR(epoch(ts)) AS BIGINT))
+         |          OVER (PARTITION BY conv_id, session_seq)) / 1200.0)
+         |    AS BIGINT) AS slice_seq
+         |  FROM s2)
+         |SELECT conv_id, turn_idx, session_seq, slice_seq,
+         |  conv_id || '#' || CAST(session_seq AS VARCHAR)
+         |    || '#' || CAST(slice_seq AS VARCHAR) AS capped_session_id
+         |FROM s3""".stripMargin,
+
+    // the carried observation's OWN ts rides the window; expiry is a
+    // per-anchor age check against it
+    "q_locf_ttl" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN obs_ts IS NOT NULL
+         |      AND CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |        - CAST(FLOOR(epoch(obs_ts)) AS BIGINT) <= 900
+         |    THEN v END AS tool_ttl
+         |FROM (SELECT conv_id, turn_idx, ts,
+         |  last_value(CASE WHEN tool IS NOT NULL THEN ts END IGNORE NULLS)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_ts,
+         |  last_value(tool IGNORE NULLS)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         |  FROM turns)""".stripMargin,
 
     "q_checkpoint_resume" ->
       s"""$T,

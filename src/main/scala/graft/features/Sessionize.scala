@@ -44,6 +44,40 @@ object Sessionize {
       )
   }
 
+  /** Gap sessionization PLUS a maximum-duration cap: each gap session
+    * is sliced into fixed `maxSeconds` windows measured from the
+    * session's first event (`slice_seq = floor((ts − session_start) /
+    * maxSeconds)`) — the bound batch jobs and billing/limit semantics
+    * need ("no session longer than N") that pure gap logic cannot give
+    * when events trickle steadily. Fixed-width slicing from the session
+    * start is the closed-form, engine-replayable contract; the
+    * alternative "restart the clock at each split" rule is inherently
+    * sequential (each boundary depends on the previous one) and is
+    * deliberately NOT what this computes.
+    *
+    * One extra window over (key, session_seq) for the session-start
+    * min — gap sessions are bounded by construction (a gap ends them),
+    * so the per-partition cardinality caveat of session-keyed windows
+    * is the same one [[summary]] already carries.
+    */
+  def capped(
+      df: DataFrame,
+      key: Seq[String],
+      tsCol: String,
+      gapSeconds: Long,
+      maxSeconds: Long,
+      tieBreak: Seq[String] = Nil
+  ): DataFrame = {
+    require(maxSeconds > 0, s"maxSeconds must be positive, got $maxSeconds")
+    val s = apply(df, key, tsCol, gapSeconds, tieBreak)
+    val ws = Window.partitionBy((key :+ "session_seq").map(col): _*)
+    s.withColumn("slice_seq",
+        floor((col(tsCol).cast("long") -
+          min(col(tsCol).cast("long")).over(ws)) / maxSeconds).cast("long"))
+      .withColumn("capped_session_id",
+        concat_ws("#", col("session_id"), col("slice_seq").cast("string")))
+  }
+
   /** Per-session summary features (length, duration, tool usage). */
   def summary(
       sessionized: DataFrame,

@@ -52,6 +52,41 @@ object Windows {
     )
   }
 
+  /** LOCF with EXPIRY — the feature-store staleness contract: the last
+    * observation carries forward only while it is at most `ttlSeconds`
+    * old at the anchor's event time; older carries read NULL ("the
+    * feature expired"), which is what a point-in-time consumer should
+    * see instead of a value from arbitrarily deep in the past. The
+    * carry rides ONE struct-valued last() over the same frame as
+    * [[locf]] — the observation's own timestamp travels with its value,
+    * so expiry is decided per anchor row with no extra join or window.
+    * A row whose own `srcCol` is non-null is its own observation
+    * (age 0, never expired).
+    */
+  def locfTtl(
+      df: DataFrame,
+      w: WindowSpec,
+      srcCol: String,
+      tsCol: String,
+      ttlSeconds: Long,
+      as: String = ""
+  ): DataFrame = {
+    require(ttlSeconds >= 0, s"ttlSeconds must be >= 0, got $ttlSeconds")
+    val name = if (as.isEmpty) s"${srcCol}_ttl" else as
+    val carried = last(
+      when(col(srcCol).isNotNull,
+        struct(col(tsCol).as("ts"), col(srcCol).as("v"))),
+      ignoreNulls = true
+    ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    df.withColumn("__carry", carried)
+      .withColumn(name,
+        when(col("__carry").isNotNull &&
+          col(tsCol).cast("long") - col("__carry.ts").cast("long")
+            <= ttlSeconds,
+          col("__carry.v")))
+      .drop("__carry")
+  }
+
   /** Running aggregate up to and including the current row. */
   def runningSum(df: DataFrame, w: WindowSpec, expr: Column, as: String)
       : DataFrame =
