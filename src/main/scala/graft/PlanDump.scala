@@ -279,6 +279,26 @@ object PlanDump {
         "pair table in one partial agg; margins re-aggregate the pair " +
         "table only — every join side is pair/item-cardinality)" ->
         SparkEntry.queries("q_bt_stats")(spark, dir),
+      "q_tcloseness (ordered-EMD audit: ONE data-sized (quasi, bucket) " +
+        "partial agg; the grid, cumsums and per-combo windows are all " +
+        "aggregate-cardinality — combo space x bucket space)" ->
+        SparkEntry.queries("q_tcloseness")(spark, dir),
+      "q_nb_classify (NB train+predict in one DAG: the gram stream " +
+        "collapses map-side into a (label, bucket) agg, the model " +
+        "broadcast-joins back, argmax is a second id-keyed agg)" ->
+        SparkEntry.queries("q_nb_classify")(spark, dir),
+      "q_ndcg (graded-relevance stats: rank lists are <= k per query " +
+        "by construction, so every join is rank-list-cardinality; rel " +
+        "totals are one partial agg)" ->
+        SparkEntry.queries("q_ndcg")(spark, dir),
+      "q_locf_ttl (TTL'd carry: the observation ts rides the SAME " +
+        "window frame as the value in one struct last() — no second " +
+        "window, no join; expiry is a scan-fused age predicate)" ->
+        SparkEntry.queries("q_locf_ttl")(spark, dir),
+      "q_sessionize_capped (gap boundaries + session-start min + " +
+        "fixed-width slice: two conv-keyed windows sharing one " +
+        "exchange, slicing closed-form — no sequential splitter)" ->
+        SparkEntry.queries("q_sessionize_capped")(spark, dir),
       "pipeline over a BUCKETED transcript table (conv_id exchanges elided)" -> {
         // fixed temp location + overwrite: rerunning the dump does not
         // accumulate table copies; the table is dropped after formatting
