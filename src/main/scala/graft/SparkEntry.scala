@@ -3553,6 +3553,22 @@ object SparkEntry {
       graft.ops.Privacy.lDiversityAudit(
         docs(s, dir), Seq("lang", "source"), col("n_chars"), l = 5L)),
 
+    // --- TRAINED quantile-cut binning (leakage-free discretization) -----------------
+    // Quartile cuts learned on the fmix64-gated 80% REFERENCE split
+    // only (the exact-rank contract), then applied to EVERY document as
+    // one codegen'd when-sum — bins stay comparable across splits and
+    // the held-out 20% never influences its own feature. The cuts
+    // artifact is 3 rows (driver-sized by construction).
+    "q_bin_apply" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val ref = d.filter(graft.ops.Curation.sampleGateBp(col("doc_id")) < 8000)
+      val cuts = graft.ops.Stats.quantileCuts(ref, col("n_chars"), "doc_id", 4)
+        .orderBy("cut_idx").collect().map(_.getLong(1)).toSeq
+      d.select(col("doc_id"), col("n_chars"),
+        (graft.ops.Curation.sampleGateBp(col("doc_id")) < 8000).as("in_ref"),
+        graft.ops.Stats.applyCuts(col("n_chars"), cuts).as("bin"))
+    }),
+
     // --- t-closeness audit (skewness-attack gate; exact ordered EMD) ----------------
     // The release ladder's last rung: per (lang, source) combo, the
     // EMD between the combo's length-bucket distribution and the
@@ -8423,6 +8439,39 @@ object SparkEntry {
         |  CAST(count(DISTINCT n_chars) AS BIGINT) AS diversity,
         |  count(DISTINCT n_chars) >= 5 AS meets_l
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // gate replay (q_sample_mix's fmix64 chain), rank-ceil cut lookup
+    // on the reference split, then the when-sum as CASE additions
+    "q_bin_apply" ->
+      """WITH x0 AS (SELECT doc_id, n_chars,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, n_chars, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, n_chars, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, n_chars, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, n_chars, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |g AS (SELECT doc_id, n_chars,
+        |    CAST((xor(x, x >> 33) >> 20) % 10000 AS BIGINT) AS gate_bp
+        |  FROM x4),
+        |r AS (SELECT n_chars AS v, doc_id,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM g WHERE gate_bp < 8000),
+        |c1 AS (SELECT v FROM r WHERE rn = (2500 * n + 9999) // 10000),
+        |c2 AS (SELECT v FROM r WHERE rn = (5000 * n + 9999) // 10000),
+        |c3 AS (SELECT v FROM r WHERE rn = (7500 * n + 9999) // 10000)
+        |SELECT doc_id, n_chars, gate_bp < 8000 AS in_ref,
+        |  CAST(CASE WHEN n_chars >= (SELECT v FROM c1) THEN 1 ELSE 0 END
+        |    + CASE WHEN n_chars >= (SELECT v FROM c2) THEN 1 ELSE 0 END
+        |    + CASE WHEN n_chars >= (SELECT v FROM c3) THEN 1 ELSE 0 END
+        |    AS BIGINT) AS bin
+        |FROM g""".stripMargin,
 
     // ordered-EMD replay: dense (combo × bucket) grid, per-side cumsums,
     // |cumC·N − cumG·N_q| summed in HUGEINT, den = N_q·N·(m−1)

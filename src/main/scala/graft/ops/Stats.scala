@@ -506,4 +506,50 @@ object Stats {
         sum(col("__rx2") * col("__rx2")).cast(dec).as("s_xx"),
         sum(col("__ry2") * col("__ry2")).cast(dec).as("s_yy"))
   }
+
+  /** Equal-frequency cut points as a TRAINED artifact: the nBins−1
+    * exact discrete quantiles (the [[exactGroupedQuantiles]] rank
+    * contract — the value at rank ceil(q·n/10⁴) in (value, tie) order)
+    * of a REFERENCE frame, as (cut_idx, cut_value) rows. Learning cuts
+    * on a reference split and applying them everywhere
+    * ([[applyCuts]]) is the leakage-free form of quantile binning —
+    * cutting each evaluation frame on its OWN quantiles leaks that
+    * frame's distribution into a training-time feature and makes bins
+    * incomparable across frames. Two-phase underneath, so the
+    * reference frame never single-task sorts.
+    */
+  def quantileCuts(
+      df: DataFrame,
+      value: Column,
+      tieCol: String,
+      nBins: Int
+  ): DataFrame = {
+    require(nBins >= 2, s"nBins must be >= 2, got $nBins")
+    val qs = (1 until nBins).map(i => i * 10000 / nBins)
+    require(qs.distinct.size == qs.size,
+      s"nBins=$nBins collapses adjacent cuts at basis-point resolution")
+    val one = exactGroupedQuantiles(
+      df.select(value.as("__qv"), col(tieCol)).withColumn("__g", lit(1L)),
+      "__g", col("__qv"), tieCol, qs)
+    one.select(explode(array(qs.zipWithIndex.map { case (q, i) =>
+        struct(lit(i + 1).as("cut_idx"), col(s"q$q").as("cut_value"))
+      }: _*)).as("c"))
+      .select(col("c.cut_idx"), col("c.cut_value"))
+  }
+
+  /** Apply learned cut points: bin = how many cuts the value is ≥ (so
+    * a value equal to a cut opens the next bin — left-closed bins),
+    * NULL in, NULL out. `cuts` is the aggregate-sized artifact
+    * ([[quantileCuts]] emits nBins−1 rows; the caller collects them —
+    * the ivfCentroids driver-sizing contract) and compiles to one
+    * codegen'd when-sum, zero joins at apply time.
+    */
+  def applyCuts(value: Column, cuts: Seq[Long]): Column = {
+    require(cuts.nonEmpty, "need at least one cut")
+    require(cuts == cuts.sorted, "cuts must be ascending")
+    val b = cuts.foldLeft(lit(0L)) { (acc, c) =>
+      acc + when(value >= c, 1L).otherwise(0L)
+    }
+    when(value.isNull, lit(null).cast("long")).otherwise(b)
+  }
 }

@@ -247,4 +247,23 @@ class StatsSpec extends AnyFunSuite {
     assert(e.getMessage.contains("reference group") ||
       Option(e.getCause).exists(_.getMessage.contains("reference group")))
   }
+
+  test("quantileCuts/applyCuts: cuts at the exact rank contract; " +
+    "boundary value opens the next bin; null rides through") {
+    // values 10..80: quartile cuts at ranks ceil(2)=2, ceil(4)=4,
+    // ceil(6)=6 -> cut values 20, 40, 60
+    val ref = (1L to 8L).map(v => (v, v * 10)).toDF("id", "v")
+    val cuts = Stats.quantileCuts(ref, col("v"), "id", 4)
+      .orderBy("cut_idx")
+      .as[(Int, Long)].collect().toSeq
+    assert(cuts == Seq((1, 20L), (2, 40L), (3, 60L)))
+
+    val apply = Seq(Option(5L), Option(20L), Option(39L), Option(40L),
+      Option(75L), None).toDF("v")
+    val got = apply.select(
+        Stats.applyCuts(col("v"), cuts.map(_._2)).as("bin"))
+      .as[Option[Long]].collect().toSeq
+    assert(got == Seq(Some(0L), Some(1L), Some(1L), Some(2L), Some(3L),
+      None))
+  }
 }
