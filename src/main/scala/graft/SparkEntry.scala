@@ -1510,6 +1510,49 @@ object SparkEntry {
       s.table(name).select("conv_id", "turn_idx", "tool_locf")
     }),
 
+    // --- STREAMING LOCF with EXPIRY (live twin of q_locf_ttl) -------------------
+    // Same staged-file replay as q_stream_locf, but the per-conversation
+    // state carries (value, obs event-time) and the 900 s TTL is checked
+    // at each turn's own event time — the oracle is the BATCH TTL'd
+    // backfill SQL, so the live staleness contract agrees row-for-row.
+    "q_stream_locf_ttl" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnToolEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamlocfttl").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"tool", $"ts")
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_locf_ttl_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(t.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[TurnToolEvent]
+          StreamingFeatures.locfTtl(src, ttlSeconds = 900L)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select("conv_id", "turn_idx", "tool_ttl")
+    }),
+
     // --- STREAMING backward as-of join (the north rule's operator, live) ----------
     // The live twin of q_asof_tool: feed observations and assistant
     // anchors replayed as ONE tagged file stream; each anchor emits
@@ -5470,6 +5513,23 @@ object SparkEntry {
     // the carried observation's OWN ts rides the window; expiry is a
     // per-anchor age check against it
     "q_locf_ttl" ->
+      s"""$T
+         |SELECT conv_id, turn_idx,
+         |  CASE WHEN obs_ts IS NOT NULL
+         |      AND CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |        - CAST(FLOOR(epoch(obs_ts)) AS BIGINT) <= 900
+         |    THEN v END AS tool_ttl
+         |FROM (SELECT conv_id, turn_idx, ts,
+         |  last_value(CASE WHEN tool IS NOT NULL THEN ts END IGNORE NULLS)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_ts,
+         |  last_value(tool IGNORE NULLS)
+         |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
+         |  FROM turns)""".stripMargin,
+
+    // the live TTL'd carry must agree with the BATCH TTL'd backfill SQL
+    "q_stream_locf_ttl" ->
       s"""$T
          |SELECT conv_id, turn_idx,
          |  CASE WHEN obs_ts IS NOT NULL

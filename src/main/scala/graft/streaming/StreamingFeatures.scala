@@ -102,6 +102,56 @@ object StreamingFeatures {
       )
   }
 
+  final case class LocfTtlState(tool: Option[String], obsTsSec: Option[Long])
+
+  final case class LocfTtlOut(
+      conv_id: String,
+      turn_idx: Int,
+      tool_ttl: Option[String]
+  )
+
+  /** Streaming LOCF with EXPIRY — the live twin of
+    * [[graft.features.Windows.locfTtl]]: the per-conversation state
+    * carries the last observation's value AND its event-time seconds,
+    * and each turn emits the carry only while it is at most
+    * `ttlSeconds` old at the turn's own event time. Same O(1)
+    * state/conversation and same cross-batch ordered-arrival contract
+    * as [[locf]]; a null-ts observation (or anchor) has no timeline
+    * position, so its carry never serves (matching the batch null
+    * semantics).
+    */
+  def locfTtl(
+      turns: Dataset[TurnToolEvent],
+      ttlSeconds: Long
+  ): Dataset[LocfTtlOut] = {
+    import turns.sparkSession.implicits._
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[TurnToolEvent],
+         state: GroupState[LocfTtlState]) => {
+          val sorted = rows.toSeq.sortBy(t => (tsKey(t.ts), t.turn_idx))
+          var st = state.getOption.getOrElse(LocfTtlState(None, None))
+          val out = sorted.map { t =>
+            if (t.tool.isDefined)
+              st = LocfTtlState(t.tool,
+                Option(t.ts).map(ts => Math.floorDiv(ts.getTime, 1000L)))
+            val cur = Option(t.ts).map(ts => Math.floorDiv(ts.getTime, 1000L))
+            val v = for {
+              tool <- st.tool
+              ots <- st.obsTsSec
+              ts <- cur
+              if ts - ots <= ttlSeconds
+            } yield tool
+            LocfTtlOut(key, t.turn_idx, v)
+          }
+          state.update(st)
+          out.iterator
+        }
+      )
+  }
+
   /** One tagged arrival of the live as-of merge: `src` 0 = right/feed
     * observation (its payload in `value`), 1 = left/anchor row needing
     * the point-in-time feature. `turn_idx` identifies anchors (and
