@@ -1553,6 +1553,50 @@ object SparkEntry {
       s.table(name).select("conv_id", "turn_idx", "tool_ttl")
     }),
 
+    // --- STREAMING capped session assignment (live twin of q_sessionize_capped) ---
+    // Per-turn gap-session ordinal + fixed-width duration slice emitted
+    // immediately, three longs of state per conversation; oracled
+    // against the batch capped-sessionization SQL.
+    "q_stream_sess_capped" -> ((s, dir) => {
+      import s.implicits._
+      import graft.streaming.StreamingFeatures
+      import graft.streaming.StreamingFeatures.TurnEvent
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_verify_streamsesscap").toString
+      val watched = s"$tmp/watched"
+      val t = turns(s, dir).select($"conv_id", $"turn_idx", $"role", $"ts")
+      val nChunks = 4
+      val ordered = t.withColumn("__chunk",
+        ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+      (1 to nChunks).foreach { i =>
+        stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
+          s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
+          1700000000000L + i * 10000L)
+      }
+      val name = freshStreamView(s, "stream_sess_capped_")
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q =
+        try {
+          val src = s.readStream
+            .schema(t.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(watched)
+            .as[TurnEvent]
+          StreamingFeatures.sessionizeCapped(src,
+              gapSeconds = 1800L, maxSeconds = 1200L)
+            .writeStream.outputMode("append").format("memory")
+            .queryName(name)
+            .option("checkpointLocation", s"$tmp/ckpt")
+            .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+            .start()
+        } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+      try q.awaitTermination() finally q.stop()
+      s.table(name).select("conv_id", "turn_idx", "session_seq",
+        "slice_seq", "capped_session_id")
+    }),
+
     // --- STREAMING backward as-of join (the north rule's operator, live) ----------
     // The live twin of q_asof_tool: feed observations and assistant
     // anchors replayed as ONE tagged file stream; each anchor emits
@@ -5489,6 +5533,29 @@ object SparkEntry {
 
     // q_sessionize's boundaries + session-start min + fixed-width slice
     "q_sessionize_capped" ->
+      s"""$T,
+         |s1 AS (SELECT conv_id, turn_idx, ts,
+         |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts
+         |  FROM turns),
+         |s2 AS (SELECT conv_id, turn_idx, ts,
+         |  CAST(SUM(CASE WHEN prev_ts IS NULL
+         |      OR CAST(FLOOR(epoch(ts)) AS BIGINT) - CAST(FLOOR(epoch(prev_ts)) AS BIGINT) > 1800
+         |    THEN 1 ELSE 0 END) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS session_seq
+         |  FROM s1),
+         |s3 AS (SELECT conv_id, turn_idx, session_seq,
+         |  CAST(FLOOR((CAST(FLOOR(epoch(ts)) AS BIGINT)
+         |      - min(CAST(FLOOR(epoch(ts)) AS BIGINT))
+         |          OVER (PARTITION BY conv_id, session_seq)) / 1200.0)
+         |    AS BIGINT) AS slice_seq
+         |  FROM s2)
+         |SELECT conv_id, turn_idx, session_seq, slice_seq,
+         |  conv_id || '#' || CAST(session_seq AS VARCHAR)
+         |    || '#' || CAST(slice_seq AS VARCHAR) AS capped_session_id
+         |FROM s3""".stripMargin,
+
+    // the live per-turn assignment must agree with the batch capped SQL
+    "q_stream_sess_capped" ->
       s"""$T,
          |s1 AS (SELECT conv_id, turn_idx, ts,
          |  lag(ts) OVER (PARTITION BY conv_id ORDER BY ts, turn_idx) AS prev_ts

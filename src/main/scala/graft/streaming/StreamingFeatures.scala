@@ -102,6 +102,59 @@ object StreamingFeatures {
       )
   }
 
+  final case class CapSessState(seq: Long, startSec: Long, prevSec: Long)
+
+  final case class CapSessionOut(
+      conv_id: String,
+      turn_idx: Int,
+      session_seq: Long,
+      slice_seq: Long,
+      capped_session_id: String
+  )
+
+  /** Streaming per-turn CAPPED session assignment — the live twin of
+    * [[graft.features.Sessionize.capped]]: each turn emits immediately
+    * with its gap-session ordinal and its fixed-width duration slice
+    * from that session's first event. State is THREE longs per
+    * conversation (session counter, session-start seconds, previous
+    * seconds); same cross-batch ordered-arrival contract as [[locf]]
+    * (within a batch, rows sort by (ts, turn_idx)). Unlike
+    * [[sessionize]] — which emits closed-session SUMMARIES and so needs
+    * watermark timeouts — the per-turn assignment holds nothing back,
+    * so no watermark is involved.
+    */
+  def sessionizeCapped(
+      turns: Dataset[TurnEvent],
+      gapSeconds: Long,
+      maxSeconds: Long
+  ): Dataset[CapSessionOut] = {
+    import turns.sparkSession.implicits._
+    require(maxSeconds > 0, s"maxSeconds must be positive, got $maxSeconds")
+    turns
+      .groupByKey(_.conv_id)
+      .flatMapGroupsWithState(
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        (key: String, rows: Iterator[TurnEvent],
+         state: GroupState[CapSessState]) => {
+          val sorted = rows.toSeq.sortBy(t => (tsKey(t.ts), t.turn_idx))
+          var st = state.getOption.orNull
+          val out = sorted.map { t =>
+            val sec = Math.floorDiv(t.ts.getTime, 1000L)
+            st =
+              if (st == null) CapSessState(0L, sec, sec)
+              else if (sec - st.prevSec > gapSeconds)
+                CapSessState(st.seq + 1L, sec, sec)
+              else CapSessState(st.seq, st.startSec, sec)
+            val slice = (sec - st.startSec) / maxSeconds
+            CapSessionOut(key, t.turn_idx, st.seq, slice,
+              s"$key#${st.seq}#$slice")
+          }
+          if (st != null) state.update(st)
+          out.iterator
+        }
+      )
+  }
+
   final case class LocfTtlState(tool: Option[String], obsTsSec: Option[Long])
 
   final case class LocfTtlOut(
