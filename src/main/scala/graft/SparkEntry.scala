@@ -866,6 +866,24 @@ object SparkEntry {
           (col("predicted") === col("lang")).as("ok"))
     }),
 
+    // --- k-fold CROSS-VALIDATION of the trained classifier, one pass ----------------
+    // q_nb_classify's fixture, but every document scored OUT-OF-FOLD:
+    // leave-fold-out counts are algebra (cnt_all − cnt_fold), so all
+    // four fold models come from ONE cell aggregation — no retraining
+    // loop — and the leakage-free accuracy lands under the oracle.
+    "q_nb_crossval" -> ((s, dir) => {
+      val marker = when(col("lang") === "de",
+          lit(" zwischen durch nicht schon"))
+        .when(col("lang") === "es", lit(" corazon manana senor nino"))
+        .when(col("lang") === "fr", lit(" toujours beaucoup chateau"))
+        .when(col("lang") === "zh", lit(" zhongwen pinyin hanzi shu"))
+        .otherwise(lit(" the quick brown fox jumps"))
+      val d = docs(s, dir).withColumn("__t",
+        concat(col("text"), repeat(marker, 6)))
+      graft.ops.NaiveBayes.nbCrossVal(d, "lang", col("__t"), "doc_id",
+        k = 4)
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       val langs = Seq(
         "en" -> Seq("the", "a"),
@@ -6160,6 +6178,74 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, b.predicted, b.score,
         |  b.predicted = d.lang AS ok
         |FROM d JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin,
+
+    // the q_nb_classify replay with folds: fmix64 gate mod 4, cells per
+    // (label, fold, bucket), leave-fold-out counts = all − fold in one
+    // dense grid, each doc scored against its OWN fold's model
+    "q_nb_crossval" ->
+      """WITH x0 AS (SELECT doc_id,
+        |    xor(CAST(doc_id AS UBIGINT), CAST(11400714819323198485 AS UBIGINT)) AS x
+        |  FROM documents),
+        |x1 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM x0),
+        |x2 AS (SELECT doc_id, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(18397679294719823053 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x1),
+        |x3 AS (SELECT doc_id, xor(x, x >> 33) AS x FROM x2),
+        |x4 AS (SELECT doc_id, CAST((
+        |        (((x >> 32)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)) % 4294967296) * 4294967296
+        |        + (x & 4294967295)::HUGEINT * CAST(14181476777654086739 AS HUGEINT)
+        |      ) % CAST('18446744073709551616' AS HUGEINT) AS UBIGINT) AS x FROM x3),
+        |fl AS (SELECT doc_id,
+        |    CAST(((xor(x, x >> 33) >> 20) % 10000) % 4 AS BIGINT) AS fold
+        |  FROM x4),
+        |d AS (SELECT doc_id, lang, lower(text || repeat(CASE
+        |    WHEN lang = 'de' THEN ' zwischen durch nicht schon'
+        |    WHEN lang = 'es' THEN ' corazon manana senor nino'
+        |    WHEN lang = 'fr' THEN ' toujours beaucoup chateau'
+        |    WHEN lang = 'zh' THEN ' zhongwen pinyin hanzi shu'
+        |    ELSE ' the quick brown fox jumps' END, 6)) AS t
+        |  FROM documents),
+        |g AS (SELECT doc_id, lang, unnest(
+        |    [cs[i] || ' ' || cs[i+1] || ' ' || cs[i+2]
+        |     for i in range(1, len(cs) - 1)]) AS tri
+        |  FROM (SELECT doc_id, lang, string_split(t, '') AS cs FROM d)),
+        |h AS (SELECT g.doc_id, g.lang, fl.fold, list_reduce(
+        |    list_prepend(0::BIGINT,
+        |      [unicode(c)::BIGINT for c in string_split(tri, '')]),
+        |    (h, c) -> (h * 31 + c) % 1000000007) % 256 AS bucket
+        |  FROM g JOIN fl ON fl.doc_id = g.doc_id),
+        |cells AS (SELECT lang AS label, fold, bucket, count(*) AS n
+        |  FROM h GROUP BY 1, 2, 3),
+        |tot AS (SELECT label, bucket, sum(n) AS alln
+        |  FROM cells GROUP BY 1, 2),
+        |grid AS (SELECT l.label, f.range AS fold, b.range AS bucket
+        |  FROM (SELECT DISTINCT label FROM cells) l
+        |  CROSS JOIN range(0, 4) f CROSS JOIN range(0, 256) b),
+        |dense AS (SELECT grid.label, grid.fold, grid.bucket,
+        |    COALESCE(tot.alln, 0) - COALESCE(cells.n, 0) + 1 AS cnt
+        |  FROM grid
+        |  LEFT JOIN tot ON tot.label = grid.label AND tot.bucket = grid.bucket
+        |  LEFT JOIN cells ON cells.label = grid.label
+        |    AND cells.fold = grid.fold AND cells.bucket = grid.bucket),
+        |model AS (SELECT dense.label, dense.fold, dense.bucket,
+        |    CAST(length(bin(dense.cnt)) AS BIGINT) AS w,
+        |    CAST(length(bin(t.tot)) AS BIGINT) AS base
+        |  FROM dense JOIN (SELECT label, fold, sum(cnt) AS tot FROM dense
+        |                   GROUP BY 1, 2) t
+        |    ON t.label = dense.label AND t.fold = dense.fold),
+        |scored AS (SELECT h.doc_id, m.label,
+        |    sum(m.w) - count(*) * max(m.base) AS score
+        |  FROM h JOIN model m ON m.bucket = h.bucket AND m.fold = h.fold
+        |  GROUP BY 1, 2),
+        |best AS (SELECT doc_id, label AS predicted,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY score DESC, label) AS rn
+        |  FROM scored)
+        |SELECT d.doc_id, fl.fold, d.lang AS label, b.predicted,
+        |  b.predicted = d.lang AS ok
+        |FROM d JOIN fl ON fl.doc_id = d.doc_id
+        |JOIN best b ON b.doc_id = d.doc_id AND b.rn = 1""".stripMargin,
 
     "q_lang_id" ->
       """WITH sc AS (SELECT doc_id,

@@ -122,4 +122,89 @@ object NaiveBayes {
         (-col("__b.ns")).as("score"))
     df.select(col(idCol)).join(best, Seq(idCol), "left")
   }
+
+  /** k-fold CROSS-VALIDATION of the classifier in ONE aggregation pass —
+    * no per-fold retraining loop: each fold's leave-fold-out counts are
+    * pure algebra, `cnt₋f(label, bucket) = cnt_all(label, bucket) −
+    * cnt_f(label, bucket)`, so one (label, fold, bucket) cell
+    * aggregation yields ALL k models at once, and each document scores
+    * against the model of its OWN fold (which its n-grams never
+    * touched — the leakage-free accuracy estimate, unlike resubstitution
+    * accuracy which [[nbPredict]]-on-the-training-frame reports).
+    * Folds are the deterministic fmix64 gate mod k on `idCol` (group
+    * k-fold assignment, the q_fold_assign contract).
+    *
+    * Returns one row per document: (id, fold, label, predicted, ok) —
+    * ok = out-of-fold prediction equals the actual label. Documents too
+    * short to yield an n-gram predict NULL, ok = NULL.
+    *
+    * Scale shape: the same single gram-stream partial agg as
+    * [[nbTrain]] (keyed (label, fold, bucket) — at most
+    * |classes|·k·dims keys per task), the dense leave-out model is
+    * |classes|·k·dims rows (broadcast by construction), and scoring
+    * joins each gram occurrence to its fold's |classes| rows before the
+    * same two id-keyed aggs as [[nbPredict]].
+    */
+  def nbCrossVal(
+      df: DataFrame,
+      labelCol: String,
+      textCol: Column,
+      idCol: String,
+      k: Int,
+      n: Int = 3,
+      dims: Int = 256
+  ): DataFrame = {
+    require(k >= 2, s"k must be >= 2, got $k")
+    require(n >= 1, "n must be >= 1")
+    require(dims > 0, "dims must be positive")
+    val spark = df.sparkSession
+    val fold = (org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.SampleHash(
+        org.apache.spark.sql.GraftBridge.expression(col(idCol)))) % k)
+      .cast("long")
+    val base = df.withColumn("__fold", fold)
+    val cells = grams(base, textCol, n, dims,
+        Seq(col(labelCol).as("__label"), col("__fold")))
+      .groupBy(col("__label"), col("__fold"), col("__bucket"))
+      .agg(count(lit(1)).as("__n"))
+    val labels = cells.select(col("__label")).distinct()
+    val folds = spark.range(0, k).select(col("id").as("__fold"))
+    val buckets = spark.range(0, dims).select(col("id").as("__bucket"))
+    val grid = labels.crossJoin(broadcast(folds))
+      .crossJoin(broadcast(buckets))
+    val totals = cells.groupBy(col("__label"), col("__bucket"))
+      .agg(sum(col("__n")).as("__all"))
+    val dense = grid
+      .join(totals, Seq("__label", "__bucket"), "left")
+      .join(cells, Seq("__label", "__fold", "__bucket"), "left")
+      .select(col("__label"), col("__fold"), col("__bucket"),
+        (coalesce(col("__all"), lit(0L)) -
+          coalesce(col("__n"), lit(0L)) + 1L).as("__cnt"))
+    val model = dense
+      .join(dense.groupBy(col("__label"), col("__fold"))
+          .agg(sum(col("__cnt")).as("__tot")),
+        Seq("__label", "__fold"))
+      .select(col("__label").as("label"), col("__fold").as("mfold"),
+        col("__bucket").as("bucket"),
+        length(bin(col("__cnt"))).cast("long").as("w"),
+        length(bin(col("__tot"))).cast("long").as("base"))
+    val scored = grams(base, textCol, n, dims,
+        Seq(col(idCol), col("__fold")))
+      .join(broadcast(model),
+        col("__bucket") === col("bucket") && col("__fold") === col("mfold"))
+      .groupBy(col(idCol), col("label"))
+      .agg(sum(col("w")).as("__sw"), count(lit(1)).as("__nt"),
+        first(col("base")).as("__base"))
+      .select(col(idCol), col("label"),
+        (col("__sw") - col("__nt") * col("__base")).as("__score"))
+    val best = scored.groupBy(col(idCol))
+      .agg(min(struct((-col("__score")).as("ns"), col("label").as("l")))
+        .as("__b"))
+      .select(col(idCol), col("__b.l").as("predicted"))
+    base.select(col(idCol), col("__fold").as("fold"),
+        col(labelCol).as("label"))
+      .join(best, Seq(idCol), "left")
+      .withColumn("ok", when(col("predicted").isNotNull,
+        col("predicted") === col("label")))
+  }
 }

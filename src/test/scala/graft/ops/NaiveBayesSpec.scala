@@ -56,6 +56,39 @@ class NaiveBayesSpec extends AnyFunSuite {
     assert(fused == composed)
   }
 
+  test("nbCrossVal: out-of-fold accuracy on separable classes; a " +
+    "fold-exclusive label CANNOT predict itself (leakage check)") {
+    val aText = "alpha beta gamma alpha beta gamma"
+    val bText = "omega sigma delta omega sigma delta"
+    val rows = (0 until 30).map { i =>
+      (i.toLong, if (i % 2 == 0) "a" else "b",
+        if (i % 2 == 0) aText else bText)
+    }
+    val out = NaiveBayes.nbCrossVal(rows.toDF("id", "cls", "text"),
+        "cls", col("text"), "id", k = 3, dims = 64)
+      .select(col("id"), col("predicted"), col("ok"))
+      .as[(Long, Option[String], Option[Boolean])].collect()
+    assert(out.length == 30 && out.forall(_._3 == Some(true)), out.toSeq)
+
+    // label z exists ONLY in fold 0 (ids chosen by the same gate), with
+    // class a's text: fold-0 docs score against the leave-fold-0-out
+    // model, which holds no z mass beyond smoothing — so z can never
+    // predict itself. A leaky implementation (model including the doc's
+    // own fold) would see z's mass and could.
+    val zids = (100L to 300L)
+      .filter(id => graft.exprs.SampleHashImpl.gateBp(id) % 3 == 0)
+      .take(3)
+    val rows2 = rows ++ zids.map(id => (id, "z", aText))
+    val out2 = NaiveBayes.nbCrossVal(rows2.toDF("id", "cls", "text"),
+        "cls", col("text"), "id", k = 3, dims = 64)
+      .filter(col("label") === "z")
+      .select(col("predicted"), col("ok"))
+      .as[(Option[String], Option[Boolean])].collect()
+    assert(out2.length == 3)
+    assert(out2.forall(r => r._1 == Some("a") && r._2 == Some(false)),
+      out2.toSeq)
+  }
+
   test("nbPredict: equal-score tie breaks to the lexicographically " +
     "smallest label") {
     // identical class distributions -> every doc ties across classes
