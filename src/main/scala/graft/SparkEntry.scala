@@ -5605,10 +5605,12 @@ object SparkEntry {
          |        - CAST(FLOOR(epoch(obs_ts)) AS BIGINT) <= 900
          |    THEN v END AS tool_ttl
          |FROM (SELECT conv_id, turn_idx, ts,
-         |  last_value(CASE WHEN tool IS NOT NULL THEN ts END IGNORE NULLS)
+         |  last_value(CASE WHEN tool IS NOT NULL AND ts IS NOT NULL
+         |      THEN ts END IGNORE NULLS)
          |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_ts,
-         |  last_value(tool IGNORE NULLS)
+         |  last_value(CASE WHEN tool IS NOT NULL AND ts IS NOT NULL
+         |      THEN tool END IGNORE NULLS)
          |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
          |  FROM turns)""".stripMargin,
@@ -5622,10 +5624,12 @@ object SparkEntry {
          |        - CAST(FLOOR(epoch(obs_ts)) AS BIGINT) <= 900
          |    THEN v END AS tool_ttl
          |FROM (SELECT conv_id, turn_idx, ts,
-         |  last_value(CASE WHEN tool IS NOT NULL THEN ts END IGNORE NULLS)
+         |  last_value(CASE WHEN tool IS NOT NULL AND ts IS NOT NULL
+         |      THEN ts END IGNORE NULLS)
          |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obs_ts,
-         |  last_value(tool IGNORE NULLS)
+         |  last_value(CASE WHEN tool IS NOT NULL AND ts IS NOT NULL
+         |      THEN tool END IGNORE NULLS)
          |    OVER (PARTITION BY conv_id ORDER BY ts, turn_idx
          |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v
          |  FROM turns)""".stripMargin,

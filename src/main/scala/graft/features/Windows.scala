@@ -61,7 +61,11 @@ object Windows {
     * [[locf]] — the observation's own timestamp travels with its value,
     * so expiry is decided per anchor row with no extra join or window.
     * A row whose own `srcCol` is non-null is its own observation
-    * (age 0, never expired).
+    * (age 0, never expired). An observation with a NULL timestamp has
+    * no timeline position and is IGNORED outright — it neither serves
+    * nor shadows an earlier DATED observation (plain [[locf]] is the
+    * operator for undated carries); this also keeps the oracle's
+    * two-last_value replay exactly equivalent to the struct carry.
     */
   def locfTtl(
       df: DataFrame,
@@ -74,7 +78,7 @@ object Windows {
     require(ttlSeconds >= 0, s"ttlSeconds must be >= 0, got $ttlSeconds")
     val name = if (as.isEmpty) s"${srcCol}_ttl" else as
     val carried = last(
-      when(col(srcCol).isNotNull,
+      when(col(srcCol).isNotNull && col(tsCol).isNotNull,
         struct(col(tsCol).as("ts"), col(srcCol).as("v"))),
       ignoreNulls = true
     ).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))

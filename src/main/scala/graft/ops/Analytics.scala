@@ -479,11 +479,14 @@ object Analytics {
     require(rows.forall(_._2 >= 1L), "every bin needs n >= 1")
     // PAV stack: pools of (P = Σ n_pos, W = Σ n, span); merge while the
     // last two pools violate monotonicity (cross-multiplied compare)
+    // BigInt cross-multiply: pool sums reach corpus scale (~10^12) and
+    // P·W would overflow long — the comparison is driver-side over at
+    // most maxBins pools, so arbitrary precision costs nothing
     val stack = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Int)]
     rows.foreach { case (_, n, p) =>
       var cur = (p, n, 1)
       while (stack.nonEmpty &&
-          stack.last._1 * cur._2 > cur._1 * stack.last._2) {
+          BigInt(stack.last._1) * cur._2 > BigInt(cur._1) * stack.last._2) {
         val prev = stack.remove(stack.length - 1)
         cur = (prev._1 + cur._1, prev._2 + cur._2, prev._3 + cur._3)
       }

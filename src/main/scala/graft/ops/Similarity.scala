@@ -600,7 +600,10 @@ object Similarity {
       val score =
         lit(lambdaBp.toLong) * rel - lit(10000L - lambdaBp) * maxSim
       val picked = corpus
-        .filter(!col("vec_id").isin(selected.map(_._2): _*))
+        // null embeddings cannot be scored: dropped up front rather than
+        // surfacing as a null-score pick once real candidates run out
+        .filter(col("embedding").isNotNull &&
+          !col("vec_id").isin(selected.map(_._2): _*))
         .select(col("vec_id"), col("embedding"), score.as("__score"))
         .orderBy(col("__score").desc, col("vec_id").asc)
         .limit(1)

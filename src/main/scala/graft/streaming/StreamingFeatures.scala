@@ -187,9 +187,11 @@ object StreamingFeatures {
           val sorted = rows.toSeq.sortBy(t => (tsKey(t.ts), t.turn_idx))
           var st = state.getOption.getOrElse(LocfTtlState(None, None))
           val out = sorted.map { t =>
-            if (t.tool.isDefined)
+            // a null-ts observation has no timeline position: ignored
+            // outright, never shadowing a dated carry (batch parity)
+            if (t.tool.isDefined && t.ts != null)
               st = LocfTtlState(t.tool,
-                Option(t.ts).map(ts => Math.floorDiv(ts.getTime, 1000L)))
+                Some(Math.floorDiv(t.ts.getTime, 1000L)))
             val cur = Option(t.ts).map(ts => Math.floorDiv(ts.getTime, 1000L))
             val v = for {
               tool <- st.tool

@@ -23,7 +23,12 @@ class TtlCapSpec extends AnyFunSuite {
       ("a", 3, ts(200), None), //      expired (age 200 > 100)
       ("a", 4, ts(210), Option("y")), // fresh obs, age 0
       ("a", 5, ts(300), None), //      carry y (age 90)
-      ("b", 1, ts(0), None) //         nothing ever observed
+      ("b", 1, ts(0), None), //        nothing ever observed
+      // a NULL-ts observation is ignored outright: it neither serves
+      // nor shadows c's dated obs at t=0 (nulls sort first here)
+      ("c", 0, null.asInstanceOf[Timestamp], Option("ghost")),
+      ("c", 1, ts(0), Option("real")),
+      ("c", 2, ts(50), None)
     ).toDF("k", "idx", "ts", "v")
     val w = Window.partitionBy("k").orderBy("ts", "idx")
     val got = Windows.locfTtl(df, w, "v", "ts", ttlSeconds = 100L)
@@ -32,7 +37,8 @@ class TtlCapSpec extends AnyFunSuite {
       .map(r => (r._1, r._2) -> r._3).toMap
     assert(got == Map(
       ("a", 1) -> Some("x"), ("a", 2) -> Some("x"), ("a", 3) -> None,
-      ("a", 4) -> Some("y"), ("a", 5) -> Some("y"), ("b", 1) -> None))
+      ("a", 4) -> Some("y"), ("a", 5) -> Some("y"), ("b", 1) -> None,
+      ("c", 0) -> None, ("c", 1) -> Some("real"), ("c", 2) -> Some("real")))
   }
 
   test("capped sessionize: gap boundaries first, then fixed-width " +
