@@ -287,6 +287,10 @@ object PlanDump {
         "collapses map-side into a (label, bucket) agg, the model " +
         "broadcast-joins back, argmax is a second id-keyed agg)" ->
         SparkEntry.queries("q_nb_classify")(spark, dir),
+      "q_nb_crossval (k-fold CV in ONE pass: leave-fold-out counts by " +
+        "subtraction in the dense grid, all k models one cell agg, " +
+        "out-of-fold scoring joins on (bucket, fold))" ->
+        SparkEntry.queries("q_nb_crossval")(spark, dir),
       "q_ndcg (graded-relevance stats: rank lists are <= k per query " +
         "by construction, so every join is rank-list-cardinality; rel " +
         "totals are one partial agg)" ->
