@@ -2819,6 +2819,17 @@ object SparkEntry {
     "q_feature_hash" -> ((s, dir) =>
       TextStats.featureHash(docs(s, dir), "doc_id", "text", dims = 64)),
 
+    // --- greedy MAX-COVERAGE selection (vocabulary-coverage exemplars) --------------
+    // Five documents whose distinct-word union covers the most corpus
+    // vocabulary, greedily (Nemhauser 1-1/e guarantee) — eval-set
+    // construction by COVERAGE, the objective MMR's embedding diversity
+    // can't express. Subset (doc_id % 4 = 1) keeps the oracle's chained
+    // round CTEs cheap; ties by doc_id replay exactly.
+    "q_coverage_select" -> ((s, dir) =>
+      graft.ops.Curation.coverageSelect(
+        docs(s, dir).filter(col("doc_id") % 4 === 1), "doc_id", "text",
+        k = 5)),
+
     // --- DSIR importance selection (target-domain data selection) -------------------
     // Every document scored by the whole-bit log2-likelihood ratio of
     // its hashed token profile under the TARGET vs RAW corpus
@@ -4190,6 +4201,43 @@ object SparkEntry {
     bpeVocab.map(t => s"('${t.replace("'", "''")}', ${t.length})")
       .mkString(", ")
 
+  /** q_coverage_select's oracle: the greedy sweep as chained round CTEs
+    * — gains exclude selected docs and covered words, argmax LIMIT 1
+    * with id ties, covered set unioned forward. Generated per round so
+    * the shape cannot drift between rounds.
+    */
+  private def coverageOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val g =
+        if (i == 1) s"g1 AS (SELECT doc_id, count(*) AS g FROM t GROUP BY 1)"
+        else
+          s"""g$i AS (SELECT doc_id, count(*) AS g FROM t
+             |  WHERE doc_id NOT IN (SELECT doc_id FROM sel${i - 1})
+             |    AND w NOT IN (SELECT w FROM cov${i - 1})
+             |  GROUP BY 1)""".stripMargin
+      val s =
+        s"""s$i AS (SELECT doc_id, CAST(g AS BIGINT) AS g FROM g$i
+           |  ORDER BY g DESC, doc_id LIMIT 1)""".stripMargin
+      val sel =
+        if (i == 1) "sel1 AS (SELECT doc_id FROM s1)"
+        else
+          s"""sel$i AS (SELECT doc_id FROM sel${i - 1}
+             |  UNION ALL SELECT doc_id FROM s$i)""".stripMargin
+      val cov =
+        s"""cov$i AS (SELECT DISTINCT w FROM t
+           |  WHERE doc_id IN (SELECT doc_id FROM sel$i))""".stripMargin
+      Seq(g, s, sel, cov).mkString(",\n")
+    }
+    val out = (1 to k)
+      .map(i => s"SELECT CAST($i AS INTEGER) AS rank, doc_id, g AS gain FROM s$i")
+      .mkString("\nUNION ALL ")
+    s"""WITH t AS (SELECT DISTINCT doc_id, w FROM (
+       |    SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w
+       |    FROM documents WHERE doc_id % 4 = 1) WHERE w <> ''),
+       |${rounds.mkString(",\n")}
+       |$out""".stripMargin
+  }
+
   /** q_bpe_learn's oracle: ONE recursive greedy walk (the q_bpe_pairs
     * tokenization), then per round a windowed argmax + the classic-BPE
     * leftmost-non-overlapping merge application as pure window SQL:
@@ -4414,6 +4462,8 @@ object SparkEntry {
          |FROM seq WHERE nxt IS NOT NULL GROUP BY t1, t2""".stripMargin,
 
     "q_bpe_learn" -> bpeLearnOracleSql,
+
+    "q_coverage_select" -> coverageOracleSql(5),
 
     // types bucketed by their first containing document (min doc_id,
     // integer-div bucket), doc/token volume from the doc side so empty

@@ -873,4 +873,58 @@ object Curation {
         coalesce(col("__score"), lit(0L)).as("score"),
         (coalesce(col("__score"), lit(0L)) >= minScore).as("selected"))
   }
+
+  /** Greedy MAXIMUM-COVERAGE selection — pick `k` documents whose
+    * distinct-word union covers as much of the corpus vocabulary as
+    * possible (eval-set / exemplar construction by COVERAGE, the set
+    * function [[graft.ops.Similarity.mmrSelect]]'s embedding-diversity
+    * objective cannot express). Coverage is monotone submodular, so the
+    * greedy sweep carries Nemhauser–Wolsey–Fisher's (1 − 1/e) guarantee
+    * — and greedy is inherently sequential in k, so the loop runs k
+    * rounds, each ONE distributed job: uncovered candidate terms
+    * (word-keyed LEFT ANTI join against the covered set — which stays
+    * DATA, rebuilt from the ≤ k selected ids each round so plan lineage
+    * never deepens), one partial-agg gain count, one
+    * TakeOrderedAndProject argmax collecting a single row (ties by id —
+    * deterministic, oracle-replayable). Documents contributing zero new
+    * terms can never be picked (the anti-join erases them); selection
+    * stops early when coverage is saturated.
+    *
+    * Returns (rank, doc_id, gain) in selection order, gain = the number
+    * of first-covered terms the pick contributed.
+    */
+  def coverageSelect(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      k: Int
+  ): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val spark = df.sparkSession
+    import spark.implicits._
+    def terms(d: DataFrame) = d
+      .select(col(idCol).as("__id"),
+        explode(Dedup.words(col(textCol))).as("__w"))
+      .filter(col("__w") =!= "")
+      .distinct()
+    val t = terms(df)
+    var sel = Vector.empty[(Int, Long, Long)]
+    var exhausted = false
+    for (r <- 1 to k if !exhausted) {
+      val selIds = sel.map(_._2)
+      val cand = t.filter(!col("__id").isin(selIds: _*))
+      val remaining =
+        if (selIds.isEmpty) cand
+        else cand.join(
+          t.filter(col("__id").isin(selIds: _*)).select(col("__w")).distinct(),
+          Seq("__w"), "left_anti")
+      val top = remaining.groupBy(col("__id"))
+        .agg(count(lit(1)).as("__g"))
+        .orderBy(col("__g").desc, col("__id").asc)
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else sel :+= ((r, top.head.getLong(0), top.head.getLong(1)))
+    }
+    sel.toDF("rank", "doc_id", "gain")
+  }
 }

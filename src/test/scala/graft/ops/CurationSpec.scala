@@ -618,4 +618,23 @@ class CurationSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("coverageSelect: greedy max-coverage — marginal gains, erased " +
+    "zero-gain docs, early saturation, id tie-break") {
+    val docs = Seq(
+      (1L, "a b c d"), // richest: picked first, gain 4
+      (2L, "a b c"), //   fully covered after pick 1: can never appear
+      (3L, "d e f"), //   adds {e, f}: gain 2
+      (4L, "g") //        adds {g}: gain 1
+    ).toDF("doc_id", "text")
+    val got = Curation.coverageSelect(docs, "doc_id", "text", k = 5)
+      .as[(Int, Long, Long)].collect().toSeq
+    // k=5 but coverage saturates after 3 picks
+    assert(got == Seq((1, 1L, 4L), (2, 3L, 2L), (3, 4L, 1L)))
+
+    val tie = Seq((10L, "x y"), (11L, "x y")).toDF("doc_id", "text")
+    val gt = Curation.coverageSelect(tie, "doc_id", "text", k = 2)
+      .as[(Int, Long, Long)].collect().toSeq
+    assert(gt == Seq((1, 10L, 2L))) // 11 adds nothing after the tie pick
+  }
 }
