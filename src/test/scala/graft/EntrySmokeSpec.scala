@@ -41,13 +41,21 @@ class EntrySmokeSpec extends AnyFunSuite {
       "q_stream_dedup_wm", "q_stream_asof", "q_stream_asof_fwd",
       "q_stream_encode", "q_stream_hll", "q_stream_cms", "q_stream_cdc",
       "q_stream_anomaly", "q_stream_neardup")
+    // key = canonical plan + OUTPUT COLUMN NAMES: canonicalization
+    // erases names, which falsely collides driver-materialized
+    // selection queries (mmrSelect, coverageSelect, bpeLearnMerges…) —
+    // their returned plan is just a LocalRelation of the loop's result,
+    // so same-shaped outputs looked identical even though the actual
+    // computations (upstream of the driver loop) are entirely different
     val plans = SparkEntry.queries.view
       .filterKeys(!sideEffecting.contains(_)).toMap
       .map { case (name, fn) =>
-        name -> fn(spark, dir).queryExecution.optimizedPlan.canonicalized
+        val qe = fn(spark, dir).queryExecution
+        name -> (qe.optimizedPlan.canonicalized.toString + "\n" +
+          qe.analyzed.schema.fieldNames.mkString(","))
       }
     val dupes = plans.toSeq
-      .groupBy(_._2.toString)
+      .groupBy(_._2)
       .values.filter(_.size > 1)
       .map(_.map(_._1).sorted.mkString(" == "))
     assert(dupes.isEmpty, s"duplicate query bodies: ${dupes.mkString("; ")}")
