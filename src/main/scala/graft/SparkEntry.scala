@@ -3669,6 +3669,17 @@ object SparkEntry {
       graft.ops.Privacy.lDiversityAudit(
         docs(s, dir), Seq("lang", "source"), col("n_chars"), l = 5L)),
 
+    // --- EXACT Gini coefficient of corpus mass --------------------------------------
+    // "Does 1% of the docs carry half the chars?" — the concentration
+    // gauge behind mixture/dedup decisions, as an exact rational from
+    // the two-phase global rank (no single-task sort). Outputs cast to
+    // long for the oracle (library keeps decimal(38) headroom).
+    "q_gini" -> ((s, dir) =>
+      graft.ops.Stats.giniStats(docs(s, dir), col("n_chars"), "doc_id")
+        .select(col("n"), col("total").cast("long").as("total"),
+          col("gini_num").cast("long").as("gini_num"),
+          col("gini_den").cast("long").as("gini_den"))),
+
     // --- TRAINED quantile-cut binning (leakage-free discretization) -----------------
     // Quartile cuts learned on the fmix64-gated 80% REFERENCE split
     // only (the exact-rank contract), then applied to EVERY document as
@@ -8706,6 +8717,19 @@ object SparkEntry {
         |  CAST(count(DISTINCT n_chars) AS BIGINT) AS diversity,
         |  count(DISTINCT n_chars) >= 5 AS meets_l
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // ranked closed form: G = (2·Σ i·x − (n+1)·Σx) / (n·Σx)
+    "q_gini" ->
+      """WITH r AS (SELECT n_chars AS v,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS i,
+        |    count(*) OVER () AS n
+        |  FROM documents)
+        |SELECT CAST(max(n) AS BIGINT) AS n,
+        |  CAST(sum(v) AS BIGINT) AS total,
+        |  CAST(2 * sum(CAST(i AS HUGEINT) * v)
+        |    - (max(n) + 1) * sum(CAST(v AS HUGEINT)) AS BIGINT) AS gini_num,
+        |  CAST(max(n) * sum(CAST(v AS HUGEINT)) AS BIGINT) AS gini_den
+        |FROM r""".stripMargin,
 
     // gate replay (q_sample_mix's fmix64 chain), rank-ceil cut lookup
     // on the reference split, then the when-sum as CASE additions

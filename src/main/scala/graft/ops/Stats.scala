@@ -537,6 +537,44 @@ object Stats {
       .select(col("c.cut_idx"), col("c.cut_value"))
   }
 
+  /** EXACT Gini coefficient of a non-negative mass column — "does 1% of
+    * the documents carry half the training tokens?", the corpus-
+    * concentration gauge behind mixture and dedup decisions, as the
+    * exact rational `gini_num / gini_den` from the closed form over
+    * ranked values (1-based rank i in (value, tie) order):
+    * `G = (2·Σ i·xᵢ − (n+1)·Σ xᵢ) / (n·Σ xᵢ)` — tie order between
+    * equal values cannot change Σ i·xᵢ, so the rank tiebreak only needs
+    * to be deterministic, not semantic. Values must be non-negative
+    * (caller contract; Gini is undefined below zero).
+    *
+    * Scale shape: ranks come from [[Curation.globalRank]]'s two-phase
+    * chunk-carry (no single-task global sort), then ONE aggregation.
+    * Sums ride decimal(38,0): Σ i·xᵢ at 10¹² rows of 10⁵-token docs is
+    * ~10²⁹ — far past long. Output: (n, total, gini_num, gini_den).
+    */
+  def giniStats(
+      df: DataFrame,
+      value: Column,
+      tieCol: String,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ranked = Curation.globalRank(
+      df.select(value.as("__gv"), col(tieCol)), "__gv", tieCol,
+      nPhases = 1, chunkSpan = chunkSpan)
+    ranked
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__gv")).cast(dec).as("total"),
+        sum((col("global_rank") + 1L).cast(dec) * col("__gv").cast(dec))
+          .cast(dec).as("__t"))
+      .select(col("n"), col("total"),
+        (lit(2L).cast(dec) * col("__t") -
+          (col("n") + 1L).cast(dec) * col("total")).cast(dec)
+          .as("gini_num"),
+        (col("n").cast(dec) * col("total")).cast(dec).as("gini_den"))
+  }
+
   /** Apply learned cut points: bin = how many cuts the value is ≥ (so
     * a value equal to a cut opens the next bin — left-closed bins),
     * NULL in, NULL out. `cuts` is the aggregate-sized artifact

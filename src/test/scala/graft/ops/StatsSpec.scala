@@ -266,4 +266,22 @@ class StatsSpec extends AnyFunSuite {
     assert(got == Seq(Some(0L), Some(1L), Some(1L), Some(2L), Some(3L),
       None))
   }
+
+  test("giniStats: exact rational — hand case 1/6, uniform mass 0, " +
+    "single-holder (n-1)/n") {
+    def gini(vals: Seq[Long]): (Long, Long, Long, Long) =
+      Stats.giniStats(
+          vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+            .toDF("id", "v"),
+          col("v"), "id")
+        .select(col("n"), col("total").cast("long"),
+          col("gini_num").cast("long"), col("gini_den").cast("long"))
+        .as[(Long, Long, Long, Long)].head()
+    // (1,1,2): mean-abs-diff 4/9 over 2*mean 8/3 -> G = 1/6 = 2/12
+    assert(gini(Seq(1L, 1L, 2L)) == ((3L, 4L, 2L, 12L)))
+    // all equal -> perfectly even, G = 0
+    assert(gini(Seq(7L, 7L, 7L, 7L)) == ((4L, 28L, 0L, 112L)))
+    // one doc holds everything -> G = (n-1)/n = 4/5 = 40/50
+    assert(gini(Seq(0L, 0L, 0L, 0L, 10L)) == ((5L, 10L, 40L, 50L)))
+  }
 }
