@@ -3680,6 +3680,18 @@ object SparkEntry {
           col("gini_num").cast("long").as("gini_num"),
           col("gini_den").cast("long").as("gini_den"))),
 
+    // --- Lorenz-curve deciles (the table behind q_gini) -----------------------------
+    // "The bottom 10% of docs hold X chars" per decile, exact integer
+    // boundaries (global-rank phases, not ntile) and exact cumulative
+    // mass; division is the consumer's.
+    "q_lorenz" -> ((s, dir) =>
+      graft.ops.Stats.lorenzCurve(docs(s, dir), col("n_chars"), "doc_id",
+          nBuckets = 10)
+        .select(col("bucket"), col("n_docs"),
+          col("mass").cast("long").as("mass"), col("cum_docs"),
+          col("cum_mass").cast("long").as("cum_mass"), col("total_docs"),
+          col("total_mass").cast("long").as("total_mass"))),
+
     // --- TRAINED quantile-cut binning (leakage-free discretization) -----------------
     // Quartile cuts learned on the fmix64-gated 80% REFERENCE split
     // only (the exact-rank contract), then applied to EVERY document as
@@ -8717,6 +8729,24 @@ object SparkEntry {
         |  CAST(count(DISTINCT n_chars) AS BIGINT) AS diversity,
         |  count(DISTINCT n_chars) >= 5 AS meets_l
         |FROM documents GROUP BY lang, source""".stripMargin,
+
+    // 0-based rank -> exact phase floor(rank·10/n), bucket sums, cumsums
+    "q_lorenz" ->
+      """WITH r AS (SELECT n_chars AS v,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rk,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |b AS (SELECT CAST((rk * 10) // n AS BIGINT) AS bucket,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(sum(v) AS BIGINT) AS mass
+        |  FROM r GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_docs) AS BIGINT) AS total_docs,
+        |    CAST(sum(mass) AS BIGINT) AS total_mass FROM b)
+        |SELECT b.bucket, b.n_docs, b.mass,
+        |  CAST(sum(b.n_docs) OVER (ORDER BY b.bucket) AS BIGINT) AS cum_docs,
+        |  CAST(sum(b.mass) OVER (ORDER BY b.bucket) AS BIGINT) AS cum_mass,
+        |  t.total_docs, t.total_mass
+        |FROM b CROSS JOIN t""".stripMargin,
 
     // ranked closed form: G = (2·Σ i·x − (n+1)·Σx) / (n·Σx)
     "q_gini" ->

@@ -575,6 +575,44 @@ object Stats {
         (col("n").cast(dec) * col("total")).cast(dec).as("gini_den"))
   }
 
+  /** Lorenz-curve buckets — the table BEHIND [[giniStats]]'s single
+    * number: rows ranked by mass split into `nBuckets` equal-count
+    * buckets (the [[Curation.globalRank]] phase index — exact integer
+    * boundaries, not ntile approximations), each with its document
+    * count, mass, and the cumulative pair (cum_docs, cum_mass) whose
+    * ratio against the broadcast totals is the Lorenz point "the bottom
+    * k/nBuckets of documents hold cum_mass/total of the tokens". All
+    * exact; division left downstream.
+    *
+    * Scale shape: the two-phase rank, one bucket-keyed partial agg,
+    * then cumsum windows over nBuckets rows (deliberately tiny, like
+    * the chunk-carry frames).
+    */
+  def lorenzCurve(
+      df: DataFrame,
+      value: Column,
+      tieCol: String,
+      nBuckets: Int = 10,
+      chunkSpan: Long = 4096L
+  ): DataFrame = {
+    require(nBuckets >= 2, s"nBuckets must be >= 2, got $nBuckets")
+    val dec = "decimal(38,0)"
+    val ranked = Curation.globalRank(
+      df.select(value.as("__gv"), col(tieCol)), "__gv", tieCol,
+      nPhases = nBuckets, chunkSpan = chunkSpan)
+    val per = ranked.groupBy(col("phase").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("__gv")).cast(dec).as("mass"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    per
+      .withColumn("cum_docs", sum(col("n_docs")).over(w))
+      .withColumn("cum_mass", sum(col("mass")).over(w).cast(dec))
+      .crossJoin(broadcast(per.agg(
+        sum(col("n_docs")).as("total_docs"),
+        sum(col("mass")).cast(dec).as("total_mass"))))
+  }
+
   /** Apply learned cut points: bin = how many cuts the value is ≥ (so
     * a value equal to a cut opens the next bin — left-closed bins),
     * NULL in, NULL out. `cuts` is the aggregate-sized artifact

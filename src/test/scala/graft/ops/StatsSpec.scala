@@ -284,4 +284,20 @@ class StatsSpec extends AnyFunSuite {
     // one doc holds everything -> G = (n-1)/n = 4/5 = 40/50
     assert(gini(Seq(0L, 0L, 0L, 0L, 10L)) == ((5L, 10L, 40L, 50L)))
   }
+
+  test("lorenzCurve: exact bucket boundaries, cumulative mass, totals") {
+    // 4 docs, 2 buckets: ranks 0..3 -> phases 0,0,1,1 by floor(r·2/4);
+    // sorted masses (1, 2, 3, 10): bottom half holds 3 of 16
+    val df = Seq((0L, 3L), (1L, 10L), (2L, 1L), (3L, 2L))
+      .toDF("id", "v")
+    val got = Stats.lorenzCurve(df, col("v"), "id", nBuckets = 2)
+      .orderBy("bucket")
+      .select(col("bucket"), col("n_docs"), col("mass").cast("long"),
+        col("cum_docs"), col("cum_mass").cast("long"),
+        col("total_docs"), col("total_mass").cast("long"))
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (0L, 2L, 3L, 2L, 3L, 4L, 16L),
+      (1L, 2L, 13L, 4L, 16L, 4L, 16L)))
+  }
 }
