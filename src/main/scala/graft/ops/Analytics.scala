@@ -651,8 +651,13 @@ object Analytics {
     val dec = "decimal(38,0)"
     val r = ratings.filter(col(labelCol).isNotNull)
       .select(col(itemCol).as("__i"), col(labelCol).as("__l"))
+    // cells is the one ratings-sized pass; every downstream branch (base,
+    // agree, pe, drop) re-aggregates it, so materialize it once instead of
+    // letting four aggregate subtrees each re-scan the ratings union
+    // (fresh per invocation — localCheckpoint, not cache)
     val cells = r.groupBy(col("__i"), col("__l"))
       .agg(count(lit(1)).as("__n"))
+      .localCheckpoint(false)
     val perItem = cells.groupBy(col("__i")).agg(sum(col("__n")).as("__ni"))
     val keptIds = perItem.filter(col("__ni") === nRaters.toLong).select("__i")
     val kept = cells.join(keptIds, Seq("__i"))

@@ -532,11 +532,31 @@ object Dedup {
     require(bandConfigs.nonEmpty, "at least one band config is required")
     bandConfigs.foreach(b =>
       require(b > 0 && k % b == 0, s"bands=$b must divide k=$k"))
-    val truth = truthPairs.select(col("a"), col("b"))
+    // ONE text-scan signature pass shared by every config: the (doc, sig)
+    // table is fixed-width and corpus-sized, so it is materialized once
+    // (localCheckpoint — fresh per invocation, nothing survives the call)
+    // and each config's banding re-derives its band keys from it instead
+    // of re-shingling the corpus per config. Candidate sets are pair-sized;
+    // checkpointing them keeps the counting and truth-join branches from
+    // re-expanding the buckets once per aggregate.
+    val sig = df
+      .select(col(idCol).as("doc"),
+        explode(array(minhashSigCol(col(textCol), k, shingleLen))).as("sig"))
+      .filter(col("sig").isNotNull)
+      .localCheckpoint(false)
+    val truth = truthPairs.select(col("a"), col("b")).localCheckpoint(false)
     val nTruth = truth.agg(count(lit(1)).as("n_truth"))
     bandConfigs.map { b =>
-      val cand = minhashPairs(df, idCol, textCol, k, b, shingleLen,
-        maxBucketSize)
+      val bandStructs =
+        bandKeysFromSig(col("sig"), k, b).zipWithIndex.map { case (kc, i) =>
+          struct(lit(i).as("band_idx"), kc.as("band_key"))
+        }
+      val bandTable = sig
+        .select(col("doc"), explode(array(bandStructs: _*)).as("band"))
+        .select(col("doc"), col("band.band_idx").as("band_idx"),
+          col("band.band_key").as("band_key"))
+      val cand = pairsFromBuckets(bucketsOf(bandTable), maxBucketSize)
+        .localCheckpoint(false)
       val nC = cand.agg(count(lit(1)).as("n_candidates"))
       val nT = cand.join(truth, Seq("a", "b"))
         .agg(count(lit(1)).as("n_true"))

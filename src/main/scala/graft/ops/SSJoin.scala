@@ -61,16 +61,20 @@ object SSJoin {
       explode(array_distinct(
         Dedup.shingles(Dedup.words(col(textCol)), k))).as("tok"))
     val toks = if (materialize) toks0.persist() else toks0
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("n"))
     // global token order: rarest-first (df asc, token asc) — vocab-sized,
     // broadcast back onto the postings
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
+    // per-doc set size from the SAME id-keyed window pass as the rank —
+    // a count(*) over the full partition shares the rank's exchange+sort,
+    // where a separate groupBy(id) + join back would cost two more stages
+    val byId = Window.partitionBy(col("id"))
     val ranked = toks
       .join(broadcast(dfreq), Seq("tok"))
       .withColumn("rn", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("tdf"), col("tok"))))
+        byId.orderBy(col("tdf"), col("tok"))))
+      .withColumn("n", count(lit(1)).over(
+        byId.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val prefix0 = ranked
-      .join(sizes, Seq("id"))
       .filter(col("rn") <= col("n") - ceilBp(col("n"), tauBp) + 1)
       .select(col("id"), col("tok"), col("n"))
     val prefix = if (materialize) prefix0.persist() else prefix0
@@ -94,12 +98,20 @@ object SSJoin {
         greatest(col("na"), col("nb")) * tauBp)
       .select(col("a"), col("b"), col("na"), col("nb"))
       .distinct()
-    // exact verify: intersection size via the two posting lists
+    // exact verify: each side's distinct-token list rides an id-keyed
+    // join onto the pair stream and the intersection is a per-row hash
+    // probe (array_intersect) — the standard PPJoin list verify. The
+    // previous form exploded every candidate by its full token list into
+    // a (candidates × tokens)-row shuffle join + re-aggregation; this one
+    // moves each token list ONCE per side and never re-aggregates.
+    val sets = toks.groupBy(col("id"))
+      .agg(collect_list(col("tok")).as("__ts"))
     val inter = candidates
-      .join(toks.select(col("id").as("a"), col("tok")), Seq("a"))
-      .join(toks.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
-      .groupBy(col("a"), col("b"), col("na"), col("nb"))
-      .agg(count(lit(1)).as("inter"))
+      .join(sets.select(col("id").as("a"), col("__ts").as("__ta")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("__ts").as("__tb")), Seq("b"))
+      .select(col("a"), col("b"), col("na"), col("nb"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long")
+          .as("inter"))
     val filtered = inter
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10000 >= col("uni") * tauBp)

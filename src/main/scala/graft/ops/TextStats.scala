@@ -156,13 +156,22 @@ object TextStats {
     * passes languages in priority order).
     */
   def langId(text: Column, langs: Seq[(String, Seq[String])]): Column = {
-    val scores = langs.map { case (name, markers) =>
-      (name, langScore(text, markers))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    scores.foldRight(lit("und"): Column) { case ((name, s), acc) =>
-      when(s === best && s > 0, lit(name)).otherwise(acc)
-    }
+    // One-pass argmax: every langScore (a chain of regexp counts — the
+    // expensive part) appears EXACTLY once in the expression tree. The
+    // previous greatest + CASE formulation repeated each score ~5x and
+    // conditional-branch subexpression elimination does not collapse
+    // them, so every row paid for the marker regexes several times over.
+    // Strict `>` keeps the earlier language on ties (priority order) and
+    // the s=0 seed enforces the s > 0 requirement; a null score (null
+    // text) never beats the seed, preserving the "und" fallback.
+    val scored = array(langs.map { case (name, markers) =>
+      struct(langScore(text, markers).as("s"), lit(name).as("n"))
+    }: _*)
+    aggregate(
+      scored,
+      struct(lit(0L).as("s"), lit("und").as("n")),
+      (acc, x) => when(x.getField("s") > acc.getField("s"), x).otherwise(acc),
+      acc => acc.getField("n"))
   }
 
   /** Canonical-form fingerprint: md5 of lower-cased, whitespace-collapsed
