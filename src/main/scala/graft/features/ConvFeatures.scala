@@ -581,17 +581,22 @@ object ConvFeatures {
     Seq(minGroundedBp, maxEchoBp, maxRepeatBp, minTtrBp).foreach { bp =>
       require(bp >= 0 && bp <= 10000, s"threshold must be 0..10000 bp, got $bp")
     }
-    val g = groundingScore(turns).groupBy(col("conv_id")).agg(
+    // five signal branches each re-derive the turns input (for a derived
+    // transcript view that is a scan + window per branch); materialize it
+    // once (lazy localCheckpoint — computed inside the evaluating job,
+    // fresh per invocation) so the branches share one pass
+    val turnsOnce = turns.localCheckpoint(false)
+    val g = groundingScore(turnsOnce).groupBy(col("conv_id")).agg(
       sum(col("grounded_words")).as("grounded_words"),
       sum(col("total_words")).as("grounding_total"))
-    val e = echoScore(turns).groupBy(col("conv_id")).agg(
+    val e = echoScore(turnsOnce).groupBy(col("conv_id")).agg(
       sum(col("echoed_words")).as("echoed_words"),
       sum(col("total_words")).as("echo_total"))
-    val r = selfRepeat(turns).groupBy(col("conv_id")).agg(
+    val r = selfRepeat(turnsOnce).groupBy(col("conv_id")).agg(
       sum(when(col("is_repeat"), 1L).otherwise(0L)).as("n_repeats"),
       count(lit(1)).as("n_hashed_turns"))
-    val l = lexicalDiversity(turns)
-    val a = orderAudit(turns)
+    val l = lexicalDiversity(turnsOnce)
+    val a = orderAudit(turnsOnce)
     val joined = a
       .join(g, Seq("conv_id"), "left")
       .join(e, Seq("conv_id"), "left")

@@ -76,7 +76,7 @@ object SSJoin {
         byId.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
     val prefix0 = ranked
       .filter(col("rn") <= col("n") - ceilBp(col("n"), tauBp) + 1)
-      .select(col("id"), col("tok"), col("n"))
+      .select(col("id"), col("tok"), col("n"), col("rn"))
     val prefix = if (materialize) prefix0.persist() else prefix0
     if (materialize) {
       // fail-loud hot-prefix guard: one tiny agg over prefix postings only
@@ -89,29 +89,41 @@ object SSJoin {
             "candidate join would be near-quadratic; raise the threshold, " +
             "lengthen shingles, or raise maxPrefixDf knowingly")
     }
-    val la = prefix.select(col("id").as("a"), col("tok"), col("n").as("na"))
-    val lb = prefix.select(col("id").as("b"), col("tok"), col("n").as("nb"))
+    val la = prefix.select(col("id").as("a"), col("tok"), col("n").as("na"),
+      col("rn").as("ra"))
+    val lb = prefix.select(col("id").as("b"), col("tok"), col("n").as("nb"),
+      col("rn").as("rb"))
+    // PPJoin positional filter: J ≥ τ requires inter ≥ ⌈τ(na+nb)/(1+τ)⌉
+    // =: α, and for the FIRST token a pair shares (in the global rarest-
+    // first order) inter ≤ 1 + min(na − pa, nb − pb); a true pair's first
+    // shared token therefore passes this bound, so filtering each joined
+    // posting row by it (before the pair distinct) can never drop a true
+    // pair — it only prunes pairs whose every shared prefix token sits
+    // too late in both lists to reach α. Exact, cross-multiplied:
+    // α = (τbp·(na+nb) + (10⁴+τbp) − 1) DIV (10⁴+τbp).
+    val alpha = call_function("div",
+      lit(tauBp.toLong) * (col("na") + col("nb")) + lit(10000L + tauBp - 1),
+      lit(10000L + tauBp))
     val candidates = la.join(lb, Seq("tok"))
       .filter(col("a") < col("b"))
       // exact length prefilter: J ≥ τ ⇒ min ≥ τ·max (cross-multiplied)
       .filter(least(col("na"), col("nb")) * 10000 >=
         greatest(col("na"), col("nb")) * tauBp)
+      .filter(lit(1L) + least(col("na") - col("ra"), col("nb") - col("rb"))
+        >= alpha)
       .select(col("a"), col("b"), col("na"), col("nb"))
       .distinct()
-    // exact verify: each side's distinct-token list rides an id-keyed
-    // join onto the pair stream and the intersection is a per-row hash
-    // probe (array_intersect) — the standard PPJoin list verify. The
-    // previous form exploded every candidate by its full token list into
-    // a (candidates × tokens)-row shuffle join + re-aggregation; this one
-    // moves each token list ONCE per side and never re-aggregates.
-    val sets = toks.groupBy(col("id"))
-      .agg(collect_list(col("tok")).as("__ts"))
+    // exact verify: intersection size via the two posting lists. (A
+    // collected-array variant — join each side's token array onto the
+    // pair stream, size(array_intersect) per row — was measured 5x
+    // SLOWER here: the pair stream then drags KB-sized array payloads
+    // through two sort-merge joins, where this form shuffles only
+    // fixed-width (id, tok) rows and collapses map-side.)
     val inter = candidates
-      .join(sets.select(col("id").as("a"), col("__ts").as("__ta")), Seq("a"))
-      .join(sets.select(col("id").as("b"), col("__ts").as("__tb")), Seq("b"))
-      .select(col("a"), col("b"), col("na"), col("nb"),
-        size(array_intersect(col("__ta"), col("__tb"))).cast("long")
-          .as("inter"))
+      .join(toks.select(col("id").as("a"), col("tok")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy(col("a"), col("b"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("inter"))
     val filtered = inter
       .withColumn("uni", col("na") + col("nb") - col("inter"))
       .filter(col("inter") * 10000 >= col("uni") * tauBp)
