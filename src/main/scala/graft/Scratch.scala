@@ -1,9 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
-import org.apache.spark.sql.GraftBridge.forceEvaluate
-import graft.ops.{Dedup, SSJoin}
+import org.apache.spark.sql.DataFrame
 
 /** Throwaway micro-timing playground for the optimization round; not part
   * of any harness. Edit freely, delete at round end.
@@ -18,55 +16,61 @@ object Scratch {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    val spark = GraftSession.local(cpus)
+    val s = GraftSession.local(cpus)
     import graft.io.Tables
-    val d = Tables.read(spark, sfDir, "documents")
-    d.count()
+    s.read.parquet(s"$sfDir/events.parquet").count()
 
-    val k = 3; val tauBp = 5000
-    // piecewise replay of jaccardJoinExact(materialize=true)
     (1 to 2).foreach { round =>
-      val toks = d.select(
-        col("doc_id").cast("long").as("id"),
-        explode(array_distinct(
-          Dedup.shingles(Dedup.words(col("text")), k))).as("tok")).persist()
-      t(s"r$round toks materialize")(toks.count())
-      val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("tdf"))
-      val byId = Window.partitionBy(col("id"))
-      val ranked = toks.join(broadcast(dfreq), Seq("tok"))
-        .withColumn("rn", row_number().over(byId.orderBy(col("tdf"), col("tok"))))
-        .withColumn("n", count(lit(1)).over(
-          byId.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
-      val prefix = ranked
-        .filter(col("rn") <= col("n") - SSJoin.ceilBp(col("n"), tauBp) + 1)
-        .select(col("id"), col("tok"), col("n")).persist()
-      val hot = t(s"r$round guard agg")(
-        prefix.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-          .agg(max(col("c")).as("m")).collect()(0))
-      println(s"[scratch] hottest prefix df = $hot")
-
-
-      val laa = prefix.select(col("id").as("a"), col("tok"), col("n").as("na"))
-      val lbb = prefix.select(col("id").as("b"), col("tok"), col("n").as("nb"))
-      val candidates = laa.join(lbb, Seq("tok"))
-        .filter(col("a") < col("b"))
-        .filter(least(col("na"), col("nb")) * 10000 >=
-          greatest(col("na"), col("nb")) * tauBp)
-        .select(col("a"), col("b"), col("na"), col("nb"))
-        .distinct()
-      t(s"r$round candidates count")(println("cand=" + candidates.count()))
-      val inter = candidates
-        .join(toks.select(col("id").as("a"), col("tok")), Seq("a"))
-        .join(toks.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
-        .groupBy(col("a"), col("b"), col("na"), col("nb"))
-        .agg(count(lit(1)).as("inter"))
-      val filtered = inter
-        .withColumn("uni", col("na") + col("nb") - col("inter"))
-        .filter(col("inter") * 10000 >= col("uni") * tauBp)
-        .select(col("a"), col("b"), col("inter"), col("uni"))
-      t(s"r$round verify+checkpoint")(filtered.localCheckpoint())
-      toks.unpersist(); prefix.unpersist()
+      import graft.streaming.StreamingFeatures
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft_scratch_sjoin").toString
+      val t0 = Tables.transcript(s, sfDir)
+      val lBatch = t0.filter(col("role") === "user")
+        .select(col("conv_id"), col("turn_idx").as("u_turn_idx"),
+          col("ts").as("u_ts"))
+      val rBatch = t0.filter(col("tool").isNotNull)
+        .select(col("conv_id"), col("turn_idx").as("t_turn_idx"),
+          col("tool"), col("ts").as("t_ts"))
+      def stage(df: DataFrame, tsCol: String, sub: String): String = {
+        val watched = s"$tmp/$sub"
+        val nChunks = 2
+        val ordered = df.withColumn("__chunk",
+          ntile(nChunks).over(org.apache.spark.sql.expressions.Window
+            .orderBy(col(tsCol)))).localCheckpoint(false)
+        (1 to nChunks).foreach { i =>
+          val chunk = ordered.filter(col("__chunk") === i).drop("__chunk")
+          chunk.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sc_${sub}_$i")
+          val part = scala.util.Using.resource(
+            java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/sc_${sub}_$i")))(
+            it => { import scala.jdk.CollectionConverters._
+              it.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet")).next() })
+          val dest = java.nio.file.Paths.get(watched, s"chunk-$i.parquet")
+          java.nio.file.Files.createDirectories(dest.getParent)
+          java.nio.file.Files.move(part, dest)
+          java.nio.file.Files.setLastModifiedTime(dest,
+            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
+        }
+        watched
+      }
+      val watchedL = t(s"r$round stage L")(stage(lBatch, "u_ts", "left"))
+      val watchedR = t(s"r$round stage R")(stage(rBatch, "t_ts", "right"))
+      val lStream = s.readStream.schema(lBatch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watchedL)
+      val rStream = s.readStream.schema(rBatch.schema)
+        .option("maxFilesPerTrigger", "1").parquet(watchedR)
+      val q = t(s"r$round start")(StreamingFeatures
+        .intervalJoin(lStream, "u_ts", rStream, "t_ts", "conv_id",
+          windowSec = 3600L, watermark = "2 hours")
+        .select(col("conv_id"), col("u_turn_idx"), col("t_turn_idx"), col("tool"))
+        .writeStream.outputMode("append")
+        .format("memory").queryName(s"scr_$round")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start())
+      t(s"r$round awaitTermination")(q.awaitTermination())
+      q.recentProgress.foreach(p =>
+        println(s"[scratch] batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}"))
+      q.stop()
     }
-    spark.stop()
+    s.stop()
   }
 }

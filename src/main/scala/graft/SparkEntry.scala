@@ -1443,6 +1443,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       val base = 1700000000000L
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
@@ -1502,6 +1504,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -1545,6 +1549,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -1587,6 +1593,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -1647,6 +1655,8 @@ object SparkEntry {
           ntile(nChunks).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"))))
       val ordered = tagged.join(epochs, Seq("ts"))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
         .select($"conv_id", $"src", $"turn_idx", $"value", $"ts", $"__chunk")
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
@@ -1704,6 +1714,8 @@ object SparkEntry {
           ntile(nChunks).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"))))
       val ordered = tagged.join(epochs, Seq("ts"))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
         .select($"conv_id", $"src", $"turn_idx", $"value", $"ts", $"__chunk")
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
@@ -1760,6 +1772,8 @@ object SparkEntry {
           ntile(nChunks).over(org.apache.spark.sql.expressions.Window
             .orderBy(col("ts"))))
       val ordered = t.join(epochs, Seq("ts"))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
         .select($"conv_id", $"turn_idx", $"role", $"label", $"ts", $"__chunk")
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
@@ -1808,6 +1822,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("role"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -1863,6 +1879,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -1925,6 +1943,8 @@ object SparkEntry {
       val ordered = hashed.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("hash"), col("doc_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -1967,6 +1987,8 @@ object SparkEntry {
       val ordered = d.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("doc_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -2148,6 +2170,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       def stage(i: Int): Unit =
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -2202,6 +2226,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       val base = 1700000000000L
       def stage(i: Int): Unit =
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
@@ -2531,23 +2557,31 @@ object SparkEntry {
       val ordered = delta.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("doc_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
           1700000000000L + i * 10000L)
       }
       val view = freshStreamView(s, "q_stream_neardup_sink_")
-      val q = graft.streaming.StreamingFeatures.nearDupFlags(
-          s.readStream.schema(delta.schema)
-            .option("maxFilesPerTrigger", "1").parquet(watched),
-          s.read.parquet(s"$tmp/idx_hashes"),
-          s.read.parquet(s"$tmp/idx_bands"),
-          "doc_id", "text")
-        .writeStream.outputMode("append")
-        .format("memory").queryName(view)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state partitions sized to the replay (q_stream_sessionize_files
+      // pattern): per-batch floor is store-commit count, not data
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = graft.streaming.StreamingFeatures.nearDupFlags(
+            s.readStream.schema(delta.schema)
+              .option("maxFilesPerTrigger", "1").parquet(watched),
+            s.read.parquet(s"$tmp/idx_hashes"),
+            s.read.parquet(s"$tmp/idx_bands"),
+            "doc_id", "text")
+          .writeStream.outputMode("append")
+          .format("memory").queryName(view)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(view)
     }),
 
@@ -3039,6 +3073,8 @@ object SparkEntry {
       val ordered = t.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("ts"), col("conv_id"), col("turn_idx"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -3091,6 +3127,8 @@ object SparkEntry {
         val ordered = df.withColumn("__chunk",
           ntile(nChunks).over(org.apache.spark.sql.expressions.Window
             .orderBy(col(tsCol))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
         (1 to nChunks).foreach { i =>
           stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
             s"$tmp/scratch_${sub}_$i", watched, s"chunk-$i.parquet",
@@ -3105,16 +3143,24 @@ object SparkEntry {
         .option("maxFilesPerTrigger", "1").parquet(watchedL)
       val rStream = s.readStream.schema(rBatch.schema)
         .option("maxFilesPerTrigger", "1").parquet(watchedR)
-      val q = StreamingFeatures
-        .intervalJoin(lStream, "u_ts", rStream, "t_ts", "conv_id",
-          windowSec = 3600L, watermark = "2 hours")
-        .select(col("conv_id"), col("u_turn_idx"), col("t_turn_idx"),
-          col("tool"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(view)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state partitions sized to the replay (the q_stream_sessionize_files
+      // pattern): a stream-stream join runs 4 state-store instances per
+      // shuffle partition per batch, so the replay's per-batch floor is
+      // store-commit count, not data
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = StreamingFeatures
+          .intervalJoin(lStream, "u_ts", rStream, "t_ts", "conv_id",
+            windowSec = 3600L, watermark = "2 hours")
+          .select(col("conv_id"), col("u_turn_idx"), col("t_turn_idx"),
+            col("tool"))
+          .writeStream.outputMode("append")
+          .format("memory").queryName(view)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(view)
     }),
 
@@ -3519,6 +3565,8 @@ object SparkEntry {
       val ordered = hashed.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("hash"), col("doc_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -3527,14 +3575,20 @@ object SparkEntry {
       val view = freshStreamView(s, "stream_dedup_wm_")
       val src = s.readStream.schema(hashed.schema)
         .option("maxFilesPerTrigger", "1").parquet(watched)
-      val q = StreamingFeatures
-        .dedupWithinWatermark(src, "ts", Seq("hash"), "1 hour")
-        .select(col("doc_id"), col("hash"))
-        .writeStream.outputMode("append").format("memory").queryName(view)
-        .option("checkpointLocation", s"$tmp/ckpt")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      try q.awaitTermination() finally q.stop()
+      // state partitions sized to the replay (q_stream_sessionize_files
+      // pattern): per-batch floor is store-commit count, not data
+      val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      try {
+        val q = StreamingFeatures
+          .dedupWithinWatermark(src, "ts", Seq("hash"), "1 hour")
+          .select(col("doc_id"), col("hash"))
+          .writeStream.outputMode("append").format("memory").queryName(view)
+          .option("checkpointLocation", s"$tmp/ckpt")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        try q.awaitTermination() finally q.stop()
+      } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
       s.table(view)
     }),
 
@@ -3616,6 +3670,8 @@ object SparkEntry {
       val ordered = d.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("doc_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
@@ -3754,6 +3810,8 @@ object SparkEntry {
       val ordered = feed.withColumn("__chunk",
         ntile(nChunks).over(org.apache.spark.sql.expressions.Window
           .orderBy(col("event_id"))))
+        // staged once, written per chunk: share the single-task replay sort
+        .localCheckpoint(false)
       (1 to nChunks).foreach { i =>
         stageOrderedFile(ordered.filter(col("__chunk") === i).drop("__chunk"),
           s"$tmp/scratch$i", watched, s"chunk-$i.parquet",
