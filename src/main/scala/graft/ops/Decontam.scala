@@ -73,7 +73,11 @@ object Decontam {
     // corpus stream before anything stateful touches it (plan-asserted
     // in OpsSpec); then dedup multiple occurrences of a shingle within
     // one document — tiny, post-pruning
+    // bounded by probe-shingle hits, and read twice (df cap + final agg):
+    // materialize once per evaluation so the full corpus shingle explode
+    // runs a single time (lazy localCheckpoint, fresh per invocation)
     val matched = cRaw.join(broadcast(pSized), Seq("shingle")).distinct()
+      .localCheckpoint(false)
     // exact per-shingle document frequency from the pruned stream: df(s)
     // counts distinct docs CONTAINING s, and pruning only dropped
     // shingles that are not s — the value is identical to the corpus-
@@ -189,7 +193,10 @@ object Decontam {
       .select(explode(Dedup.shingles(Dedup.words(col(textCol)), k))
         .as("shingle"))
       .distinct()
+    // bounded by probe-shingle hits and read twice (df cap + run merge):
+    // one corpus shingle explode per evaluation, not two
     val matched = cPos.join(broadcast(pSet), Seq("shingle"))
+      .localCheckpoint(false)
     val hot = matched.select(col("shingle"), col("doc_id")).distinct()
       .groupBy(col("shingle"))
       .agg(count(lit(1)).as("__df"))

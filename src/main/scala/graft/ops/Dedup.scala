@@ -617,6 +617,10 @@ object Dedup {
         coalesce(lead(col(textCol), j).over(w), lit(""))): _*)
     // a shingle exists only where all k turns do — test the ORDER column
     // (never null for a present row), not the text (legitimately null)
+    // (hash, conv) is fixed-width and re-read by the df cap, the size
+    // table and both sides of the pair self-join — materialize the
+    // window+distinct ONCE per evaluation (lazy localCheckpoint, fresh
+    // per invocation) instead of re-deriving the turns lineage per branch
     val rows = turns
       .withColumn("__h",
         when(lead(col(orderCol), k - 1).over(w).isNotNull,
@@ -624,10 +628,12 @@ object Dedup {
       .filter(col("__h").isNotNull)
       .select(col("__h"), col(convCol).as("__c"))
       .distinct()
+      .localCheckpoint(false)
     val kept = rows.join(
       broadcast(rows.groupBy(col("__h")).agg(count(lit(1)).as("__df"))
         .filter(col("__df") > maxShingleDf).select("__h")),
       Seq("__h"), "left_anti")
+      .localCheckpoint(false)
     val sized = kept.groupBy(col("__c")).agg(count(lit(1)).as("__n"))
     val pairs = kept.as("x").join(kept.as("y"), Seq("__h"))
       .filter(col("x.__c") < col("y.__c"))

@@ -71,7 +71,10 @@ object SegDedup {
     val base = df.select(col(idCol), segs.as("__segs"))
     // fixed-width decision stream: (hash, id, seg_idx) only — segment
     // text never rides through the first-occurrence machinery
-    val occ = occurrences(base, idCol)
+    // the fixed-width (hash, id, idx) decision stream is read twice
+    // (threshold agg + drop/span derivation): hash the segments once per
+    // evaluation (lazy localCheckpoint, fresh per invocation)
+    val occ = occurrences(base, idCol).localCheckpoint(false)
     val firsts = occ.groupBy(col("__h"))
       .agg(min(struct(col(idCol), col("__idx"))).as("__first"))
     val drops = occ.join(firsts, Seq("__h"))
@@ -106,7 +109,10 @@ object SegDedup {
     require(!reserved.exists(df.columns.contains),
       s"stripBoilerplate reserves the column names ${reserved.mkString(", ")}")
     val base = df.select(col(idCol), segs.as("__segs"))
-    val occ = occurrences(base, idCol)
+    // the fixed-width (hash, id, idx) decision stream is read twice
+    // (threshold agg + drop/span derivation): hash the segments once per
+    // evaluation (lazy localCheckpoint, fresh per invocation)
+    val occ = occurrences(base, idCol).localCheckpoint(false)
     val hot = occ.groupBy(col("__h"))
       .agg(count_distinct(col(idCol)).as("__df"))
       .filter(col("__df") >= minDf)
@@ -145,7 +151,10 @@ object SegDedup {
     require(!reserved.exists(df.columns.contains),
       s"duplicatedSpans reserves the column names ${reserved.mkString(", ")}")
     val base = df.select(col(idCol), segs.as("__segs"))
-    val occ = occurrences(base, idCol)
+    // the fixed-width (hash, id, idx) decision stream is read twice
+    // (threshold agg + drop/span derivation): hash the segments once per
+    // evaluation (lazy localCheckpoint, fresh per invocation)
+    val occ = occurrences(base, idCol).localCheckpoint(false)
     val hot = occ.groupBy(col("__h"))
       .agg(count(lit(1)).as("__c"))
       .filter(col("__c") > 1L)
