@@ -1,7 +1,6 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.DataFrame
 
 /** Throwaway micro-timing playground for the optimization round; not part
   * of any harness. Edit freely, delete at round end.
@@ -18,58 +17,31 @@ object Scratch {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     val s = GraftSession.local(cpus)
     import graft.io.Tables
-    s.read.parquet(s"$sfDir/events.parquet").count()
+    val d = Tables.read(s, sfDir, "documents")
+    d.count()
 
     (1 to 2).foreach { round =>
-      import graft.streaming.StreamingFeatures
       val tmp = java.nio.file.Files
-        .createTempDirectory("graft_scratch_sjoin").toString
-      val t0 = Tables.transcript(s, sfDir)
-      val lBatch = t0.filter(col("role") === "user")
-        .select(col("conv_id"), col("turn_idx").as("u_turn_idx"),
-          col("ts").as("u_ts"))
-      val rBatch = t0.filter(col("tool").isNotNull)
-        .select(col("conv_id"), col("turn_idx").as("t_turn_idx"),
-          col("tool"), col("ts").as("t_ts"))
-      def stage(df: DataFrame, tsCol: String, sub: String): String = {
-        val watched = s"$tmp/$sub"
-        val nChunks = 2
-        val ordered = df.withColumn("__chunk",
-          ntile(nChunks).over(org.apache.spark.sql.expressions.Window
-            .orderBy(col(tsCol)))).localCheckpoint(false)
-        (1 to nChunks).foreach { i =>
-          val chunk = ordered.filter(col("__chunk") === i).drop("__chunk")
-          chunk.coalesce(1).write.mode("overwrite").parquet(s"$tmp/sc_${sub}_$i")
-          val part = scala.util.Using.resource(
-            java.nio.file.Files.list(java.nio.file.Paths.get(s"$tmp/sc_${sub}_$i")))(
-            it => { import scala.jdk.CollectionConverters._
-              it.iterator.asScala.filter(_.getFileName.toString.endsWith(".parquet")).next() })
-          val dest = java.nio.file.Paths.get(watched, s"chunk-$i.parquet")
-          java.nio.file.Files.createDirectories(dest.getParent)
-          java.nio.file.Files.move(part, dest)
-          java.nio.file.Files.setLastModifiedTime(dest,
-            java.nio.file.attribute.FileTime.fromMillis(1700000000000L + i * 10000L))
-        }
-        watched
-      }
-      val watchedL = t(s"r$round stage L")(stage(lBatch, "u_ts", "left"))
-      val watchedR = t(s"r$round stage R")(stage(rBatch, "t_ts", "right"))
-      val lStream = s.readStream.schema(lBatch.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watchedL)
-      val rStream = s.readStream.schema(rBatch.schema)
-        .option("maxFilesPerTrigger", "1").parquet(watchedR)
-      val q = t(s"r$round start")(StreamingFeatures
-        .intervalJoin(lStream, "u_ts", rStream, "t_ts", "conv_id",
-          windowSec = 3600L, watermark = "2 hours")
-        .select(col("conv_id"), col("u_turn_idx"), col("t_turn_idx"), col("tool"))
-        .writeStream.outputMode("append")
-        .format("memory").queryName(s"scr_$round")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start())
-      t(s"r$round awaitTermination")(q.awaitTermination())
-      q.recentProgress.foreach(p =>
-        println(s"[scratch] batch ${p.batchId}: ${p.durationMs} rows=${p.numInputRows}"))
-      q.stop()
+        .createTempDirectory("graft_scratch_compact").toString
+      val stage = s"$tmp/small"
+      t(s"r$round fixture write")(
+        d.withColumn("file_seq", floor(col("doc_id") / 64))
+          .repartition(32, col("lang"), col("file_seq"))
+          .write.partitionBy("lang", "file_seq").mode("overwrite")
+          .parquet(stage))
+      val manifest = t(s"r$round manifest")(
+        graft.ops.Layout.fileManifest(s, stage, "lang", "file_seq"))
+      val assigned = t(s"r$round pack")(
+        graft.ops.Curation.packShards(
+          manifest, "lang", "file_seq", col("bytes"), budgetTokens = 16384L)
+        .select(col("lang"), col("file_seq"), col("shard_seq").as("group_seq")))
+      t(s"r$round compactExec")(
+        graft.ops.Layout.compactExec(
+          s.read.parquet(stage), assigned, "lang", "file_seq", "doc_id",
+          s"$tmp/out"))
+      t(s"r$round read back")(
+        org.apache.spark.sql.GraftBridge.forceEvaluate(
+          s.read.parquet(s"$tmp/out").select("doc_id", "lang", "n_chars", "source")))
     }
     s.stop()
   }

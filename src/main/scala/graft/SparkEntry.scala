@@ -691,7 +691,10 @@ object SparkEntry {
         // ~8 docs per (lang, file) leaf: enough files that packing has
         // real work at every SF
         docs(s, d).withColumn("file_seq", floor(col("doc_id") / 64))
-          .repartition(col("lang"), col("file_seq"))
+          // explicit count: keep the 200-leaf staging write parallel
+          // (AQE would coalesce the keyless repartition to one task)
+          .repartition(s.conf.get("spark.sql.shuffle.partitions").toInt,
+            col("lang"), col("file_seq"))
           .write.partitionBy("lang", "file_seq").mode("overwrite")
           .parquet(stage)
         stage

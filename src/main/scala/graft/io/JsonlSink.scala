@@ -44,8 +44,11 @@ object JsonlSink {
     val packed = graft.ops.Curation.packShards(
       df, strataCol, idCol,
       graft.ops.TextStats.regexTokenCount(col(textCol)), budgetTokens)
+    // explicit count: see Layout.compactExec — keeps the partitioned
+    // write parallel instead of AQE-coalescing it to one task
     packed
-      .repartition(col(strataCol), col("shard_seq"))
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toInt, col(strataCol), col("shard_seq"))
       .sortWithinPartitions(col(strataCol), col("shard_seq"), col(idCol))
       .select(jsonLine(idCol, textCol).as("value"),
         col(strataCol), col("shard_seq"))

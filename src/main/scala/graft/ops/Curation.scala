@@ -700,8 +700,11 @@ object Curation {
       budgetTokens: Long,
       outDir: String
   ): Unit =
+    // explicit count: see Layout.compactExec — keeps the partitioned
+    // write parallel instead of AQE-coalescing it to one task
     packShards(df, strataCol, orderCol, tokens, budgetTokens)
-      .repartition(col(strataCol), col("shard_seq"))
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toInt, col(strataCol), col("shard_seq"))
       .sortWithinPartitions(col(strataCol), col("shard_seq"), col(orderCol))
       .write
       .partitionBy(strataCol, "shard_seq")

@@ -313,9 +313,18 @@ object Layout {
       orderCol: String,
       outDir: String
   ): Unit =
-    table
+    {
+      // explicit partition count (the session's shuffle parallelism): a
+      // keyless-count repartition before a partitioned write is eligible
+      // for AQE coalescing, which on a small input collapses the write to
+      // ONE task emitting every file sequentially — the explicit count
+      // keeps group-per-task placement (hash on the same keys) AND write
+      // parallelism
+      val n = table.sparkSession.conf.get("spark.sql.shuffle.partitions").toInt
+      table
       .join(broadcast(assignments), Seq(partCol, fileSeqCol))
-      .repartition(col(partCol), col("group_seq"))
+      .repartition(n, col(partCol), col("group_seq"))
+    }
       .sortWithinPartitions(col(partCol), col("group_seq"),
         col(fileSeqCol), col(orderCol))
       .write
@@ -340,7 +349,8 @@ object Layout {
       "layoutZOrdered reserves the column names zbucket and __z")
     df.withColumn("__z", zorderKey(dimCols.map(col), bits))
       .withColumn("zbucket", shiftrightunsigned(col("__z"), shift))
-      .repartition(col("zbucket"))
+      .repartition(df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        .toInt, col("zbucket"))
       .sortWithinPartitions(col("zbucket"), col("__z"))
       .drop("__z")
   }
