@@ -28,6 +28,16 @@ import org.apache.spark.sql.functions._
   */
 object Decontam {
 
+  /** The map-side prune at the heart of [[ngramOverlap]]: the raw corpus
+    * shingle stream hash-joined against the BROADCAST probe set, then
+    * deduped. Package-visible so the plan property ("corpus shingles
+    * never cross a shuffle to match") stays spec-assertable now that
+    * [[ngramOverlap]] materializes this stream behind a checkpoint.
+    */
+  private[ops] def prunedMatches(
+      cRaw: DataFrame, pSized: DataFrame): DataFrame =
+    cRaw.join(broadcast(pSized), Seq("shingle")).distinct()
+
   /** Distinct (id, shingle) pairs of `k`-word shingles. */
   private def shingleRows(
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
@@ -76,8 +86,7 @@ object Decontam {
     // bounded by probe-shingle hits, and read twice (df cap + final agg):
     // materialize once per evaluation so the full corpus shingle explode
     // runs a single time (lazy localCheckpoint, fresh per invocation)
-    val matched = cRaw.join(broadcast(pSized), Seq("shingle")).distinct()
-      .localCheckpoint(false)
+    val matched = prunedMatches(cRaw, pSized).localCheckpoint(false)
     // exact per-shingle document frequency from the pruned stream: df(s)
     // counts distinct docs CONTAINING s, and pruning only dropped
     // shingles that are not s — the value is identical to the corpus-
