@@ -43,7 +43,8 @@ object Decontam {
       df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     df.select(
         col(idCol),
-        explode(Dedup.shingles(Dedup.words(col(textCol)), k)).as("shingle"))
+        explode(Dedup.shingleCol(col(textCol), k, distinct = true))
+          .as("shingle"))
       .distinct()
 
   /** (doc_id, probe_id, n_shared, n_probe, contam_bp) for every pair with
@@ -73,7 +74,8 @@ object Decontam {
     // broadcast pruning below it only has to process probe-shingle hits
     val cRaw = corpus.select(
       col(idCol).as("doc_id"),
-      explode(Dedup.shingles(Dedup.words(col(textCol)), k)).as("shingle"))
+      explode(Dedup.shingleCol(col(textCol), k, distinct = true))
+        .as("shingle"))
     val p = shingleRows(probes, probeIdCol, textCol, k)
       .withColumnRenamed(probeIdCol, "probe_id")
     val pSized = p.withColumn(
@@ -135,7 +137,8 @@ object Decontam {
   ): DataFrame = {
     require(k > 0, "k must be positive")
     val cSh = corpus.select(
-      explode(Dedup.shingles(Dedup.words(col(textCol)), k)).as("shingle"))
+      explode(Dedup.shingleCol(col(textCol), k, distinct = true))
+        .as("shingle"))
     val p = shingleRows(probes, probeIdCol, textCol, k)
       .withColumnRenamed(probeIdCol, "probe_id")
     // corpus occurrences pruned against the broadcast probe set, then
@@ -194,12 +197,12 @@ object Decontam {
     require(minRunShingles >= 1, "minRunShingles must be >= 1")
     val cPos = corpus.select(
       col(idCol).as("doc_id"),
-      posexplode(Dedup.shingles(Dedup.words(col(textCol)), k))
+      posexplode(Dedup.shingleCol(col(textCol), k, distinct = false))
         .as(Seq("pos", "shingle")))
     // the UNION of all probes' shingles — run detection is against the
     // whole suite (an excision does not care WHICH item leaked)
     val pSet = probes
-      .select(explode(Dedup.shingles(Dedup.words(col(textCol)), k))
+      .select(explode(Dedup.shingleCol(col(textCol), k, distinct = true))
         .as("shingle"))
       .distinct()
     // bounded by probe-shingle hits and read twice (df cap + run merge):

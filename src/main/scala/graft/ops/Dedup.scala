@@ -130,6 +130,17 @@ object Dedup {
         org.apache.spark.sql.GraftBridge.expression(textCol),
         k, shingleLen))
 
+  /** The raw shingle ARRAY as one JVM loop ([[graft.exprs.WordShingles]]):
+    * same semantics as `shingles(words(textCol), k)` (plus
+    * `array_distinct` when `distinct`) but without the per-element
+    * interpreted HOF cost — for the posting/n-gram stream builders that
+    * explode shingle strings rather than signatures.
+    */
+  def shingleCol(textCol: Column, k: Int, distinct: Boolean): Column =
+    org.apache.spark.sql.GraftBridge.column(
+      graft.exprs.WordShingles(
+        org.apache.spark.sql.GraftBridge.expression(textCol), k, distinct))
+
   /** The band keys of a (non-null) signature column, one Column per
     * band — EXACTLY the keys [[minhashBands]] explodes into rows, kept
     * row-level for callers that must stay aggregation-free (the

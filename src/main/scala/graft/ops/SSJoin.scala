@@ -58,8 +58,7 @@ object SSJoin {
     require(tauBp > 0 && tauBp <= 10000, "tauBp must be in (0, 10000]")
     val toks0 = df.select(
       col(idCol).cast("long").as("id"),
-      explode(array_distinct(
-        Dedup.shingles(Dedup.words(col(textCol)), k))).as("tok"))
+      explode(Dedup.shingleCol(col(textCol), k, distinct = true)).as("tok"))
     val toks = if (materialize) toks0.persist() else toks0
     // global token order: rarest-first (df asc, token asc) — vocab-sized,
     // broadcast back onto the postings

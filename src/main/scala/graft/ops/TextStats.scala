@@ -509,7 +509,7 @@ object TextStats {
   ): org.apache.spark.sql.DataFrame = {
     def grams(n: Int) = df.select(
       col(idCol),
-      explode(Dedup.shingles(Dedup.words(col(textCol)), n)).as("g"))
+      explode(Dedup.shingleCol(col(textCol), n, distinct = false)).as("g"))
     def counted(n: Int) = grams(n)
       .groupBy(col(idCol), col("g"))
       .agg(count(lit(1)).as("c"))
@@ -555,7 +555,9 @@ object TextStats {
       k: Int
   ): org.apache.spark.sql.DataFrame = {
     require(n > 0 && k > 0, "n and k must be positive")
-    df.select(explode(Dedup.shingles(Dedup.words(col(textCol)), n)).as("ngram"))
+    df.select(
+        explode(Dedup.shingleCol(col(textCol), n, distinct = false))
+          .as("ngram"))
       .groupBy(col("ngram"))
       .agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("ngram").asc)
