@@ -696,7 +696,8 @@ object Dedup {
     require(w >= 1, "w must be >= 1")
     val hashes = df.select(
       col(idCol).as("doc_id"),
-      posexplode(shingles(words(col(textCol)), k)).as(Seq("pos", "__s")))
+      posexplode(shingleCol(col(textCol), k, distinct = false))
+        .as(Seq("pos", "__s")))
       .select(col("doc_id"), col("pos").cast("long").as("pos"),
         TextStats.rollingFingerprint(col("__s")).as("__h"))
     val win = org.apache.spark.sql.expressions.Window

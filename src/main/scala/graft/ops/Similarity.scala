@@ -53,15 +53,30 @@ object Similarity {
     val dec = "decimal(38,0)"
     // null embeddings are EXCLUDED explicitly (a vector that doesn't
     // exist has no moments) — without the filter, inline would skip
-    // them silently and n would disagree with a count(*) consumer
+    // them silently and n would disagree with a count(*) consumer.
+    //
+    // Two-level sum: the d(d+1)/2-per-row fan-out is first collapsed per
+    // TASK with plain int64 sums — exact by construction (|p| ≤ 10^8 from
+    // the ×10⁴ quantization, so a task would need > 9·10^10 rows to
+    // overflow; input splits are bounded far below that, and ANSI mode
+    // fails loud rather than wrapping) — and only the per-task partials
+    // (≤ d(d+1)/2 rows each) are summed in decimal(38,0). Same exact
+    // values and output schema as a direct decimal aggregation, without
+    // paying interpreted decimal arithmetic once per fanned-out row.
     df.filter(embedding.isNotNull)
       .select(inline(bridge(graft.exprs.QuantGramPairs(expr(embedding)))))
+      .groupBy(spark_partition_id().as("__t"), col("i"), col("j"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("qi")).as("__si"),
+        sum(col("qj")).as("__sj"),
+        sum(col("p")).as("__sij"))
       .groupBy(col("i"), col("j"))
       .agg(
-        count(lit(1)).as("n"),
-        sum(col("qi").cast(dec)).as("s_i"),
-        sum(col("qj").cast(dec)).as("s_j"),
-        sum(col("p").cast(dec)).as("s_ij"))
+        sum(col("__n")).as("n"),
+        sum(col("__si").cast(dec)).as("s_i"),
+        sum(col("__sj").cast(dec)).as("s_j"),
+        sum(col("__sij").cast(dec)).as("s_ij"))
   }
 
   /** Double-precision cosine similarity (for allclose-style consumers). */
