@@ -35,7 +35,14 @@ object Pipeline {
   )
 
   def features(spark: SparkSession, dir: String): DataFrame =
-    featuresFromTurns(Tables.transcript(spark, dir))
+    // the gate branch and the tool-observation branch BOTH consume the
+    // derived transcript (events scan + user_id window); materialize the
+    // derivation once per evaluation (lazy localCheckpoint, fresh per
+    // invocation). Deliberately NOT inside featuresFromTurns: over a
+    // bucketed table a checkpoint would erase the conv_id bucketing that
+    // elides the downstream exchanges (pipeline_bucketed's whole point),
+    // and there the second read is a cheap bucketed scan anyway.
+    featuresFromTurns(Tables.transcript(spark, dir).localCheckpoint(false))
 
   /** Same pipeline over an already-materialized transcript table. */
   def featuresFromTurns(turns: DataFrame): DataFrame = {
